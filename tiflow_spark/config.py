@@ -1,0 +1,105 @@
+"""Task / replica configuration — the engine's "query language".
+
+Mirrors the reference's config surface (dm/config/subtask.go:83 SubTaskConfig,
+cdc ReplicaConfig): block/allow lists, binlog event filters, SQL-pattern
+filters, expression filters, table routes, column mappings, dispatchers.
+Configs compile to DataFrame predicates/projections (see operators/) — the
+Spark-first analogue of tiflow compiling them into per-event Go closures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class TableRule:
+    """One block/allow matcher: wildcard patterns on (schema, table).
+
+    Pattern language = the reference's `matchers` DSL (pkg/filter via
+    tidb table-filter): ``*`` any run, ``?`` one char; case-insensitive by
+    default like the reference (filter.go:100-126 CaseSensitive flag).
+    """
+
+    schema_pattern: str
+    table_pattern: str = "*"
+
+
+@dataclass(frozen=True)
+class EventFilterRule:
+    """Skip events by type for matching tables
+    (pkg/binlog-filter/filter.go:27-120). ``events`` uses the canonical op
+    letters: I/U/D (all-dml = all three)."""
+
+    tables: tuple[TableRule, ...]
+    events: tuple[str, ...]  # subset of ("I", "U", "D")
+    action: str = "Ignore"  # Ignore | Do
+
+
+@dataclass(frozen=True)
+class ExpressionFilterRule:
+    """Skip DML when a SQL boolean expression over the row images is true
+    (pkg/filter/expr_filter.go:251-382). Expressions reference columns of
+    the before/after structs, e.g. ``after.balance > 100``."""
+
+    tables: tuple[TableRule, ...]
+    insert: str | None = None  # evaluated on after
+    update_old: str | None = None  # evaluated on before
+    update_new: str | None = None  # evaluated on after
+    delete: str | None = None  # evaluated on before
+
+
+@dataclass(frozen=True)
+class RouteRule:
+    """Regex/wildcard rename (schema, table) → (target_schema, target_table).
+    N:1 routes implement shard merge (dm/syncer/syncer.go:3272-3280).
+    ``extract_*`` adds source-identity columns via regex capture
+    (dm/syncer/syncer.go:2821-2847 generateExtendColumn)."""
+
+    schema_pattern: str
+    table_pattern: str
+    target_schema: str
+    target_table: str
+    extract_schema_regexp: str | None = None  # → source_schema column
+    extract_table_regexp: str | None = None  # → source_table column
+
+
+@dataclass(frozen=True)
+class ColumnMapping:
+    """Built-in value rewrites (pkg/column-mapping/column.go:42-75)."""
+
+    tables: tuple[TableRule, ...]
+    column: str
+    expr: str  # "add prefix" | "add suffix" | "partition id"
+    arguments: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Dispatcher:
+    """MQ partition/topic dispatch rule
+    (cdc/sink/dmlsink/mq/dispatcher/event_router.go:212-241)."""
+
+    tables: tuple[TableRule, ...]
+    partition: str = "default"  # default|table|ts|index-value|columns|rowid|key
+    columns: tuple[str, ...] = ()
+    topic: str | None = None  # template: [prefix]{schema}[mid][{table}][suffix]
+
+
+@dataclass
+class TaskConfig:
+    """The full pipeline spec — one of these is a 'changefeed'/'task'."""
+
+    do_tables: tuple[TableRule, ...] = ()  # allow-list (empty = allow all)
+    ignore_tables: tuple[TableRule, ...] = ()  # block-list
+    case_sensitive: bool = False
+    event_filters: tuple[EventFilterRule, ...] = ()
+    sql_patterns: tuple[str, ...] = ()  # regexes; events whose note matches are skipped
+    expr_filters: tuple[ExpressionFilterRule, ...] = ()
+    ignore_txn_start_ts: tuple[int, ...] = ()
+    routes: tuple[RouteRule, ...] = ()
+    column_mappings: tuple[ColumnMapping, ...] = ()
+    dispatchers: tuple[Dispatcher, ...] = ()
+    safe_mode: bool = False
+    compact: bool = True
+    worker_count: int = 16  # causality partition count (dm dml_worker.go:34)
+    checkpoint_ts: dict[str, int] = field(default_factory=dict)  # per-table low-watermark

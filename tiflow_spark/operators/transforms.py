@@ -1,0 +1,189 @@
+"""Row transforms — routing, column ops, update-split, safe-mode.
+
+Spark-first equivalents of the reference's per-event rewrite stages:
+  - table router (shard merge) ... dm/syncer/syncer.go:3272-3280 (regexpr-router)
+  - extend columns ............... dm/syncer/syncer.go:2821-2847
+  - column selector .............. cdc/.../columnselector/column_selector.go:25-227
+  - column mapping ............... pkg/column-mapping/column.go:42-75
+  - update split ................. pkg/sqlmodel/reduce.go:79-97 (IsIdentityUpdated)
+                                   + cdc/model/sink.go:1187-1205 (TrySplitAndSortUpdateEvent)
+  - safe-mode rewrite ............ dm/syncer/safe_mode.go:27-90
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiflow_spark.config import TableRule, TaskConfig
+from tiflow_spark.operators.filters import any_table_matches, table_matches
+
+
+def route(env: DataFrame, cfg: TaskConfig) -> DataFrame:
+    """Add target_schema/target_table (+ optional extracted source columns).
+
+    A when-chain over the compiled route rules: pure projection, no shuffle.
+    N:1 rules (many shards → one target) realize shard-merge: downstream
+    operators (compactor, apply) key on the *target* table, which is exactly
+    union semantics. Rows matching no rule keep their source identity.
+    """
+    ts: Column = F.col("schema")
+    tt: Column = F.col("table")
+    src_schema: Column = F.lit(None).cast("string")
+    src_table: Column = F.lit(None).cast("string")
+    for r in reversed(cfg.routes):  # first matching rule wins → build inside-out
+        m = table_matches(
+            TableRule(r.schema_pattern, r.table_pattern), cfg.case_sensitive
+        )
+        ts = F.when(m, F.lit(r.target_schema)).otherwise(ts)
+        tt = F.when(m, F.lit(r.target_table)).otherwise(tt)
+        if r.extract_schema_regexp:
+            src_schema = F.when(
+                m, F.regexp_extract(F.col("schema"), r.extract_schema_regexp, 1)
+            ).otherwise(src_schema)
+        if r.extract_table_regexp:
+            src_table = F.when(
+                m, F.regexp_extract(F.col("table"), r.extract_table_regexp, 1)
+            ).otherwise(src_table)
+    out = env.withColumn("target_schema", ts).withColumn("target_table", tt)
+    if any(r.extract_schema_regexp for r in cfg.routes):
+        out = out.withColumn("source_schema", src_schema)
+    if any(r.extract_table_regexp for r in cfg.routes):
+        out = out.withColumn("source_table", src_table)
+    return out
+
+
+def select_columns(env: DataFrame, keep: list[str]) -> DataFrame:
+    """Column selector: retain only `keep` fields inside before/after structs.
+
+    The reference verifies no index column is dropped (column_selector.go:150);
+    we enforce the same: 'id' (the handle key) must stay.
+    """
+    if "id" not in keep:
+        raise ValueError("column selector must retain the handle key 'id'")
+
+    def prune(side: str) -> Column:
+        return F.when(
+            F.col(side).isNotNull(),
+            F.struct(*[F.col(f"{side}.{c}").alias(c) for c in keep]),
+        )
+
+    return env.withColumn("before", prune("before")).withColumn(
+        "after", prune("after")
+    )
+
+
+def apply_column_mappings(env: DataFrame, cfg: TaskConfig) -> DataFrame:
+    """Built-in value rewrites on struct fields (add prefix/suffix).
+
+    partition-id (shard-id folded into PK high bits, column.go:35-40,377) is
+    implemented as arithmetic on the id field: id | (shard << 44).
+    """
+    out = env
+    for cm in cfg.column_mappings:
+        matched = any_table_matches(cm.tables, cfg.case_sensitive)
+
+        def rewrite(side: str, cm=cm, matched=matched) -> Column:
+            cur = F.col(f"{side}.{cm.column}")
+            if cm.expr == "add prefix":
+                new = F.concat(F.lit(cm.arguments[0]), cur.cast("string"))
+            elif cm.expr == "add suffix":
+                new = F.concat(cur.cast("string"), F.lit(cm.arguments[0]))
+            elif cm.expr == "partition id":
+                shard = F.regexp_extract(F.col("schema"), r"(\d+)$", 1).cast("long")
+                new = F.shiftleft(shard, 44) + cur.cast("long")
+            else:
+                raise ValueError(f"unknown column-mapping expr: {cm.expr}")
+            fields = [
+                f.name
+                for f in env.schema[side].dataType.fields  # type: ignore[union-attr]
+            ]
+            return F.when(
+                F.col(side).isNotNull(),
+                F.struct(
+                    *[
+                        (
+                            F.when(matched, new).otherwise(cur).alias(c)
+                            if c == cm.column
+                            else F.col(f"{side}.{c}").alias(c)
+                        )
+                        for c in fields
+                    ]
+                ),
+            )
+
+        out = out.withColumn("before", rewrite("before")).withColumn(
+            "after", rewrite("after")
+        )
+    return out
+
+
+def split_updates(env: DataFrame) -> DataFrame:
+    """U events whose identity (handle key) changed → D(before) + I(after).
+
+    Required before key-partitioned apply, else the old row leaks
+    (reduce.go:213-236 SplitUpdate; forced for Kafka/storage sinks in
+    sink.go:1187). Implemented as explode over a 1-or-2 element array —
+    stays in whole-stage codegen, no shuffle. `seq` is sub-sequenced
+    (2*seq, 2*seq+1) to keep deterministic total order.
+    """
+    identity_changed = (
+        (F.col("op") == "U")
+        & F.col("before").isNotNull()
+        & F.col("after").isNotNull()
+        & (F.col("before.id") != F.col("after.id"))
+    )
+    d_part = F.struct(
+        F.lit("D").alias("op"),
+        F.col("before").alias("before"),
+        F.lit(None).cast(env.schema["after"].dataType).alias("after"),
+        (F.col("seq") * 2).alias("seq"),
+        F.col("before.id").cast("string").alias("key"),
+    )
+    i_part = F.struct(
+        F.lit("I").alias("op"),
+        F.lit(None).cast(env.schema["before"].dataType).alias("before"),
+        F.col("after").alias("after"),
+        (F.col("seq") * 2 + 1).alias("seq"),
+        F.col("after.id").cast("string").alias("key"),
+    )
+    keep = F.struct(
+        F.col("op"),
+        F.col("before"),
+        F.col("after"),
+        (F.col("seq") * 2).alias("seq"),
+        F.coalesce(F.col("after.id"), F.col("before.id"))
+        .cast("string")
+        .alias("key"),
+    )
+    parts = F.when(identity_changed, F.array(d_part, i_part)).otherwise(
+        F.array(keep)
+    )
+    other_cols = [
+        c for c in env.columns if c not in ("op", "before", "after", "seq", "key")
+    ]
+    return env.select(*other_cols, F.explode(parts).alias("_p")).select(
+        F.col("_p.op").alias("op"),
+        *other_cols,
+        F.col("_p.seq").alias("seq"),
+        F.col("_p.key").alias("key"),
+        F.col("_p.before").alias("before"),
+        F.col("_p.after").alias("after"),
+    )
+
+
+def safe_mode_rewrite(env: DataFrame, enabled: bool | Column = True) -> DataFrame:
+    """Mark events idempotently-appliable: INSERT→REPLACE, UPDATE→DELETE+REPLACE.
+
+    With MERGE-based apply (operators/apply.py) idempotency is inherent; we
+    keep the reference's observable surface by tagging the DML mode the sink
+    would use (safe_mode.go:27-90, row_change.go:366-390).
+    """
+    cond = F.lit(enabled) if isinstance(enabled, bool) else enabled
+    mode = (
+        F.when(~cond, F.col("op"))
+        .when(F.col("op") == "I", F.lit("R"))  # REPLACE
+        .when(F.col("op") == "U", F.lit("DR"))  # DELETE + REPLACE
+        .otherwise(F.col("op"))
+    )
+    return env.withColumn("dml_mode", mode)

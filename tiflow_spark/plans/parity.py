@@ -1,0 +1,326 @@
+"""Parity query registry — every operator as an oracle-checkable query.
+
+Each entry: name → (spark_builder(spark, sf_dir) -> DataFrame, duckdb_sql|None).
+The driver runs both sides at sf0.01 and hash-compares (CORRECTNESS_r{N}.json);
+tests/oracle.py does the same locally. Column names are aliased identically on
+both sides (the compare is name-keyed).
+
+The demo TaskConfig below exercises the full reference config surface
+(SURVEY.md §2.2-§2.3) over the synthetic sharded change stream (envelope.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflow_spark.config import (
+    Dispatcher,
+    EventFilterRule,
+    ExpressionFilterRule,
+    RouteRule,
+    TableRule,
+    TaskConfig,
+)
+from tiflow_spark.envelope import (
+    ENVELOPE_SQL_DUCKDB,
+    events_to_changes,
+    flatten,
+    load_table,
+)
+from tiflow_spark.functions.hashing import (
+    chunk_checksum_agg,
+    row_checksum_sql_duckdb,
+)
+from tiflow_spark.operators import filters as flt
+from tiflow_spark.operators import transforms as tfm
+from tiflow_spark.operators.apply import changes_to_state
+from tiflow_spark.operators.compactor import compact
+from tiflow_spark.operators.dispatchers import dispatch
+from tiflow_spark.operators.frontier import table_resolved_ts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return events_to_changes(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------- demo config
+
+DEMO_CFG = TaskConfig(
+    do_tables=(TableRule("shard_*", "events_*"),),
+    ignore_tables=(TableRule("*", "events_3"),),
+    event_filters=(
+        EventFilterRule(tables=(TableRule("*", "events_2"),), events=("D",)),
+    ),
+    sql_patterns=('"k": 9',),
+    expr_filters=(
+        ExpressionFilterRule(
+            tables=(TableRule("shard_1", "*"),),
+            insert="after.balance > 150",
+            delete="before.balance < 10",
+        ),
+    ),
+    routes=(
+        RouteRule(
+            "shard_*",
+            "events_*",
+            "target",
+            "events_all",
+            extract_schema_regexp=r"shard_(\d+)",
+            extract_table_regexp=r"events_(\d+)",
+        ),
+    ),
+    dispatchers=(
+        Dispatcher(tables=(TableRule("*", "*"),), partition="index-value"),
+    ),
+    worker_count=16,
+)
+
+# The same filter stack as DuckDB boolean SQL over the flattened envelope.
+_F_TABLE = """(regexp_matches(lower("schema"), '^shard_.*$')
+            AND regexp_matches(lower("table"), '^events_.*$')
+            AND NOT regexp_matches(lower("table"), '^events_3$'))"""
+_F_EVENT = """NOT (regexp_matches(lower("table"), '^events_2$') AND op = 'D')"""
+_F_SQLPAT = """NOT regexp_matches(coalesce(after_note, ''), '"k": 9')"""
+_F_EXPR = """NOT (regexp_matches(lower("schema"), '^shard_1$')
+             AND ((op = 'I' AND after_balance > 150)
+               OR (op = 'D' AND before_balance < 10)))"""
+FILTERS_SQL = f"{_F_TABLE} AND {_F_EVENT} AND {_F_SQLPAT} AND {_F_EXPR}"
+
+ENV_CTE = f"WITH env AS ({ENVELOPE_SQL_DUCKDB})"
+FILTERED_CTE = f"""{ENV_CTE},
+filtered AS (SELECT * FROM env WHERE {FILTERS_SQL})"""
+
+# Update-split + routing as DuckDB CTEs (mirrors tfm.split_updates: U with
+# identity change → D(2*seq) + I(2*seq+1); others keep seq*2).
+SPLIT_CTE = f"""{FILTERED_CTE},
+routed AS (
+  SELECT *, 'target' AS target_schema, 'events_all' AS target_table,
+         regexp_extract("schema", 'shard_(\\d+)', 1) AS source_schema,
+         regexp_extract("table", 'events_(\\d+)', 1) AS source_table
+  FROM filtered
+),
+split AS (
+  SELECT op, "schema", "table", commit_ts, start_ts, seq * 2 AS seq,
+         CAST(coalesce(after_id, before_id) AS VARCHAR) AS key,
+         before_id, before_balance, before_note,
+         after_id, after_balance, after_note,
+         target_schema, target_table, source_schema, source_table
+  FROM routed WHERE NOT (op = 'U' AND before_id <> after_id)
+  UNION ALL
+  SELECT 'D', "schema", "table", commit_ts, start_ts, seq * 2,
+         CAST(before_id AS VARCHAR),
+         before_id, before_balance, before_note,
+         NULL, NULL, NULL,
+         target_schema, target_table, source_schema, source_table
+  FROM routed WHERE op = 'U' AND before_id <> after_id
+  UNION ALL
+  SELECT 'I', "schema", "table", commit_ts, start_ts, seq * 2 + 1,
+         CAST(after_id AS VARCHAR),
+         NULL, NULL, NULL,
+         after_id, after_balance, after_note,
+         target_schema, target_table, source_schema, source_table
+  FROM routed WHERE op = 'U' AND before_id <> after_id
+)"""
+
+_OPW = "CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END"
+
+
+# ------------------------------------------------------------------- queries
+
+
+@register("cdc_envelope", f"{ENV_CTE} SELECT * FROM env")
+def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical ChangeEvent envelope itself (mounter-equivalent decode,
+    cdc/entry/mounter.go:115-225)."""
+    return flatten(_env(spark, sf_dir))
+
+
+@register(
+    "cdc_filter_stack",
+    f"{FILTERED_CTE} SELECT * FROM filtered",
+)
+def q_filter_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full filter stack: block/allow + event-type + sql-pattern + expression
+    filters as one pushed-down predicate (pkg/filter/*)."""
+    env = _env(spark, sf_dir)
+    return flatten(flt.apply_filters(env, DEMO_CFG))
+
+
+@register(
+    "cdc_filter_summary",
+    f"""{FILTERED_CTE}
+    SELECT "schema", "table", op, count(*) AS cnt,
+           min(commit_ts) AS min_ts, max(commit_ts) AS max_ts
+    FROM filtered GROUP BY 1, 2, 3""",
+)
+def q_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    return env.groupBy("schema", "table", "op").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("commit_ts").alias("min_ts"),
+        F.max("commit_ts").alias("max_ts"),
+    )
+
+
+@register(
+    "cdc_route_split",
+    f"""{SPLIT_CTE}
+    SELECT target_schema, target_table, source_schema, source_table, op,
+           count(*) AS cnt, sum(seq) AS seq_sum
+    FROM split GROUP BY 1, 2, 3, 4, 5""",
+)
+def q_route_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Router (shard N:1 merge) + extend columns + update-split
+    (dm/syncer routing; pkg/sqlmodel/reduce.go SplitUpdate)."""
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    routed = tfm.route(env, DEMO_CFG)
+    split = tfm.split_updates(routed)
+    return split.groupBy(
+        "target_schema", "target_table", "source_schema", "source_table", "op"
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum("seq").alias("seq_sum"))
+
+
+@register(
+    "cdc_compact",
+    f"""{SPLIT_CTE},
+    ranked AS (
+      SELECT *,
+        row_number() OVER w AS rn,
+        count(*) OVER wall AS n,
+        first_value(op) OVER w AS first_op,
+        last_value(op) OVER wall AS last_op,
+        first_value(before_id) OVER w AS f_before_id,
+        first_value(before_balance) OVER w AS f_before_balance,
+        first_value(before_note) OVER w AS f_before_note,
+        last_value(after_id) OVER wall AS l_after_id,
+        last_value(after_balance) OVER wall AS l_after_balance,
+        last_value(after_note) OVER wall AS l_after_note
+      FROM split
+      WINDOW
+        w AS (PARTITION BY target_table, key
+              ORDER BY commit_ts, seq, {_OPW}),
+        wall AS (PARTITION BY target_table, key
+                 ORDER BY commit_ts, seq, {_OPW}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    compacted AS (
+      SELECT target_table, key, commit_ts, start_ts, seq,
+        CASE
+          WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+          WHEN first_op = 'I' THEN 'I'
+          WHEN last_op = 'D' THEN 'D'
+          WHEN first_op = 'D' THEN 'U'
+          ELSE 'U' END AS op,
+        f_before_id, f_before_balance, f_before_note,
+        l_after_id, l_after_balance, l_after_note
+      FROM ranked WHERE rn = n
+    )
+    SELECT target_table, key, op, commit_ts, seq,
+      CASE WHEN op IN ('U','D') THEN f_before_id END AS before_id,
+      CASE WHEN op IN ('U','D') THEN f_before_balance END AS before_balance,
+      CASE WHEN op IN ('I','U') THEN l_after_id END AS after_id,
+      CASE WHEN op IN ('I','U') THEN l_after_balance END AS after_balance
+    FROM compacted WHERE op IS NOT NULL""",
+)
+def q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compactor: net change per key (dm/syncer/compactor.go truth table)."""
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    split = tfm.split_updates(tfm.route(env, DEMO_CFG))
+    c = compact(split, table_col="target_table")
+    return c.select(
+        "target_table",
+        "key",
+        "op",
+        "commit_ts",
+        "seq",
+        F.col("before.id").alias("before_id"),
+        F.col("before.balance").alias("before_balance"),
+        F.col("after.id").alias("after_id"),
+        F.col("after.balance").alias("after_balance"),
+    )
+
+
+@register(
+    "cdc_apply",
+    f"""{SPLIT_CTE},
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split) WHERE rn = 1
+    )
+    SELECT target_table, key, after_id AS id, after_balance AS balance,
+           after_note AS note
+    FROM last WHERE op <> 'D'""",
+)
+def q_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full pipeline — envelope → filters → route/split → apply
+    (last-writer-wins MERGE semantics, the engine's answer to the reference's
+    MySQL-sink + DM worker apply path)."""
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    split = tfm.split_updates(tfm.route(env, DEMO_CFG))
+    return changes_to_state(split, table_col="target_table")
+
+
+@register(
+    "cdc_frontier",
+    f"""{ENV_CTE}
+    SELECT "table", max(commit_ts) AS resolved_ts, min(commit_ts) AS min_ts,
+           count(*) AS events
+    FROM env GROUP BY 1""",
+)
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table resolved-ts frontier (cdc/puller/frontier)."""
+    return table_resolved_ts(_env(spark, sf_dir))
+
+
+@register(
+    "cdc_dispatch",
+    f"""{ENV_CTE},
+    disp AS (
+      SELECT "schema" || '.' || "table" AS topic,
+        CAST((('0x' || substr(md5("schema" || chr(1) || "table" || chr(1) || key), 1, 15))::BIGINT) % 16 AS INT) AS partition
+      FROM env)
+    SELECT topic, partition, count(*) AS cnt FROM disp GROUP BY 1, 2""",
+)
+def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ dispatcher: index-value partitioning + default topic
+    (event_router.go:212-241) with the engine-portable hash."""
+    env = _env(spark, sf_dir)
+    d = dispatch(env, DEMO_CFG, num_partitions=16)
+    return d.groupBy("topic", "partition").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@register(
+    "validate_checksum",
+    f"""SELECT c_custkey // 64 AS chunk_id, count(*) AS cnt,
+           bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
+    FROM customer GROUP BY 1""",
+)
+def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sync_diff chunked checksum (sync_diff_inspector/utils/utils.go:860-918):
+    COUNT + BIT_XOR(md5 row hash) per chunk, map-side combinable."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy(
+        (F.floor(F.col("c_custkey") / 64)).cast("bigint").alias("chunk_id")
+    ).agg(*chunk_checksum_agg(CUSTOMER_COLS))
