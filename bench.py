@@ -1,0 +1,67 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The headline metric the driver compares
+to BASELINE.md is end-to-end change-pipeline throughput: the reference's
+envelope is 40–290k rows/s applied; ours is measured by `cdc_apply` over the
+sf0.1 events table (600k lineitem-scale stream).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from tiflow_spark.session import get_spark
+
+    spark = get_spark("tiflow-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tiflow_spark.plans.parity import REGISTRY
+
+    bench_queries = [
+        "cdc_envelope",
+        "cdc_filter_stack",
+        "cdc_route_split",
+        "cdc_compact",
+        "cdc_apply",
+        "cdc_dispatch",
+        "validate_checksum",
+    ]
+    bench_queries = [q for q in bench_queries if q in REGISTRY]
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        fn, _ = REGISTRY[name]
+        # warm the input cache path once (JVM/code-gen warmup not counted
+        # out — the driver measures the same way every round)
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
