@@ -1,0 +1,165 @@
+"""CSV codec — encode/decode the change envelope as CSV lines.
+
+Reference: pkg/sink/codec/csv/csv_message.go (layout :99-110, quoting
+:197-245, op taxonomy I/U/D :99) and csv_encoder.go. Message layout:
+
+    op, table, schema [, commit_ts] [, is_update] , col1..colN
+
+- quote mode: string fields wrapped in the quote char, inner quotes doubled
+  (RFC 4180); numbers unquoted; NULL → null_string (default ``\\N``).
+- escape mode (empty quote): backslash-escape \\, \\r → \\r, \\n → \\n and
+  the delimiter.
+- update events with ``output_old_value``: encoded as TWO rows — D(pre) then
+  I(post) (csv_message.go:105-113) with the is-update flag set.
+
+Everything is built-in string expressions → whole-stage codegen; at 100 TB
+the encode is a pure map stage with no shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class CsvConfig:
+    delimiter: str = ","
+    quote: str = '"'  # empty string → escape mode
+    null_string: str = "\\N"
+    include_commit_ts: bool = True
+    output_old_value: bool = False
+
+
+def _fmt_string(c: Column, cfg: CsvConfig) -> Column:
+    if cfg.quote:
+        q = cfg.quote
+        return F.concat(F.lit(q), F.replace(c, F.lit(q), F.lit(q + q)), F.lit(q))
+    # escape mode: \ first, then CR/LF/delimiter
+    out = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit(cfg.delimiter), F.lit("\\" + cfg.delimiter))
+    return out
+
+
+def _fmt(c: Column, dtype: T.DataType, cfg: CsvConfig) -> Column:
+    if isinstance(dtype, T.StringType):
+        formatted = _fmt_string(c, cfg)
+    elif isinstance(dtype, T.BooleanType):
+        formatted = F.when(c, "true").otherwise("false")
+    else:
+        formatted = c.cast("string")
+    return F.coalesce(formatted, F.lit(cfg.null_string))
+
+
+def encode_csv(env: DataFrame, cfg: CsvConfig = CsvConfig()) -> DataFrame:
+    """Envelope → DataFrame[table, schema, commit_ts, line STRING].
+
+    One output row per CSV line (U may produce two in old-value mode).
+    """
+    side_t = env.schema["after"].dataType
+
+    def row_line(op: Column, image: str) -> Column:
+        fields = [
+            _fmt(op, T.StringType(), cfg),
+            _fmt(F.col("table"), T.StringType(), cfg),
+            _fmt(F.col("schema"), T.StringType(), cfg),
+        ]
+        if cfg.include_commit_ts:
+            fields.append(_fmt(F.col("commit_ts"), T.LongType(), cfg))
+        if cfg.output_old_value:
+            fields.append(
+                _fmt(F.col("op") == "U", T.BooleanType(), cfg)
+            )
+        for f in side_t.fields:  # type: ignore[union-attr]
+            fields.append(_fmt(F.col(f"{image}.{f.name}"), f.dataType, cfg))
+        return F.concat_ws(cfg.delimiter, *fields)
+
+    if cfg.output_old_value:
+        lines = (
+            F.when(
+                F.col("op") == "U",
+                F.array(row_line(F.lit("D"), "before"), row_line(F.lit("I"), "after")),
+            )
+            .when(F.col("op") == "D", F.array(row_line(F.lit("D"), "before")))
+            .otherwise(F.array(row_line(F.lit("I"), "after")))
+        )
+    else:
+        image_line = F.when(
+            F.col("op") == "D", row_line(F.col("op"), "before")
+        ).otherwise(row_line(F.col("op"), "after"))
+        lines = F.array(image_line)
+    return env.select(
+        "table",
+        "schema",
+        "commit_ts",
+        "seq",
+        F.explode(lines).alias("line"),
+    )
+
+
+def decode_csv(
+    lines: DataFrame,
+    payload_schema: T.StructType,
+    cfg: CsvConfig = CsvConfig(),
+    line_col: str = "line",
+) -> DataFrame:
+    """CSV lines → parsed change rows (round-trip of :func:`encode_csv`).
+
+    Built on from_csv (JVM parser) — decode is a map stage, no Python.
+    """
+    meta = [
+        T.StructField("op", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("schema", T.StringType()),
+    ]
+    if cfg.include_commit_ts:
+        meta.append(T.StructField("commit_ts", T.LongType()))
+    if cfg.output_old_value:
+        meta.append(T.StructField("is_update", T.BooleanType()))
+    full = T.StructType(meta + list(payload_schema.fields))
+    opts = {
+        "sep": cfg.delimiter,
+        "quote": cfg.quote or "",
+        "escape": cfg.quote or "\\",
+        "nullValue": cfg.null_string,
+    }
+    parsed = lines.select(
+        F.from_csv(F.col(line_col), full.simpleString(), opts).alias("r")
+    )
+    return parsed.select("r.*")
+
+
+def csv_encode_sql_duckdb(
+    payload_cols: list[tuple[str, str]],
+    env_cte: str,
+    cfg: CsvConfig = CsvConfig(),
+) -> str:
+    """DuckDB SQL producing identical lines from the flattened envelope CTE.
+
+    payload_cols: [(flattened_col_base, sqltype)] e.g. [("id","bigint"), ...];
+    the before_/after_ prefix is applied per op like encode_csv does.
+    """
+    assert cfg.quote and not cfg.output_old_value, "oracle covers quote mode"
+    q = cfg.quote
+
+    def fmt_str(e: str) -> str:
+        return f"'{q}' || replace({e}, '{q}', '{q}{q}') || '{q}'"
+
+    def fmt(e: str, typ: str) -> str:
+        inner = fmt_str(e) if typ == "string" else f"CAST({e} AS VARCHAR)"
+        return f"coalesce({inner}, '\\N')"
+
+    parts = [fmt("op", "string"), fmt('"table"', "string"), fmt('"schema"', "string")]
+    if cfg.include_commit_ts:
+        parts.append(fmt("commit_ts", "long"))
+    for base, typ in payload_cols:
+        img = f"CASE WHEN op = 'D' THEN before_{base} ELSE after_{base} END"
+        parts.append(fmt(img, typ))
+    line = " || ',' || ".join(parts)
+    return f"""{env_cte}
+    SELECT "table", "schema", commit_ts, seq, {line} AS line FROM env"""

@@ -308,6 +308,87 @@ def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("topic", "partition").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+# ------------------------------------------------------------------- codecs
+
+PAYLOAD_COLS = [("id", "bigint"), ("balance", "double"), ("note", "string")]
+
+
+@register(
+    "codec_csv",
+    None,  # filled in below (SQL generated from the codec module)
+)
+def q_codec_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec encode (pkg/sink/codec/csv/csv_message.go layout +
+    RFC4180 quoting)."""
+    from tiflow_spark.codecs.csv_codec import CsvConfig, encode_csv
+
+    return encode_csv(_env(spark, sf_dir), CsvConfig())
+
+
+@register("codec_canal_json", None)
+def q_codec_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-JSON codec (canal_json_row_event_encoder.go; FlatMessage layout)."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+
+    return encode_canal_json(_env(spark, sf_dir))
+
+
+@register("codec_debezium", None)
+def q_codec_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium JSON envelope (pkg/sink/codec/debezium/codec.go)."""
+    from tiflow_spark.codecs.debezium import encode_debezium
+
+    return encode_debezium(_env(spark, sf_dir))
+
+
+@register("codec_maxwell", None)
+def q_codec_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell JSON codec (maxwell_encoder.go; changed-columns old map)."""
+    from tiflow_spark.codecs.maxwell import encode_maxwell
+
+    return encode_maxwell(_env(spark, sf_dir))
+
+
+@register("codec_open_protocol", None)
+def q_codec_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open Protocol key/value JSON (open_protocol_encoder.go)."""
+    from tiflow_spark.codecs.open_protocol import encode_open_protocol
+
+    return encode_open_protocol(_env(spark, sf_dir))
+
+
+def _install_codec_oracles() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+    from tiflow_spark.codecs.csv_codec import csv_encode_sql_duckdb
+    from tiflow_spark.codecs.debezium import debezium_sql_duckdb
+    from tiflow_spark.codecs.maxwell import maxwell_sql_duckdb
+    from tiflow_spark.codecs.open_protocol import open_protocol_sql_duckdb
+
+    REGISTRY["codec_csv"] = (
+        REGISTRY["codec_csv"][0],
+        csv_encode_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+    REGISTRY["codec_canal_json"] = (
+        REGISTRY["codec_canal_json"][0],
+        canal_json_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+    REGISTRY["codec_debezium"] = (
+        REGISTRY["codec_debezium"][0],
+        debezium_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+    REGISTRY["codec_maxwell"] = (
+        REGISTRY["codec_maxwell"][0],
+        maxwell_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+    REGISTRY["codec_open_protocol"] = (
+        REGISTRY["codec_open_protocol"][0],
+        open_protocol_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+
+
+_install_codec_oracles()
+
+
 CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
 
