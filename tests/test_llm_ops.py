@@ -1,0 +1,103 @@
+"""Behavioral tests for the LLM-pipeline operators (recall/precision checks
+that the parity oracle can't express)."""
+
+import pyspark.sql.functions as F
+
+from tiflow_spark.envelope import load_table
+from tiflow_spark.llm.dedup import (
+    corpus_with_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from tiflow_spark.llm.multimodal import (
+    extract_features,
+    frame_sample_stub,
+    repartition_by_bytes,
+    synthesize_media,
+)
+from tiflow_spark.llm.similarity import ann_lsh_topk, topk_cosine
+
+
+def test_exact_dedup_finds_planted_clones(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = corpus_with_dups(docs)
+    result = exact_dedup(corpus)
+    planted = docs.filter(F.col("doc_id") % 7 == 0).count()
+    dups = result.filter(F.col("is_dup")).count()
+    assert dups == planted  # every exact clone resolves to its original
+    # canonical ids are originals (< 10000)
+    assert result.filter(F.col("is_dup") & (F.col("canonical_id") >= 10000)).count() == 0
+
+
+def test_minhash_recall_vs_ngram_jaccard(spark, sf_dir):
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(corpus, 0.7).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus, 16, 4, 0.7).collect()
+    }
+    assert truth, "expected planted near-dups at jaccard>=0.7"
+    # LSH verification guarantees precision; recall must be high at j>=0.7
+    assert found <= truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall}"
+
+
+def test_simhash_clones_have_zero_distance(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    corpus = corpus_with_dups(docs)
+    fps = simhash(corpus)
+    orig = fps.filter(F.col("doc_id") < 10000).alias("o")
+    clone = fps.filter(
+        (F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)
+    ).alias("c")
+    j = orig.join(
+        clone, F.col("o.doc_id") + 10000 == F.col("c.doc_id")
+    ).select(
+        F.bit_count(
+            F.col("o.simhash").bitwiseXOR(F.col("c.simhash"))
+        ).alias("d")
+    )
+    rows = j.collect()
+    assert rows and all(r.d == 0 for r in rows)
+
+
+def test_ann_lsh_is_subset_of_bruteforce_space(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = topk_cosine(emb, [0, 1, 2, 3], 5)
+    approx = ann_lsh_topk(emb, [0, 1, 2, 3], 5)
+    assert exact.count() == 4 * 5
+    # ANN returns at most k per query and only real vec_ids
+    per_q = {r.query_id: r.cnt for r in approx.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()}
+    assert all(v <= 5 for v in per_q.values())
+    # every ANN hit's cosine matches the exact cosine for that pair
+    joined = approx.alias("a").join(
+        topk_cosine(emb, [0, 1, 2, 3], 500).alias("e"),
+        ["query_id", "vec_id", "cos"],
+    )
+    assert joined.count() == approx.count()
+
+
+def test_multimodal_pipeline_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = synthesize_media(docs)
+    media = repartition_by_bytes(media, target_bytes=1 << 20)
+    feats = extract_features(media)
+    assert feats.count() == 40
+    row = feats.first()
+    assert len(row.feat) == 8 and row.pixels > 0
+    frames = frame_sample_stub(media, every_n=16)
+    # frame counts match ceil-ish split of payload bytes
+    total_frames = frames.count()
+    assert total_frames >= 40
+    reassembled = frames.groupBy("media_id").agg(
+        F.sum(F.length("frame_payload")).alias("n")
+    )
+    src = media.select("media_id", F.length("payload").cast("long").alias("n"))
+    assert reassembled.exceptAll(src).count() == 0

@@ -1,0 +1,424 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-shaped for 100 TB:
+- exact:         hash-groupBy on md5(text) — one shuffle keyed by digest
+- n-gram Jaccard: shingle-explode + self-join on shingle (candidate pairs
+                  only materialize for docs sharing a shingle), then
+                  common/total ratio — the join key is the shingle, so the
+                  shuffle is bounded by posting-list sizes, not n²
+- MinHash + LSH:  k min-hashes per doc (map-side), banded signatures,
+                  bucket-join on band signature → candidates, verified with
+                  true Jaccard. The classic sub-quadratic path.
+- SimHash:        64-bit sign-aggregated token hashes; near-dups = small
+                  Hamming distance within LSH buckets on 16-bit chunks.
+- embedding:      cosine similarity over candidate blocks (label-blocked
+                  here; IVF/LSH blocks at scale — see similarity.py).
+
+Hashes are the engine-portable md5-based ones (functions/hashing.py), so
+every operator is DuckDB-oracle-checkable. At scale swap portable_hash64 for
+xxhash64 (same plan shape, faster) — flagged inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiflow_spark.functions.hashing import (
+    portable_hash64,
+    portable_hash64_sql_duckdb,
+)
+
+# ---------------------------------------------------------------- test corpus
+
+
+def corpus_with_dups(docs: DataFrame) -> DataFrame:
+    """Deterministic augmented corpus: exact clones (doc_id+10000, every 7th
+    doc) and near-clones with the first two words dropped (doc_id+20000,
+    every 5th doc). Gives the dedup operators real positives to find."""
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 3, 100000), " "
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(exact).unionByName(near)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000,
+         array_to_string(list_slice(string_split(text, ' '), 3, 100001), ' ')
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: canonical = min doc_id per digest.
+
+    Returns (doc_id, canonical_id, group_size, is_dup). One hash-shuffle;
+    map-side partial agg collapses per-partition duplicates first.
+    """
+    digest = F.md5(F.col("text")).alias("digest")
+    groups = (
+        corpus.select("doc_id", digest)
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+    return (
+        corpus.select("doc_id", digest)
+        .join(groups, "digest")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "group_size",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = f"""WITH {CORPUS_SQL.strip()},
+g AS (
+  SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+         count(*) AS group_size
+  FROM corpus GROUP BY 1
+)
+SELECT c.doc_id, g.canonical_id, g.group_size,
+       c.doc_id <> g.canonical_id AS is_dup
+FROM corpus c JOIN g ON md5(c.text) = g.digest"""
+
+
+# ------------------------------------------------------------ shingling utils
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def _shingles_sql(text: str = "text", n: int = 3) -> str:
+    toks = f"list_filter(string_split_regex({text}, '\\s+'), t -> t <> '')"
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n - 1}, 1) + 1), i -> {parts}))"
+    ).replace("toks", toks)
+
+
+# ----------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: explode shingles, self-join on shingle, count
+    common shingles per pair. No n² blowup — only docs sharing a shingle
+    ever meet, and hot shingles are the skew knob (AQE handles it; a
+    stop-shingle cap is the 100 TB refinement).
+    """
+    sh = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("sh_b"))
+    jac = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3) -> str:
+    return f"""WITH {CORPUS_SQL.strip()},
+sh AS (
+  SELECT doc_id, unnest({_shingles_sql("text", n)}) AS shingle FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}"""
+
+
+# --------------------------------------------------------------- MinHash LSH
+
+
+def minhash_signatures(
+    corpus: DataFrame, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """k min-hashes per doc: min over shingles of hash(i ⊕ shingle).
+
+    Uses lexicographic min of md5(i:shingle) hex strings — portable and a
+    valid minwise family. Map-only stage. (At scale: xxhash64(shingle, seed_i)
+    — same shape, cheaper.)
+    """
+    sh = word_shingles(F.col("text"), n)
+
+    def mh(i: int) -> Column:
+        # NB: the lambda must be unary — a 2-arg lambda makes F.transform
+        # pass the array index as the second argument.
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+
+    return corpus.select("doc_id", *[mh(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate generation + true-Jaccard verification.
+
+    bands × rows/band signatures; docs sharing any band bucket become
+    candidates (shuffle keyed on (band, signature) — sub-quadratic), then
+    exact Jaccard over shingle sets filters false positives.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(corpus, num_hashes, n)
+    band_cols = [
+        F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_cols[b].alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify candidates with true jaccard over shingle sets
+    sh = corpus.select("doc_id", word_shingles(F.col("text"), n).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_lsh_sql(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, n: int = 3
+) -> str:
+    rows_per_band = num_hashes // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        "({b}, {sig})".format(
+            b=b,
+            sig="concat_ws('|', "
+            + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + ")",
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {CORPUS_SQL.strip()},
+sh AS (SELECT doc_id, {_shingles_sql("text", n)} AS sh FROM corpus),
+sigs AS (SELECT doc_id, {mh} FROM sh),
+banded AS (
+  SELECT doc_id, b.* FROM sigs,
+  LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+            len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {threshold}"""
+
+
+# ------------------------------------------------------------------- SimHash
+
+
+def simhash(corpus: DataFrame, bits: int = 60) -> DataFrame:
+    """SimHash over word tokens: per bit b, sum ±1 votes across token
+    hashes; sign vector → fingerprint. 60 bits (the portable-hash range).
+    Pure array expressions, map-only."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    )
+    hashes = F.transform(toks, portable_hash64)
+
+    def bit_vote(b: int) -> Column:
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    fp = F.lit(0).cast("bigint")
+    for b in range(bits):
+        fp = fp + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return corpus.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_sql(bits: int = 60) -> str:
+    toks = (
+        "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " t -> t <> ''))"
+    )
+    h = portable_hash64_sql_duckdb("t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""WITH {CORPUS_SQL.strip()},
+hs AS (SELECT doc_id, list_transform({toks}, t -> {h}) AS hs FROM corpus)
+SELECT doc_id, {bit_terms} AS simhash FROM hs"""
+
+
+def simhash_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ max_hamming, blocked by 15-bit
+    chunks (a pair within distance d must share ≥1 of 4 chunks when d ≤ 3)."""
+    chunks = [
+        F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
+        for i in range(4)
+    ]
+    blocked = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk"), chunks[i].alias("val"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cands = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    toks = (
+        "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " t -> t <> ''))"
+    )
+    h = portable_hash64_sql_duckdb("t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    chunk_rows = ", ".join(
+        f"({i}, (sim >> {15 * i}) & 32767)" for i in range(4)
+    )
+    return f"""WITH {CORPUS_SQL.strip()},
+hs AS (SELECT doc_id, list_transform({toks}, t -> {h}) AS hs FROM corpus),
+fp AS (SELECT doc_id, {bit_terms} AS sim FROM hs),
+blocked AS (
+  SELECT doc_id, sim, c.* FROM fp,
+  LATERAL (VALUES {chunk_rows}) AS c(chunk, val)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.sim AS sh_a, b.sim AS sh_b
+  FROM blocked a JOIN blocked b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""

@@ -1,0 +1,256 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. Query set broadcast against the
+  corpus → one map stage + a per-query top-k (window). Cost O(Q·N·d); the
+  right tool when Q is small.
+- LSH (random-hyperplane sign buckets): the scale path. Planes are derived
+  from the portable hash (deterministic, no stored model): plane p weight
+  for dim i = ±1 by hash bit. Docs sharing a bucket are candidates; exact
+  cosine re-ranks. At 100 TB this turns the N² into bucket-local joins.
+- Embedding near-dup: cosine ≥ threshold over blocked candidates.
+
+Dot products use F.zip_with + F.aggregate (JVM, no Python). The sum order is
+left-to-right on both Spark and DuckDB, so cosine values match bitwise and
+the oracle can compare rounded values safely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def topk_cosine(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbours for each query vector (excluding self).
+
+    The query side is tiny → broadcast; corpus side streams. Ranking uses
+    cosine rounded to 6dp with vec_id tiebreak for determinism.
+    """
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def topk_cosine_sql(query_ids: list[int], k: int = 5) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    round(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      / sqrt(
+        list_sum(list_transform(range(1, len(q.q_emb) + 1),
+          i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))
+        * list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
+      6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+def lsh_bucket(emb: Column, planes: int = 8, dims: int = 64) -> Column:
+    """Deterministic random-hyperplane bucket id: bit p = sign(w_p · emb)
+    where w_p[i] = ±1 derived from a fixed per-(p,i) coin. No stored model —
+    every engine/restart derives identical planes."""
+    from tiflow_spark.functions.hashing import portable_hash64
+
+    bucket = F.lit(0)
+    for p in range(planes):
+        coins = [
+            # deterministic ±1: parity of the portable hash of "p:i"
+            1 if _coin(p, i) else -1
+            for i in range(dims)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(c)) for c in coins]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+import hashlib
+
+
+def _coin(p: int, i: int) -> bool:
+    """Deterministic coin shared with the oracle: md5("p:i") low bit."""
+    return int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[-1], 16) % 2 == 1
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket. Recall < 1 by design; the oracle checks the deterministic result,
+    tests check recall against brute force."""
+    from pyspark.sql import Window
+
+    dims = 64
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes, dims)
+    )
+    q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    joined = with_bucket.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def ann_lsh_topk_sql(query_ids: list[int], k: int = 5, planes: int = 8, dims: int = 64) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    plane_terms = []
+    for p in range(planes):
+        weights = ", ".join(
+            "1.0" if _coin(p, i) else "-1.0" for i in range(dims)
+        )
+        plane_terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dims} + 1), "
+            f"i -> embedding[i]::DOUBLE * ([{weights}])[i])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_terms)
+    cos = (
+        "round(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE)) / sqrt("
+        "list_sum(list_transform(range(1, len(q.q_emb) + 1), "
+        "i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE)) * "
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))), 6)"
+    )
+    return f"""WITH wb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+  FROM wb WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cos
+  FROM wb e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+def embedding_neardup(
+    embeddings: DataFrame, threshold: float = 0.95, planes: int = 8
+) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold within LSH buckets
+    (high-cosine pairs land in the same bucket with high probability)."""
+    with_bucket = embeddings.withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), planes, 64)
+    )
+    a = with_bucket.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    b = with_bucket.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
+def embedding_neardup_sql(threshold: float = 0.95, planes: int = 8, dims: int = 64) -> str:
+    plane_terms = []
+    for p in range(planes):
+        weights = ", ".join("1.0" if _coin(p, i) else "-1.0" for i in range(dims))
+        plane_terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dims} + 1), "
+            f"i -> embedding[i]::DOUBLE * ([{weights}])[i])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(plane_terms)
+    cos = (
+        "round(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / sqrt("
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) * "
+        "list_sum(list_transform(range(1, len(b.embedding) + 1), "
+        "i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 6)"
+    )
+    return f"""WITH wb AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""

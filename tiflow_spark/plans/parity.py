@@ -391,6 +391,271 @@ _install_codec_oracles()
 
 CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
+# ----------------------------------------------- LLM data-pipeline operators
+
+
+@register("text_token_counts", None)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pieces."""
+    from tiflow_spark.llm.textstats import token_counts
+
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_quality", None)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword signals + composite score."""
+    from tiflow_spark.llm.textstats import quality_features
+
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_langid", None)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification."""
+    from tiflow_spark.llm.textstats import lang_id
+
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", None)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling k-gram hash document fingerprints."""
+    from tiflow_spark.llm.textstats import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_exact", None)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy) over the dup-augmented corpus."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, exact_dedup
+
+    return exact_dedup(corpus_with_dups(load_table(spark, sf_dir, "documents")))
+
+
+@register("dedup_ngram_jaccard", None)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram Jaccard near-dup pairs (inverted-index join)."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        corpus_with_dups(load_table(spark, sf_dir, "documents")), 0.5
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: banded signatures → candidates → verify."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        corpus_with_dups(load_table(spark, sf_dir, "documents")), 16, 4, 0.5
+    )
+
+
+@register("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (pair search tested separately — the tiny shared
+    vocabulary of the synthetic corpus makes all docs near each other)."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, simhash
+
+    return simhash(corpus_with_dups(load_table(spark, sf_dir, "documents")))
+
+
+@register("sim_topk_cosine", None)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors."""
+    from tiflow_spark.llm.similarity import topk_cosine
+
+    return topk_cosine(
+        load_table(spark, sf_dir, "embeddings"), list(range(8)), 5
+    )
+
+
+@register("sim_ann_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 within deterministic random-hyperplane LSH buckets."""
+    from tiflow_spark.llm.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        load_table(spark, sf_dir, "embeddings"), list(range(8)), 5
+    )
+
+
+@register("sim_embedding_neardup", None)
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.35 within 4-plane LSH buckets —
+    the synthetic embeddings are random, so 0.35 ≈ the top-0.1% tail)."""
+    from tiflow_spark.llm.similarity import embedding_neardup
+
+    return embedding_neardup(load_table(spark, sf_dir, "embeddings"), 0.35, planes=4)
+
+
+def _install_llm_oracles() -> None:
+    from tiflow_spark.llm import dedup as dd
+    from tiflow_spark.llm import similarity as sim
+    from tiflow_spark.llm import textstats as ts
+
+    oracles = {
+        "text_token_counts": ts.token_counts_sql(),
+        "text_quality": ts.quality_features_sql(),
+        "text_langid": ts.lang_id_sql(),
+        "text_fingerprint": ts.fingerprint_sql(),
+        "dedup_exact": dd.EXACT_DEDUP_SQL,
+        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(0.5),
+        "dedup_minhash_lsh": dd.minhash_lsh_sql(16, 4, 0.5),
+        "dedup_simhash": dd.simhash_sql(),
+        "sim_topk_cosine": sim.topk_cosine_sql(list(range(8)), 5),
+        "sim_ann_lsh": sim.ann_lsh_topk_sql(list(range(8)), 5),
+        "sim_embedding_neardup": sim.embedding_neardup_sql(0.35, planes=4),
+    }
+    for name, sql in oracles.items():
+        REGISTRY[name] = (REGISTRY[name][0], sql)
+
+
+_install_llm_oracles()
+
+
+# ------------------------------------------------- sync_diff validation suite
+
+# Deterministic "corrupted downstream" of customer: value drift on %97 keys,
+# missing rows on %101 keys, extra rows cloned at +1000000 on %103 keys.
+CORRUPT_SQL = """
+corrupt AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 101 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 103 = 0
+)"""
+
+
+def _corrupt_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    drift = cust.filter(F.col("c_custkey") % 101 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 97 == 0, F.col("c_acctbal") + 1.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    extra = cust.filter(F.col("c_custkey") % 103 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return drift.unionByName(extra)
+
+
+@register(
+    "validate_chunk_compare",
+    f"""WITH {CORRUPT_SQL.strip().lstrip()},
+    s AS (SELECT c_custkey // 64 AS chunk_id, count(*) AS cnt,
+                 bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
+          FROM customer GROUP BY 1),
+    d AS (SELECT c_custkey // 64 AS chunk_id, count(*) AS cnt,
+                 bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
+          FROM corrupt GROUP BY 1)
+    SELECT coalesce(s.chunk_id, d.chunk_id) AS chunk_id,
+           coalesce(s.cnt, 0) AS src_cnt, coalesce(d.cnt, 0) AS dst_cnt,
+           (s.cnt IS NOT DISTINCT FROM d.cnt
+            AND s.checksum IS NOT DISTINCT FROM d.checksum) AS match
+    FROM s FULL OUTER JOIN d ON s.chunk_id = d.chunk_id""",
+)
+def q_chunk_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sync_diff chunk-level checksum compare (diff/diff.go:618-651)."""
+    from tiflow_spark.validation.syncdiff import compare_checksums
+
+    return compare_checksums(
+        load_table(spark, sf_dir, "customer"),
+        _corrupt_customer(spark, sf_dir),
+        "c_custkey",
+        CUSTOMER_COLS,
+        64,
+    )
+
+
+@register(
+    "validate_row_diff",
+    f"""WITH {CORRUPT_SQL.strip().lstrip()}
+    SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+      CASE WHEN d.c_custkey IS NULL THEN 'missing'
+           WHEN s.c_custkey IS NULL THEN 'extra'
+           WHEN s.c_acctbal IS DISTINCT FROM d.c_acctbal
+             OR s.c_name IS DISTINCT FROM d.c_name
+             OR s.c_nationkey IS DISTINCT FROM d.c_nationkey
+             OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment THEN 'different'
+      END AS kind,
+      s.c_acctbal AS src_c_acctbal, d.c_acctbal AS dst_c_acctbal
+    FROM customer s FULL OUTER JOIN corrupt d ON s.c_custkey = d.c_custkey
+    WHERE CASE WHEN d.c_custkey IS NULL THEN 'missing'
+               WHEN s.c_custkey IS NULL THEN 'extra'
+               WHEN s.c_acctbal IS DISTINCT FROM d.c_acctbal
+                 OR s.c_name IS DISTINCT FROM d.c_name
+                 OR s.c_nationkey IS DISTINCT FROM d.c_nationkey
+                 OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment THEN 'different'
+          END IS NOT NULL""",
+)
+def q_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted row diff: checksum-mismatched chunks only, then full outer
+    join classify (diff/diff.go:652-791 compareRows)."""
+    from tiflow_spark.validation.syncdiff import targeted_row_diff
+
+    d = targeted_row_diff(
+        load_table(spark, sf_dir, "customer"),
+        _corrupt_customer(spark, sf_dir),
+        "c_custkey",
+        CUSTOMER_COLS,
+        64,
+    )
+    return d.select("c_custkey", "kind", "src_c_acctbal", "dst_c_acctbal")
+
+
+@register(
+    "validate_repair",
+    f"""WITH {CORRUPT_SQL.strip().lstrip()},
+    diff AS (
+      SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+        CASE WHEN d.c_custkey IS NULL THEN 'missing'
+             WHEN s.c_custkey IS NULL THEN 'extra'
+             WHEN s.c_acctbal IS DISTINCT FROM d.c_acctbal
+               OR s.c_name IS DISTINCT FROM d.c_name
+               OR s.c_nationkey IS DISTINCT FROM d.c_nationkey
+               OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment THEN 'different'
+        END AS kind,
+        s.c_name AS src_c_name, s.c_nationkey AS src_c_nationkey,
+        s.c_acctbal AS src_c_acctbal, s.c_mktsegment AS src_c_mktsegment
+      FROM customer s FULL OUTER JOIN corrupt d ON s.c_custkey = d.c_custkey
+    ),
+    q AS (SELECT *,
+      'REPLACE INTO customer (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment) VALUES ('
+      || concat_ws(', ',
+           coalesce('''' || replace(CAST(c_custkey AS VARCHAR), '''', '''''') || '''', 'NULL'),
+           coalesce('''' || replace(CAST(src_c_name AS VARCHAR), '''', '''''') || '''', 'NULL'),
+           coalesce('''' || replace(CAST(src_c_nationkey AS VARCHAR), '''', '''''') || '''', 'NULL'),
+           coalesce('''' || replace(CAST(src_c_acctbal AS VARCHAR), '''', '''''') || '''', 'NULL'),
+           coalesce('''' || replace(CAST(src_c_mktsegment AS VARCHAR), '''', '''''') || '''', 'NULL'))
+      || ');' AS replace_stmt,
+      'DELETE FROM customer WHERE c_custkey = ' ||
+      coalesce('''' || replace(CAST(c_custkey AS VARCHAR), '''', '''''') || '''', 'NULL')
+      || ' LIMIT 1;' AS delete_stmt
+      FROM diff WHERE kind IS NOT NULL)
+    SELECT c_custkey, kind,
+           CASE WHEN kind = 'extra' THEN delete_stmt ELSE replace_stmt END AS sql
+    FROM q""",
+)
+def q_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repair SQL generation (diff/diff.go:793 writeSQLs)."""
+    from tiflow_spark.validation.syncdiff import repair_sql, row_diff
+
+    d = row_diff(
+        load_table(spark, sf_dir, "customer"),
+        _corrupt_customer(spark, sf_dir),
+        "c_custkey",
+        CUSTOMER_COLS,
+    )
+    return repair_sql(d, "customer", "c_custkey", CUSTOMER_COLS)
+
 
 @register(
     "validate_checksum",

@@ -1,0 +1,149 @@
+"""sync_diff — table equality validation (the reference's batch query workload).
+
+Reference: sync_diff_inspector/
+  - chunk splitting by PK quantiles ... splitter/random.go:55-310 (sampling),
+    bucket.go (stats buckets) → here: approxQuantile on the PK
+  - per-chunk checksum compare ....... diff/diff.go:618-651 + utils/utils.go:860-918
+  - mismatch → row-level compare ..... diff/diff.go:652-791 (merge iteration)
+    → here: full outer join on PK within mismatched chunks only
+  - repair SQL generation ............ diff/diff.go:793 (writeSQLs)
+
+Scale shape: checksums aggregate map-side (one row per chunk crosses the
+shuffle); the row-level join runs ONLY over mismatched chunks — at 100 TB the
+expensive join touches a tiny fraction of the data, mirroring the reference's
+binary-search narrowing. Chunk pruning pushes down to the parquet scan as a
+PK range predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiflow_spark.functions.hashing import chunk_checksum_agg
+
+
+def chunk_bounds(df: DataFrame, pk: str, target_rows: int = 50_000) -> list[float]:
+    """PK quantile chunk bounds (~target_rows rows per chunk), like the
+    reference's random-sampling splitter (splitter/random.go:277)."""
+    n = df.count()
+    n_chunks = max(1, n // target_rows)
+    if n_chunks == 1:
+        return []
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    return df.stat.approxQuantile(pk, probs, 0.001)
+
+
+def chunk_id_col(pk: str, width: int) -> Column:
+    """Fixed-width chunking (deterministic, oracle-friendly alternative to
+    quantile bounds)."""
+    return F.floor(F.col(pk) / width).cast("bigint").alias("chunk_id")
+
+
+def chunk_checksums(
+    df: DataFrame, pk: str, cols: list[str], width: int
+) -> DataFrame:
+    return df.groupBy(chunk_id_col(pk, width)).agg(*chunk_checksum_agg(cols))
+
+
+def compare_checksums(
+    src: DataFrame, dst: DataFrame, pk: str, cols: list[str], width: int
+) -> DataFrame:
+    """Chunk-level compare: returns (chunk_id, src_cnt, dst_cnt, match)."""
+    s = chunk_checksums(src, pk, cols, width).alias("s")
+    d = chunk_checksums(dst, pk, cols, width).alias("d")
+    j = s.join(d, on="chunk_id", how="full_outer")
+    return j.select(
+        "chunk_id",
+        F.coalesce(F.col("s.cnt"), F.lit(0)).alias("src_cnt"),
+        F.coalesce(F.col("d.cnt"), F.lit(0)).alias("dst_cnt"),
+        (
+            F.col("s.cnt").eqNullSafe(F.col("d.cnt"))
+            & F.col("s.checksum").eqNullSafe(F.col("d.checksum"))
+        ).alias("match"),
+    )
+
+
+def row_diff(
+    src: DataFrame, dst: DataFrame, pk: str, cols: list[str]
+) -> DataFrame:
+    """Row-level diff on PK: classify missing (in src only) / extra (in dst
+    only) / different (both, payload differs). compareRows (diff.go:652)
+    as one full outer join."""
+    payload = [c for c in cols if c != pk]
+    s = src.select(*cols).alias("s")
+    d = dst.select(*cols).alias("d")
+    j = s.join(d, on=F.col(f"s.{pk}") == F.col(f"d.{pk}"), how="full_outer")
+    differs = F.lit(False)
+    for c in payload:
+        differs = differs | ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+    kind = (
+        F.when(F.col(f"d.{pk}").isNull(), "missing")
+        .when(F.col(f"s.{pk}").isNull(), "extra")
+        .when(differs, "different")
+    )
+    out = j.select(
+        F.coalesce(F.col(f"s.{pk}"), F.col(f"d.{pk}")).alias(pk),
+        kind.alias("kind"),
+        *[F.col(f"s.{c}").alias(f"src_{c}") for c in payload],
+        *[F.col(f"d.{c}").alias(f"dst_{c}") for c in payload],
+    )
+    return out.filter(F.col("kind").isNotNull())
+
+
+def targeted_row_diff(
+    src: DataFrame, dst: DataFrame, pk: str, cols: list[str], width: int
+) -> DataFrame:
+    """Two-phase diff: checksum chunks first, row-join only mismatched chunks.
+
+    This is the scale path — the join's scan carries a pushed-down chunk
+    predicate, so a 100 TB table with three bad chunks reads ~three chunks.
+    """
+    bad = (
+        compare_checksums(src, dst, pk, cols, width)
+        .filter(~F.col("match"))
+        .select("chunk_id")
+    )
+    s = src.withColumn("chunk_id", chunk_id_col(pk, width)).join(
+        F.broadcast(bad), "chunk_id"
+    )
+    d = dst.withColumn("chunk_id", chunk_id_col(pk, width)).join(
+        F.broadcast(bad), "chunk_id"
+    )
+    return row_diff(s.drop("chunk_id"), d.drop("chunk_id"), pk, cols)
+
+
+def repair_sql(
+    diff: DataFrame, table: str, pk: str, cols: list[str]
+) -> DataFrame:
+    """Repair statements making dst equal to src (writeSQLs diff.go:793):
+    missing/different → REPLACE INTO src-image; extra → DELETE.
+
+    Generated as string expressions (no driver-side loop) so repair-SQL for a
+    billion-row diff is itself a distributed dataset.
+    """
+    payload = [c for c in cols if c != pk]
+
+    def sql_quote(c: Column) -> Column:
+        return F.when(c.isNull(), F.lit("NULL")).otherwise(
+            F.concat(F.lit("'"), F.replace(c.cast("string"), F.lit("'"), F.lit("''")), F.lit("'"))
+        )
+
+    src_vals = F.concat_ws(
+        ", ",
+        sql_quote(F.col(pk)),
+        *[sql_quote(F.col(f"src_{c}")) for c in payload],
+    )
+    col_list = ", ".join([pk] + payload)
+    replace_stmt = F.concat(
+        F.lit(f"REPLACE INTO {table} ({col_list}) VALUES ("),
+        src_vals,
+        F.lit(");"),
+    )
+    delete_stmt = F.concat(
+        F.lit(f"DELETE FROM {table} WHERE {pk} = "),
+        sql_quote(F.col(pk)),
+        F.lit(" LIMIT 1;"),
+    )
+    stmt = F.when(F.col("kind") == "extra", delete_stmt).otherwise(replace_stmt)
+    return diff.select(F.col(pk), F.col("kind"), stmt.alias("sql"))
