@@ -391,6 +391,41 @@ _install_codec_oracles()
 
 CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 
+@register(
+    "stream_apply",
+    f"""{SPLIT_CTE},
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split) WHERE rn = 1
+    )
+    SELECT target_table, key, after_id AS id, after_balance AS balance,
+           after_note AS note
+    FROM last WHERE op <> 'D'""",
+)
+def q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING end-to-end: the same pipeline as cdc_apply but executed as a
+    Structured Streaming changefeed (file source → foreachBatch MERGE) with an
+    availableNow trigger; result = the materialized target table. Must equal
+    the batch oracle — the streaming/batch equivalence contract."""
+    import tempfile
+
+    from tiflow_spark.streaming.pipeline import run_changefeed
+
+    env = _env(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="tiflow_stream_q_")
+    src = f"{work}/source"
+    # three out-of-order drops → multiple micro-batches
+    for chunk in (2, 0, 1):
+        env.filter(F.col("seq") % 3 == chunk).write.mode("append").parquet(src)
+    _, target = run_changefeed(spark, src, DEMO_CFG, work)
+    return spark.read.parquet(target.target_path).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+
+
 # ----------------------------------------------- LLM data-pipeline operators
 
 
