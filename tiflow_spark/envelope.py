@@ -41,6 +41,8 @@ _NS_TS_COLS = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # epoch/date math must be tz-stable regardless of the caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

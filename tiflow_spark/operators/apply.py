@@ -41,51 +41,32 @@ def changes_to_state(env: DataFrame, table_col: str = "table") -> DataFrame:
 
 def merge_into_snapshot(
     snapshot: DataFrame,
-    env: DataFrame,
+    changes: DataFrame,
     key_cols: list[str],
-    table_col: str = "table",
+    op_col: str = "op",
 ) -> DataFrame:
-    """MERGE a change stream into an existing snapshot (upsert + delete).
+    """MERGE net changes into an existing snapshot (upsert + delete) — the
+    DM full+incremental mode: dump/load a snapshot, then catch up from the
+    changelog (dm/worker/subtask.go ModeAll) and the MySQL-sink apply shape.
 
-    snapshot: current target table (key_cols + payload columns matching the
-    envelope's after-image fields). Result = snapshot ⟕ net-changes with
-    last-writer-wins; net deletes remove rows.
+    ``changes``: one NET row per key (pre-compacted, e.g. last_state_per_key
+    output) with `op_col` + the snapshot's columns. Result = snapshot with
+    upserts applied and net-deletes removed.
 
-    Scale shape: one shuffle of the (compacted) change stream + one shuffle
-    of the snapshot on the same keys; with a bucketed/partitioned target the
-    snapshot side reuses its layout. The change side should be orders of
-    magnitude smaller than the snapshot — Catalyst broadcast-joins it when
-    under the threshold.
+    Scale shape: one shuffle each side on the join key; the change side is
+    usually orders of magnitude smaller — Catalyst broadcasts it under the
+    threshold, and a bucketed target table avoids even the snapshot shuffle.
     """
-    last = last_state_per_key(env, table_col)
-    changes = last.select(
-        F.col("key"),
-        F.col("op"),
-        F.col("after.id").alias("id"),
-        F.col("after.balance").alias("balance"),
-        F.col("after.note").alias("note"),
+    chg = changes.select(
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in snapshot.columns],
     )
-    joined = snapshot.alias("t").join(
-        F.broadcast(changes.alias("c")) if _small(changes) else changes.alias("c"),
-        on=[snapshot[k] == changes[k] for k in key_cols],
-        how="full_outer",
-    )
-    keep_change = F.col("c.op").isNotNull() & (F.col("c.op") != "D")
-    keep_target = F.col("c.op").isNull()
-    payload = [
-        c for c in snapshot.columns if c not in key_cols
-    ]
+    cond = [snapshot[k] == chg[f"_c_{k}"] for k in key_cols]
+    joined = snapshot.join(chg, on=cond, how="full_outer")
+    is_change = F.col("_op").isNotNull()
+    keep = ~is_change | (F.col("_op") != "D")
     out_cols = [
-        F.coalesce(F.col(f"c.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols
-    ] + [
-        F.when(keep_change, F.col(f"c.{p}"))
-        .otherwise(F.col(f"t.{p}"))
-        .alias(p)
-        for p in payload
+        F.when(is_change, F.col(f"_c_{c}")).otherwise(F.col(c)).alias(c)
+        for c in snapshot.columns
     ]
-    return joined.filter(keep_change | keep_target).select(*out_cols)
-
-
-def _small(df: DataFrame) -> bool:
-    # heuristic only used in local tests; on a cluster AQE decides.
-    return False
+    return joined.filter(keep).select(*out_cols)

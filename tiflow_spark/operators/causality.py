@@ -28,7 +28,7 @@ def causality_key(
     """Canonical causality key: table ⊕ handle key (+ optional UK columns,
     mirroring pkg/sqlmodel/causality.go's key = values + column names + table)."""
     parts = [F.col(table_col), F.col("key"), *[F.col(c) for c in extra_key_cols]]
-    return F.concat_ws("", *parts)
+    return F.concat_ws("\x01", *parts)
 
 
 def partition_by_causality(

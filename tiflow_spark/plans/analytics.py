@@ -1,0 +1,146 @@
+"""Analytic queries over the TPC-H-ish tables — the general SQL surface.
+
+The reference is a replication platform, not a SQL engine; these queries
+demonstrate the analytics capabilities the new engine adds on top of parity
+(BASELINE.json north star) and act as bench headliners.
+
+Determinism note: money sums go through round(…,2) → DECIMAL(18,2) so the
+aggregation is exact integer arithmetic in both engines (double-sum order
+would otherwise make value-hashes flap), then cast back to double for a
+stable representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflow_spark.envelope import load_table
+
+
+def _dec_sum(c) -> F.Column:
+    return F.sum(F.round(c, 2).cast("decimal(18,2)")).cast("double")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity")), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_base_price,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+GROUP BY 1, 2"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 undelivered orders by revenue for a segment.
+
+    Plan shape: customer filter → broadcast to orders join → lineitem join
+    shuffles on orderkey only; top-k via global sort of the tiny aggregate."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderdate") < F.lit("2024-03-15").cast("timestamp"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '2024-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
+
+
+def daily_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (daily) event rollup — the batch face of the
+    streaming windowed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("events"),
+        F.countDistinct("user_id").alias("users"),
+        _dec_sum(F.col("value")).alias("value_sum"),
+    )
+
+
+DAILY_EVENT_ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+  count(*) AS events, count(DISTINCT user_id) AS users,
+  CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+
+def top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region top-3 customers by account balance (window rank over a
+    broadcast dimension join)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    j = cust.join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey)
+    w = Window.partitionBy("r_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("r_name", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+TOP_SPENDERS_SQL = """
+SELECT r_name, rank, c_custkey, c_acctbal FROM (
+  SELECT r_name, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY r_name
+                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+) WHERE rank <= 3"""

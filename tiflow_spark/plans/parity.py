@@ -426,6 +426,224 @@ def q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_column_ops",
+    f"""{ENV_CTE}
+    SELECT seq,
+      CASE WHEN after_id IS NOT NULL THEN after_id END AS sel_id,
+      CASE WHEN after_id IS NOT NULL THEN after_balance END AS sel_balance,
+      CASE WHEN after_id IS NOT NULL AND "schema" = 'shard_0'
+           THEN 'pfx:' || after_note
+           WHEN after_id IS NOT NULL THEN after_note END AS mapped_note,
+      CASE WHEN after_id IS NOT NULL
+           THEN (CAST(regexp_extract("schema", '(\\d+)$', 1) AS BIGINT) << 44)
+                + after_id END AS partition_scoped_id
+    FROM env""",
+)
+def q_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selector (retain-list incl. handle-key check) + column mapping
+    (add prefix, partition-id arithmetic) — columnselector.go:25-227,
+    pkg/column-mapping/column.go:42-75."""
+    from tiflow_spark.config import ColumnMapping
+
+    cfg = TaskConfig(
+        column_mappings=(
+            ColumnMapping(
+                tables=(TableRule("shard_0", "*"),),
+                column="note",
+                expr="add prefix",
+                arguments=("pfx:",),
+            ),
+            ColumnMapping(
+                tables=(TableRule("*", "*"),),
+                column="id",
+                expr="partition id",
+            ),
+        ),
+    )
+    env = _env(spark, sf_dir)
+    selected = tfm.select_columns(env, ["id", "balance", "note"])
+    mapped = tfm.apply_column_mappings(selected, cfg)
+    return mapped.select(
+        "seq",
+        F.col("after.id").alias("partition_scoped_id"),
+        F.col("after.balance").alias("sel_balance"),
+        F.col("after.note").alias("mapped_note"),
+        # original id recoverable: low 44 bits
+        F.col("after.id").bitwiseAND(F.lit((1 << 44) - 1)).alias("sel_id"),
+    )
+
+
+@register(
+    "cdc_safe_mode",
+    f"""{ENV_CTE}
+    SELECT CASE op WHEN 'I' THEN 'R' WHEN 'U' THEN 'DR' ELSE op END AS dml_mode,
+           op, count(*) AS cnt
+    FROM env GROUP BY 1, 2""",
+)
+def q_safe_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-mode rewrite: INSERT→REPLACE, UPDATE→DELETE+REPLACE tagging
+    (dm/syncer/safe_mode.go:27-90)."""
+    env = tfm.safe_mode_rewrite(_env(spark, sf_dir), True)
+    return env.groupBy("dml_mode", "op").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "cdc_causality",
+    f"""{ENV_CTE}
+    SELECT (('0x' || substr(md5("table" || chr(1) || key), 1, 15))::BIGINT) % 16
+             AS partition_id,
+           count(*) AS cnt, count(DISTINCT key) AS keys
+    FROM env GROUP BY 1""",
+)
+def q_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causality worker-queue assignment: all events of a key hash to one
+    queue (dm/syncer/causality.go:47-170 → hash repartition)."""
+    from tiflow_spark.operators.causality import causality_partition_id
+
+    env = _env(spark, sf_dir)
+    return env.groupBy(
+        causality_partition_id(16).alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("key").alias("keys"),
+    )
+
+
+@register(
+    "cdc_topic_template",
+    f"""{ENV_CTE}
+    SELECT 'cdc_' || "schema" || '_' || "table" AS topic, count(*) AS cnt
+    FROM env GROUP BY 1""",
+)
+def q_topic_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic expression templates [prefix]{{schema}}[mid][{{table}}]
+    (dispatcher/topic/expression.go:33-80)."""
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "*"),),
+                partition="table",
+                topic="cdc_{schema}_{table}",
+            ),
+        )
+    )
+    d = dispatch(_env(spark, sf_dir), cfg, 16)
+    return d.groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _install_analytics() -> None:
+    from tiflow_spark.plans import analytics as an
+
+    entries = {
+        "olap_pricing_summary": (an.pricing_summary, an.PRICING_SUMMARY_SQL),
+        "olap_shipping_priority": (an.shipping_priority, an.SHIPPING_PRIORITY_SQL),
+        "olap_daily_event_rollup": (an.daily_event_rollup, an.DAILY_EVENT_ROLLUP_SQL),
+        "olap_top_spenders": (an.top_spenders, an.TOP_SPENDERS_SQL),
+    }
+    for name, (fn, sql) in entries.items():
+        REGISTRY[name] = (fn, sql)
+
+
+_install_analytics()
+
+
+# v1→v2 and v2→v3 schema-change timestamps for the as-of demo registry
+_SCHEMA_B1 = 1704844800000000  # 2024-01-10 UTC
+_SCHEMA_B2 = 1705708800000000  # 2024-01-20 UTC
+
+
+@register(
+    "schema_asof_decode",
+    f"""{ENV_CTE}
+    SELECT seq, commit_ts,
+      CASE WHEN commit_ts >= {_SCHEMA_B2} THEN 3
+           WHEN commit_ts >= {_SCHEMA_B1} THEN 2 ELSE 1 END AS version_no,
+      CASE WHEN commit_ts >= {_SCHEMA_B1}
+           THEN coalesce(after_note, '{{}}') END AS note_resolved,
+      CASE WHEN commit_ts >= {_SCHEMA_B2} THEN 'std' END AS tier_resolved
+    FROM env""",
+)
+def q_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mounter semantics: as-of schema-version resolution (broadcast join on
+    version_ts <= commit_ts) + ADD-COLUMN default backfill
+    (schema_storage.go getSnapshot; mounter.go getDefaultOrZeroValue)."""
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        decode_with_schema,
+        demo_registry,
+    )
+
+    env = _env(spark, sf_dir).withColumn("logical_table", F.lit("events"))
+    reg = demo_registry(spark, (_SCHEMA_B1, _SCHEMA_B2))
+    decoded = decode_with_schema(asof_resolve(env, reg))
+    return decoded.select(
+        "seq", "commit_ts", "version_no", "note_resolved", "tier_resolved"
+    )
+
+
+@register(
+    "snapshot_merge",
+    f"""{ENV_CTE},
+    changes AS (
+      SELECT * FROM (
+        SELECT op, coalesce(after_id, before_id) AS id, after_balance,
+               after_note,
+               row_number() OVER (
+                 PARTITION BY coalesce(after_id, before_id)
+                 ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM env WHERE NOT (op = 'U' AND before_id <> after_id)
+      ) WHERE rn = 1
+    ),
+    snapshot AS (
+      SELECT c_custkey AS id, round(c_acctbal, 2) AS balance,
+             c_mktsegment AS note
+      FROM customer WHERE c_custkey < 200
+    )
+    SELECT coalesce(ch.id, s.id) AS id,
+           CASE WHEN ch.op IS NOT NULL THEN ch.after_balance ELSE s.balance END AS balance,
+           CASE WHEN ch.op IS NOT NULL THEN ch.after_note ELSE s.note END AS note
+    FROM snapshot s FULL OUTER JOIN changes ch ON s.id = ch.id
+    WHERE ch.op IS NULL OR ch.op <> 'D'""",
+)
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DM full+incremental mode: snapshot (dump/load) + changelog catch-up
+    via MERGE (dm/worker/subtask.go ModeAll; mysql-sink apply shape).
+
+    Snapshot = first 200 customers as a users table; changes = the event
+    envelope keyed by after_id (identity-changing updates excluded to keep
+    key semantics single-keyed, as split_updates would pre-process them)."""
+    from tiflow_spark.operators.apply import merge_into_snapshot
+    from tiflow_spark.operators.compactor import last_state_per_key
+
+    env = _env(spark, sf_dir).filter(
+        ~(
+            (F.col("op") == "U")
+            & (F.col("before.id") != F.col("after.id"))
+        )
+    )
+    snapshot = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.round(F.col("c_acctbal"), 2).alias("balance"),
+            F.col("c_mktsegment").alias("note"),
+        )
+    )
+    keyed = env.withColumn(
+        "key", F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
+    ).withColumn("tbl", F.lit("users"))
+    net = last_state_per_key(keyed, "tbl")
+    changes = net.select(
+        "op",
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("after.balance").alias("balance"),
+        F.col("after.note").alias("note"),
+    )
+    return merge_into_snapshot(snapshot, changes, ["id"])
+
+
 # ----------------------------------------------- LLM data-pipeline operators
 
 

@@ -117,9 +117,9 @@ class StreamingTarget:
             F.col("after.balance").alias("balance"),
             F.col("after.note").alias("note"),
         )
-        try:
+        if os.path.exists(self.target_path):
             current = spark.read.parquet(self.target_path)
-        except Exception:
+        else:
             current = None
         if current is not None:
             merged_src = current.withColumn("op", F.lit("I")).unionByName(
