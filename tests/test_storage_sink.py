@@ -1,0 +1,96 @@
+"""Storage-sink file-layout contract (pkg/sink/cloudstorage/path.go parity)."""
+
+import glob
+import json
+import os
+import re
+
+from tiflow_spark.envelope import events_to_changes, load_table
+from tiflow_spark.sinks.storage import (
+    StorageSinkConfig,
+    read_storage_sink,
+    write_storage_sink,
+)
+
+
+def _write(spark, sf_dir, tmp_path, **kw):
+    cfg = StorageSinkConfig(**kw)
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    base = str(tmp_path / "sink")
+    written = write_storage_sink(env, base, cfg)
+    return env, base, cfg, written
+
+
+def test_layout_contract(spark, sf_dir, tmp_path):
+    env, base, cfg, written = _write(
+        spark, sf_dir, tmp_path, max_records_per_file=50
+    )
+    assert written, "no data files written"
+    # every data file follows {schema}/{table}/{version}/{date}/CDC{6d}.csv
+    pat = re.compile(r"^[^/]+/[^/]+/1/\d{4}-\d{2}-\d{2}/CDC\d{6}\.csv$")
+    assert all(pat.match(p) for p in written), written[:5]
+    # indexes are dense from 000001 within each directory
+    by_dir: dict[str, list[str]] = {}
+    for p in written:
+        by_dir.setdefault(os.path.dirname(p), []).append(os.path.basename(p))
+    for d, files in by_dir.items():
+        files.sort()
+        assert files[0] == "CDC000001.csv"
+        nums = [int(f[3:9]) for f in files]
+        assert nums == list(range(1, len(files) + 1)), (d, files)
+        # meta/CDC.index holds the last file name
+        with open(os.path.join(base, d, "meta", "CDC.index")) as fh:
+            assert fh.read().strip() == files[-1]
+        # rotation: every file except the last has exactly max_records rows
+        for f in files[:-1]:
+            with open(os.path.join(base, d, f)) as fh:
+                assert sum(1 for _ in fh) == cfg.max_records_per_file
+
+
+def test_schema_files(spark, sf_dir, tmp_path):
+    env, base, cfg, _ = _write(spark, sf_dir, tmp_path)
+    pairs = {
+        (r["schema"], r["table"])
+        for r in env.select("schema", "table").distinct().collect()
+    }
+    for s, t in pairs:
+        matches = glob.glob(f"{base}/{s}/{t}/meta/schema_1_*.json")
+        assert len(matches) == 1, (s, t)
+        defn = json.load(open(matches[0]))
+        assert defn["Schema"] == s and defn["Table"] == t
+        assert defn["TableColumnsTotal"] == 3
+        names = [c["ColumnName"] for c in defn["TableColumns"]]
+        assert names == ["id", "balance", "note"]
+        assert re.match(r"schema_1_\d{10}\.json$", os.path.basename(matches[0]))
+
+
+def test_files_ordered_by_commit_ts(spark, sf_dir, tmp_path):
+    """Commit order within each file/directory — defragmenter parity."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    env, base, cfg, _ = _write(spark, sf_dir, tmp_path, max_records_per_file=50)
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    decoded = read_storage_sink(spark, base, payload, cfg)
+    # within a directory, (file, line-order) must be commit_ts-monotone:
+    # max ts of CDC00000k <= min ts of CDC00000(k+1)
+    agg = (
+        decoded.groupBy("dir_schema", "dir_table", "dir_date", "file")
+        .agg(F.min("commit_ts").alias("lo"), F.max("commit_ts").alias("hi"))
+        .collect()
+    )
+    by_dir: dict[tuple, list] = {}
+    for r in agg:
+        by_dir.setdefault(
+            (r["dir_schema"], r["dir_table"], r["dir_date"]), []
+        ).append(r)
+    for rows in by_dir.values():
+        rows.sort(key=lambda r: r["file"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["hi"] <= b["lo"], (a, b)

@@ -107,6 +107,7 @@ def decode_csv(
     payload_schema: T.StructType,
     cfg: CsvConfig = CsvConfig(),
     line_col: str = "line",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """CSV lines → parsed change rows (round-trip of :func:`encode_csv`).
 
@@ -129,9 +130,10 @@ def decode_csv(
         "nullValue": cfg.null_string,
     }
     parsed = lines.select(
-        F.from_csv(F.col(line_col), full.simpleString(), opts).alias("r")
+        *keep_cols,
+        F.from_csv(F.col(line_col), full.simpleString(), opts).alias("r"),
     )
-    return parsed.select("r.*")
+    return parsed.select(*keep_cols, "r.*")
 
 
 def csv_encode_sql_duckdb(

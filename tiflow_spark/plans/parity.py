@@ -923,3 +923,87 @@ def q_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.groupBy(
         (F.floor(F.col("c_custkey") / 64)).cast("bigint").alias("chunk_id")
     ).agg(*chunk_checksum_agg(CUSTOMER_COLS))
+
+
+# ------------------------------------------------------------- storage sink
+
+_STORAGE_DIRS: dict[str, str] = {}
+
+
+def _storage_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the envelope once per (process, sf_dir) in the reference's
+    storage-sink layout; both storage queries read from it."""
+    if sf_dir not in _STORAGE_DIRS:
+        import tempfile
+
+        from tiflow_spark.sinks.storage import StorageSinkConfig, write_storage_sink
+
+        base = tempfile.mkdtemp(prefix="tiflow_storage_")
+        write_storage_sink(
+            _env(spark, sf_dir), base, StorageSinkConfig(max_records_per_file=50)
+        )
+        _STORAGE_DIRS[sf_dir] = base
+    return _STORAGE_DIRS[sf_dir]
+
+
+@register(
+    "sink_storage_roundtrip",
+    f"""{ENV_CTE}
+    SELECT op, "table", "schema", commit_ts,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note
+    FROM env""",
+)
+def q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-storage sink write + storage-consumer read-back round trip
+    (pkg/sink/cloudstorage path layout; cmd/storage-consumer decode).
+
+    Writes CDC{n:06d}.csv files partitioned {schema}/{table}/{version}/{date}
+    with meta/CDC.index + schema_*.json, then decodes them back; the result
+    must equal the source envelope (D rows carry the pre-image)."""
+    from pyspark.sql import types as T
+
+    from tiflow_spark.sinks.storage import StorageSinkConfig, read_storage_sink
+
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    base = _storage_dir(spark, sf_dir)
+    decoded = read_storage_sink(
+        spark, base, payload, StorageSinkConfig(max_records_per_file=50)
+    )
+    return decoded.select(
+        "op", "table", "schema", "commit_ts", "id", "balance", "note"
+    )
+
+
+@register(
+    "sink_storage_layout",
+    f"""{ENV_CTE}
+    SELECT "schema", "table",
+      strftime(make_timestamp(commit_ts), '%Y-%m-%d') AS day,
+      CAST(ceil(count(*) / 50.0) AS BIGINT) AS files,
+      count(*) AS n_rows
+    FROM env GROUP BY 1, 2, 3""",
+)
+def q_storage_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-sink rotation contract: files per directory =
+    ceil(rows / max-records) (dml_worker.go rotation; path.go date dirs).
+    One shuffle co-locates each (schema, table, date) dir in one task, so
+    rotation is deterministic."""
+    from tiflow_spark.sinks.storage import StorageSinkConfig, storage_layout_stats
+
+    base = _storage_dir(spark, sf_dir)
+    stats = storage_layout_stats(spark, base, StorageSinkConfig(max_records_per_file=50))
+    return stats.select(
+        "schema",
+        "table",
+        F.col("date").alias("day"),
+        "files",
+        F.col("rows").alias("n_rows"),
+    )

@@ -1,0 +1,253 @@
+"""Cloud-storage sink — the reference's storage-sink file layout on Spark.
+
+Layout parity (pkg/sink/cloudstorage/path.go:113-300, table_definition.go):
+
+    data:   {base}/{schema}/{table}/{version}/{date}/CDC{index:0Nd}.csv
+    index:  {base}/{schema}/{table}/{version}/{date}/meta/CDC.index
+            (contents: the last data-file name written + newline)
+    schema: {base}/{schema}/{table}/meta/schema_{version}_{checksum:010d}.json
+            (TableDefinition JSON: Table/Schema/TableVersion/TableColumns...)
+
+Date separator modes year/month/day/none mirror
+FilePathGenerator.GenerateDateStr (path.go:275-292); file rotation mirrors
+the size/interval rotation (dml_worker.go) via ``maxRecordsPerFile``; commit
+order inside each file is restored by a per-partition sort, the job the
+reference's defragmenter does across its encoding workers
+(cloudstorage/defragmenter.go:25).
+
+Scale shape: encode is a pure codegen'd map stage; one shuffle on
+(schema, table, date) co-locates each output directory's rows in a single
+task, so files rotate deterministically at ``max_records_per_file`` rows.
+The driver-side finalize step only *renames* finished files into the
+CDC{n}.csv contract and writes the small meta files — O(#files) metadata
+ops, the same commit work the reference sink performs per flush; data bytes
+move exactly once, on the executors.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import zlib
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflow_spark.codecs.csv_codec import CsvConfig, decode_csv, encode_csv
+
+_DATE_FMT = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}
+
+
+@dataclass(frozen=True)
+class StorageSinkConfig:
+    date_separator: str = "day"  # year | month | day | none
+    table_version: int = 1
+    file_index_width: int = 6  # config.DefaultFileIndexWidth
+    max_records_per_file: int = 100_000  # rotation knob (reference: bytes)
+    csv: CsvConfig = CsvConfig()
+
+
+def _with_date(env: DataFrame, cfg: StorageSinkConfig) -> DataFrame:
+    if cfg.date_separator == "none":
+        return env.withColumn("date", F.lit("all"))
+    fmt = _DATE_FMT[cfg.date_separator]
+    return env.withColumn(
+        "date", F.date_format(F.timestamp_micros(F.col("commit_ts")), fmt)
+    )
+
+
+def write_storage_sink(
+    env: DataFrame,
+    base_dir: str,
+    cfg: StorageSinkConfig = StorageSinkConfig(),
+    schema_col: str = "schema",
+    table_col: str = "table",
+) -> list[str]:
+    """Write an envelope batch in the reference's storage-sink layout.
+
+    Returns the relative paths of the data files written (sorted).
+    """
+    encoded = _with_date(
+        encode_csv(
+            env.withColumnRenamed(schema_col, "schema").withColumnRenamed(
+                table_col, "table"
+            ),
+            cfg.csv,
+        ),
+        cfg,
+    )
+    staging = os.path.join(base_dir, "_staging")
+    (
+        encoded.repartition("schema", "table", "date")
+        .sortWithinPartitions("commit_ts", "seq")
+        .select("schema", "table", "date", "line")
+        .write.partitionBy("schema", "table", "date")
+        .option("maxRecordsPerFile", cfg.max_records_per_file)
+        .mode("overwrite")
+        .text(staging)
+    )
+    written: list[str] = []
+    ext = "csv"
+    for part_dir in sorted(glob.glob(f"{staging}/schema=*/table=*/date=*")):
+        rel = {
+            k: v
+            for k, v in (
+                seg.split("=", 1) for seg in part_dir.split(os.sep)[-3:]
+            )
+        }
+        dest = os.path.join(
+            base_dir,
+            rel["schema"],
+            rel["table"],
+            str(cfg.table_version),
+            rel["date"],
+        )
+        os.makedirs(os.path.join(dest, "meta"), exist_ok=True)
+        last = ""
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(part_dir, "part-*"))), start=1
+        ):
+            last = f"CDC{i:0{cfg.file_index_width}d}.{ext}"
+            os.replace(part, os.path.join(dest, last))
+            written.append(
+                os.path.relpath(os.path.join(dest, last), base_dir)
+            )
+        with open(os.path.join(dest, "meta", "CDC.index"), "w") as fh:
+            fh.write(last + "\n")
+    shutil.rmtree(staging, ignore_errors=True)
+    _write_schema_files(env, base_dir, cfg, schema_col, table_col)
+    return sorted(written)
+
+
+def _spark_to_mysql_type(dt: T.DataType) -> str:
+    # reference stores MySQL type names (table_definition.go TableCol.Tp)
+    return {
+        "bigint": "BIGINT",
+        "int": "INT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "binary": "BLOB",
+        "boolean": "TINYINT",
+        "timestamp": "DATETIME",
+        "timestamp_ntz": "DATETIME",
+        "date": "DATE",
+    }.get(dt.simpleString(), dt.simpleString().upper())
+
+
+def _write_schema_files(
+    env: DataFrame,
+    base_dir: str,
+    cfg: StorageSinkConfig,
+    schema_col: str,
+    table_col: str,
+) -> None:
+    """TableDefinition JSON per (schema, table) — table_definition.go:184-195;
+    filename checksum mirrors path.go generateSchemaFilePath."""
+    side = env.schema["after"].dataType
+    cols = [
+        {
+            "ColumnName": f.name,
+            "ColumnType": _spark_to_mysql_type(f.dataType),
+            "ColumnNullable": "true" if f.nullable else "false",
+            "ColumnIsPk": "true" if f.name == "id" else "false",
+        }
+        for f in side.fields  # type: ignore[union-attr]
+    ]
+    pairs = (
+        env.select(
+            F.col(schema_col).alias("s"), F.col(table_col).alias("t")
+        )
+        .distinct()
+        .collect()
+    )
+    for row in pairs:
+        defn = {
+            "Table": row["t"],
+            "Schema": row["s"],
+            "Version": 1,
+            "TableVersion": cfg.table_version,
+            "Query": "",
+            "Type": 0,
+            "TableColumns": cols,
+            "TableColumnsTotal": len(cols),
+        }
+        payload = json.dumps(defn, indent=4).encode()
+        checksum = zlib.crc32(payload) & 0xFFFFFFFF
+        meta_dir = os.path.join(base_dir, row["s"], row["t"], "meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        name = f"schema_{cfg.table_version}_{checksum:010d}.json"
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(payload)
+
+
+def read_storage_sink(
+    spark: SparkSession,
+    base_dir: str,
+    payload_schema: T.StructType,
+    cfg: StorageSinkConfig = StorageSinkConfig(),
+) -> DataFrame:
+    """Read a storage-sink directory back into decoded change rows — the
+    storage-consumer path (cmd/storage-consumer, csv decoder).
+
+    Partition identity (schema/table/date/file) is recovered from the file
+    path; the scan is a plain distributed text read with a pushed glob.
+    """
+    ver = cfg.table_version
+    pat = f"{base_dir}/*/*/{ver}/*/CDC*.csv"
+    lines = (
+        spark.read.text(pat)
+        .withColumn("_path", F.input_file_name())
+        .select(
+            F.col("value").alias("line"),
+            F.regexp_extract(F.col("_path"), rf"/([^/]+)/[^/]+/{ver}/", 1).alias(
+                "dir_schema"
+            ),
+            F.regexp_extract(F.col("_path"), rf"/[^/]+/([^/]+)/{ver}/", 1).alias(
+                "dir_table"
+            ),
+            F.regexp_extract(F.col("_path"), rf"/{ver}/([^/]+)/CDC", 1).alias(
+                "dir_date"
+            ),
+            F.regexp_extract(F.col("_path"), r"/(CDC\d+\.csv)$", 1).alias("file"),
+        )
+    )
+    return decode_csv(
+        lines,
+        payload_schema,
+        cfg.csv,
+        keep_cols=("dir_schema", "dir_table", "dir_date", "file"),
+    )
+
+
+def storage_layout_stats(
+    spark: SparkSession, base_dir: str, cfg: StorageSinkConfig = StorageSinkConfig()
+) -> DataFrame:
+    """Files/rows per output directory — the sink's rotation contract:
+    files = ceil(rows / max_records_per_file) per (schema, table, date)."""
+    pat = f"{base_dir}/*/*/{cfg.table_version}/*/CDC*.csv"
+    lines = spark.read.text(pat).withColumn("_path", F.input_file_name())
+    ver = cfg.table_version
+    return (
+        lines.select(
+            F.regexp_extract(F.col("_path"), rf"/([^/]+)/[^/]+/{ver}/", 1).alias(
+                "schema"
+            ),
+            F.regexp_extract(F.col("_path"), rf"/[^/]+/([^/]+)/{ver}/", 1).alias(
+                "table"
+            ),
+            F.regexp_extract(F.col("_path"), rf"/{ver}/([^/]+)/CDC", 1).alias(
+                "date"
+            ),
+            F.regexp_extract(F.col("_path"), r"/(CDC\d+\.csv)$", 1).alias("file"),
+        )
+        .groupBy("schema", "table", "date")
+        .agg(
+            F.count_distinct("file").alias("files"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
