@@ -1,0 +1,39 @@
+"""Avro binary encoding unit checks (wire format + zigzag parity)."""
+
+import struct
+
+from tiflow_spark.codecs.avro import (
+    MAGIC,
+    _zigzag,
+    decode_value_bytes,
+    encode_value_bytes,
+)
+
+
+def test_zigzag_known_values():
+    # Avro spec examples: 0→00, -1→01, 1→02, -2→03, 2→04
+    assert _zigzag(0) == b"\x00"
+    assert _zigzag(-1) == b"\x01"
+    assert _zigzag(1) == b"\x02"
+    assert _zigzag(-2) == b"\x03"
+    assert _zigzag(64) == b"\x80\x01"  # multi-byte varint
+
+
+def test_wire_framing():
+    raw = encode_value_bytes(5, None, None, "I", 7, schema_id=42)
+    assert raw[0:1] == MAGIC
+    assert struct.unpack(">I", raw[1:5])[0] == 42
+    # body: zigzag(5), union-null, union-null, "I", zigzag(7)
+    assert raw[5:] == b"\x0a" + b"\x00" + b"\x00" + b"\x02I" + b"\x0e"
+
+
+def test_roundtrip_all_branches():
+    for rec in [
+        (5, 1.5, "héllo", "U", 1_700_000_000_000_000),
+        (-3, None, None, "D", 0),
+        (2**40, -0.0, "", "I", 1),
+    ]:
+        raw = encode_value_bytes(*rec, schema_id=1)
+        d = decode_value_bytes(raw)
+        assert (d["id"], d["balance"], d["note"], d["op"], d["commit_ts"]) == rec
+        assert d["schema_id"] == 1

@@ -1,0 +1,221 @@
+"""Avro codec — Confluent-wire-format Avro binary messages.
+
+Reference: pkg/sink/codec/avro/avro.go (~1050 LoC: schema generation from
+the table, Confluent/Glue registry clients, key+value messages). Our value
+record mirrors the reference's layout for the demo payload, including the
+TiDB extension fields (enable-tidb-extension):
+
+    record EnvelopeValue {
+        long   id;
+        union {null, double} balance;
+        union {null, string} note;
+        string _tidb_op;          // I/U/D
+        long   _tidb_commit_ts;
+    }
+
+Wire format: 1 magic byte 0x00 + 4-byte big-endian schema id + Avro binary
+body (Confluent framing, avro.go / schema-registry wire format — public
+spec). The Avro binary encoding (zigzag varint longs, little-endian
+doubles, length-prefixed strings, union branch indexes) is implemented
+directly since no Avro library ships in this environment.
+
+Spark shape: encoding runs as an Arrow-batched pandas UDF (the documented
+slow path for codecs Spark cannot express with built-ins — SURVEY.md §2.8
+flags avro as the one codec needing custom bytes). Decode mirrors it.
+Both are map-only stages; everything else in the pipeline stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MAGIC = b"\x00"
+
+VALUE_SCHEMA = {
+    "type": "record",
+    "name": "EnvelopeValue",
+    "namespace": "default.envelope",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "balance", "type": ["null", "double"], "default": None},
+        {"name": "note", "type": ["null", "string"], "default": None},
+        {"name": "_tidb_op", "type": "string"},
+        {"name": "_tidb_commit_ts", "type": "long"},
+    ],
+}
+
+KEY_SCHEMA = {
+    "type": "record",
+    "name": "EnvelopeKey",
+    "namespace": "default.envelope",
+    "fields": [{"name": "id", "type": "long"}],
+}
+
+
+def schema_json(which: str = "value") -> str:
+    return json.dumps(VALUE_SCHEMA if which == "value" else KEY_SCHEMA)
+
+
+def _zigzag(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_zigzag(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        b = buf.read(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _enc_string(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return _zigzag(len(raw)) + raw
+
+
+def _enc_union(val, enc) -> bytes:
+    if val is None:
+        return _zigzag(0)
+    return _zigzag(1) + enc(val)
+
+
+def encode_value_bytes(
+    id_: int, balance, note, op: str, commit_ts: int, schema_id: int
+) -> bytes:
+    body = (
+        _zigzag(int(id_))
+        + _enc_union(balance, lambda v: struct.pack("<d", float(v)))
+        + _enc_union(note, _enc_string)
+        + _enc_string(op)
+        + _zigzag(int(commit_ts))
+    )
+    return MAGIC + struct.pack(">I", schema_id) + body
+
+
+def decode_value_bytes(raw: bytes) -> dict:
+    assert raw[0:1] == MAGIC, "bad magic byte"
+    schema_id = struct.unpack(">I", raw[1:5])[0]
+    buf = io.BytesIO(raw[5:])
+    rid = _read_zigzag(buf)
+    balance = None
+    if _read_zigzag(buf) == 1:
+        balance = struct.unpack("<d", buf.read(8))[0]
+    note = None
+    if _read_zigzag(buf) == 1:
+        note = buf.read(_read_zigzag(buf)).decode("utf-8")
+    op = buf.read(_read_zigzag(buf)).decode("utf-8")
+    commit_ts = _read_zigzag(buf)
+    return {
+        "schema_id": schema_id,
+        "id": rid,
+        "balance": balance,
+        "note": note,
+        "op": op,
+        "commit_ts": commit_ts,
+    }
+
+
+def encode_avro(env: DataFrame, schema_id: int = 1) -> DataFrame:
+    """Envelope → (schema, table, commit_ts, seq, key BINARY, value BINARY).
+
+    D events carry the pre-image (the reference encodes delete as key-only
+    on MQ; we keep the full image + _tidb_op, the tidb-extension form)."""
+
+    @pandas_udf(T.BinaryType())
+    def enc_value(
+        op: pd.Series, cts: pd.Series, i: pd.Series, b: pd.Series, n: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_value_bytes(
+                    i.iloc[k],
+                    None if pd.isna(b.iloc[k]) else b.iloc[k],
+                    n.iloc[k] if n.iloc[k] is not None else None,
+                    op.iloc[k],
+                    cts.iloc[k],
+                    schema_id,
+                )
+                for k in range(len(op))
+            ],
+            dtype=object,
+        )
+
+    @pandas_udf(T.BinaryType())
+    def enc_key(i: pd.Series) -> pd.Series:
+        return pd.Series(
+            [MAGIC + struct.pack(">I", schema_id) + _zigzag(int(v)) for v in i],
+            dtype=object,
+        )
+
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    flat = env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        "op",
+        img["id"].alias("_id"),
+        img["balance"].alias("_balance"),
+        img["note"].alias("_note"),
+    )
+    return flat.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        enc_key(F.col("_id")).alias("key"),
+        enc_value(
+            F.col("op"),
+            F.col("commit_ts"),
+            F.col("_id"),
+            F.col("_balance"),
+            F.col("_note"),
+        ).alias("value"),
+    )
+
+
+def decode_avro(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Avro messages → change rows (consumer path, avro decoder parity)."""
+    out_t = T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("commit_ts", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def dec(value: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([decode_value_bytes(v) for v in value])
+
+    return messages.withColumn("_d", dec(F.col(value_col))).select(
+        "_d.op",
+        "_d.schema_id",
+        "_d.id",
+        "_d.balance",
+        "_d.note",
+        "_d.commit_ts",
+    )

@@ -1,0 +1,175 @@
+"""Simple protocol — TiCDC's "simple" JSON codec.
+
+Reference: pkg/sink/codec/simple/{encoder,message}.go (message struct
+message.go:472-502; DML types :58-63; bootstrap :514-524). The protocol
+ships DML rows as JSON with string-encoded values, plus separate
+BOOTSTRAP messages carrying the full table schema so consumers can decode
+without a registry.
+
+Determinism notes (divergences shared with our canal codec):
+- buildTs (wall clock in the reference) is pinned to 0;
+- null-valued optional fields are emitted as JSON null rather than omitted
+  (`omitempty`) — consumers treat absent and null alike.
+
+Everything is `to_json`/`from_json` over built-in structs — a pure map
+stage, whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MYSQL_TYPES = {
+    T.LongType(): "bigint",
+    T.IntegerType(): "int",
+    T.DoubleType(): "double",
+    T.StringType(): "varchar",
+}
+
+
+def _image_map(side: str, fields: list[T.StructField]):
+    return F.when(
+        F.col(f"{side}.id").isNotNull(),
+        F.create_map(
+            *[
+                c
+                for f in fields
+                for c in (
+                    F.lit(f.name),
+                    F.col(f"{side}.{f.name}").cast("string"),
+                )
+            ]
+        ),
+    )
+
+
+def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
+    """Envelope → simple-protocol DML messages (message.go:472-502)."""
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    dml_type = (
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .otherwise("DELETE")
+    )
+    data = F.when(F.col("op") != "D", _image_map("after", fields))
+    old = F.when(F.col("op") != "I", _image_map("before", fields))
+    msg = F.struct(
+        F.lit(1).alias("version"),
+        F.col("schema").alias("database"),
+        F.col("table").alias("table"),
+        F.lit(0).cast("long").alias("tableID"),
+        dml_type.alias("type"),
+        F.col("commit_ts").cast("long").alias("commitTs"),
+        F.lit(0).cast("long").alias("buildTs"),
+        F.lit(schema_version).cast("long").alias("schemaVersion"),
+        data.alias("data"),
+        old.alias("old"),
+    )
+    return env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+    )
+
+
+def bootstrap_messages(env: DataFrame, schema_version: int = 1) -> DataFrame:
+    """One BOOTSTRAP message per (schema, table) carrying the TableSchema
+    (message.go newBootstrapMessage / TableSchema :275-282)."""
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    columns = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("name"),
+                F.struct(
+                    F.lit(_MYSQL_TYPES[f.dataType]).alias("mysqlType"),
+                    F.lit("utf8mb4").alias("charset"),
+                ).alias("dataType"),
+                F.lit(f.name != "id").alias("nullable"),
+            )
+            for f in fields
+        ]
+    )
+    indexes = F.array(
+        F.struct(
+            F.lit("primary").alias("name"),
+            F.lit(True).alias("unique"),
+            F.lit(True).alias("primary"),
+            F.lit(False).alias("nullable"),
+            F.array(F.lit("id")).alias("columns"),
+        )
+    )
+    msg = F.struct(
+        F.lit(1).alias("version"),
+        F.lit("BOOTSTRAP").alias("type"),
+        F.lit(0).cast("long").alias("buildTs"),
+        F.struct(
+            F.col("schema").alias("schema"),
+            F.col("table").alias("table"),
+            F.lit(0).cast("long").alias("tableID"),
+            F.lit(schema_version).cast("long").alias("version"),
+            columns.alias("columns"),
+            indexes.alias("indexes"),
+        ).alias("tableSchema"),
+    )
+    return (
+        env.select("schema", "table")
+        .distinct()
+        .select(
+            "schema",
+            "table",
+            F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+        )
+    )
+
+
+def decode_simple(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Simple messages → change rows (decoder.go consumer path)."""
+    schema = (
+        "version INT, database STRING, table STRING, tableID BIGINT, "
+        "type STRING, commitTs BIGINT, buildTs BIGINT, schemaVersion BIGINT, "
+        "data MAP<STRING,STRING>, old MAP<STRING,STRING>"
+    )
+    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    op = (
+        F.when(F.col("m.type") == "INSERT", "I")
+        .when(F.col("m.type") == "UPDATE", "U")
+        .when(F.col("m.type") == "DELETE", "D")
+    )
+    return m.select(
+        op.alias("op"),
+        F.col("m.database").alias("schema"),
+        F.col("m.table").alias("table"),
+        F.col("m.commitTs").alias("commit_ts"),
+        F.col("m.data").alias("image"),
+        F.col("m.old").alias("old_image"),
+    )
+
+
+def simple_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
+    """DuckDB SQL building byte-identical simple-protocol DML messages."""
+
+    def img_map(prefix: str) -> str:
+        kv = ", ".join(
+            f"'{name}': CAST({prefix}_{name} AS VARCHAR)"
+            for name, _ in payload_cols
+        )
+        return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
+
+    return f"""{env_cte}
+    SELECT "schema", "table", commit_ts, seq, to_json({{
+      version: 1,
+      database: "schema",
+      "table": "table",
+      tableID: 0::BIGINT,
+      type: CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
+            ELSE 'DELETE' END,
+      commitTs: commit_ts,
+      buildTs: 0::BIGINT,
+      schemaVersion: 1::BIGINT,
+      data: CASE WHEN op <> 'D' THEN {img_map("after")} END,
+      old: CASE WHEN op <> 'I' THEN {img_map("before")} END
+    }}) AS value FROM env"""

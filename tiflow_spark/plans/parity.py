@@ -1007,3 +1007,404 @@ def q_storage_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "files",
         F.col("rows").alias("n_rows"),
     )
+
+
+# ---------------------------------------------- validator / precheck / DDL ops
+
+_VAL_CUTOFF_US = 86_400_000_000  # 1-day retry window (errorRowDelay analog)
+
+
+@register(
+    "validate_pending",
+    f"""{SPLIT_CTE},
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split) WHERE rn = 1
+    ),
+    net AS (
+      SELECT target_table, key, op, commit_ts, after_id AS id,
+             after_balance AS balance, after_note AS note
+      FROM last
+    ),
+    corrupted AS (
+      SELECT target_table, key, id,
+             CASE WHEN id % 23 = 0 THEN balance + 1 ELSE balance END AS balance,
+             note
+      FROM (SELECT target_table, key, after_id AS id, after_balance AS balance,
+                   after_note AS note FROM last WHERE op <> 'D')
+      WHERE NOT (id % 17 = 0)
+    ),
+    cutoff AS (SELECT max(commit_ts) - {_VAL_CUTOFF_US} AS ts FROM env),
+    val AS (
+      SELECT n.target_table,
+        CASE WHEN n.op = 'D' THEN c.key IS NULL
+             ELSE c.key IS NOT NULL
+                  AND n.id IS NOT DISTINCT FROM c.id
+                  AND n.balance IS NOT DISTINCT FROM c.balance
+                  AND n.note IS NOT DISTINCT FROM c.note END AS ok,
+        n.commit_ts >= (SELECT ts FROM cutoff) AS recent
+      FROM net n LEFT JOIN corrupted c
+        ON n.target_table = c.target_table AND n.key = c.key
+    )
+    SELECT target_table AS "table", count(*) AS total_rows,
+      sum(CASE WHEN ok THEN 1 ELSE 0 END) AS ok_rows,
+      sum(CASE WHEN NOT ok AND recent THEN 1 ELSE 0 END) AS pending_rows,
+      sum(CASE WHEN NOT ok AND NOT recent THEN 1 ELSE 0 END) AS error_rows
+    FROM val GROUP BY 1""",
+)
+def q_validate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous validator (dm/syncer/data_validator.go, validate_worker.go):
+    net change batch LEFT JOIN applied target on PK, rows classified
+    ok/pending/error with a retry window; per-table counters.
+
+    The target is deterministically corrupted (keys id%17 dropped, balances
+    id%23 perturbed) so all three states occur."""
+    from tiflow_spark.operators.apply import changes_to_state
+    from tiflow_spark.operators.compactor import last_state_per_key
+    from tiflow_spark.validation.validator import validate_rows, validator_stats
+
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    split = tfm.split_updates(tfm.route(env, DEMO_CFG))
+    net = last_state_per_key(split, "target_table").select(
+        "target_table",
+        "key",
+        "op",
+        "commit_ts",
+        F.col("after.id").alias("id"),
+        F.col("after.balance").alias("balance"),
+        F.col("after.note").alias("note"),
+    )
+    target = (
+        changes_to_state(split, table_col="target_table")
+        .filter(~(F.col("id") % 17 == 0))
+        .withColumn(
+            "balance",
+            F.when(F.col("id") % 23 == 0, F.col("balance") + 1).otherwise(
+                F.col("balance")
+            ),
+        )
+    )
+    cutoff = (
+        _env(spark, sf_dir).agg(F.max("commit_ts")).collect()[0][0]
+        - _VAL_CUTOFF_US
+    )
+    validated = validate_rows(
+        net, target, ["target_table", "key"], ["id", "balance", "note"], cutoff
+    )
+    return validator_stats(validated, table_col="target_table")
+
+
+@register(
+    "precheck",
+    f"""{FILTERED_CTE},
+    routed AS (SELECT *, 'events_all' AS target_table FROM filtered),
+    pairs AS (SELECT DISTINCT target_table, "schema", "table" FROM routed)
+    SELECT 'pk_not_null' AS check_name, target_table,
+           sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) = 0 AS passed,
+           sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS detail_cnt
+    FROM routed GROUP BY target_table
+    UNION ALL
+    SELECT 'shard_schema_consistent', target_table,
+           count(DISTINCT sig) = 1, count(DISTINCT sig)
+    FROM (SELECT target_table, 'id,balance,note' AS sig FROM pairs)
+    GROUP BY target_table
+    UNION ALL
+    SELECT 'no_case_collisions', target_table,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0,
+           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+    FROM (SELECT target_table, lower("schema") AS ls, lower("table") AS lt,
+                 count(*) AS n
+          FROM pairs GROUP BY 1, 2, 3)
+    GROUP BY target_table""",
+)
+def q_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DM precheck suite (dm/checker/checker.go:84-731): PK presence,
+    shard-merge schema compatibility, case-collision — one pass each over
+    the routed stream."""
+    from tiflow_spark.validation.precheck import run_prechecks
+
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    return run_prechecks(tfm.route(env, DEMO_CFG))
+
+
+_GHOST_CASE = """CASE seq % 6
+      WHEN 0 THEN '_' || "table" || '_gho'
+      WHEN 1 THEN '_' || "table" || '_ghc'
+      WHEN 2 THEN '_' || "table" || '_del'
+      WHEN 3 THEN '_' || "table" || '_new'
+      WHEN 4 THEN '_' || "table" || '_old'
+      ELSE "table" END"""
+
+
+@register(
+    "online_ddl_route",
+    f"""{ENV_CTE},
+    named AS (SELECT {_GHOST_CASE} AS tname FROM env),
+    classed AS (
+      SELECT tname,
+        CASE WHEN regexp_matches(tname, '^_(.+)_(gho|new)$') THEN 'shadow'
+             WHEN regexp_matches(tname, '^_(.+)_(ghc|del|old)$') THEN 'trash'
+             ELSE 'real' END AS table_class,
+        CASE WHEN regexp_matches(tname, '^_(.+)_(gho|ghc|del|new|old)$')
+             THEN regexp_extract(tname, '^_(.+)_(gho|ghc|del|new|old)$', 1)
+             ELSE tname END AS real_name
+      FROM named)
+    SELECT table_class, real_name AS "table", count(*) AS cnt
+    FROM classed WHERE table_class <> 'trash'
+    GROUP BY 1, 2""",
+)
+def q_online_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online-DDL tool support (dm/syncer/online-ddl-tools/online_ddl.go):
+    gh-ost/pt-osc shadow tables folded onto the real table, trash tables
+    dropped. Ghost names synthesized deterministically from the stream."""
+    from tiflow_spark.operators.online_ddl import apply_online_ddl
+
+    env = _env(spark, sf_dir).withColumn(
+        "table",
+        F.expr(
+            """CASE seq % 6
+          WHEN 0 THEN '_' || table || '_gho'
+          WHEN 1 THEN '_' || table || '_ghc'
+          WHEN 2 THEN '_' || table || '_del'
+          WHEN 3 THEN '_' || table || '_new'
+          WHEN 4 THEN '_' || table || '_old'
+          ELSE table END"""
+        ),
+    )
+    out = apply_online_ddl(env)
+    return out.groupBy("table_class", "table").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register("codec_claim_check", None)  # SQL installed below
+def q_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Claim-check for oversized MQ messages (pkg/sink/kafka/claimcheck):
+    values over the byte threshold are externalized to content-addressed
+    storage and replaced by a location envelope."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.codecs.claim_check import apply_claim_check
+
+    msgs = encode_canal_json(_env(spark, sf_dir))
+    out = apply_claim_check(msgs, 340, "claim")
+    return out.select(
+        "seq",
+        "is_claim",
+        F.col("value").alias("mq_value"),
+        "claim_location",
+    )
+
+
+def _install_claim_check_sql() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+
+    canal = canal_json_sql_duckdb(PAYLOAD_COLS, ENV_CTE)
+    REGISTRY["codec_claim_check"] = (
+        REGISTRY["codec_claim_check"][0],
+        f"""SELECT seq,
+          strlen(value) > 340 AS is_claim,
+          CASE WHEN strlen(value) > 340
+               THEN '{{"claimCheck":{{"location":"claim/' || md5(value)
+                    || '.json"}}}}'
+               ELSE value END AS mq_value,
+          CASE WHEN strlen(value) > 340
+               THEN 'claim/' || md5(value) || '.json' END AS claim_location
+        FROM ({canal}) canal""",
+    )
+
+
+_install_claim_check_sql()
+
+
+@register(
+    "shardddl_barrier",
+    f"""{FILTERED_CTE},
+    routed AS (SELECT *, 'events_all' AS target_table FROM filtered),
+    hwm AS (
+      SELECT target_table, "schema", "table", max(commit_ts) AS shard_hwm
+      FROM routed GROUP BY 1, 2, 3),
+    ddl AS (SELECT max(commit_ts) AS ts FROM routed)
+    SELECT target_table, count(*) AS shards_total,
+      sum(CASE WHEN shard_hwm >= (SELECT ts FROM ddl) THEN 1 ELSE 0 END)
+        AS shards_reached,
+      min(shard_hwm) AS barrier_ts,
+      min(shard_hwm) >= (SELECT ts FROM ddl) AS barrier_ready
+    FROM hwm GROUP BY 1""",
+)
+def q_shardddl_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pessimistic shard-DDL barrier (dm/syncer/shardddl/pessimist.go;
+    ddl_manager.go barrier): per shard-merge target, member-shard
+    high-water marks vs the DDL ts; ready ⇔ every shard reached it."""
+    from tiflow_spark.streaming.shardddl import shard_barrier
+
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    routed = tfm.route(env, DEMO_CFG)
+    ddl_ts = routed.agg(F.max("commit_ts")).collect()[0][0]
+    return shard_barrier(routed, ddl_ts)
+
+
+@register("codec_simple", None)  # SQL installed below
+def q_codec_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple protocol DML encode (pkg/sink/codec/simple/message.go:472)."""
+    from tiflow_spark.codecs.simple import encode_simple
+
+    return encode_simple(_env(spark, sf_dir))
+
+
+def _install_simple_sql() -> None:
+    from tiflow_spark.codecs.simple import simple_sql_duckdb
+
+    REGISTRY["codec_simple"] = (
+        REGISTRY["codec_simple"][0],
+        simple_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+
+
+_install_simple_sql()
+
+
+_BOOTSTRAP_JSON_SQL = (
+    """'{"version":1,"type":"BOOTSTRAP","buildTs":0,"tableSchema":{"schema":"'"""
+    """ || "schema" || '","table":"' || "table" || '","tableID":0,"version":1,"""
+    """"columns":[{"name":"id","dataType":{"mysqlType":"bigint","charset":"utf8mb4"},"nullable":false},"""
+    """{"name":"balance","dataType":{"mysqlType":"double","charset":"utf8mb4"},"nullable":true},"""
+    """{"name":"note","dataType":{"mysqlType":"varchar","charset":"utf8mb4"},"nullable":true}],"""
+    """"indexes":[{"name":"primary","unique":true,"primary":true,"nullable":false,"columns":["id"]}]}}'"""
+)
+
+
+@register(
+    "codec_simple_bootstrap",
+    f"""{ENV_CTE}
+    SELECT DISTINCT "schema", "table", {_BOOTSTRAP_JSON_SQL} AS value
+    FROM env""",
+)
+def q_codec_simple_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple protocol BOOTSTRAP schema messages (message.go:514-524) —
+    the schema side-channel consumers decode DML against."""
+    from tiflow_spark.codecs.simple import bootstrap_messages
+
+    return bootstrap_messages(_env(spark, sf_dir))
+
+
+_Q = (
+    "CASE WHEN {x} IS NULL THEN 'NULL' "
+    "ELSE '''' || replace(CAST({x} AS VARCHAR), '''', '''''') || '''' END"
+)
+
+
+@register(
+    "sink_mysql_dml",
+    f"""{SPLIT_CTE},
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split) WHERE rn = 1
+    ),
+    net AS (
+      SELECT target_table, op, coalesce(after_id, before_id) AS id,
+             after_balance AS balance, after_note AS note
+      FROM last
+    ),
+    rows_k AS (
+      SELECT *,
+        CASE WHEN op = 'D' THEN 'DELETE' ELSE 'REPLACE' END AS stmt_kind,
+        row_number() OVER (
+          PARTITION BY target_table,
+                       CASE WHEN op = 'D' THEN 'DELETE' ELSE 'REPLACE' END
+          ORDER BY id) AS rn
+      FROM net),
+    b AS (
+      SELECT *, (rn - 1) // 100 AS batch_no,
+        CASE WHEN stmt_kind = 'DELETE' THEN {_Q.format(x='id')}
+             ELSE '(' || {_Q.format(x='id')} || ', ' || {_Q.format(x='balance')}
+                  || ', ' || {_Q.format(x='note')} || ')' END AS piece
+      FROM rows_k)
+    SELECT target_table, stmt_kind, batch_no,
+      CASE WHEN stmt_kind = 'DELETE'
+           THEN 'DELETE FROM `' || target_table || '` WHERE `id` IN ('
+                || string_agg(piece, ', ' ORDER BY rn) || ')'
+           ELSE 'REPLACE INTO `' || target_table
+                || '` (`id`, `balance`, `note`) VALUES '
+                || string_agg(piece, ', ' ORDER BY rn) END AS stmt,
+      count(*) AS rows_in_batch
+    FROM b GROUP BY 1, 2, 3""",
+)
+def q_mysql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MySQL-sink multi-row DML generation (pkg/sqlmodel/multirow.go
+    GenInsertSQL/GenDeleteSQL; mysql.go:417 batchSingleTxnDmls): net
+    changes → batched REPLACE/DELETE statements, rendered distributively."""
+    from tiflow_spark.operators.compactor import last_state_per_key
+    from tiflow_spark.sinks.mysql_dml import generate_dml_sql
+
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    split = tfm.split_updates(tfm.route(env, DEMO_CFG))
+    net = last_state_per_key(split, "target_table").select(
+        "target_table",
+        "op",
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("after.balance").alias("balance"),
+        F.col("after.note").alias("note"),
+    )
+    return generate_dml_sql(net, "id", ["balance", "note"])
+
+
+@register(
+    "codec_avro_roundtrip",
+    f"""{ENV_CTE}
+    SELECT op, 1 AS schema_id,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note,
+      commit_ts
+    FROM env""",
+)
+def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro codec (pkg/sink/codec/avro/avro.go): Confluent wire format +
+    hand-rolled Avro binary body, verified by full encode→decode round
+    trip against the source envelope (value-level parity through the
+    binary path)."""
+    from tiflow_spark.codecs.avro import decode_avro, encode_avro
+
+    return decode_avro(encode_avro(_env(spark, sf_dir)))
+
+
+@register(
+    "mm_frame_sample",
+    """SELECT doc_id AS media_id,
+      CAST(ceil(octet_length(encode(text)) / 10.0) AS BIGINT) AS n_frames,
+      octet_length(encode(text)) AS total_bytes
+    FROM documents""",
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling contract: 1 media row → N frame rows via
+    mapInPandas (the explode shape real video sampling uses); frames are
+    byte-slices of the payload in the stub."""
+    from tiflow_spark.llm.multimodal import frame_sample_stub, synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample_stub(media, every_n=10)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame_payload")).alias("total_bytes"),
+    )
+
+
+@register("mm_feature_extract", None)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction over Arrow-batched
+    mapInPandas (decode stubbed deterministically — no media libs in the
+    container; the Spark plumbing (schema, batching, narrow output) is the
+    real contract)."""
+    from tiflow_spark.llm.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)
