@@ -39,15 +39,34 @@ def wildcard_to_regex(pattern: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def _pattern_match(col: Column, pattern: str) -> Column:
+    """One wildcard pattern → the cheapest equivalent predicate.
+
+    Regex is the slow path; the common rule shapes (`*`, exact names,
+    `prefix_*`) compile to constant/equality/startswith so the hot filter
+    stays allocation-free inside codegen — the same early-filter priority
+    the reference gives ShouldIgnoreTable (applied before decode)."""
+    if pattern == "*":
+        return F.lit(True)
+    if "*" not in pattern and "?" not in pattern:
+        return col == F.lit(pattern)
+    if (
+        pattern.endswith("*")
+        and "?" not in pattern
+        and "*" not in pattern[:-1]
+    ):
+        return col.startswith(pattern[:-1])
+    return col.rlike(wildcard_to_regex(pattern))
+
+
 def table_matches(rule: TableRule, case_sensitive: bool = False) -> Column:
     """Boolean Column: does (schema, table) match this rule?"""
-    s_re = wildcard_to_regex(rule.schema_pattern)
-    t_re = wildcard_to_regex(rule.table_pattern)
+    s_pat, t_pat = rule.schema_pattern, rule.table_pattern
     schema, table = F.col("schema"), F.col("table")
     if not case_sensitive:
         schema, table = F.lower(schema), F.lower(table)
-        s_re, t_re = s_re.lower(), t_re.lower()
-    return schema.rlike(s_re) & table.rlike(t_re)
+        s_pat, t_pat = s_pat.lower(), t_pat.lower()
+    return _pattern_match(schema, s_pat) & _pattern_match(table, t_pat)
 
 
 def any_table_matches(

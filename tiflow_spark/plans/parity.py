@@ -1408,3 +1408,38 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+@register(
+    "redo_replay",
+    f"""{SPLIT_CTE},
+    cutoff AS (SELECT max(commit_ts) - 43200000000 AS ts FROM env),
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split WHERE commit_ts <= (SELECT ts FROM cutoff)) WHERE rn = 1
+    )
+    SELECT target_table, key, after_id AS id, after_balance AS balance,
+           after_note AS note
+    FROM last WHERE op <> 'D'""",
+)
+def q_redo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redo-log disaster recovery (cdc/redo): write the changefeed's events
+    to a date-partitioned WAL, then roll a fresh downstream forward to the
+    recovery point (max ts - 12h) by replaying log ≤ recovery_ts."""
+    import tempfile
+
+    from tiflow_spark.streaming.redo import append_redo_log, read_redo_log, replay
+
+    env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
+    split = tfm.split_updates(tfm.route(env, DEMO_CFG))
+    log_dir = tempfile.mkdtemp(prefix="tiflow_redo_") + "/log"
+    append_redo_log(split, log_dir)
+    log = read_redo_log(spark, log_dir)
+    recovery_ts = (
+        _env(spark, sf_dir).agg(F.max("commit_ts")).collect()[0][0]
+        - 43_200_000_000
+    )
+    return replay(log, recovery_ts, table_col="target_table")
