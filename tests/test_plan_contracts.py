@@ -1,0 +1,111 @@
+"""Physical-plan contracts — the properties that keep queries viable at 100 TB.
+
+Correctness tests say *what* each operator computes; these assert *how*:
+shuffle counts, parquet predicate pushdown, broadcast joins, codegen. A
+regression here (an extra Exchange, a filter that stopped pushing) is a
+scale bug long before it is a local slowdown.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from tiflow_spark.plans.parity import REGISTRY
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+import re
+
+
+def n_exchanges(plan: str) -> int:
+    # count shuffle-exchange NODES in the formatted detail section (the tree
+    # rendering repeats each node, so match the "(N) Exchange" headers only);
+    # broadcast exchanges are a different (good) animal
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["cdc_envelope", "cdc_filter_stack", "codec_csv", "codec_canal_json",
+     "codec_simple"],
+)
+def test_map_only_queries_have_no_shuffle(spark, sf_dir, name):
+    """Envelope synthesis, the whole filter stack and every JSON/CSV codec
+    must stay pure map stages — encode at 100 TB is scan-bounded, never
+    shuffle-bounded."""
+    fn, _ = REGISTRY[name]
+    assert n_exchanges(plan_of(fn(spark, sf_dir))) == 0
+
+
+def test_route_split_is_map_only(spark, sf_dir):
+    """filter → route → update-split composes into one shuffle-free map
+    stage (the registry's cdc_route_split adds a groupBy summary on top,
+    which is where its single exchange belongs)."""
+    from tiflow_spark.operators import filters as flt
+    from tiflow_spark.operators import transforms as tfm
+    from tiflow_spark.plans.parity import DEMO_CFG, _env
+
+    split = tfm.split_updates(
+        tfm.route(flt.apply_filters(_env(spark, sf_dir), DEMO_CFG), DEMO_CFG)
+    )
+    assert n_exchanges(plan_of(split)) == 0
+
+
+@pytest.mark.parametrize("name", ["cdc_compact", "cdc_apply"])
+def test_keyed_operators_shuffle_exactly_once(spark, sf_dir, name):
+    """Compaction/apply each need exactly ONE hash exchange on (table, key)
+    — the same co-location the reference's causality router provides; a
+    second exchange would double the dominant cost at scale."""
+    fn, _ = REGISTRY[name]
+    assert n_exchanges(plan_of(fn(spark, sf_dir))) == 1
+
+
+def test_causality_repartition_is_single_exchange(spark, sf_dir):
+    from tiflow_spark.operators.causality import partition_by_causality
+    from tiflow_spark.plans.parity import _env
+
+    part = partition_by_causality(_env(spark, sf_dir), 16)
+    assert n_exchanges(plan_of(part)) == 1
+
+
+def test_filter_stack_runs_inside_codegen(spark, sf_dir):
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    plan = plan_of(REGISTRY["cdc_filter_stack"][0](spark, sf_dir))
+    assert "[codegen id :" in plan
+
+
+def test_analytics_date_filter_pushes_to_parquet(spark, sf_dir):
+    """The pricing-summary ship-date predicate must reach the parquet scan
+    (row-group pruning); filtering the converted timestamp would not."""
+    plan = plan_of(REGISTRY["olap_pricing_summary"][0](spark, sf_dir))
+    pushed = [
+        line for line in plan.splitlines() if "PushedFilters" in line
+    ][0]
+    assert "LessThanOrEqual(l_shipdate" in pushed
+
+
+def test_shipping_priority_broadcasts_dimension(spark, sf_dir):
+    """Customer (filtered small dim) must broadcast — shuffling the fact
+    table against it would be the classic 100-TB mistake."""
+    plan = plan_of(REGISTRY["olap_shipping_priority"][0](spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_salted_last_state_matches_unsalted(spark, sf_dir):
+    """Skew remedy must be a pure optimization: salted two-phase winner ==
+    single-window winner."""
+    from tiflow_spark.operators.compactor import last_state_per_key
+    from tiflow_spark.operators.skew import salted_last_state
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, sf_dir)
+    a = last_state_per_key(env).select("table", "key", "op", "commit_ts", "seq")
+    b = salted_last_state(env).select("table", "key", "op", "commit_ts", "seq")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

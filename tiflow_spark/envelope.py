@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # epoch/date math must be tz-stable regardless of the caller's session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Spark 4.1 reads parquet TIMESTAMP(NANOS) natively as timestamp_ntz;
+    # the bigint branch below covers versions where nanosAsLong applies.
+    # Predicates on these columns must use timestamp_ntz literals — an LTZ
+    # literal wraps the column in a cast and kills parquet pushdown.
     for c in _NS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))

@@ -26,7 +26,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary report."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp"))
+        # compare against a timestamp_ntz literal: the scan column is NTZ, so
+        # an LTZ literal would wrap the column in a cast and kill parquet
+        # pushdown; matched types keep it a plain PushedFilter
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
@@ -69,7 +72,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .filter(F.col("o_orderdate") < F.lit("2024-03-15").cast("timestamp"))
+        .filter(F.col("o_orderdate") < F.lit("2024-03-15").cast("timestamp_ntz"))
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
         _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
