@@ -7,6 +7,7 @@ scale bug long before it is a local slowdown.
 """
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -19,9 +20,6 @@ def plan_of(df, mode="formatted") -> str:
     with redirect_stdout(buf):
         df.explain(mode)
     return buf.getvalue()
-
-
-import re
 
 
 def n_exchanges(plan: str) -> int:
@@ -109,3 +107,56 @@ def test_salted_last_state_matches_unsalted(spark, sf_dir):
     a = last_state_per_key(env).select("table", "key", "op", "commit_ts", "seq")
     b = salted_last_state(env).select("table", "key", "op", "commit_ts", "seq")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_merge_does_not_shuffle_target(spark, sf_dir):
+    """The 100-TB apply story: against a bucketed target, every incremental
+    MERGE shuffles ONLY the change batch — the snapshot scan stays in its
+    bucket layout (zero exchanges on the target side of the join)."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.sinks.bucketed import (
+        merge_against_bucketed,
+        write_bucketed_target,
+    )
+
+    snapshot = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.round("c_acctbal", 2).alias("balance"),
+        F.col("c_mktsegment").alias("note"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bucketed_target_test")
+    write_bucketed_target(snapshot, "bucketed_target_test", "id", 8)
+
+    changes = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.when(F.col("c_custkey") % 20 == 0, "D").otherwise("U").alias("op"),
+            F.col("c_custkey").alias("id"),
+            F.lit(0.0).alias("balance"),
+            F.lit("patched").alias("note"),
+        )
+    )
+    # disable broadcast so the join shape is the large-scale SortMergeJoin
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = merge_against_bucketed(spark, "bucketed_target_test", changes)
+        plan = plan_of(merged)
+        # exactly ONE shuffle: the change side. A second exchange would mean
+        # the bucketed target is being re-shuffled — the scale regression.
+        assert n_exchanges(plan) == 1, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # and the merge itself must be correct
+        n_target = snapshot.count()
+        n_del = changes.filter(F.col("op") == "D").count()
+        assert merged.count() == n_target - n_del
+        assert (
+            merged.filter(F.col("note") == "patched").count()
+            == changes.filter(F.col("op") != "D").count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bucketed_target_test")

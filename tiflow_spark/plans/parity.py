@@ -1443,3 +1443,55 @@ def q_redo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 43_200_000_000
     )
     return replay(log, recovery_ts, table_col="target_table")
+
+
+@register(
+    "handle_error_dlq",
+    f"""{ENV_CTE},
+    poisoned AS (
+      SELECT * FROM env WHERE after_balance > 195
+    ),
+    good AS (
+      SELECT * FROM env WHERE NOT coalesce(after_balance > 195, FALSE)
+    ),
+    repaired AS (
+      SELECT op, "schema", "table", commit_ts, seq, key, after_id,
+             0.0 AS after_balance
+      FROM poisoned WHERE after_id % 2 = 0
+    ),
+    resolved AS (
+      SELECT op, "schema", "table", commit_ts, seq, key, after_id,
+             after_balance FROM good
+      UNION ALL SELECT * FROM repaired
+    )
+    SELECT "table", op, count(*) AS cnt,
+           CAST(sum(CAST(round(coalesce(after_balance, 0), 2)
+                AS DECIMAL(18,2))) AS DOUBLE) AS balance_sum
+    FROM resolved GROUP BY 1, 2""",
+)
+def q_handle_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handle-error / dead-letter (dm/syncer/handle_error.go): rows failing
+    downstream split to a DLQ; user patches (skip odd keys, replace even
+    keys' balance with 0) resolve them; repaired rows re-enter the stream."""
+    from tiflow_spark.operators.handle_error import resolve_stream
+
+    env = _env(spark, sf_dir)
+    poison = F.coalesce(F.col("after.balance") > 195, F.lit(False))
+    patches = (
+        env.filter(poison)
+        .select(
+            "key",
+            F.when(F.col("after.id") % 2 == 0, "replace")
+            .otherwise("skip")
+            .alias("action"),
+            F.lit(0.0).alias("new_balance"),
+        )
+        .distinct()
+    )
+    resolved = resolve_stream(env, poison, patches)
+    return resolved.groupBy("table", "op").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.coalesce(F.col("after.balance"), F.lit(0.0)), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("balance_sum"),
+    )

@@ -36,6 +36,10 @@ def get_spark(app_name: str = "tiflow-spark", master: str | None = None) -> Spar
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/tiflow_spark_warehouse"),
+        )
     )
     return builder.getOrCreate()
 
