@@ -108,3 +108,73 @@ def test_canal_json_roundtrip(spark, sf_dir):
         F.col("after.id").alias("id"), F.col("after.balance").alias("balance")
     )
     assert sample.exceptAll(src).count() == 0
+
+
+def test_simple_roundtrip(spark, sf_dir):
+    from tiflow_spark.codecs.simple import decode_simple, encode_simple
+
+    env = _env(spark, sf_dir)
+    decoded = decode_simple(encode_simple(env))
+    assert decoded.count() == env.count()
+    # commit_ts survives exactly; insert images survive the string round-trip
+    pairs = decoded.filter("op = 'I'").select(
+        F.col("image")["id"].cast("long").alias("id"),
+        "commit_ts",
+    )
+    src = env.filter("op = 'I'").select(
+        F.col("after.id").alias("id"), "commit_ts"
+    )
+    assert pairs.exceptAll(src).count() == 0
+
+
+def test_open_protocol_roundtrip(spark, sf_dir):
+    from tiflow_spark.codecs.open_protocol import (
+        decode_open_protocol,
+        encode_open_protocol,
+    )
+
+    env = _env(spark, sf_dir)
+    decoded = decode_open_protocol(encode_open_protocol(env))
+    assert decoded.count() == env.count()
+    # delete/upsert classes match; handle flag + values survive
+    n_d = env.filter("op = 'D'").count()
+    assert decoded.filter("op_class = 'D'").count() == n_d
+    one = decoded.filter("op_class = 'U'").select(
+        F.col("image")["id"]["h"].alias("h"),
+        F.col("image")["id"]["v"].cast("long").alias("id"),
+    )
+    src = env.filter("op != 'D'").select(F.col("after.id").alias("id"))
+    assert one.filter(~F.col("h")).count() == 0
+    assert one.select("id").exceptAll(src).count() == 0
+
+
+def test_maxwell_roundtrip(spark, sf_dir):
+    from tiflow_spark.codecs.maxwell import decode_maxwell, encode_maxwell
+
+    env = _env(spark, sf_dir)
+    decoded = decode_maxwell(encode_maxwell(env))
+    assert decoded.count() == env.count()
+    src_ops = {
+        r["op"]: r["cnt"]
+        for r in env.groupBy("op").agg(F.count("*").alias("cnt")).collect()
+    }
+    dec_ops = {
+        r["op"]: r["cnt"]
+        for r in decoded.groupBy("op").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert src_ops == dec_ops
+    # maxwell's old map holds only CHANGED columns for updates
+    changed = decoded.filter("op = 'U'").select(F.size("old_changed").alias("n"))
+    assert changed.filter("n <= 0").count() == 0
+
+
+def test_debezium_roundtrip(spark, sf_dir):
+    from tiflow_spark.codecs.debezium import decode_debezium, encode_debezium
+
+    env = _env(spark, sf_dir)
+    decoded = decode_debezium(encode_debezium(env))
+    assert decoded.count() == env.count()
+    # full before/after structs survive typed
+    u = decoded.filter("op = 'U'").select("before.id", "after.id", "commit_ts")
+    src = env.filter("op = 'U'").select("before.id", "after.id", "commit_ts")
+    assert u.exceptAll(src).count() == 0

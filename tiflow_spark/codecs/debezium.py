@@ -61,3 +61,27 @@ def debezium_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> st
       op: CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
       ts_ms: 0::BIGINT
     }}}}) AS value FROM env"""
+
+def decode_debezium(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Debezium envelope JSON → change rows (debezium consumer parity)."""
+    img = "STRUCT<id: BIGINT, balance: DOUBLE, note: STRING>"
+    schema = (
+        f"payload STRUCT<before: {img}, after: {img}, "
+        "source STRUCT<connector: STRING, version: STRING, db: STRING, "
+        "table: STRING, commitTs: BIGINT, ts_ms: BIGINT>, "
+        "op: STRING, ts_ms: BIGINT>"
+    )
+    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    op = (
+        F.when(F.col("m.payload.op") == "c", "I")
+        .when(F.col("m.payload.op") == "u", "U")
+        .otherwise("D")
+    )
+    return m.select(
+        op.alias("op"),
+        F.col("m.payload.source.db").alias("schema"),
+        F.col("m.payload.source.table").alias("table"),
+        F.col("m.payload.source.commitTs").alias("commit_ts"),
+        F.col("m.payload.before").alias("before"),
+        F.col("m.payload.after").alias("after"),
+    )

@@ -77,3 +77,25 @@ def maxwell_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str
       old: CASE WHEN op = 'U' AND len(old_entries) > 0
            THEN map_from_entries(old_entries) END
     }}) AS value FROM entries"""
+
+def decode_maxwell(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Maxwell JSON → change rows (maxwell consumer parity)."""
+    schema = (
+        "database STRING, table STRING, type STRING, ts BIGINT, "
+        "data STRUCT<id: BIGINT, balance: DOUBLE, note: STRING>, "
+        "old MAP<STRING, STRING>"
+    )
+    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    op = (
+        F.when(F.col("m.type") == "insert", "I")
+        .when(F.col("m.type") == "update", "U")
+        .otherwise("D")
+    )
+    return m.select(
+        op.alias("op"),
+        F.col("m.database").alias("schema"),
+        F.col("m.table").alias("table"),
+        (F.col("m.ts") * 1_000_000).alias("commit_ts_sec_scaled"),
+        F.col("m.data").alias("image"),
+        F.col("m.old").alias("old_changed"),
+    )

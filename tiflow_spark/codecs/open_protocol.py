@@ -91,3 +91,25 @@ def open_protocol_sql_duckdb(
       CASE WHEN op = 'D' THEN to_json({{d: {image("before")}}})
            ELSE to_json({{u: {image("after")}}}) END AS value
     FROM env"""
+
+
+def decode_open_protocol(
+    messages: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Open-protocol key/value JSON → change rows (open_protocol_decoder.go /
+    cmd/kafka-consumer parity). Column objects come back as
+    map<col, struct{t,h,v}> so any payload schema decodes."""
+    key_schema = "ts BIGINT, scm STRING, tbl STRING, t INT"
+    col_obj = "STRUCT<t: INT, h: BOOLEAN, v: STRING>"
+    val_schema = f"u MAP<STRING, {col_obj}>, d MAP<STRING, {col_obj}>"
+    k = F.from_json(F.col(key_col), key_schema)
+    v = F.from_json(F.col(value_col), val_schema)
+    return messages.select(
+        k["scm"].alias("schema"),
+        k["tbl"].alias("table"),
+        k["ts"].alias("commit_ts"),
+        F.when(v["d"].isNotNull(), "D").otherwise("U").alias("op_class"),
+        F.coalesce(v["u"], v["d"]).alias("image"),
+    )

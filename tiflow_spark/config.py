@@ -103,3 +103,86 @@ class TaskConfig:
     compact: bool = True
     worker_count: int = 16  # causality partition count (dm dml_worker.go:34)
     checkpoint_ts: dict[str, int] = field(default_factory=dict)  # per-table low-watermark
+
+
+def _rules(items) -> tuple[TableRule, ...]:
+    return tuple(
+        TableRule(r["schema"], r.get("table", "*")) if isinstance(r, dict)
+        else TableRule(*r.split(".", 1)) if "." in r
+        else TableRule(r)
+        for r in items
+    )
+
+
+def from_dict(d: dict) -> TaskConfig:
+    """Parse a task spec dict (the JSON/TOML shape users write — mirrors
+    dm/config/subtask.go SubTaskConfig.Decode / cdc ReplicaConfig JSON).
+
+    Table matchers accept "schema.table" strings or {"schema":..,"table":..}
+    objects, wildcards included — the same surface as the reference's
+    block-allow-list / route / filter rule sections.
+    """
+    return TaskConfig(
+        do_tables=_rules(d.get("do_tables", ())),
+        ignore_tables=_rules(d.get("ignore_tables", ())),
+        case_sensitive=d.get("case_sensitive", False),
+        event_filters=tuple(
+            EventFilterRule(
+                tables=_rules(f["tables"]),
+                events=tuple(f["events"]),
+                action=f.get("action", "Ignore"),
+            )
+            for f in d.get("event_filters", ())
+        ),
+        sql_patterns=tuple(d.get("sql_patterns", ())),
+        expr_filters=tuple(
+            ExpressionFilterRule(
+                tables=_rules(f["tables"]),
+                insert=f.get("insert"),
+                update_old=f.get("update_old"),
+                update_new=f.get("update_new"),
+                delete=f.get("delete"),
+            )
+            for f in d.get("expr_filters", ())
+        ),
+        ignore_txn_start_ts=tuple(d.get("ignore_txn_start_ts", ())),
+        routes=tuple(
+            RouteRule(
+                r["schema_pattern"],
+                r["table_pattern"],
+                r["target_schema"],
+                r["target_table"],
+                extract_schema_regexp=r.get("extract_schema_regexp"),
+                extract_table_regexp=r.get("extract_table_regexp"),
+            )
+            for r in d.get("routes", ())
+        ),
+        column_mappings=tuple(
+            ColumnMapping(
+                tables=_rules(m["tables"]),
+                column=m["column"],
+                expr=m["expr"],
+                arguments=tuple(m.get("arguments", ())),
+            )
+            for m in d.get("column_mappings", ())
+        ),
+        dispatchers=tuple(
+            Dispatcher(
+                tables=_rules(p["tables"]),
+                partition=p.get("partition", "default"),
+                columns=tuple(p.get("columns", ())),
+                topic=p.get("topic"),
+            )
+            for p in d.get("dispatchers", ())
+        ),
+        safe_mode=d.get("safe_mode", False),
+        compact=d.get("compact", True),
+        worker_count=d.get("worker_count", 16),
+        checkpoint_ts=dict(d.get("checkpoint_ts", {})),
+    )
+
+
+def from_json(text: str) -> TaskConfig:
+    import json
+
+    return from_dict(json.loads(text))
