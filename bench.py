@@ -55,6 +55,7 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     print(
         json.dumps(
             {
@@ -62,6 +63,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "apply_rows_per_sec": round(n_events / timings["cdc_apply"])
+                if timings.get("cdc_apply")
+                else None,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

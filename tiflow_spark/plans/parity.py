@@ -1495,3 +1495,34 @@ def q_handle_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("balance_sum"),
     )
+
+
+@register(
+    "validate_binsearch",
+    f"""WITH {CORRUPT_SQL.strip().lstrip()}
+    SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,
+      CASE WHEN d.c_custkey IS NULL THEN 'missing'
+           WHEN s.c_custkey IS NULL THEN 'extra'
+           ELSE 'different' END AS kind
+    FROM customer s FULL OUTER JOIN corrupt d ON s.c_custkey = d.c_custkey
+    WHERE d.c_custkey IS NULL OR s.c_custkey IS NULL
+       OR s.c_acctbal IS DISTINCT FROM d.c_acctbal
+       OR s.c_name IS DISTINCT FROM d.c_name
+       OR s.c_nationkey IS DISTINCT FROM d.c_nationkey
+       OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment""",
+)
+def q_binsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sync_diff binary search (diff.go:505-616): halve mismatching ranges
+    by (count, checksum) down to small leaves, row-compare only the leaves.
+    Must find exactly the rows a direct full compare finds — the oracle IS
+    the direct compare."""
+    from tiflow_spark.validation.syncdiff import bin_search_diff
+
+    d = bin_search_diff(
+        load_table(spark, sf_dir, "customer"),
+        _corrupt_customer(spark, sf_dir),
+        "c_custkey",
+        CUSTOMER_COLS,
+        min_width=64,
+    )
+    return d.select("c_custkey", "kind")

@@ -147,3 +147,72 @@ def repair_sql(
     )
     stmt = F.when(F.col("kind") == "extra", delete_stmt).otherwise(replace_stmt)
     return diff.select(F.col(pk), F.col("kind"), stmt.alias("sql"))
+
+
+def bin_search_diff(
+    src: DataFrame,
+    dst: DataFrame,
+    pk: str,
+    cols: list[str],
+    min_width: int = 64,
+) -> DataFrame:
+    """Binary-search drill-down to the mismatching rows
+    (diff/diff.go:505-616 BinGenerate/binSearch): start from the whole key
+    span, halve any range whose (count, checksum) differs between source
+    and target, stop at ``min_width``-wide leaves, then row-compare ONLY
+    inside the bad leaves.
+
+    Spark shape: level-synchronous — each round is ONE aggregation job over
+    both sides (side-tagged union) grouped by the dyadic range id at that
+    depth, with the scan filtered to the surviving parent ranges (the
+    predicate prunes like the reference's chunk WHERE). The driver touches
+    only per-range (count, checksum) pairs: ≤2·|bad ranges| rows per round,
+    log(span/min_width) rounds. Final row-compare reads just the bad
+    leaves. On a 100 TB table with three bad chunks this scans the full
+    table once (round 1) and near-nothing afterwards.
+    """
+    both = src.select(*cols).withColumn("_side", F.lit("s")).unionByName(
+        dst.select(*cols).withColumn("_side", F.lit("d"))
+    )
+    lo_hi = both.agg(
+        F.min(pk).alias("lo"), (F.max(pk) + 1).alias("hi")
+    ).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    span = 1
+    while span < hi - lo:
+        span <<= 1  # pad to a power of two so halves stay dyadic
+
+    width = span
+    cand: set[int] = {0}
+    while width > min_width and cand:
+        parent_width, width = width, width >> 1
+        scoped = both.filter(
+            ((F.col(pk) - lo).cast("long") / parent_width)
+            .cast("long")
+            .isin(*cand)
+        )
+        agg = (
+            scoped.groupBy(
+                "_side",
+                ((F.col(pk) - lo).cast("long") / width)
+                .cast("long")
+                .alias("_rid"),
+            )
+            .agg(*chunk_checksum_agg(cols))
+            .collect()
+        )
+        per_side: dict[str, dict[int, tuple]] = {"s": {}, "d": {}}
+        for r in agg:
+            per_side[r["_side"]][r["_rid"]] = (r["cnt"], r["checksum"])
+        cand = {
+            rid
+            for rid in set(per_side["s"]) | set(per_side["d"])
+            if per_side["s"].get(rid) != per_side["d"].get(rid)
+        }
+
+    if not cand:
+        return row_diff(src.limit(0), dst.limit(0), pk, cols)
+    leaf_pred = (
+        ((F.col(pk) - lo).cast("long") / width).cast("long").isin(*cand)
+    )
+    return row_diff(src.filter(leaf_pred), dst.filter(leaf_pred), pk, cols)
