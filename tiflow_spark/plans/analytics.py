@@ -147,3 +147,88 @@ SELECT r_name, rank, c_custkey, c_acctbal FROM (
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
 ) WHERE rank <= 3"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation, one region, one year.
+
+    Plan shape: region→nation (tiny) broadcast down the chain; the only
+    big shuffle is lineitem⋈orders on orderkey; supplier/customer joins
+    broadcast. At 100 TB: one fact shuffle, four broadcasts."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name AS nation,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
+    AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY 1"""
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: customers with orders above a quantity threshold —
+    aggregate-then-semi-join; the big side never re-shuffles for the
+    semi-join because the hot order list broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    j = (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.round(F.col("total_qty"), 2).alias("total_qty"),
+    )
+
+
+LARGE_ORDERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey, round(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey"""

@@ -540,6 +540,11 @@ def _install_analytics() -> None:
         "olap_shipping_priority": (an.shipping_priority, an.SHIPPING_PRIORITY_SQL),
         "olap_daily_event_rollup": (an.daily_event_rollup, an.DAILY_EVENT_ROLLUP_SQL),
         "olap_top_spenders": (an.top_spenders, an.TOP_SPENDERS_SQL),
+        "olap_local_supplier_volume": (
+            an.local_supplier_volume,
+            an.LOCAL_SUPPLIER_VOLUME_SQL,
+        ),
+        "olap_large_orders": (an.large_orders, an.LARGE_ORDERS_SQL),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
@@ -1526,3 +1531,38 @@ def q_binsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_width=64,
     )
     return d.select("c_custkey", "kind")
+
+
+@register(
+    "cdc_metrics",
+    f"""{ENV_CTE},
+    per_table AS (
+      SELECT "table", max(commit_ts) AS resolved_ts, count(*) AS events,
+             count(DISTINCT key) AS active_keys
+      FROM env GROUP BY 1),
+    g AS (SELECT max(resolved_ts) AS gmax FROM per_table)
+    SELECT "table", resolved_ts, events, active_keys,
+           (SELECT gmax FROM g) - resolved_ts AS resolved_lag_us
+    FROM per_table""",
+)
+def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed observability (owner/changefeed.go checkpoint + the
+    resolved-ts-lag metric surface): per-table frontiers, event counts,
+    lag against the global watermark — one aggregation pass."""
+    from tiflow_spark.streaming.metrics import table_metrics
+
+    return table_metrics(_env(spark, sf_dir))
+
+
+@register(
+    "cdc_checkpoint",
+    f"""{ENV_CTE}
+    SELECT min(resolved_ts) AS checkpoint_ts, count(*) AS tables
+    FROM (SELECT "table", max(commit_ts) AS resolved_ts FROM env GROUP BY 1)""",
+)
+def q_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global checkpoint-ts / GC safepoint = min over table frontiers
+    (owner/changefeed.go:379-536; pkg/txnutil/gc)."""
+    from tiflow_spark.streaming.metrics import changefeed_checkpoint
+
+    return changefeed_checkpoint(_env(spark, sf_dir))
