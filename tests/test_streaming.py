@@ -91,3 +91,51 @@ def test_transform_stream_is_streaming(spark, sf_dir, work_dir):
     out = transform_stream(stream, DEMO_CFG)
     assert out.isStreaming
     assert "target_table" in out.columns
+
+
+def test_streaming_windowed_rollup_matches_batch(spark, sf_dir, work_dir):
+    """Event-time tumbling windows + watermark on the stream must produce
+    the same rollup as the batch groupBy (§2.10 watermark surface)."""
+    import os
+
+    from tiflow_spark.streaming.pipeline import (
+        read_change_stream,
+        windowed_throughput,
+    )
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = os.path.join(work_dir, "source")
+    env.write.mode("overwrite").parquet(src)
+
+    stream = read_change_stream(spark, src)
+    agg = windowed_throughput(stream, "10 seconds")
+    out: list = []
+
+    def sink(batch, _bid):
+        out.extend(batch.collect())
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["w"]["start"], r["table"]): r["events"]
+        for r in out
+    }
+    expected = {
+        (r["w"]["start"], r["table"]): r["events"]
+        for r in (
+            env.withColumn("event_time", F.timestamp_micros(F.col("commit_ts")))
+            .groupBy(
+                F.window("event_time", "1 minute").alias("w"), F.col("table")
+            )
+            .agg(F.count(F.lit(1)).alias("events"))
+            .collect()
+        )
+    }
+    assert got == expected

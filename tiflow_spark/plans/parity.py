@@ -1566,3 +1566,37 @@ def q_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.streaming.metrics import changefeed_checkpoint
 
     return changefeed_checkpoint(_env(spark, sf_dir))
+
+
+@register(
+    "filter_helper",
+    """WITH names AS (
+      SELECT DISTINCT 'shard_' || CAST(user_id % 2 AS VARCHAR) AS "schema",
+             'events_' || CAST(user_id % 4 AS VARCHAR) AS "table"
+      FROM events
+      UNION ALL SELECT 'other_db', 'events_1'
+      UNION ALL SELECT 'shard_0', 'users'
+    )
+    SELECT "schema", "table",
+      (regexp_matches("schema", '^shard_') AND regexp_matches("table", '^events_')
+       AND "table" <> 'events_3') AS kept,
+      CASE WHEN regexp_matches("schema", '^shard_')
+                AND regexp_matches("table", '^events_')
+                AND "table" <> 'events_3'
+           THEN 'target' END AS target_schema,
+      CASE WHEN regexp_matches("schema", '^shard_')
+                AND regexp_matches("table", '^events_')
+                AND "table" <> 'events_3'
+           THEN 'events_all' END AS target_table
+    FROM names""",
+)
+def q_filter_helper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter-helper CLI (cmd/filter-helper): dry-run the block/allow +
+    routing rules against table names before deploying a task."""
+    from tiflow_spark.tools import filter_helper
+
+    names = [
+        (r["schema"], r["table"])
+        for r in _env(spark, sf_dir).select("schema", "table").distinct().collect()
+    ] + [("other_db", "events_1"), ("shard_0", "users")]
+    return filter_helper(spark, DEMO_CFG, names)
