@@ -37,3 +37,18 @@ def test_roundtrip_all_branches():
         d = decode_value_bytes(raw)
         assert (d["id"], d["balance"], d["note"], d["op"], d["commit_ts"]) == rec
         assert d["schema_id"] == 1
+
+
+def test_local_schema_registry_roundtrip(tmp_path):
+    from tiflow_spark.codecs.avro import LocalSchemaRegistry, schema_json
+
+    reg = LocalSchemaRegistry(str(tmp_path / "registry.json"))
+    v1 = reg.register("envelope-value", schema_json("value"))
+    assert reg.register("envelope-value", schema_json("value")) == v1  # idempotent
+    k1 = reg.register("envelope-key", schema_json("key"))
+    assert k1 != v1
+    evolved = schema_json("value").replace("EnvelopeValue", "EnvelopeValueV2")
+    v2 = reg.register("envelope-value", evolved)
+    assert v2 > v1
+    assert reg.get_by_id(v1) == schema_json("value")
+    assert reg.latest("envelope-value") == (v2, evolved)

@@ -178,3 +178,22 @@ def test_debezium_roundtrip(spark, sf_dir):
     u = decoded.filter("op = 'U'").select("before.id", "after.id", "commit_ts")
     src = env.filter("op = 'U'").select("before.id", "after.id", "commit_ts")
     assert u.exceptAll(src).count() == 0
+
+
+def test_open_protocol_batch_framing_roundtrip(spark, sf_dir):
+    from tiflow_spark.codecs.open_protocol import (
+        encode_open_protocol,
+        frame_batches,
+        unframe_batches,
+    )
+
+    msgs = encode_open_protocol(_env(spark, sf_dir))
+    frames = frame_batches(msgs, 16)
+    back = unframe_batches(frames)
+    assert back.count() == msgs.count()
+    # every (key, value) pair survives the binary pack/unpack exactly
+    assert back.select("key", "value").exceptAll(
+        msgs.select("key", "value")
+    ).count() == 0
+    # batches respect the size cap
+    assert frames.filter(F.col("n_events") > 16).count() == 0

@@ -160,3 +160,14 @@ def test_bucketed_merge_does_not_shuffle_target(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bucketed_target_test")
+
+
+def test_lsh_scale_paths_avoid_cartesian(spark, sf_dir):
+    """MinHash-LSH dedup and LSH ANN are the 100-TB paths: candidate pairs
+    must come from hash-bucket equi-joins (one exchange), never a cartesian
+    or nested-loop product. (Brute-force topk_cosine keeps its deliberate
+    BroadcastNestedLoop — small query set × corpus — as the baseline.)"""
+    for name in ("dedup_minhash_lsh", "sim_ann_lsh"):
+        p = plan_of(REGISTRY[name][0](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoop" not in p, name

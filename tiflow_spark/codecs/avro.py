@@ -219,3 +219,54 @@ def decode_avro(messages: DataFrame, value_col: str = "value") -> DataFrame:
         "_d.note",
         "_d.commit_ts",
     )
+
+
+class LocalSchemaRegistry:
+    """File-backed schema registry (the Confluent subject→id contract;
+    avro.go's registry clients + its local test registry
+    SetupEncoderAndSchemaRegistry4Testing).
+
+    register() is idempotent per (subject, schema-text) — re-registering
+    the same schema returns the same id, a new schema under the subject
+    gets the next id (schema evolution). Good enough for single-cluster
+    deployments and tests; swap for a real Confluent/Glue client by URL.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict:
+        import json as _json
+        import os
+
+        if os.path.exists(self.path):
+            with open(self.path) as fh:
+                return _json.load(fh)
+        return {"next_id": 1, "subjects": {}, "by_id": {}}
+
+    def _save(self, state: dict) -> None:
+        import json as _json
+
+        with open(self.path, "w") as fh:
+            _json.dump(state, fh, indent=2, sort_keys=True)
+
+    def register(self, subject: str, schema_text: str) -> int:
+        state = self._load()
+        versions = state["subjects"].setdefault(subject, [])
+        for sid in versions:
+            if state["by_id"][str(sid)] == schema_text:
+                return sid
+        sid = state["next_id"]
+        state["next_id"] += 1
+        versions.append(sid)
+        state["by_id"][str(sid)] = schema_text
+        self._save(state)
+        return sid
+
+    def get_by_id(self, schema_id: int) -> str:
+        return self._load()["by_id"][str(schema_id)]
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        state = self._load()
+        sid = state["subjects"][subject][-1]
+        return sid, state["by_id"][str(sid)]

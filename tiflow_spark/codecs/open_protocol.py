@@ -11,6 +11,7 @@ double=5, varchar=15).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,3 +114,91 @@ def decode_open_protocol(
         F.when(v["d"].isNotNull(), "D").otherwise("U").alias("op_class"),
         F.coalesce(v["u"], v["d"]).alias("image"),
     )
+
+
+def _len8(c: Column) -> Column:
+    """int64 big-endian length prefix, built JVM-side: hex → lpad(16) → unhex."""
+    return F.unhex(F.lpad(F.hex(F.octet_length(c)), 16, "0"))
+
+
+def frame_batches(
+    msgs: DataFrame, max_batch: int = 16
+) -> DataFrame:
+    """Open-protocol MQ batch framing (open_protocol_encoder.go batch
+    layout): one binary frame per ≤``max_batch`` events of a (schema,
+    table), commit order preserved:
+
+        [8B version=1][8B key-len][key][8B value-len][value]...
+
+    All binary assembly is built-ins (hex/unhex/concat + an ordered
+    aggregate fold) — no Python in the path; one shuffle groups events
+    into frames."""
+    version8 = F.unhex(F.lpad(F.hex(F.lit(1)), 16, "0"))
+    piece = F.concat(
+        _len8(F.col("key")),
+        F.encode(F.col("key"), "utf-8"),
+        _len8(F.col("value")),
+        F.encode(F.col("value"), "utf-8"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("schema", "table").orderBy("commit_ts", "seq")
+    rows = (
+        msgs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("batch_no", ((F.col("_rn") - 1) / max_batch).cast("long"))
+        .withColumn("_piece", piece)
+    )
+    return (
+        rows.groupBy("schema", "table", "batch_no")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_rn"), F.col("_piece")))
+                ).getField("_piece"),
+                version8,
+                lambda acc, x: F.concat(acc, x),
+            ).alias("frame"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def unframe_batches(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Frame → (key, value) events (consumer-side, message_decoder parity).
+    Python parse (pandas UDF) — decode runs off the hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def parse(frame: pd.Series) -> pd.Series:
+        import struct as _struct
+
+        def one(raw: bytes):
+            assert _struct.unpack(">Q", raw[:8])[0] == 1, "bad version"
+            i, out = 8, []
+            while i < len(raw):
+                klen = _struct.unpack(">Q", raw[i : i + 8])[0]
+                k = raw[i + 8 : i + 8 + klen].decode()
+                i += 8 + klen
+                vlen = _struct.unpack(">Q", raw[i : i + 8])[0]
+                v = raw[i + 8 : i + 8 + vlen].decode()
+                i += 8 + vlen
+                out.append({"key": k, "value": v})
+            return out
+
+        return frame.map(lambda b: one(bytes(b)))
+
+    return frames.select(
+        "schema",
+        "table",
+        "batch_no",
+        F.explode(parse(F.col(frame_col))).alias("kv"),
+    ).select("schema", "table", "batch_no", "kv.key", "kv.value")

@@ -1600,3 +1600,45 @@ def q_filter_helper(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in _env(spark, sf_dir).select("schema", "table").distinct().collect()
     ] + [("other_db", "events_1"), ("shard_0", "users")]
     return filter_helper(spark, DEMO_CFG, names)
+
+
+def _open_batched_sql() -> str:
+    from tiflow_spark.codecs.open_protocol import open_protocol_sql_duckdb
+
+    base = open_protocol_sql_duckdb(PAYLOAD_COLS, ENV_CTE)
+    return f"""SELECT "schema", "table", batch_no,
+      count(*) AS n_events,
+      8 + sum(16 + strlen(key) + strlen(value)) AS frame_bytes
+    FROM (
+      SELECT *, (row_number() OVER (
+          PARTITION BY "schema", "table"
+          ORDER BY commit_ts, seq) - 1) // 16 AS batch_no
+      FROM ({base}) m)
+    GROUP BY 1, 2, 3"""
+
+
+@register("codec_open_batched", None)
+def q_open_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-protocol MQ batch framing (open_protocol_encoder.go): length-
+    prefixed key/value pairs packed ≤16 events per binary frame in commit
+    order; verified via per-frame event counts and exact byte sizes."""
+    from tiflow_spark.codecs.open_protocol import (
+        encode_open_protocol,
+        frame_batches,
+    )
+
+    msgs = encode_open_protocol(_env(spark, sf_dir))
+    frames = frame_batches(msgs, 16)
+    return frames.select(
+        "schema",
+        "table",
+        "batch_no",
+        "n_events",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+REGISTRY["codec_open_batched"] = (
+    REGISTRY["codec_open_batched"][0],
+    _open_batched_sql(),
+)
