@@ -1642,3 +1642,52 @@ REGISTRY["codec_open_batched"] = (
     REGISTRY["codec_open_batched"][0],
     _open_batched_sql(),
 )
+
+
+@register(
+    "cdc_row_checksum",
+    f"""{ENV_CTE},
+    flat AS (
+      SELECT seq, op,
+        CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+        CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+        CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note
+      FROM env),
+    carried AS (
+      SELECT *,
+        CASE WHEN seq % 29 = 0
+             THEN {row_checksum_sql_duckdb(['id', 'balance', 'note'])} + 1
+             ELSE {row_checksum_sql_duckdb(['id', 'balance', 'note'])}
+        END AS upstream_checksum
+      FROM flat)
+    SELECT seq, op,
+           upstream_checksum =
+             {row_checksum_sql_duckdb(['id', 'balance', 'note'])} AS checksum_ok
+    FROM carried""",
+)
+def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event integrity checksum verification (cdc/entry/mounter.go:
+    389-632): recompute the row checksum over the event image and compare
+    with the upstream-carried value. Rows with seq%29==0 carry a corrupted
+    checksum and must flag false."""
+    from tiflow_spark.functions.hashing import row_checksum
+
+    env = _env(spark, sf_dir)
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    flat = env.select(
+        "seq",
+        "op",
+        img["id"].alias("id"),
+        img["balance"].alias("balance"),
+        img["note"].alias("note"),
+    )
+    ck = row_checksum(["id", "balance", "note"])
+    carried = flat.withColumn(
+        "upstream_checksum",
+        F.when(F.col("seq") % 29 == 0, ck + 1).otherwise(ck),
+    )
+    return carried.select(
+        "seq",
+        "op",
+        (F.col("upstream_checksum") == ck).alias("checksum_ok"),
+    )
