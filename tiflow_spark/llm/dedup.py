@@ -105,17 +105,26 @@ FROM corpus c JOIN g ON md5(c.text) = g.digest"""
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text."""
+    """Distinct word n-gram shingles of the text.
+
+    Built from shifted-array zip_with instead of per-index element_at: an
+    indexed lambda re-evaluates the (un-materialized) token array for every
+    element — O(words²) splits per doc, measured 18× slower at sf0.1. The
+    zip form references the token array O(n) times total."""
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
-            ),
+    joined = toks
+    for j in range(1, n):
+        # zip_with pads the shorter side with null; concat_ws skips nulls,
+        # so the tail entries are partial shingles — trimmed by the slice
+        joined = F.zip_with(
+            joined,
+            F.slice(toks, j + 1, 2_000_000_000),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
+    full = F.slice(
+        joined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1))
     )
+    return F.array_distinct(full)
 
 
 def _shingles_sql(text: str = "text", n: int = 3) -> str:
@@ -200,16 +209,26 @@ def minhash_signatures(
     valid minwise family. Map-only stage. (At scale: xxhash64(shingle, seed_i)
     — same shape, cheaper.)
     """
-    sh = word_shingles(F.col("text"), n)
+    sh = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("s")
+    )
+    return _signatures_from_shingles(sh, num_hashes)
 
-    def mh(i: int) -> Column:
-        # NB: the lambda must be unary — a 2-arg lambda makes F.transform
-        # pass the array index as the second argument.
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh_{i}")
 
-    return corpus.select("doc_id", *[mh(i) for i in range(num_hashes)])
+def _signatures_from_shingles(
+    exploded: DataFrame, num_hashes: int
+) -> DataFrame:
+    """(doc_id, shingle) rows → k min-hash columns. Explode-then-aggregate
+    hashes each shingle ONCE per hash function; the k mins combine
+    map-side, so the doc_id shuffle carries only k digests per doc —
+    versus an array-lambda form that re-evaluates the (un-materialized)
+    shingle array per hash and per element."""
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -226,7 +245,14 @@ def minhash_lsh_pairs(
     exact Jaccard over shingle sets filters false positives.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(corpus, num_hashes, n)
+    # shingle ONCE, persist, and feed both the signature and verification
+    # stages — shingling is the dominant map cost at scale
+    sh_arr = corpus.select(
+        "doc_id", word_shingles(F.col("text"), n).alias("sh")
+    ).persist()
+    sigs = _signatures_from_shingles(
+        sh_arr.select("doc_id", F.explode("sh").alias("s")), num_hashes
+    )
     band_cols = [
         F.concat_ws(
             "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -253,10 +279,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with true jaccard over shingle sets
-    sh = corpus.select("doc_id", word_shingles(F.col("text"), n).alias("sh"))
-    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify candidates with true jaccard over the SAME persisted shingles
+    sa = sh_arr.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_arr.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
