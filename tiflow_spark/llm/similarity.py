@@ -254,3 +254,89 @@ def embedding_neardup_sql(threshold: float = 0.95, planes: int = 8, dims: int = 
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos
 FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def ivf_index(
+    embeddings: DataFrame, n_clusters: int = 16, seed: int = 7
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: KMeans centroids + cluster-assigned corpus.
+
+    Returns (centroids(cluster_id, centroid ARRAY<double>),
+    assigned = corpus + cluster_id). Build is one MLlib fit over a sample
+    + one assignment pass; at 100 TB the assignment is a broadcast-join
+    map stage and the inverted lists land partitioned BY cluster_id, so a
+    probe reads only its clusters' partitions (partition pruning).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(vecs)
+    centroids = model.clusterCenters()
+    cdf = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster_id INT, centroid ARRAY<DOUBLE>",
+    )
+    assigned = model.transform(vecs).select(
+        "vec_id", F.col("prediction").alias("cluster_id")
+    ).join(embeddings, "vec_id")
+    _ = vector_to_array
+    return cdf, assigned
+
+
+def ivf_topk(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN search: per query, rank centroids by cosine, search only the
+    ``n_probe`` nearest inverted lists — the IVF scale path (brute force
+    = topk_cosine is the recall-1.0 baseline).
+
+    The candidate join is (query × probed clusters) ⋈ corpus ON
+    cluster_id — an equi-join on the cluster key, never a full cartesian;
+    scan cost drops by ~n_clusters/n_probe."""
+    from pyspark.sql import Window
+
+    q = assigned.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "cluster_id",
+        cosine(
+            F.col("q_emb"), F.col("centroid").cast("array<float>")
+        ).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "q_emb", "cluster_id")
+    )
+    cands = F.broadcast(probes).join(assigned, "cluster_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -1691,3 +1691,29 @@ def q_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op",
         (F.col("upstream_checksum") == ck).alias("checksum_ok"),
     )
+
+
+@register("sim_ann_ivf", None)  # oracle installed below
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer + inverted-list probe search) at
+    full probe — provably equal to brute force, so the brute-force SQL is
+    the oracle; partial-probe recall behavior is covered by
+    tests/test_ivf.py. The scale path: candidates come from an equi-join
+    on cluster_id, scan cost ~ n_probe/n_clusters of the corpus."""
+    from tiflow_spark.llm.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = ivf_index(emb, n_clusters=8, seed=7)
+    return ivf_topk(centroids, assigned, list(range(8)), 5, n_probe=8)
+
+
+def _install_ivf_sql() -> None:
+    from tiflow_spark.llm import similarity as sim
+
+    REGISTRY["sim_ann_ivf"] = (
+        REGISTRY["sim_ann_ivf"][0],
+        sim.topk_cosine_sql(list(range(8)), 5),
+    )
+
+
+_install_ivf_sql()
