@@ -171,3 +171,21 @@ def test_lsh_scale_paths_avoid_cartesian(spark, sf_dir):
         p = plan_of(REGISTRY[name][0](spark, sf_dir))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoop" not in p, name
+
+
+def test_salted_count_matches_plain_count(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.operators.skew import salted_count
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, sf_dir)
+    plain = {
+        (r["table"],): r["cnt"]
+        for r in env.groupBy("table").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {
+        (r["table"],): r["cnt"]
+        for r in salted_count(env, ["table"], n_salts=8).collect()
+    }
+    assert plain == salted
