@@ -29,11 +29,20 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         col = df[c]
         if col.dtype == object:
             df[c] = col.map(lambda v: None if v is None else str(v))
-        elif "float" in str(col.dtype):
-            df[c] = col.round(6)
     return df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True
     )
+
+
+def _dtype_family(dtype) -> str:
+    s = str(dtype)
+    if "float" in s:
+        return "float"
+    if "int" in s:  # int64, Int64, uint...
+        return "int"
+    if "bool" in s:
+        return "bool"
+    return "other"
 
 
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
@@ -45,9 +54,16 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> tuple[bool, str]:
         return False, f"columns: spark={list(sdf.columns)} oracle={list(odf.columns)}"
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
+        # the driver hashes values exactly, so a HUGEINT→float64 oracle column
+        # vs an int64 spark column can never match even when values agree —
+        # fail the dtype family locally to catch that class pre-driver
+        if _dtype_family(a.dtype) != _dtype_family(b.dtype):
+            return False, (
+                f"column {c}: dtype family spark={a.dtype} oracle={b.dtype}"
+            )
         try:
             pd.testing.assert_series_equal(
-                a, b, check_dtype=False, check_names=False, rtol=1e-6, atol=1e-9
+                a, b, check_dtype=False, check_names=False, check_exact=True
             )
         except AssertionError as e:
             return False, f"column {c}: {str(e)[:500]}"

@@ -22,6 +22,27 @@ def _dec_sum(c) -> F.Column:
     return F.sum(F.round(c, 2).cast("decimal(18,2)")).cast("double")
 
 
+def _dec(name: str) -> F.Column:
+    """Column as exact DECIMAL(18,2); all downstream arithmetic stays decimal
+    so the result is engine-independent (double products round half-way
+    points differently between Spark and DuckDB)."""
+    return F.col(name).cast("decimal(18,2)")
+
+
+def _revenue_sum() -> F.Column:
+    """sum(extendedprice * (1 - discount)) in exact decimal arithmetic."""
+    return F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+
+
+_REVENUE_SQL = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary report."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -36,10 +57,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_qty"),
             _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("sum_disc_price"),
-            F.round(F.avg(F.col("l_quantity")), 4).alias("avg_qty"),
+            _revenue_sum().alias("sum_disc_price"),
+            # decimal-exact sum / exact int count → bit-identical double on
+            # any engine; float avg() is summation-order-dependent and flaps
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -50,13 +74,12 @@ SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
     AS sum_base_price,
-  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
-    AS sum_disc_price,
-  round(avg(l_quantity), 4) AS avg_qty,
+  {rev} AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-06-01'
-GROUP BY 1, 2"""
+GROUP BY 1, 2""".format(rev=_REVENUE_SQL)
 
 
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,19 +98,16 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("2024-03-15").cast("timestamp_ntz"))
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "revenue"
-        )
+        _revenue_sum().alias("revenue")
     )
     return agg.orderBy(
         F.col("revenue").desc(), F.col("l_orderkey").asc()
     ).limit(10)
 
 
-SHIPPING_PRIORITY_SQL = """
+SHIPPING_PRIORITY_SQL = f"""
 SELECT l_orderkey, o_orderdate,
-  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
-    AS revenue
+  {_REVENUE_SQL} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -177,18 +197,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy(F.col("n_name").alias("nation"))
         .agg(
-            _dec_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-            ).alias("revenue"),
+            _revenue_sum().alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
-LOCAL_SUPPLIER_VOLUME_SQL = """
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
 SELECT n_name AS nation,
-  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2))) AS DOUBLE)
-    AS revenue,
+  {_REVENUE_SQL} AS revenue,
   count(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

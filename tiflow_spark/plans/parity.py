@@ -182,7 +182,7 @@ def q_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_route_split",
     f"""{SPLIT_CTE}
     SELECT target_schema, target_table, source_schema, source_table, op,
-           count(*) AS cnt, sum(seq) AS seq_sum
+           count(*) AS cnt, CAST(sum(seq) AS BIGINT) AS seq_sum
     FROM split GROUP BY 1, 2, 3, 4, 5""",
 )
 def q_route_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,9 +1055,11 @@ _VAL_CUTOFF_US = 86_400_000_000  # 1-day retry window (errorRowDelay analog)
         ON n.target_table = c.target_table AND n.key = c.key
     )
     SELECT target_table AS "table", count(*) AS total_rows,
-      sum(CASE WHEN ok THEN 1 ELSE 0 END) AS ok_rows,
-      sum(CASE WHEN NOT ok AND recent THEN 1 ELSE 0 END) AS pending_rows,
-      sum(CASE WHEN NOT ok AND NOT recent THEN 1 ELSE 0 END) AS error_rows
+      CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS ok_rows,
+      CAST(sum(CASE WHEN NOT ok AND recent THEN 1 ELSE 0 END) AS BIGINT)
+        AS pending_rows,
+      CAST(sum(CASE WHEN NOT ok AND NOT recent THEN 1 ELSE 0 END) AS BIGINT)
+        AS error_rows
     FROM val GROUP BY 1""",
 )
 def q_validate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1109,17 +1111,18 @@ def q_validate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (SELECT DISTINCT target_table, "schema", "table" FROM routed)
     SELECT 'pk_not_null' AS check_name, target_table,
            sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) = 0 AS passed,
-           sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS detail_cnt
+           CAST(sum(CASE WHEN key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS detail_cnt
     FROM routed GROUP BY target_table
     UNION ALL
     SELECT 'shard_schema_consistent', target_table,
-           count(DISTINCT sig) = 1, count(DISTINCT sig)
+           count(DISTINCT sig) = 1, CAST(count(DISTINCT sig) AS BIGINT)
     FROM (SELECT target_table, 'id,balance,note' AS sig FROM pairs)
     GROUP BY target_table
     UNION ALL
     SELECT 'no_case_collisions', target_table,
            sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0,
-           sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
     FROM (SELECT target_table, lower("schema") AS ls, lower("table") AS lt,
                  count(*) AS n
           FROM pairs GROUP BY 1, 2, 3)
@@ -1233,8 +1236,8 @@ _install_claim_check_sql()
       FROM routed GROUP BY 1, 2, 3),
     ddl AS (SELECT max(commit_ts) AS ts FROM routed)
     SELECT target_table, count(*) AS shards_total,
-      sum(CASE WHEN shard_hwm >= (SELECT ts FROM ddl) THEN 1 ELSE 0 END)
-        AS shards_reached,
+      CAST(sum(CASE WHEN shard_hwm >= (SELECT ts FROM ddl) THEN 1 ELSE 0 END)
+           AS BIGINT) AS shards_reached,
       min(shard_hwm) AS barrier_ts,
       min(shard_hwm) >= (SELECT ts FROM ddl) AS barrier_ready
     FROM hwm GROUP BY 1""",
@@ -1608,7 +1611,7 @@ def _open_batched_sql() -> str:
     base = open_protocol_sql_duckdb(PAYLOAD_COLS, ENV_CTE)
     return f"""SELECT "schema", "table", batch_no,
       count(*) AS n_events,
-      8 + sum(16 + strlen(key) + strlen(value)) AS frame_bytes
+      CAST(8 + sum(16 + strlen(key) + strlen(value)) AS BIGINT) AS frame_bytes
     FROM (
       SELECT *, (row_number() OVER (
           PARTITION BY "schema", "table"
