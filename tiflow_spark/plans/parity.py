@@ -553,34 +553,176 @@ def _install_analytics() -> None:
 _install_analytics()
 
 
-# v1→v2 and v2→v3 schema-change timestamps for the as-of demo registry
-_SCHEMA_B1 = 1704844800000000  # 2024-01-10 UTC
-_SCHEMA_B2 = 1705708800000000  # 2024-01-20 UTC
+# ------------------------------------------------------------- DDL side-channel
+
+from tiflow_spark.sources.ddl_stream import (  # noqa: E402
+    DDL_ALLOWLIST,
+    DDL_SQL_DUCKDB,
+    ddl_allowlist_predicate,
+    ddl_filter_predicate,
+    ddl_stream,
+    registry_from_ddl,
+)
+
+# User binlog-filter config dropping per-DDL-kind events for one table
+# (pkg/binlog-filter/filter.go taxonomy exercised on the DDL channel).
+DDL_CFG = TaskConfig(
+    event_filters=(
+        EventFilterRule(
+            tables=(TableRule("*", "scratch"),),
+            events=("truncate table", "drop table"),
+        ),
+    ),
+)
+
+_ALLOWLIST_SQL = ", ".join(f"'{k}'" for k in sorted(DDL_ALLOWLIST))
+_DDL_KEEP_SQL = f"""ddl_type IN ({_ALLOWLIST_SQL})
+  AND NOT (lower("table") = 'scratch'
+           AND ddl_type IN ('truncate table', 'drop table'))"""
+
+
+def _allowed_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ddl = ddl_stream(load_table(spark, sf_dir, "events"))
+    return ddl.filter(ddl_allowlist_predicate() & ddl_filter_predicate(DDL_CFG))
+
+
+@register(
+    "ddl_filter",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT seq, ddl_type, "schema", "table", commit_ts, query
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_ddl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL allow-list (pkg/filter/filter.go:36-96 ddlWhiteListMap) + per-kind
+    binlog-filter rules (pkg/binlog-filter/filter.go:36-96) on the DDL
+    side-channel: ANALYZE/CREATE SEQUENCE never reach schema storage;
+    TRUNCATE/DROP of `scratch` are user-filtered."""
+    return _allowed_ddl(spark, sf_dir).select(
+        "seq", "ddl_type", "schema", "table", "commit_ts", "query"
+    )
+
+
+@register(
+    "ddl_schema_evolution",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()},
+    versions AS (
+      SELECT "table", commit_ts AS version_ts, seq, add_column, default_value
+      FROM ddl WHERE ddl_type IN ('create table', 'add column')
+    )
+    SELECT "table", version_ts,
+      CAST(row_number() OVER w AS INT) AS version_no,
+      CASE "table" WHEN 'events' THEN 'id,balance' ELSE 'id' END
+        || coalesce(',' || string_agg(add_column, ',') OVER wc, '')
+        AS columns_csv,
+      coalesce(string_agg(add_column || '=' || default_value, ',') OVER wc,
+               '') AS defaults_csv
+    FROM versions
+    WINDOW w AS (PARTITION BY "table" ORDER BY version_ts, seq),
+           wc AS (PARTITION BY "table" ORDER BY version_ts, seq
+                  ROWS UNBOUNDED PRECEDING)""",
+)
+def q_ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HandleDDLJob analog (cdc/entry/schema_storage.go:122-191): the
+    versioned schema registry folded FROM the DDL stream — version_no,
+    cumulative column list, and ADD-COLUMN default map per table."""
+    reg = registry_from_ddl(ddl_stream(load_table(spark, sf_dir, "events")))
+    return reg.select(
+        "table",
+        "version_ts",
+        "version_no",
+        F.concat_ws(",", "columns").alias("columns_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "_defs", lambda d: F.concat(d["key"], F.lit("="), d["value"])
+            ),
+        ).alias("defaults_csv"),
+    )
+
+
+@register(
+    "ddl_barrier_plan",
+    f"""{ENV_CTE},{DDL_SQL_DUCKDB},
+    allowed AS (SELECT * FROM ddl WHERE {_DDL_KEEP_SQL}),
+    counts AS (
+      SELECT a.seq AS ddl_seq, count(*) AS dml_before
+      FROM allowed a JOIN env e ON e.commit_ts <= a.commit_ts
+      GROUP BY a.seq
+    )
+    SELECT CAST(row_number() OVER (ORDER BY a.commit_ts, a.seq) AS INT)
+             AS exec_order,
+           a.seq AS ddl_seq, a.ddl_type, a.query,
+           a.commit_ts AS barrier_ts,
+           CAST(coalesce(c.dml_before, 0) AS BIGINT) AS dml_before
+    FROM allowed a LEFT JOIN counts c ON c.ddl_seq = a.seq""",
+)
+def q_ddl_barrier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL execution ordering at the barrier (cdc/owner/ddl_manager.go:508,
+    cdc/sink/ddlsink/mysql): each surviving DDL executes only after every
+    DML with commit_ts <= its barrier — the plan lists exec order + the
+    number of DML events that must drain first. The 8-row DDL side is
+    broadcast; the event side is scanned once with map-side combine."""
+    from pyspark.sql import Window
+
+    allowed = _allowed_ddl(spark, sf_dir).select(
+        F.col("seq").alias("ddl_seq"),
+        "ddl_type",
+        "query",
+        F.col("commit_ts").alias("barrier_ts"),
+    )
+    env = _env(spark, sf_dir)
+    cnt = (
+        env.join(
+            F.broadcast(allowed.select("ddl_seq", "barrier_ts")),
+            env["commit_ts"] <= F.col("barrier_ts"),
+            "inner",
+        )
+        .groupBy("ddl_seq")
+        .agg(F.count(F.lit(1)).alias("dml_before"))
+    )
+    return allowed.join(cnt, "ddl_seq", "left").select(
+        F.row_number()
+        .over(Window.orderBy("barrier_ts", "ddl_seq"))
+        .alias("exec_order"),
+        "ddl_seq",
+        "ddl_type",
+        "query",
+        "barrier_ts",
+        F.coalesce("dml_before", F.lit(0)).alias("dml_before"),
+    )
 
 
 @register(
     "schema_asof_decode",
-    f"""{ENV_CTE}
+    f"""{ENV_CTE},{DDL_SQL_DUCKDB}
     SELECT seq, commit_ts,
-      CASE WHEN commit_ts >= {_SCHEMA_B2} THEN 3
-           WHEN commit_ts >= {_SCHEMA_B1} THEN 2 ELSE 1 END AS version_no,
-      CASE WHEN commit_ts >= {_SCHEMA_B1}
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 8 // 12 THEN 3
+           WHEN commit_ts >= t0 + (t1 - t0) * 4 // 12 THEN 2 ELSE 1 END
+        AS version_no,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 4 // 12
            THEN coalesce(after_note, '{{}}') END AS note_resolved,
-      CASE WHEN commit_ts >= {_SCHEMA_B2} THEN 'std' END AS tier_resolved
-    FROM env""",
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 8 // 12 THEN 'std' END
+        AS tier_resolved
+    FROM env CROSS JOIN ddl_bounds""",
 )
 def q_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mounter semantics: as-of schema-version resolution (broadcast join on
     version_ts <= commit_ts) + ADD-COLUMN default backfill
-    (schema_storage.go getSnapshot; mounter.go getDefaultOrZeroValue)."""
+    (schema_storage.go getSnapshot; mounter.go getDefaultOrZeroValue).
+    The registry is built FROM the DDL side-channel (registry_from_ddl) —
+    version boundaries are the ADD COLUMN commit timestamps."""
     from tiflow_spark.sources.schema_registry import (
         asof_resolve,
         decode_with_schema,
-        demo_registry,
     )
 
-    env = _env(spark, sf_dir).withColumn("logical_table", F.lit("events"))
-    reg = demo_registry(spark, (_SCHEMA_B1, _SCHEMA_B2))
+    events = load_table(spark, sf_dir, "events")
+    env = events_to_changes(events).withColumn(
+        "logical_table", F.lit("events")
+    )
+    reg = registry_from_ddl(ddl_stream(events)).filter(
+        F.col("table") == "events"
+    )
     decoded = decode_with_schema(asof_resolve(env, reg))
     return decoded.select(
         "seq", "commit_ts", "version_no", "note_resolved", "tier_resolved"
