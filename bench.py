@@ -59,6 +59,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    # steady-state streaming apply: seed the hash-bucket target with the full
+    # state once, then time small incremental merges — per-batch cost must be
+    # O(batch + touched buckets), flat as the target grows (the 100-TB
+    # property of sinks/bucketed.merge_hash_bucketed)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    changes = env.select(
+        "op",
+        F.col("table").alias("target_table"),
+        "key",
+        "commit_ts",
+        "seq",
+        F.col("after.id").alias("id"),
+        F.col("after.balance").alias("balance"),
+        F.col("after.note").alias("note"),
+    )
+    work = tempfile.mkdtemp(prefix="tiflow_bench_stream_")
+    target = f"{work}/target"
+    n_buckets = 1024
+    t0 = time.perf_counter()
+    merge_hash_bucketed(changes, target, n_buckets=n_buckets, batch_id=0)
+    seed_sec = round(time.perf_counter() - t0, 3)
+    batch_secs = []
+    for i in (1, 2, 3):
+        small = changes.filter(F.col("seq") % 1000 == i)
+        t0 = time.perf_counter()
+        merge_hash_bucketed(small, target, n_buckets=n_buckets, batch_id=i)
+        batch_secs.append(round(time.perf_counter() - t0, 3))
+    shutil.rmtree(work, ignore_errors=True)
+    print(f"# stream seed {seed_sec}s; batches {batch_secs}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -69,6 +107,8 @@ def main() -> None:
                 "apply_rows_per_sec": round(n_events / timings["cdc_apply"])
                 if timings.get("cdc_apply")
                 else None,
+                "stream_seed_sec": seed_sec,
+                "stream_batch_secs": batch_secs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -139,3 +139,83 @@ def test_streaming_windowed_rollup_matches_batch(spark, sf_dir, work_dir):
         )
     }
     assert got == expected
+
+
+def test_hash_bucket_merge_touches_only_affected_buckets(spark, tmp_path):
+    """Per-batch cost must be O(touched buckets): an incremental batch may
+    not rewrite files of buckets it does not touch (the 100-TB property)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+
+    target = str(tmp_path / "bucket_target")
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows,
+            "target_table string, key string, op string, commit_ts long, "
+            "seq long, id long, balance double, note string",
+        )
+
+    seed = chg(
+        [("t", str(k), "I", 100, k, k, float(k), "x") for k in range(200)]
+    )
+    merge_hash_bucketed(seed, target, n_buckets=8, batch_id=0)
+
+    def snapshot_files():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith("bucket="):
+                p = os.path.join(target, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = snapshot_files()
+    assert len(before) == 8
+    # one upsert + one delete, same key-space
+    merge_hash_bucketed(
+        chg([("t", "3", "U", 200, 1000, 3, 99.0, "patched"),
+             ("t", "7", "D", 200, 1001, 7, 0.0, None)]),
+        target, n_buckets=8, batch_id=1,
+    )
+    after = snapshot_files()
+    touched = {d for d in before if before[d] != after.get(d, {})}
+    # the two keys hash into at most 2 buckets; everything else untouched
+    assert len(touched) <= 2, touched
+    final = spark.read.parquet(target)
+    assert final.count() == 199
+    assert final.filter(F.col("key") == "3").first().balance == 99.0
+    assert final.filter(F.col("key") == "7").count() == 0
+
+
+def test_hash_bucket_merge_clears_emptied_bucket(spark, tmp_path):
+    """Deleting every row of a bucket must drop its stale partition dir."""
+    from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+
+    target = str(tmp_path / "empty_bucket_target")
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows,
+            "target_table string, key string, op string, commit_ts long, "
+            "seq long, id long, balance double, note string",
+        )
+
+    merge_hash_bucketed(
+        chg([("t", "a", "I", 1, 1, 1, 1.0, "x")]), target, n_buckets=4,
+        batch_id=0,
+    )
+    assert spark.read.parquet(target).count() == 1
+    merge_hash_bucketed(
+        chg([("t", "a", "D", 2, 2, 1, 0.0, None)]), target, n_buckets=4,
+        batch_id=1,
+    )
+    import os
+    remaining = [d for d in os.listdir(target) if d.startswith("bucket=")]
+    assert remaining == []

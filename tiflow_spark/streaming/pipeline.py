@@ -90,22 +90,29 @@ def transform_stream(stream: DataFrame, cfg: TaskConfig) -> DataFrame:
 
 @dataclass
 class StreamingTarget:
-    """Parquet MERGE target + progress bookkeeping for one changefeed."""
+    """Hash-bucket-partitioned parquet MERGE target + progress bookkeeping.
+
+    Per-batch cost is O(batch + touched buckets), never O(target) — see
+    sinks/bucketed.merge_hash_bucketed. The old full-rewrite path was the
+    one scale-killer in the streaming apply at 100x target growth.
+    """
 
     target_path: str
     progress_path: str
     key_col: str = "key"
     table_col: str = "target_table"
+    n_buckets: int = 32
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Idempotent MERGE of one micro-batch (runs on the driver inside
         foreachBatch, all heavy lifting stays distributed).
 
         1. compact the batch to net-last-state per key (one shuffle)
-        2. union with current target state, keep max-(commit_ts,seq) winner
-        3. drop deletes, atomically replace the target
+        2. merge into ONLY the hash buckets the batch touches, keeping the
+           max-(commit_ts, seq, op) winner per key (replay-idempotent)
         """
-        spark = batch.sparkSession
+        from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+
         last = last_state_per_key(batch, self.table_col)
         changes = last.select(
             F.col(self.table_col).alias("target_table"),
@@ -117,29 +124,14 @@ class StreamingTarget:
             F.col("after.balance").alias("balance"),
             F.col("after.note").alias("note"),
         )
-        if os.path.exists(self.target_path):
-            current = spark.read.parquet(self.target_path)
-        else:
-            current = None
-        if current is not None:
-            merged_src = current.withColumn("op", F.lit("I")).unionByName(
-                changes, allowMissingColumns=True
-            )
-        else:
-            merged_src = changes
-        winner = last_state_per_key(
-            merged_src.withColumn(
-                "seq", F.coalesce(F.col("seq"), F.lit(-1))
-            ).withColumn("commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))),
-            "target_table",
+        merge_hash_bucketed(
+            changes,
+            self.target_path,
+            n_buckets=self.n_buckets,
+            key_cols=("target_table", self.key_col),
+            table_col="target_table",
+            batch_id=batch_id,
         )
-        result = winner.filter(F.col("op") != "D").select(
-            "target_table", "key", "commit_ts", "seq", "id", "balance", "note"
-        )
-        tmp = f"{self.target_path}.tmp-{batch_id}"
-        result.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.target_path)
         # progress/syncpoint record: (batch_id, resolved_ts, rows_applied) —
         # the reference's checkpoint-ts + syncpoint store (§2.7, §2.10)
         prog = batch.groupBy().agg(
