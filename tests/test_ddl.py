@@ -63,3 +63,46 @@ def test_ddl_cfg_dml_letters_ignored_on_ddl_channel():
     # A rule naming only I/U/D must not touch the DDL channel.
     kinds = [e for r in DDL_CFG.event_filters for e in r.events]
     assert all(k not in ("I", "U", "D") for k in kinds)
+
+
+def test_fk_causality_colocates_parent_and_child(spark):
+    """Rows linked by FK must land in the same shuffle partition and stay
+    in commit order (pkg/sqlmodel/causality.go:160-204 semantics)."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.operators.causality import (
+        FKRelation,
+        partition_by_fk_causality,
+    )
+
+    rows = [
+        # parent rows (events_0), key = id
+        ("I", "events_0", 100, 1, "10", 10, None),
+        ("I", "events_0", 101, 2, "11", 11, None),
+        # children referencing parent 10 / 11 via parent_id
+        ("I", "events_1", 102, 3, "900", 900, 10),
+        ("I", "events_2", 103, 4, "901", 901, 10),
+        ("I", "events_1", 104, 5, "902", 902, 11),
+        # child with NULL fk → falls back to own key
+        ("I", "events_1", 105, 6, "903", 903, None),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "op string, table string, commit_ts long, seq long, key string, "
+        "id long, parent_id long",
+    ).withColumn(
+        "after", F.struct(F.col("id"), F.col("parent_id"))
+    )
+    rels = (
+        FKRelation("events_1", "after.parent_id", "events_0"),
+        FKRelation("events_2", "after.parent_id", "events_0"),
+    )
+    out = partition_by_fk_causality(env, 4, rels).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    pid = {(r.table, r.key): r.pid for r in out.collect()}
+    # parent 10 and both its children share a partition
+    assert pid[("events_0", "10")] == pid[("events_1", "900")]
+    assert pid[("events_0", "10")] == pid[("events_2", "901")]
+    # parent 11 and its child share a partition
+    assert pid[("events_0", "11")] == pid[("events_1", "902")]

@@ -65,10 +65,15 @@ def repartition_by_bytes(media: DataFrame, target_bytes: int = 64 << 20) -> Data
 
 
 def _fake_decode(payload: bytes) -> dict[str, Any]:
-    """Deterministic decode stub. Real impl: PIL/ffmpeg — not in container."""
+    """Deterministic decode stub. Real impl: PIL/ffmpeg — not in container.
+
+    'Decodes' the payload (utf-8) and derives pixels = payload bytes,
+    checksum = codepoint sum mod 997 — both reproducible in plain SQL so
+    the driver's oracle can verify the full mapInPandas plumbing."""
+    text = payload.decode("utf-8")
     return {
         "pixels": len(payload),  # stands in for decoded dimensions
-        "checksum": sum(payload) % 997,
+        "checksum": sum(ord(c) for c in text) % 997,
     }
 
 

@@ -48,10 +48,71 @@ def partition_by_causality(
 
 
 def causality_partition_id(
-    num_partitions: int, table_col: str = "table"
+    num_partitions: int,
+    table_col: str = "table",
+    key: Column | None = None,
 ) -> Column:
     """Deterministic worker-queue id for a row (oracle-checkable variant of
     the shuffle assignment): portable md5-based hash, mod worker count."""
     from tiflow_spark.functions.hashing import portable_hash64
 
-    return F.pmod(portable_hash64(causality_key(table_col)), F.lit(num_partitions))
+    k = key if key is not None else causality_key(table_col)
+    return F.pmod(portable_hash64(k), F.lit(num_partitions))
+
+
+# ------------------------------------------------------------- FK causality
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class FKRelation:
+    """One foreign-key causality relation, POST-lifting — mirror of
+    ForeignKeyCausalityRelation (pkg/sqlmodel/foreign_key.go:26-33):
+    ``parent_table`` "may represent a direct parent or a higher-level
+    ancestor/root parent", i.e. chains are resolved to the root key domain
+    at config-compile time, exactly as the reference stores them.
+
+    fk_expr: SQL expression over the row images producing the child's FK
+    value (e.g. ``coalesce(after.parent_id, before.parent_id)``).
+    """
+
+    child_table: str
+    fk_expr: str
+    parent_table: str
+
+
+def fk_causality_key(
+    relations: tuple[FKRelation, ...] = (),
+    table_col: str = "table",
+) -> Column:
+    """Causality key with FK lifting (pkg/sqlmodel/causality.go:160-204
+    getForeignKeyCausalityString): a child row keys into its ROOT parent's
+    key domain (parent_table ⊕ fk value), so parent and child rows that
+    touch the same parent key share a partition — and therefore apply in
+    commit order. NULL FK values fall back to the row's own key, the
+    reference's skip rule (causality.go:176-189)."""
+    key = causality_key(table_col)
+    for rel in relations:
+        fk_val = F.expr(rel.fk_expr)
+        key = F.when(
+            (F.col(table_col) == rel.child_table) & fk_val.isNotNull(),
+            F.concat_ws(
+                "\x01", F.lit(rel.parent_table), fk_val.cast("string")
+            ),
+        ).otherwise(key)
+    return key
+
+
+def partition_by_fk_causality(
+    env: DataFrame,
+    num_partitions: int,
+    relations: tuple[FKRelation, ...],
+    table_col: str = "table",
+) -> DataFrame:
+    """Repartition by the FK-lifted causality key + restore event order —
+    same single-shuffle shape as partition_by_causality, with FK-linked
+    tables co-located."""
+    return env.repartition(
+        num_partitions, fk_causality_key(relations, table_col)
+    ).sortWithinPartitions(table_col, "key", *order_cols())

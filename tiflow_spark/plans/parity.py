@@ -1259,7 +1259,22 @@ def q_validate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'shard_schema_consistent', target_table,
            count(DISTINCT sig) = 1, CAST(count(DISTINCT sig) AS BIGINT)
-    FROM (SELECT target_table, 'id,balance,note' AS sig FROM pairs)
+    FROM (
+      SELECT target_table,
+             concat_ws(',',
+               CASE WHEN max(CASE WHEN after_id IS NOT NULL
+                                    OR before_id IS NOT NULL
+                             THEN 1 ELSE 0 END) = 1
+                    THEN 'id:bigint' END,
+               CASE WHEN max(CASE WHEN after_balance IS NOT NULL
+                                    OR before_balance IS NOT NULL
+                             THEN 1 ELSE 0 END) = 1
+                    THEN 'balance:double' END,
+               CASE WHEN max(CASE WHEN after_note IS NOT NULL
+                                    OR before_note IS NOT NULL
+                             THEN 1 ELSE 0 END) = 1
+                    THEN 'note:string' END) AS sig
+      FROM routed GROUP BY target_table, "schema", "table")
     GROUP BY target_table
     UNION ALL
     SELECT 'no_case_collisions', target_table,
@@ -1545,19 +1560,44 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_feature_extract", None)
+@register(
+    "mm_feature_extract",
+    """WITH decoded AS (
+      SELECT doc_id AS media_id,
+        octet_length(encode(text)) AS pixels,
+        (CASE WHEN text = '' THEN 0
+              ELSE list_sum(list_transform(string_split(text, ''),
+                                           x -> unicode(x))) END) % 997
+          AS checksum
+      FROM documents
+    )
+    SELECT media_id, pixels, CAST(checksum AS BIGINT) AS checksum,
+      CAST(list_sum(list_transform(range(0, 8), i -> (checksum + i) % 31))
+           AS BIGINT) AS feat_sum
+    FROM decoded""",
+)
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction over Arrow-batched
     mapInPandas (decode stubbed deterministically — no media libs in the
     container; the Spark plumbing (schema, batching, narrow output) is the
-    real contract)."""
+    real contract). The stub decode is SQL-reproducible, so the oracle
+    verifies the whole UDF path: pixels, checksum, and the feature vector
+    (projected to its sum — array hashing is representation-dependent)."""
     from tiflow_spark.llm.multimodal import (
         extract_features,
         synthesize_media,
     )
 
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "pixels",
+        "checksum",
+        F.aggregate("feat", F.lit(0.0), lambda acc, x: acc + x)
+        .cast("long")
+        .alias("feat_sum"),
+    )
 
 
 @register(
@@ -1862,3 +1902,125 @@ def _install_ivf_sql() -> None:
 
 
 _install_ivf_sql()
+
+
+# ------------------------------------------------------------- type fidelity
+
+@register(
+    "cdc_type_fidelity",
+    """SELECT event_id AS seq,
+      CAST(CASE WHEN event_id % 5 = 0
+                THEN CAST(-(event_id * 1000 + 1) AS HUGEINT)
+                     + 18446744073709551616
+                ELSE event_id END AS VARCHAR) AS ubig,
+      CASE CAST(1 + event_id % 3 AS INT)
+        WHEN 1 THEN 'active' WHEN 2 THEN 'inactive' ELSE 'banned'
+      END AS enum_label,
+      ltrim(CASE WHEN (event_id % 8) & 1 = 1 THEN 'a' ELSE '' END
+            || CASE WHEN (event_id % 8) & 2 = 2 THEN ',b' ELSE '' END
+            || CASE WHEN (event_id % 8) & 4 = 4 THEN ',c' ELSE '' END,
+            ',') AS set_labels,
+      event_id % 256 AS bit_val,
+      CASE WHEN event_id % 97 = 0 OR event_id % 101 = 0
+           THEN 0.0 ELSE value END AS dbl,
+      repeat(CAST(event_id AS VARCHAR), 7) || '.5' AS dec_str,
+      length(replace(repeat(CAST(event_id AS VARCHAR), 7) || '.5',
+                     '.', '')) <= 38 AS dec_fits,
+      upper(hex(props)) AS bin_hex,
+      to_base64(encode(props)) AS bin_b64
+    FROM events""",
+)
+def q_type_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.2 type matrix end-to-end (cdc/entry/mounter.go:772-841):
+    unsigned-BIGINT overflow → DECIMAL(20,0) (sink.go:193-205), enum/set
+    numeric → names, BIT → integer (tidb#10988 rule), NaN/Inf → 0
+    (mounter.go:816-831), decimal string round-trip with a 38-digit fit
+    probe, BinaryFlag bytes rendered hex + base64 (sink.go:98; CSV codec
+    binary-encoding-method). All built-ins, map-only, codegen'd."""
+    from tiflow_spark.types import (
+        bit_to_long,
+        coerce_invalid_float,
+        decimal_fits,
+        enum_name,
+        set_names,
+        text_or_binary,
+        unsigned_bigint,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    raw = e.select(
+        e.event_id.alias("seq"),
+        F.when(e.event_id % 5 == 0, -(e.event_id * 1000 + 1))
+        .otherwise(e.event_id)
+        .cast("long")
+        .alias("ubig_raw"),
+        (1 + e.event_id % 3).cast("long").alias("enum_raw"),
+        (e.event_id % 8).cast("long").alias("set_raw"),
+        (e.event_id % 256).alias("bit_raw"),
+        F.when(e.event_id % 97 == 0, F.expr("double('NaN')"))
+        .when(e.event_id % 101 == 0, F.expr("double('Infinity')"))
+        .otherwise(e.value)
+        .alias("dbl_raw"),
+        F.concat(F.repeat(e.event_id.cast("string"), 7), F.lit(".5")).alias(
+            "dec_raw"
+        ),
+        e.props.alias("text_raw"),
+    )
+    return raw.select(
+        "seq",
+        unsigned_bigint(F.col("ubig_raw")).cast("string").alias("ubig"),
+        enum_name(F.col("enum_raw"), ("active", "inactive", "banned")).alias(
+            "enum_label"
+        ),
+        set_names(F.col("set_raw"), ("a", "b", "c")).alias("set_labels"),
+        bit_to_long(F.col("bit_raw")).alias("bit_val"),
+        coerce_invalid_float(F.col("dbl_raw")).alias("dbl"),
+        F.col("dec_raw").alias("dec_str"),
+        decimal_fits(F.col("dec_raw")).alias("dec_fits"),
+        F.upper(F.hex(text_or_binary(F.col("text_raw"), True))).alias(
+            "bin_hex"
+        ),
+        F.base64(text_or_binary(F.col("text_raw"), True)).alias("bin_b64"),
+    )
+
+
+# -------------------------------------------------------------- FK causality
+
+_FK_KEY_SQL = """CASE WHEN "table" IN ('events_1', 'events_2')
+            AND coalesce(after_id, before_id) IS NOT NULL
+       THEN 'events_0' || chr(1)
+            || CAST(coalesce(after_id, before_id) % 50 AS VARCHAR)
+       ELSE "table" || chr(1) || key END"""
+
+
+@register(
+    "cdc_causality_fk",
+    f"""{ENV_CTE},
+    keyed AS (SELECT {_FK_KEY_SQL} AS ckey FROM env)
+    SELECT (('0x' || substr(md5(ckey), 1, 15))::BIGINT) % 16 AS partition_id,
+           count(*) AS cnt, count(DISTINCT ckey) AS keys
+    FROM keyed GROUP BY 1""",
+)
+def q_causality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK causality keys (pkg/sqlmodel/causality.go:160-204,
+    foreign_key.go:26): child-table rows key into the ROOT parent's key
+    domain (events_1/events_2 → events_0 via parent_id = id % 50), so
+    FK-linked rows co-partition and apply in commit order."""
+    from tiflow_spark.operators.causality import (
+        FKRelation,
+        causality_partition_id,
+        fk_causality_key,
+    )
+
+    rels = (
+        FKRelation("events_1", "coalesce(after.id, before.id) % 50", "events_0"),
+        FKRelation("events_2", "coalesce(after.id, before.id) % 50", "events_0"),
+    )
+    env = _env(spark, sf_dir)
+    ck = fk_causality_key(rels)
+    return env.select(ck.alias("ckey")).groupBy(
+        causality_partition_id(16, key=F.col("ckey")).alias("partition_id")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("ckey").alias("keys"),
+    )

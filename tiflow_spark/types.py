@@ -1,0 +1,151 @@
+"""MySQL/TiDB type fidelity — SURVEY.md §1.2's matrix as Spark columns.
+
+The reference surfaces MySQL types when the mounter formats datums
+(cdc/entry/mounter.go:772-841 formatColVal):
+
+- Date/Datetime/Timestamp → string (no TZ conversion) ... TimestampNTZ/string
+- Duration, JSON, NewDecimal → string (decimal keeps string to preserve
+  precision beyond float)
+- Enum/Set → uint64 numeric value; name mapping kept in schema
+- Bit → uint64 (mounter.go:804-808, avoids pingcap/tidb#10988)
+- String/Blob family → bytes; BinaryFlag decides binary vs text
+  (cdc/model/sink.go:98 IsBinary)
+- Float/Double → NaN/±Inf coerced to 0 with a warning (mounter.go:816-831)
+- unsigned BIGINT → values above MaxInt64 need DECIMAL(20,0)
+  (flag: sink.go:193-205 UnsignedFlag)
+
+Spark-first shape: each rule is a pure Column→Column function (codegen'd,
+no UDFs); the schema carries the MySQL identity in StructField.metadata so
+codecs can render mysqlType faithfully.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_UNSIGNED_WRAP = 18446744073709551616  # 2^64: two's-complement → unsigned
+
+# mysql type name → (spark type, is_string_repr)
+MYSQL_TO_SPARK: dict[str, T.DataType] = {
+    "date": T.StringType(),  # reference keeps formatted string, sink applies tz
+    "datetime": T.StringType(),
+    "timestamp": T.StringType(),
+    "time": T.StringType(),  # Duration — no Spark day-time fidelity, keep string
+    "json": T.StringType(),
+    "decimal": T.StringType(),  # string round-trip preserves >float precision
+    "enum": T.LongType(),
+    "set": T.LongType(),
+    "bit": T.LongType(),
+    "tinyint": T.LongType(),
+    "smallint": T.LongType(),
+    "int": T.LongType(),
+    "bigint": T.LongType(),
+    "bigint unsigned": T.DecimalType(20, 0),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "varchar": T.StringType(),
+    "char": T.StringType(),
+    "text": T.StringType(),
+    "blob": T.BinaryType(),
+    "varbinary": T.BinaryType(),
+    "binary": T.BinaryType(),
+    "vector": T.ArrayType(T.FloatType()),  # TiDBVectorFloat32 (mounter.go:832)
+}
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column of a replicated table: MySQL identity + flags.
+
+    Mirrors Column/ColumnFlagType (cdc/model/sink.go:667-690, :62-205);
+    flags land in StructField.metadata for codecs/selectors to read.
+    """
+
+    name: str
+    mysql_type: str
+    unsigned: bool = False
+    binary: bool = False  # BinaryFlag (sink.go:98)
+    primary_key: bool = False
+    enum_values: tuple[str, ...] = ()  # enum/set name tables
+    default: str | None = None
+
+    def spark_type(self) -> T.DataType:
+        if self.mysql_type == "bigint" and self.unsigned:
+            return T.DecimalType(20, 0)
+        if self.mysql_type in ("varchar", "char", "text") and self.binary:
+            return T.BinaryType()
+        return MYSQL_TO_SPARK[self.mysql_type]
+
+    def spark_field(self) -> T.StructField:
+        meta = {"mysqlType": self.mysql_type}
+        if self.unsigned:
+            meta["unsigned"] = True
+        if self.binary:
+            meta["binary"] = True
+        if self.primary_key:
+            meta["pk"] = True
+        if self.enum_values:
+            meta["values"] = list(self.enum_values)
+        if self.default is not None:
+            meta["default"] = self.default
+        return T.StructField(self.name, self.spark_type(), True, meta)
+
+
+def table_schema(specs: list[ColumnSpec]) -> T.StructType:
+    return T.StructType([s.spark_field() for s in specs])
+
+
+# ---------------------------------------------------------------- coercions
+
+
+def coerce_invalid_float(col: Column) -> Column:
+    """NaN/±Inf → 0, the mounter's invalid-float rule (mounter.go:816-831)."""
+    return F.when(
+        F.isnan(col) | (F.abs(col) == F.lit(float("inf"))), F.lit(0.0)
+    ).otherwise(col)
+
+
+def unsigned_bigint(col: Column) -> Column:
+    """Decode an int64-carried unsigned BIGINT: negative two's-complement
+    values are > MaxInt64 and must widen to DECIMAL(20,0) (sink.go:193-205;
+    SURVEY §1.2). Non-negative values stay exact in the same decimal."""
+    dec = col.cast(T.DecimalType(20, 0))
+    wrap = F.expr(f"CAST('{_UNSIGNED_WRAP}' AS DECIMAL(20,0))")
+    return F.when(col < 0, (dec + wrap).cast(T.DecimalType(20, 0))).otherwise(dec)
+
+
+def enum_name(col: Column, values: tuple[str, ...]) -> Column:
+    """Enum numeric value (1-based, mounter.go:796) → display name."""
+    return F.element_at(F.array(*[F.lit(v) for v in values]), col.cast("int"))
+
+
+def set_names(col: Column, values: tuple[str, ...]) -> Column:
+    """Set bitmask (mounter.go:800) → comma-joined member names, MySQL
+    display order. Pure built-ins: filter a literal array by bit test."""
+    idx = F.array(*[F.struct(F.lit(1 << i).alias("m"), F.lit(v).alias("v"))
+                    for i, v in enumerate(values)])
+    members = F.filter(idx, lambda e: col.bitwiseAND(e["m"]) == e["m"])
+    return F.array_join(F.transform(members, lambda e: e["v"]), ",")
+
+
+def bit_to_long(col: Column) -> Column:
+    """BIT(n) → integer (mounter.go:804-808 encodes bits as ints)."""
+    return col.cast("long")
+
+
+def decimal_fits(col: Column, precision: int = 38) -> Column:
+    """True when a decimal *string* fits Spark's DecimalType(38) — beyond
+    that the engine keeps the string (reference keeps string always;
+    NewDecimal mounter.go:788-795)."""
+    digits = F.length(F.regexp_replace(col, r"[-.]", ""))
+    return digits <= F.lit(precision)
+
+
+def text_or_binary(col: Column, binary_flag: bool) -> Column:
+    """BinaryFlag routing (sink.go:98): binary charset → BinaryType bytes,
+    else text. Encoders then render base64/hex vs plain string."""
+    return col.cast("binary") if binary_flag else col.cast("string")

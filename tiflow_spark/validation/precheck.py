@@ -33,24 +33,38 @@ def check_pk_not_null(routed: DataFrame) -> DataFrame:
 
 
 def check_shard_schema_consistency(routed: DataFrame) -> DataFrame:
-    """Sharding-merge compatibility (table_structure.go ShardingTablesChecker):
-    all source shards feeding one target must present the same column
-    signature. The signature here is the envelope's after-struct shape —
-    constant per stream — plus the live null-pattern per shard as a
-    data-level proxy."""
+    """Sharding-merge compatibility (dm/pkg/checker/table_structure.go
+    ShardingTablesChecker): all source shards feeding one target must
+    present the same table structure.
+
+    The structure signature is genuinely DERIVED per shard: for every
+    column of the change images, (name, spark type, observed-at-all) —
+    a shard that never carries a column (e.g. dropped upstream) produces a
+    different signature and fails the check, the same class of divergence
+    the reference's CREATE TABLE diff catches. One aggregation pass."""
+    fields = routed.schema["after"].dataType.fields  # type: ignore[union-attr]
+    per_shard = routed.groupBy("target_table", "schema", "table").agg(
+        *[
+            F.max(
+                (
+                    F.col(f"after.{f.name}").isNotNull()
+                    | F.col(f"before.{f.name}").isNotNull()
+                ).cast("int")
+            ).alias(f"_has_{f.name}")
+            for f in fields
+        ]
+    )
     sig = F.concat_ws(
         ",",
         *[
-            F.lit(f.name)
-            for f in routed.schema["after"].dataType.fields  # type: ignore[union-attr]
+            F.when(
+                F.col(f"_has_{f.name}") == 1,
+                F.lit(f"{f.name}:{f.dataType.simpleString()}"),
+            )
+            for f in fields
         ],
     )
-    per_shard = (
-        routed.withColumn("sig", sig)
-        .groupBy("target_table", "schema", "table")
-        .agg(F.first("sig").alias("sig"))
-    )
-    return per_shard.groupBy("target_table").agg(
+    return per_shard.withColumn("sig", sig).groupBy("target_table").agg(
         F.count_distinct("sig").alias("n_sigs"),
     ).select(
         F.lit("shard_schema_consistent").alias("check_name"),
