@@ -151,3 +151,20 @@ def test_precheck_fails_on_diverged_shard_structure(spark):
     out = check_shard_schema_consistency(routed).collect()
     assert len(out) == 1
     assert out[0].passed is False and out[0].detail_cnt == 2
+
+
+def test_precheck_flags_auto_increment_conflict(spark):
+    """Two shards presenting the same PK for one target must be flagged
+    (AutoIncrementKeyChecking analog)."""
+    from tiflow_spark.validation.precheck import check_auto_increment_conflicts
+
+    rows = [
+        ("t_all", "shard_0", "t", "1"),
+        ("t_all", "shard_1", "t", "1"),  # same key from a second shard
+        ("t_all", "shard_1", "t", "2"),
+    ]
+    routed = spark.createDataFrame(
+        rows, "target_table string, schema string, table string, key string"
+    )
+    out = check_auto_increment_conflicts(routed).collect()
+    assert out[0].passed is False and out[0].detail_cnt == 1

@@ -197,3 +197,22 @@ def test_open_protocol_batch_framing_roundtrip(spark, sf_dir):
     ).count() == 0
     # batches respect the size cap
     assert frames.filter(F.col("n_events") > 16).count() == 0
+
+
+def test_craft_event_roundtrip_unit():
+    """Pure-python craft frame round-trip incl. nulls, unicode, negatives
+    (mirrors pkg/sink/codec/craft/craft_encoder_test.go cases)."""
+    from tiflow_spark.codecs.craft import decode_event, encode_event
+
+    cases = [
+        ("I", "db", "t", 42, None, {"id": 1, "balance": 3.5, "note": "x"}),
+        ("U", "db", "tüble", 7,
+         {"id": -5, "balance": None, "note": None},
+         {"id": None, "balance": -0.25, "note": 'q"uo,te\n'}),
+        ("D", "db", "t", 2**50, {"id": 9, "balance": 0.0, "note": ""}, None),
+    ]
+    for op, sch, tbl, ts, before, after in cases:
+        e = decode_event(encode_event(op, sch, tbl, ts, before, after))
+        assert e["op"] == op and e["schema"] == sch and e["table"] == tbl
+        assert e["commit_ts"] == ts
+        assert e["before"] == before and e["after"] == after

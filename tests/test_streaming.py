@@ -219,3 +219,33 @@ def test_hash_bucket_merge_clears_emptied_bucket(spark, tmp_path):
     import os
     remaining = [d for d in os.listdir(target) if d.startswith("bucket=")]
     assert remaining == []
+
+
+def test_hash_bucket_merge_evolves_schema_on_add_column(spark, tmp_path):
+    """DDL ADD COLUMN mid-stream: a later batch carrying a new column must
+    widen the target; pre-DDL rows read back with NULL (default backfill
+    happens at decode, mounter.go:843-853). Mirrors the reference's
+    ddl_sequence integration scenario at the sink."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+
+    target = str(tmp_path / "evolve_target")
+
+    def chg(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    base = "target_table string, key string, op string, commit_ts long, seq long, id long, balance double"
+    merge_hash_bucketed(
+        chg([("t", "1", "I", 1, 1, 1, 10.0), ("t", "2", "I", 1, 2, 2, 20.0)], base),
+        target, n_buckets=4, batch_id=0,
+    )
+    # post-DDL batch carries the new 'tier' column
+    merge_hash_bucketed(
+        chg([("t", "3", "I", 2, 3, 3, 30.0, "gold")], base + ", tier string"),
+        target, n_buckets=4, batch_id=1,
+    )
+    final = spark.read.option("mergeSchema", "true").parquet(target)
+    assert "tier" in final.columns
+    got = {r.key: r.tier for r in final.collect()}
+    assert got == {"1": None, "2": None, "3": "gold"}

@@ -140,18 +140,35 @@ def _shingles_sql(text: str = "text", n: int = 3) -> str:
 
 
 def ngram_jaccard_pairs(
-    corpus: DataFrame, threshold: float = 0.5, n: int = 3
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard ≥ threshold.
 
     Inverted-index join: explode shingles, self-join on shingle, count
     common shingles per pair. No n² blowup — only docs sharing a shingle
-    ever meet, and hot shingles are the skew knob (AQE handles it; a
-    stop-shingle cap is the 100 TB refinement).
+    ever meet.
+
+    ``max_df`` is the 100 TB skew knob: a shingle in d docs produces d²
+    join rows, so stop-shingles (document frequency > max_df) are dropped
+    from the index AND the per-doc sizes — Jaccard is then computed over
+    the capped shingle vocabulary on both sides of the ratio, keeping the
+    estimate unbiased for pairs that don't share hot shingles. The posting
+    list bound makes worst-case join cost max_df² per shingle.
     """
     sh = corpus.select(
         "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -178,11 +195,23 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_sql(threshold: float = 0.5, n: int = 3) -> str:
+def ngram_jaccard_sql(
+    threshold: float = 0.5, n: int = 3, max_df: int | None = None
+) -> str:
+    cap_cte = (
+        """sh AS (
+  SELECT * FROM sh_all WHERE shingle IN
+    (SELECT shingle FROM sh_all GROUP BY 1 HAVING count(*) <= %d)
+),"""
+        % max_df
+        if max_df is not None
+        else "sh AS (SELECT * FROM sh_all),"
+    )
     return f"""WITH {CORPUS_SQL.strip()},
-sh AS (
+sh_all AS (
   SELECT doc_id, unnest({_shingles_sql("text", n)}) AS shingle FROM corpus
 ),
+{cap_cte}
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -348,20 +377,31 @@ def simhash(corpus: DataFrame, bits: int = 60) -> DataFrame:
         F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     )
     hashes = F.transform(toks, portable_hash64)
-
-    def bit_vote(b: int) -> Column:
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == F.lit(1), F.lit(1)
-            ).otherwise(F.lit(-1))
-
-        return F.aggregate(hashes, F.lit(0), merge)
-
-    fp = F.lit(0).cast("bigint")
-    for b in range(bits):
-        fp = fp + F.when(bit_vote(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    # ONE aggregate pass building all `bits` vote counters at once (the old
+    # form ran `bits` independent aggregates, each re-evaluating the token
+    # hashes — a 60x constant factor). Bit b of h tests as h & 2^b against a
+    # literal powers array (shiftright needs a static shift amount).
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
     return corpus.select("doc_id", fp.alias("simhash"))
 
 

@@ -840,7 +840,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.llm.dedup import corpus_with_dups, ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        corpus_with_dups(load_table(spark, sf_dir, "documents")), 0.5
+        corpus_with_dups(load_table(spark, sf_dir, "documents")),
+        0.5,
+        max_df=128,  # stop-shingle cap: bounds posting lists (skew knob)
     )
 
 
@@ -903,7 +905,7 @@ def _install_llm_oracles() -> None:
         "text_langid": ts.lang_id_sql(),
         "text_fingerprint": ts.fingerprint_sql(),
         "dedup_exact": dd.EXACT_DEDUP_SQL,
-        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(0.5),
+        "dedup_ngram_jaccard": dd.ngram_jaccard_sql(0.5, max_df=128),
         "dedup_minhash_lsh": dd.minhash_lsh_sql(16, 4, 0.5),
         "dedup_simhash": dd.simhash_sql(),
         "sim_topk_cosine": sim.topk_cosine_sql(list(range(8)), 5),
@@ -1236,13 +1238,17 @@ def q_validate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cutoff = (
-        _env(spark, sf_dir).agg(F.max("commit_ts")).collect()[0][0]
-        - _VAL_CUTOFF_US
+    cutoff_df = _env(spark, sf_dir).agg(
+        (F.max("commit_ts") - _VAL_CUTOFF_US).alias("_cutoff")
     )
+    net = net.crossJoin(F.broadcast(cutoff_df))  # scalar without a pre-job
     validated = validate_rows(
-        net, target, ["target_table", "key"], ["id", "balance", "note"], cutoff
-    )
+        net,
+        target,
+        ["target_table", "key"],
+        ["id", "balance", "note"],
+        F.col("_cutoff"),
+    ).drop("_cutoff")
     return validator_stats(validated, table_col="target_table")
 
 
@@ -1283,6 +1289,15 @@ def q_validate_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT target_table, lower("schema") AS ls, lower("table") AS lt,
                  count(*) AS n
           FROM pairs GROUP BY 1, 2, 3)
+    GROUP BY target_table
+    UNION ALL
+    SELECT 'no_auto_increment_conflicts', target_table,
+           sum(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) = 0,
+           CAST(sum(CASE WHEN n_shards > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM (SELECT target_table, key, count(*) AS n_shards
+          FROM (SELECT DISTINCT target_table, key, "schema", "table"
+                FROM routed)
+          GROUP BY 1, 2)
     GROUP BY target_table""",
 )
 def q_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,8 +1422,8 @@ def q_shardddl_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
     routed = tfm.route(env, DEMO_CFG)
-    ddl_ts = routed.agg(F.max("commit_ts")).collect()[0][0]
-    return shard_barrier(routed, ddl_ts)
+    ddl_df = routed.agg(F.max("commit_ts").alias("_ddl_ts"))
+    return shard_barrier(routed.crossJoin(F.broadcast(ddl_df)))
 
 
 @register("codec_simple", None)  # SQL installed below
@@ -1628,11 +1643,11 @@ def q_redo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_dir = tempfile.mkdtemp(prefix="tiflow_redo_") + "/log"
     append_redo_log(split, log_dir)
     log = read_redo_log(spark, log_dir)
-    recovery_ts = (
-        _env(spark, sf_dir).agg(F.max("commit_ts")).collect()[0][0]
-        - 43_200_000_000
+    rec_df = _env(spark, sf_dir).agg(
+        (F.max("commit_ts") - 43_200_000_000).alias("_recovery_ts")
     )
-    return replay(log, recovery_ts, table_col="target_table")
+    log = log.crossJoin(F.broadcast(rec_df))
+    return replay(log, F.col("_recovery_ts"), table_col="target_table")
 
 
 @register(
@@ -2024,3 +2039,22 @@ def q_causality_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("ckey").alias("keys"),
     )
+
+
+@register(
+    "codec_craft_roundtrip",
+    f"""{ENV_CTE}
+    SELECT op, "schema", "table", commit_ts,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note
+    FROM env""",
+)
+def q_codec_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Craft binary columnar codec (pkg/sink/codec/craft): uvarint/zigzag
+    framing, version prefix, typed column groups — verified by full
+    encode→decode round trip against the source envelope through the
+    binary path (same contract as the avro roundtrip)."""
+    from tiflow_spark.codecs.craft import decode_craft, encode_craft
+
+    return decode_craft(encode_craft(_env(spark, sf_dir)))

@@ -40,13 +40,20 @@ def read_redo_log(spark: SparkSession, log_dir: str) -> DataFrame:
 
 
 def replay(
-    log: DataFrame, recovery_ts: int, table_col: str = "table"
+    log: DataFrame, recovery_ts, table_col: str = "table"
 ) -> DataFrame:
     """Roll the log forward to ``recovery_ts`` (meta_manager's resolved
     checkpoint): events past the recovery point are discarded, the rest
     re-applied with the idempotent last-state MERGE — replaying twice is a
     no-op, the same at-least-once + idempotent-apply contract the
     reference's redo applier documents."""
+    from pyspark.sql import Column
+
+    cut = (
+        recovery_ts
+        if isinstance(recovery_ts, Column)
+        else F.lit(recovery_ts)
+    )
     return changes_to_state(
-        log.filter(F.col("commit_ts") <= F.lit(recovery_ts)), table_col
+        log.filter(F.col("commit_ts") <= cut).drop("_recovery_ts"), table_col
     )

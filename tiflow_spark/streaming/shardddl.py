@@ -18,22 +18,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shard_barrier(routed: DataFrame, ddl_ts: int) -> DataFrame:
+def shard_barrier(routed: DataFrame, ddl_ts: int | None = None) -> DataFrame:
     """Per shard-merge target: how many member shards have streamed past
-    ``ddl_ts``, and the barrier (min of shard high-water marks).
+    the DDL ts, and the barrier (min of shard high-water marks).
+
+    ``ddl_ts``: literal, or None to read a ``_ddl_ts`` column the caller
+    attached (broadcast-scalar cross-join — no driver-side collect job).
 
     barrier_ready == true ⇔ the pessimistic lock is resolved and the DDL
     may execute downstream (pessimist.go lock synced condition)."""
+    if ddl_ts is not None:
+        routed = routed.withColumn("_ddl_ts", F.lit(ddl_ts))
     per_shard = routed.groupBy(
         "target_table", "schema", "table"
-    ).agg(F.max("commit_ts").alias("shard_hwm"))
+    ).agg(
+        F.max("commit_ts").alias("shard_hwm"),
+        F.max("_ddl_ts").alias("_ddl_ts"),
+    )
     return per_shard.groupBy("target_table").agg(
         F.count(F.lit(1)).alias("shards_total"),
-        F.sum((F.col("shard_hwm") >= F.lit(ddl_ts)).cast("long")).alias(
+        F.sum((F.col("shard_hwm") >= F.col("_ddl_ts")).cast("long")).alias(
             "shards_reached"
         ),
         F.min("shard_hwm").alias("barrier_ts"),
-        (F.min("shard_hwm") >= F.lit(ddl_ts)).alias("barrier_ready"),
+        (F.min("shard_hwm") >= F.max("_ddl_ts")).alias("barrier_ready"),
     )
 
 

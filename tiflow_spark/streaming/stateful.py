@@ -48,25 +48,27 @@ def _last_state_fn(
         cur = None
     changed = False
     for pdf in pdfs:
-        pdf = pdf.sort_values(
-            by=["commit_ts", "seq"],
-            kind="mergesort",
-        )
-        for row in pdf.itertuples(index=False):
-            cand = {
-                "op": row.op,
-                "commit_ts": int(row.commit_ts),
-                "seq": int(row.seq),
-                "id": None if row.id is None or pd.isna(row.id) else int(row.id),
-                "balance": None if pd.isna(row.balance) else float(row.balance),
-                "note": row.note,
-            }
-            if cur is None or (
-                (cand["commit_ts"], cand["seq"], _OP_WEIGHT[cand["op"]])
-                > (cur["commit_ts"], cur["seq"], _OP_WEIGHT[cur["op"]])
-            ):
-                cur = cand
-                changed = True
+        if len(pdf) == 0:
+            continue
+        # vectorized winner: one lexicographic sort per Arrow batch instead
+        # of a Python loop per row
+        top = pdf.assign(_opw=pdf["op"].map(_OP_WEIGHT)).sort_values(
+            ["commit_ts", "seq", "_opw"], kind="mergesort"
+        ).iloc[-1]
+        cand = {
+            "op": top["op"],
+            "commit_ts": int(top["commit_ts"]),
+            "seq": int(top["seq"]),
+            "id": None if pd.isna(top["id"]) else int(top["id"]),
+            "balance": None if pd.isna(top["balance"]) else float(top["balance"]),
+            "note": top["note"],
+        }
+        if cur is None or (
+            (cand["commit_ts"], cand["seq"], _OP_WEIGHT[cand["op"]])
+            > (cur["commit_ts"], cur["seq"], _OP_WEIGHT[cur["op"]])
+        ):
+            cur = cand
+            changed = True
     if changed and cur is not None:
         state.update(
             (

@@ -92,11 +92,33 @@ def check_case_collisions(routed: DataFrame) -> DataFrame:
     )
 
 
+def check_auto_increment_conflicts(routed: DataFrame) -> DataFrame:
+    """Auto-increment key conflict across shards
+    (dm/pkg/checker/table_structure.go AutoIncrementKeyChecking): merging N
+    shards whose auto-inc PKs overlap silently REPLACEs rows — flag any key
+    observed in more than one source shard of the same target."""
+    per_key = (
+        routed.select("target_table", "key", "schema", "table")
+        .distinct()
+        .groupBy("target_table", "key")
+        .agg(F.count(F.lit(1)).alias("n_shards"))
+    )
+    return per_key.groupBy("target_table").agg(
+        F.sum((F.col("n_shards") > 1).cast("long")).alias("detail_cnt")
+    ).select(
+        F.lit("no_auto_increment_conflicts").alias("check_name"),
+        "target_table",
+        (F.col("detail_cnt") == 0).alias("passed"),
+        "detail_cnt",
+    )
+
+
 def run_prechecks(routed: DataFrame) -> DataFrame:
     """All prechecks as one unioned result set (dm/checker/checker.go Check)."""
     checks = [
         check_pk_not_null(routed),
         check_shard_schema_consistency(routed),
         check_case_collisions(routed),
+        check_auto_increment_conflicts(routed),
     ]
     return reduce(DataFrame.unionByName, checks)

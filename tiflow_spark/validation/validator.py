@@ -28,7 +28,7 @@ def validate_rows(
     target: DataFrame,
     key_cols: list[str],
     compare_cols: list[str],
-    pending_after_ts: int,
+    pending_after_ts,
     op_col: str = "op",
 ) -> DataFrame:
     """Classify each net change row against the applied target table.
@@ -58,7 +58,15 @@ def validate_rows(
     ok = F.when(is_delete, ~exists).otherwise(matches)
     state = (
         F.when(ok, F.lit("ok"))
-        .when(F.col("commit_ts") >= F.lit(pending_after_ts), F.lit("pending"))
+        .when(
+            F.col("commit_ts")
+            >= (
+                pending_after_ts
+                if isinstance(pending_after_ts, Column)
+                else F.lit(pending_after_ts)
+            ),
+            F.lit("pending"),
+        )
         .otherwise(F.lit("error"))
     )
     return joined.select(
