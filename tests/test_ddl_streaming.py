@@ -1,0 +1,135 @@
+"""Live DDL in the streaming changefeed — ddl_sequence-style e2e:
+time-ordered micro-batches, ADD COLUMN takes effect at the barrier, earlier
+rows backfill NULL, applied-DDL state survives replayed old batches.
+"""
+
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from tiflow_spark.config import TaskConfig
+from tiflow_spark.envelope import events_to_changes, load_table
+from tiflow_spark.sources.ddl_stream import ddl_stream
+
+
+@pytest.fixture()
+def chunks(spark, sf_dir, tmp_path):
+    """Envelope split into 3 time-ordered files (v1 / v2 / v3 windows)."""
+    events = load_table(spark, sf_dir, "events")
+    env = events_to_changes(events)
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    ).collect()[0]
+    b1 = b.t0 + (b.t1 - b.t0) * 4 // 12  # ADD COLUMN note
+    b2 = b.t0 + (b.t1 - b.t0) * 8 // 12  # ADD COLUMN tier
+    src = str(tmp_path / "source")
+    for lo, hi in ((None, b1), (b1, b2), (b2, None)):
+        part = env
+        if lo is not None:
+            part = part.filter(F.col("commit_ts") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("commit_ts") < hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file mod-time ordering = arrival ordering
+    return src, events, b2
+
+
+def test_streaming_ddl_schema_evolution_at_barrier(spark, tmp_path, chunks):
+    from tiflow_spark.streaming.pipeline import (
+        DDLStreamingTarget,
+        run_changefeed_with_ddl,
+    )
+
+    src, events, b2 = chunks
+    schemas = []
+
+    class Recording(DDLStreamingTarget):
+        def merge_batch(self, batch, batch_id):
+            super().merge_batch(batch, batch_id)
+            cols = batch.sparkSession.read.parquet(self.target_path).columns
+            schemas.append(sorted(cols))
+
+    import tiflow_spark.streaming.pipeline as pipe
+
+    orig = pipe.DDLStreamingTarget
+    pipe.DDLStreamingTarget = Recording
+    # run_changefeed_with_ddl instantiates DDLStreamingTarget directly;
+    # patch by calling the class ourselves
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+    registry = registry_from_ddl(ddl_stream(events)).filter(
+        F.col("table") == "events"
+    )
+    work = str(tmp_path / "work")
+    import os
+
+    target = Recording(
+        target_path=os.path.join(work, "target"),
+        progress_path=os.path.join(work, "progress"),
+        registry=registry,
+    )
+    from tiflow_spark.streaming.pipeline import (
+        read_change_stream,
+        transform_stream,
+    )
+
+    stream = read_change_stream(spark, src, max_files=1)
+    q = (
+        transform_stream(stream, TaskConfig())
+        .writeStream.foreachBatch(target.merge_batch)
+        .option("checkpointLocation", os.path.join(work, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pipe.DDLStreamingTarget = orig
+
+    assert len(schemas) == 3
+    # tier arrives ONLY once the barrier batch (v3 events) applies
+    assert "tier" not in schemas[0] and "tier" not in schemas[1]
+    assert "tier" in schemas[2]
+
+    final = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(work, "target")
+    )
+    # keys whose last event predates the tier DDL: NULL tier; v3 keys: 'std'
+    rows = final.select("key", "commit_ts", "tier").collect()
+    for r in rows:
+        if r.commit_ts >= b2:
+            assert r.tier == "std"
+        else:
+            assert r.tier is None
+    # applied-DDL state persisted: a replayed OLD batch keeps tier
+    old_env = events_to_changes(events).filter(
+        F.col("commit_ts") < b2
+    ).limit(50)
+    from tiflow_spark.operators import transforms as tfm
+
+    target.merge_batch(tfm.split_updates(tfm.route(old_env, TaskConfig())), 99)
+    again = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(work, "target")
+    )
+    assert "tier" in again.columns
+
+
+def test_run_changefeed_with_ddl_api(spark, tmp_path, chunks):
+    """Public API end-to-end: DML file source + DDL side-channel →
+    evolved, correctly backfilled target."""
+    import os
+
+    from tiflow_spark.streaming.pipeline import run_changefeed_with_ddl
+
+    src, events, b2 = chunks
+    work = str(tmp_path / "work_api")
+    _, target = run_changefeed_with_ddl(
+        spark, src, TaskConfig(), work, ddl_stream(events)
+    )
+    final = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(work, "target")
+    )
+    assert "tier" in final.columns and "note" in final.columns
+    n_std = final.filter(F.col("tier") == "std").count()
+    n_expected = final.filter(F.col("commit_ts") >= b2).count()
+    assert n_std == n_expected > 0

@@ -68,7 +68,9 @@ ENVELOPE_SCHEMA = T.StructType(
 )
 
 
-def read_change_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_change_stream(
+    spark: SparkSession, source_dir: str, max_files: int = 8
+) -> DataFrame:
     """File-based CDC source: envelope-parquet files appearing in a directory
     (mirror of the reference's cloud-storage source / kafka-consumer input).
 
@@ -76,7 +78,7 @@ def read_change_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     reference implements with memory quotas (processor/memquota)."""
     return (
         spark.readStream.schema(ENVELOPE_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files)
         .parquet(source_dir)
     )
 
@@ -165,6 +167,124 @@ def run_changefeed(
     )
     if await_termination:
         q.awaitTermination()
+    return q, target
+
+
+class DDLStreamingTarget(StreamingTarget):
+    """Streaming target with live DDL-driven schema evolution — the
+    reference's ddl_sequence scenario (cdc/owner/ddl_manager.go:508 barrier
+    + cdc/entry/schema_storage.go HandleDDLJob + mounter backfill).
+
+    Each micro-batch decodes its events against the registry version in
+    effect at their commit_ts (as-of join against the DDL-derived registry)
+    and a column introduced by an ADD COLUMN DDL reaches the target only
+    once a batch contains events at-or-past that DDL — i.e. after every
+    earlier DML has drained, which is exactly the barrier ordering. The
+    per-batch max-version probe is a tiny driver-side aggregate (the same
+    role the owner's barrier tick plays)."""
+
+    def __init__(
+        self,
+        target_path: str,
+        progress_path: str,
+        registry,
+        logical_table: str = "events",
+        n_buckets: int = 32,
+    ):
+        super().__init__(
+            target_path=target_path,
+            progress_path=progress_path,
+            n_buckets=n_buckets,
+        )
+        self.registry = registry
+        self.logical_table = logical_table
+        self._state_path = f"{target_path}.ddl_state.json"
+
+    def _load_applied_version(self) -> int:
+        import json
+
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)["version"]
+        return 1
+
+    def _save_applied_version(self, v: int) -> None:
+        import json
+
+        with open(self._state_path, "w") as f:
+            json.dump({"version": v}, f)
+
+    def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+        from tiflow_spark.sources.schema_registry import (
+            asof_resolve,
+            decode_with_schema,
+        )
+
+        env = batch.withColumn("logical_table", F.lit(self.logical_table))
+        dec = decode_with_schema(asof_resolve(env, self.registry))
+        vmax = dec.agg(F.max("version_no")).collect()[0][0] or 1
+        # applied-DDL state persists across batches AND restarts — a
+        # replayed batch of pre-DDL events must never narrow the evolved
+        # target schema (the reference checkpoints executed DDL the same
+        # way, ddl_manager's checkpointTs)
+        applied = max(vmax, self._load_applied_version())
+        self._save_applied_version(applied)
+        last = last_state_per_key(dec, self.table_col)
+        cols = [
+            F.col(self.table_col).alias("target_table"),
+            F.col("key"),
+            F.col("op"),
+            F.col("commit_ts"),
+            F.col("seq"),
+            F.col("after.id").alias("id"),
+            F.col("after.balance").alias("balance"),
+            F.col("note_resolved").alias("note"),
+        ]
+        if applied >= 3:  # barrier passed → ADD COLUMN tier takes effect
+            cols.append(F.col("tier_resolved").alias("tier"))
+        merge_hash_bucketed(
+            last.select(*cols),
+            self.target_path,
+            n_buckets=self.n_buckets,
+            key_cols=("target_table", self.key_col),
+            table_col="target_table",
+            batch_id=batch_id,
+        )
+
+
+def run_changefeed_with_ddl(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: TaskConfig,
+    work_dir: str,
+    ddl: DataFrame,
+    logical_table: str = "events",
+    max_files: int = 8,
+):
+    """Changefeed consuming BOTH channels: DML from the file source, DDL
+    from the side-channel. The registry folds from the DDL stream
+    (HandleDDLJob analog) and the target schema evolves at the barrier."""
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+    registry = registry_from_ddl(ddl).filter(
+        F.col("table") == logical_table
+    )
+    target = DDLStreamingTarget(
+        target_path=os.path.join(work_dir, "target"),
+        progress_path=os.path.join(work_dir, "progress"),
+        registry=registry,
+        logical_table=logical_table,
+    )
+    stream = read_change_stream(spark, source_dir, max_files)
+    transformed = transform_stream(stream, cfg)
+    q = (
+        transformed.writeStream.foreachBatch(target.merge_batch)
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return q, target
 
 
