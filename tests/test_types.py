@@ -153,3 +153,49 @@ def test_csv_roundtrip_typed_payload(spark):
     assert got[2].status == 'quo"te' and got[2].bin_b64 == "aGVsbG8="
     assert got[2].ratio is None
     assert got[3].op == "D" and got[3].ubig == 7
+
+
+def test_canal_json_renders_typed_mysql_types(spark):
+    """Canal-JSON mysqlType/sqlType maps must honor ColumnSpec metadata
+    (enum value lists, unsigned, binary) — canal_json_message.go
+    getMySQLType / JavaSQLType parity for the §1.2 types."""
+    import json
+
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.types import ColumnSpec, table_schema
+
+    payload = table_schema(
+        [
+            ColumnSpec("id", "bigint", primary_key=True),
+            ColumnSpec("cnt", "bigint", unsigned=True),
+            ColumnSpec("status", "enum", enum_values=("on", "off")),
+            ColumnSpec("payload", "blob", binary=True),
+        ]
+    )
+    env_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+        ]
+    )
+    from decimal import Decimal
+
+    env = spark.createDataFrame(
+        [("I", "s", "t", 1000, 1, None, (7, Decimal(5), 1, b"\x01\x02"))],
+        env_schema,
+    )
+    out = encode_canal_json(env).collect()[0]
+    msg = json.loads(out.value)
+    assert msg["mysqlType"] == {
+        "id": "bigint",
+        "cnt": "bigint unsigned",
+        "status": "enum('on','off')",
+        "payload": "blob",
+    }
+    assert msg["sqlType"] == {"id": -5, "cnt": 3, "status": 4, "payload": 2004}
+    assert msg["data"][0]["id"] == "7"

@@ -40,6 +40,42 @@ _MYSQL_TYPES = {
 }
 
 
+def _mysql_type_of(f: T.StructField) -> str:
+    """MySQL display type for a field — honors types.py ColumnSpec metadata
+    (enum/set value lists, unsigned flag, binary flag) the way the
+    reference renders mysqlType from TableInfo
+    (canal_json_message.go getMySQLType)."""
+    meta = f.metadata or {}
+    mt = meta.get("mysqlType")
+    if mt in ("enum", "set") and meta.get("values"):
+        vals = ",".join(f"'{v}'" for v in meta["values"])
+        return f"{mt}({vals})"
+    if mt:
+        return f"{mt} unsigned" if meta.get("unsigned") else mt
+    if isinstance(f.dataType, T.BinaryType):
+        return "blob"
+    if isinstance(f.dataType, T.DecimalType):
+        return "decimal"
+    return _MYSQL_TYPES[f.dataType]
+
+
+def _java_sql_type_of(f: T.StructField) -> int:
+    """java.sql.Types code per column (reference JavaSQLType mapping):
+    enum/set/bit → INTEGER/BIT, unsigned-overflow decimals → DECIMAL(3),
+    binary → BLOB(2004)."""
+    meta = f.metadata or {}
+    mt = meta.get("mysqlType")
+    if mt in ("enum", "set"):
+        return 4  # Types.INTEGER — canal carries the numeric value
+    if mt == "bit":
+        return -7  # Types.BIT
+    if isinstance(f.dataType, T.DecimalType):
+        return 3  # Types.DECIMAL
+    if isinstance(f.dataType, T.BinaryType):
+        return 2004  # Types.BLOB
+    return _JAVA_SQL_TYPES[f.dataType]
+
+
 def _image_map(side: str, fields: list[T.StructField]) -> Column:
     """Column image as map<string,string> (canal stringifies values)."""
     kv: list[Column] = []
@@ -55,14 +91,14 @@ def encode_canal_json(env: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> Da
         *[
             c
             for f in fields
-            for c in (F.lit(f.name), F.lit(_JAVA_SQL_TYPES[f.dataType]))
+            for c in (F.lit(f.name), F.lit(_java_sql_type_of(f)))
         ]
     )
     mysql_type = F.create_map(
         *[
             c
             for f in fields
-            for c in (F.lit(f.name), F.lit(_MYSQL_TYPES[f.dataType]))
+            for c in (F.lit(f.name), F.lit(_mysql_type_of(f)))
         ]
     )
     event_type = (

@@ -29,6 +29,12 @@ def order_cols():
     return [F.col("commit_ts"), F.col("seq"), op_weight()]
 
 
+def _order_key() -> F.Column:
+    """Composite event-order key as a struct (lexicographic comparison) —
+    unique per key since seq is unique."""
+    return F.struct(F.col("commit_ts"), F.col("seq"), op_weight())
+
+
 def compact(env: DataFrame, table_col: str = "table") -> DataFrame:
     """Net change per (table, key): first-op/last-op recombination.
 
@@ -36,20 +42,29 @@ def compact(env: DataFrame, table_col: str = "table") -> DataFrame:
     operation, before = first event's before, after = last event's after,
     commit_ts/start_ts/seq = the last event's (the net change is observed at
     the last change's timestamp, compactor.go:163).
-    """
-    w = Window.partitionBy(table_col, "key").orderBy(*order_cols())
-    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    enriched = env.select(
-        "*",
-        F.row_number().over(w).alias("_rn"),
-        F.count(F.lit(1)).over(w_all).alias("_n"),
-        F.first("op").over(w).alias("_first_op"),
-        F.last("op").over(w_all).alias("_last_op"),
-        F.first("before").over(w).alias("_first_before"),
-        F.last("after").over(w_all).alias("_last_after"),
-    ).filter(F.col("_rn") == F.col("_n"))  # keep only the last row per key
 
-    first_op, last_op = F.col("_first_op"), F.col("_last_op")
+    Shape: a hash aggregation with max_by/min_by over the composite order
+    key — partial (map-side) combine, so the shuffle carries one row per
+    key per map task instead of the whole stream, and no sort is needed.
+    (The windowed form sorts every partition; at 100 TB the sort and the
+    unsalvageable full-row shuffle dominate.)
+    """
+    ordk = _order_key()
+    others = [c for c in env.columns if c not in (table_col, "key")]
+    g = env.groupBy(table_col, "key").agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), ordk).alias("_last"),
+        F.min_by(F.col("op"), ordk).alias("_first_op"),
+        F.min_by(F.col("before"), ordk).alias("_first_before"),
+    )
+    flat = g.select(
+        *[
+            F.col(c) if c in (table_col, "key") else F.col(f"_last.{c}").alias(c)
+            for c in env.columns
+        ],
+        "_first_op",
+        "_first_before",
+    )
+    first_op, last_op = F.col("_first_op"), F.col("op")
     # net op truth table
     net_op = (
         F.when((first_op == "I") & (last_op == "D"), F.lit(None).cast("string"))
@@ -59,30 +74,34 @@ def compact(env: DataFrame, table_col: str = "table") -> DataFrame:
         .when(first_op == "D", F.lit("U"))  # D..I → REPLACE-shaped update
         .otherwise(F.lit("U"))
     )
-    out = (
-        enriched.withColumn("op", net_op)
-        .filter(F.col("op").isNotNull())  # I..D annihilates
+    return (
+        flat.withColumn("_net", net_op)
+        .filter(F.col("_net").isNotNull())  # I..D annihilates
         .withColumn(
             "before",
-            F.when(F.col("op").isin("U", "D"), F.col("_first_before")),
+            F.when(F.col("_net").isin("U", "D"), F.col("_first_before")),
         )
         .withColumn(
             "after",
-            F.when(F.col("op").isin("I", "U"), F.col("_last_after")),
+            F.when(F.col("_net").isin("I", "U"), F.col("after")),
         )
-        .drop("_rn", "_n", "_first_op", "_last_op", "_first_before", "_last_after")
+        .withColumn("op", F.col("_net"))
+        .drop("_net", "_first_op", "_first_before")
     )
-    return out
 
 
 def last_state_per_key(env: DataFrame, table_col: str = "table") -> DataFrame:
     """Just the final event per key (no truth-table recombination) — the
-    dedup primitive used by the MERGE applier (max-ts-wins)."""
-    w = Window.partitionBy(table_col, "key").orderBy(
-        *[c.desc() for c in order_cols()]
+    dedup primitive used by the MERGE applier (max-ts-wins). Same
+    map-side-combining max_by aggregation shape as compact()."""
+    ordk = _order_key()
+    others = [c for c in env.columns if c not in (table_col, "key")]
+    g = env.groupBy(table_col, "key").agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), ordk).alias("_last")
     )
-    return (
-        env.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    return g.select(
+        *[
+            F.col(c) if c in (table_col, "key") else F.col(f"_last.{c}").alias(c)
+            for c in env.columns
+        ]
     )

@@ -2058,3 +2058,47 @@ def q_codec_craft(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.codecs.craft import decode_craft, encode_craft
 
     return decode_craft(encode_craft(_env(spark, sf_dir)))
+
+
+@register(
+    "snapshot_chunks",
+    """WITH b AS (SELECT min(c_custkey) AS lo, max(c_custkey) AS hi
+                  FROM customer),
+    marks AS (SELECT lo + (hi - lo) * 1 // 4 AS b1,
+                     lo + (hi - lo) * 2 // 4 AS b2,
+                     lo + (hi - lo) * 3 // 4 AS b3 FROM b)
+    SELECT chunk_id, count(*) AS cnt,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM (SELECT CASE WHEN c_custkey < b1 THEN 0
+                      WHEN c_custkey < b2 THEN 1
+                      WHEN c_custkey < b3 THEN 2 ELSE 3 END AS chunk_id,
+                 c_custkey
+          FROM customer CROSS JOIN marks)
+    GROUP BY 1""",
+)
+def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked snapshot export (dm/dumpling; sync_diff splitter/chunk
+    iterators): plan fixed-width chunk predicates over the PK domain, scan
+    each chunk as its own partition (the N-parallel-range-scan shape of
+    chunked JDBC), and report per-chunk row counts + key ranges. The
+    min/max pre-query mirrors the reference's chunk planner."""
+    from functools import reduce
+
+    from tiflow_spark.sources.jdbc_source import ChunkSpec, chunk_predicates
+
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.agg(
+        F.min("c_custkey").alias("lo"), F.max("c_custkey").alias("hi")
+    ).collect()[0]
+    bounds = [b.lo + (b.hi - b.lo) * i // 4 for i in (1, 2, 3)]
+    preds = chunk_predicates(ChunkSpec("c_custkey", bounds))
+    parts = [
+        cust.filter(F.expr(p)).withColumn("chunk_id", F.lit(i))
+        for i, p in enumerate(preds)
+    ]
+    union = reduce(DataFrame.unionByName, parts)
+    return union.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
