@@ -106,3 +106,18 @@ def test_fk_causality_colocates_parent_and_child(spark):
     assert pid[("events_0", "10")] == pid[("events_2", "901")]
     # parent 11 and its child share a partition
     assert pid[("events_0", "11")] == pid[("events_1", "902")]
+
+
+def test_optimistic_lock_status_lag_and_conflict(spark, sf_dir):
+    """shard_2 lags on events.note (unsynced, no conflict); scratch.flag is
+    varchar-vs-int across shards (conflict pauses the table)."""
+    from tiflow_spark.sources.ddl_stream import optimistic_shard_ddl
+    from tiflow_spark.streaming.shardddl import optimistic_lock_status
+
+    ddl = optimistic_shard_ddl(load_table(spark, sf_dir, "events"))
+    rows = {(r.table, r.shard): r for r in optimistic_lock_status(ddl).collect()}
+    ev0, ev2 = rows[("events", "shard_0")], rows[("events", "shard_2")]
+    assert ev0.synced is True and ev0.n_conflicts == 0
+    assert ev2.synced is False and ev2.n_cols == 3 and ev2.n_joined == 4
+    sc = rows[("scratch", "shard_0")]
+    assert sc.n_conflicts == 1 and sc.synced is False

@@ -2102,3 +2102,64 @@ def q_snapshot_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@register(
+    "shardddl_optimistic",
+    """WITH opt_bounds AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    opt_ddl AS (
+      SELECT v.shard, v.table_name AS "table",
+             t0 + (t1 - t0) * v.pos12 // 12 AS commit_ts,
+             v.ddl_type, v.col_name, v.col_type
+      FROM opt_bounds CROSS JOIN (VALUES
+        ('shard_0', 0, 'create table', 'events', 'id', 'bigint'),
+        ('shard_0', 0, 'create table', 'events', 'balance', 'double'),
+        ('shard_1', 0, 'create table', 'events', 'id', 'bigint'),
+        ('shard_1', 0, 'create table', 'events', 'balance', 'double'),
+        ('shard_2', 0, 'create table', 'events', 'id', 'bigint'),
+        ('shard_2', 0, 'create table', 'events', 'balance', 'double'),
+        ('shard_0', 4, 'add column', 'events', 'note', 'varchar'),
+        ('shard_1', 6, 'add column', 'events', 'note', 'varchar'),
+        ('shard_0', 8, 'add column', 'events', 'tier', 'varchar'),
+        ('shard_1', 10, 'add column', 'events', 'tier', 'varchar'),
+        ('shard_2', 11, 'add column', 'events', 'tier', 'varchar'),
+        ('shard_0', 5, 'add column', 'scratch', 'flag', 'varchar'),
+        ('shard_1', 7, 'add column', 'scratch', 'flag', 'int')
+      ) AS v(shard, pos12, ddl_type, table_name, col_name, col_type)
+    ),
+    cols AS (SELECT DISTINCT shard, "table", col_name, col_type FROM opt_ddl),
+    per_table AS (
+      SELECT "table", count(DISTINCT col_name) AS n_joined FROM cols GROUP BY 1
+    ),
+    conflicts AS (
+      SELECT "table",
+             CAST(sum(CASE WHEN n_types > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conflicts
+      FROM (SELECT "table", col_name, count(DISTINCT col_type) AS n_types
+            FROM cols GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    per_shard AS (
+      SELECT "table", shard, count(DISTINCT col_name) AS n_cols
+      FROM cols GROUP BY 1, 2
+    )
+    SELECT s."table", s.shard, s.n_cols, t.n_joined, c.n_conflicts,
+           s.n_cols = t.n_joined AND c.n_conflicts = 0 AS synced
+    FROM per_shard s
+    JOIN per_table t ON s."table" = t."table"
+    JOIN conflicts c ON s."table" = c."table" """,
+)
+def q_shardddl_optimistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic shard-DDL lock status (dm/pkg/shardddl/optimism,
+    dm/syncer/shardddl/optimist.go): per target table the coordinator
+    tracks the lattice-JOINED schema across shards; lagging shards (missing
+    joined columns) keep replicating with NULL backfill, incompatible
+    column types pause the table. Demo: shard_2 lags on `events.note`;
+    `scratch.flag` is added varchar-vs-int — a conflict."""
+    from tiflow_spark.sources.ddl_stream import optimistic_shard_ddl
+    from tiflow_spark.streaming.shardddl import optimistic_lock_status
+
+    ddl = optimistic_shard_ddl(load_table(spark, sf_dir, "events"))
+    return optimistic_lock_status(ddl)

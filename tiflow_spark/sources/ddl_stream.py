@@ -228,3 +228,73 @@ def registry_from_ddl(
         .select("table", "version_ts", "version_no", "columns", "defaults",
                 "_defs")
     )
+
+
+# ------------------------------------------------- optimistic shard-DDL mode
+
+# (shard, pos12, ddl_type, table, col_name, col_type): each shard applies
+# DDL independently at its own pace (dm/pkg/shardddl/optimism). shard_2
+# never applies ADD COLUMN note (lagging member); `scratch.flag` is added
+# with DIFFERENT types by the two shards (the lattice-incompatible case
+# tidb schemacmp flags as a conflict).
+_OPT_TEMPLATES = [
+    ("shard_0", 0, "create table", "events", "id", "bigint"),
+    ("shard_0", 0, "create table", "events", "balance", "double"),
+    ("shard_1", 0, "create table", "events", "id", "bigint"),
+    ("shard_1", 0, "create table", "events", "balance", "double"),
+    ("shard_2", 0, "create table", "events", "id", "bigint"),
+    ("shard_2", 0, "create table", "events", "balance", "double"),
+    ("shard_0", 4, "add column", "events", "note", "varchar"),
+    ("shard_1", 6, "add column", "events", "note", "varchar"),
+    ("shard_0", 8, "add column", "events", "tier", "varchar"),
+    ("shard_1", 10, "add column", "events", "tier", "varchar"),
+    ("shard_2", 11, "add column", "events", "tier", "varchar"),
+    ("shard_0", 5, "add column", "scratch", "flag", "varchar"),
+    ("shard_1", 7, "add column", "scratch", "flag", "int"),
+]
+
+
+def optimistic_shard_ddl(events: DataFrame) -> DataFrame:
+    """Per-shard DDL application stream for optimistic mode: shards run the
+    same logical migration at independent times (dm/syncer/shardddl/
+    optimist.go); commit timestamps derive from the event-stream range like
+    ddl_stream()."""
+    spark = events.sparkSession
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    tpl = spark.createDataFrame(
+        _OPT_TEMPLATES,
+        "shard string, pos12 long, ddl_type string, table string, "
+        "col_name string, col_type string",
+    )
+    return bounds.crossJoin(F.broadcast(tpl)).select(
+        "shard",
+        "table",
+        (F.col("t0") + F.expr("(t1 - t0) * pos12 div 12")).alias("commit_ts"),
+        "ddl_type",
+        "col_name",
+        "col_type",
+    )
+
+
+def _opt_values_sql() -> str:
+    rows = ",\n    ".join(
+        "('%s', %d, '%s', '%s', '%s', '%s')" % r for r in _OPT_TEMPLATES
+    )
+    return rows
+
+
+OPTIMISTIC_DDL_SQL_DUCKDB = f"""
+opt_bounds AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+),
+opt_ddl AS (
+  SELECT v.shard, v.table_name AS "table",
+         t0 + (t1 - t0) * v.pos12 // 12 AS commit_ts,
+         v.ddl_type, v.col_name, v.col_type
+  FROM opt_bounds CROSS JOIN (VALUES
+    {_opt_values_sql()}
+  ) AS v(shard, pos12, ddl_type, table_name, col_name, col_type)
+)"""

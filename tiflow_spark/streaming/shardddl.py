@@ -55,3 +55,45 @@ def gate_ddl(env: DataFrame, barrier: DataFrame) -> DataFrame:
         .filter((F.col("op") != "DDL") | F.col("barrier_ready"))
         .drop("barrier_ready")
     )
+
+
+def optimistic_lock_status(shard_ddl: DataFrame) -> DataFrame:
+    """Optimistic shard-DDL lock status (dm/pkg/shardddl/optimism;
+    dm/syncer/shardddl/optimist.go): shards apply DDL independently; the
+    coordinator tracks, per target table, the JOINED schema (union of all
+    shards' columns — tidb schemacmp's lattice join) and flags
+
+    - lagging shards: missing columns of the joined schema (their DML still
+      replicates — absent columns backfill NULL/default), and
+    - conflicts: a column added with incompatible types across shards
+      (lattice join undefined → replication must pause for that table).
+
+    Pure aggregations + one broadcast join of tiny per-table totals; no
+    driver-side state."""
+    cols = shard_ddl.select("shard", "table", "col_name", "col_type").distinct()
+    per_table = cols.groupBy("table").agg(
+        F.countDistinct("col_name").alias("n_joined"),
+    )
+    conflicts = (
+        cols.groupBy("table", "col_name")
+        .agg(F.countDistinct("col_type").alias("n_types"))
+        .groupBy("table")
+        .agg(
+            F.sum((F.col("n_types") > 1).cast("long")).alias("n_conflicts")
+        )
+    )
+    per_shard = cols.groupBy("table", "shard").agg(
+        F.countDistinct("col_name").alias("n_cols")
+    )
+    totals = per_table.join(conflicts, "table")
+    return per_shard.join(F.broadcast(totals), "table").select(
+        "table",
+        "shard",
+        "n_cols",
+        "n_joined",
+        "n_conflicts",
+        (
+            (F.col("n_cols") == F.col("n_joined"))
+            & (F.col("n_conflicts") == 0)
+        ).alias("synced"),
+    )
