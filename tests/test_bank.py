@@ -116,7 +116,9 @@ def test_bank_balance_conserved_at_every_syncpoint(spark, tmp_path):
         )
 
     # final per-account state must equal the directly-computed ledger
-    final = spark.read.parquet(str(tmp_path / "work" / "target"))
+    from tiflow_spark.sinks.bucketed import read_state
+
+    final = read_state(spark, str(tmp_path / "work" / "target"))
     got = {int(r.key): r.balance for r in final.collect()}
     assert got == pytest.approx(final_bal)
 

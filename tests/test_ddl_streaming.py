@@ -95,7 +95,9 @@ def test_streaming_ddl_schema_evolution_at_barrier(spark, tmp_path, chunks):
         os.path.join(work, "target")
     )
     # keys whose last event predates the tier DDL: NULL tier; v3 keys: 'std'
-    rows = final.select("key", "commit_ts", "tier").collect()
+    rows = final.filter(F.col("op") != "D").select(
+        "key", "commit_ts", "tier"
+    ).collect()
     for r in rows:
         if r.commit_ts >= b2:
             assert r.tier == "std"
@@ -130,6 +132,7 @@ def test_run_changefeed_with_ddl_api(spark, tmp_path, chunks):
         os.path.join(work, "target")
     )
     assert "tier" in final.columns and "note" in final.columns
-    n_std = final.filter(F.col("tier") == "std").count()
-    n_expected = final.filter(F.col("commit_ts") >= b2).count()
+    live = final.filter(F.col("op") != "D")
+    n_std = live.filter(F.col("tier") == "std").count()
+    n_expected = live.filter(F.col("commit_ts") >= b2).count()
     assert n_std == n_expected > 0

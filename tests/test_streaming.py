@@ -39,7 +39,9 @@ def test_streaming_apply_matches_batch(spark, sf_dir, work_dir):
 
     q, target = run_changefeed(spark, src, DEMO_CFG, work_dir)
 
-    applied = spark.read.parquet(target.target_path)
+    from tiflow_spark.sinks.bucketed import read_state
+
+    applied = read_state(spark, target.target_path)
 
     expected = changes_to_state(
         tfm.split_updates(tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)),
@@ -188,15 +190,23 @@ def test_hash_bucket_merge_touches_only_affected_buckets(spark, tmp_path):
     touched = {d for d in before if before[d] != after.get(d, {})}
     # the two keys hash into at most 2 buckets; everything else untouched
     assert len(touched) <= 2, touched
-    final = spark.read.parquet(target)
+    from tiflow_spark.sinks.bucketed import read_state
+
+    final = read_state(spark, target)
     assert final.count() == 199
     assert final.filter(F.col("key") == "3").first().balance == 99.0
     assert final.filter(F.col("key") == "7").count() == 0
 
 
-def test_hash_bucket_merge_clears_emptied_bucket(spark, tmp_path):
-    """Deleting every row of a bucket must drop its stale partition dir."""
-    from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+def test_hash_bucket_delete_leaves_tombstone_until_purge(spark, tmp_path):
+    """A delete leaves a tombstone that (a) hides the row from state reads,
+    (b) outranks a late-arriving OLDER event, and (c) is reclaimed by
+    purge_tombstones once the GC safepoint passes it."""
+    from tiflow_spark.sinks.bucketed import (
+        merge_hash_bucketed,
+        purge_tombstones,
+        read_state,
+    )
 
     target = str(tmp_path / "empty_bucket_target")
 
@@ -211,14 +221,29 @@ def test_hash_bucket_merge_clears_emptied_bucket(spark, tmp_path):
         chg([("t", "a", "I", 1, 1, 1, 1.0, "x")]), target, n_buckets=4,
         batch_id=0,
     )
-    assert spark.read.parquet(target).count() == 1
+    assert read_state(spark, target).count() == 1
     merge_hash_bucketed(
-        chg([("t", "a", "D", 2, 2, 1, 0.0, None)]), target, n_buckets=4,
+        chg([("t", "a", "D", 5, 5, 1, 0.0, None)]), target, n_buckets=4,
         batch_id=1,
     )
+    assert read_state(spark, target).count() == 0
+    # late-arriving event OLDER than the delete must NOT resurrect the row
+    merge_hash_bucketed(
+        chg([("t", "a", "U", 3, 3, 1, 9.0, "late")]), target, n_buckets=4,
+        batch_id=2,
+    )
+    assert read_state(spark, target).count() == 0
+    # GC safepoint passes the delete -> tombstone physically reclaimed
+    purge_tombstones(spark, target, safepoint_ts=5)
     import os
-    remaining = [d for d in os.listdir(target) if d.startswith("bucket=")]
-    assert remaining == []
+
+    assert not any(d.startswith("bucket=") for d in os.listdir(target))
+    # a NEWER insert after the purge resurrects the key normally
+    merge_hash_bucketed(
+        chg([("t", "a", "I", 9, 9, 1, 2.0, "back")]), target, n_buckets=4,
+        batch_id=3,
+    )
+    assert read_state(spark, target).first().balance == 2.0
 
 
 def test_hash_bucket_merge_evolves_schema_on_add_column(spark, tmp_path):
@@ -249,3 +274,41 @@ def test_hash_bucket_merge_evolves_schema_on_add_column(spark, tmp_path):
     assert "tier" in final.columns
     got = {r.key: r.tier for r in final.collect()}
     assert got == {"1": None, "2": None, "3": "gold"}
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, work_dir):
+    """Stop-and-resume: a second run with the SAME checkpoint must process
+    only newly arrived files, and the final state must equal the one-shot
+    batch result (the reference's changefeed pause/resume contract)."""
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+
+    first_half = env.filter(F.col("seq") % 2 == 0)
+    second_half = env.filter(F.col("seq") % 2 == 1)
+
+    first_half.coalesce(2).write.mode("append").parquet(src)
+    run_changefeed(spark, src, DEMO_CFG, work_dir)
+    n_batches_first = spark.read.parquet(f"{work_dir}/progress").count()
+
+    # new files arrive; resume from the SAME checkpoint
+    second_half.coalesce(2).write.mode("append").parquet(src)
+    run_changefeed(spark, src, DEMO_CFG, work_dir)
+    prog = spark.read.parquet(f"{work_dir}/progress")
+    # resumed run added batches rather than reprocessing from scratch
+    assert prog.count() > n_batches_first
+    total_events = prog.agg(F.sum("events")).collect()[0][0]
+    n_expected_events = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    ).count()
+    assert total_events == n_expected_events, "events processed exactly once"
+
+    from tiflow_spark.sinks.bucketed import read_state
+
+    applied = read_state(spark, f"{work_dir}/target")
+    expected = changes_to_state(
+        tfm.split_updates(tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)),
+        table_col="target_table",
+    )
+    a = applied.select("target_table", "key", "id", "balance", "note")
+    assert a.exceptAll(expected).count() == 0
+    assert expected.exceptAll(a).count() == 0

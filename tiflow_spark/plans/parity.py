@@ -421,7 +421,9 @@ def q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chunk in (2, 0, 1):
         env.filter(F.col("seq") % 3 == chunk).write.mode("append").parquet(src)
     _, target = run_changefeed(spark, src, DEMO_CFG, work)
-    return spark.read.parquet(target.target_path).select(
+    from tiflow_spark.sinks.bucketed import read_state
+
+    return read_state(spark, target.target_path).select(
         "target_table", "key", "id", "balance", "note"
     )
 
@@ -2163,3 +2165,79 @@ def q_shardddl_optimistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ddl = optimistic_shard_ddl(load_table(spark, sf_dir, "events"))
     return optimistic_lock_status(ddl)
+
+
+@register(
+    "cdc_typed_apply",
+    """WITH tenv AS (
+      SELECT
+        CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+             ELSE 'U' END AS op,
+        epoch_us(ts) AS commit_ts, event_id AS seq,
+        CAST(user_id AS VARCHAR) AS key,
+        user_id AS id,
+        CAST(CASE WHEN event_id % 5 = 0
+                  THEN CAST(-(event_id * 1000 + 1) AS HUGEINT)
+                       + 18446744073709551616
+                  ELSE event_id END AS VARCHAR) AS cnt,
+        CASE CAST(1 + event_id % 3 AS INT)
+          WHEN 1 THEN 'active' WHEN 2 THEN 'inactive' ELSE 'banned'
+        END AS status,
+        to_base64(encode(props)) AS payload_b64,
+        CASE WHEN event_id % 97 = 0 THEN 0.0 ELSE value END AS ratio
+      FROM events
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY key ORDER BY commit_ts DESC, seq DESC,
+          CASE op WHEN 'D' THEN 0 WHEN 'U' THEN 1 ELSE 2 END DESC) AS rn
+        FROM tenv) WHERE rn = 1
+    )
+    SELECT key, id, cnt, status, payload_b64, ratio
+    FROM last WHERE op <> 'D'""",
+)
+def q_typed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over a SECOND, typed change-stream table — the §1.2
+    types flowing through decode → compact → last-writer-wins apply (not
+    just a decode demo): unsigned BIGINT as DECIMAL(20,0), enum label,
+    base64 binary payload, NaN-coerced double. Proves the engine's apply
+    path is payload-schema-agnostic."""
+    from tiflow_spark.operators.compactor import last_state_per_key
+    from tiflow_spark.types import (
+        coerce_invalid_float,
+        enum_name,
+        text_or_binary,
+        unsigned_bigint,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(e.event_type == "signup", "I")
+        .when(e.event_type == "error", "D")
+        .otherwise("U")
+    )
+    ubig_raw = (
+        F.when(e.event_id % 5 == 0, -(e.event_id * 1000 + 1))
+        .otherwise(e.event_id)
+        .cast("long")
+    )
+    dbl_raw = F.when(e.event_id % 97 == 0, F.expr("double('NaN')")).otherwise(
+        e.value
+    )
+    tenv = e.select(
+        op.alias("op"),
+        F.unix_micros(e.ts).alias("commit_ts"),
+        e.event_id.alias("seq"),
+        e.user_id.cast("string").alias("key"),
+        e.user_id.alias("id"),
+        unsigned_bigint(ubig_raw).cast("string").alias("cnt"),
+        enum_name((1 + e.event_id % 3).cast("long"),
+                  ("active", "inactive", "banned")).alias("status"),
+        F.base64(text_or_binary(e.props, True)).alias("payload_b64"),
+        coerce_invalid_float(dbl_raw).alias("ratio"),
+    ).withColumn("tbl", F.lit("accounts"))
+    last = last_state_per_key(tenv, "tbl")
+    return last.filter(F.col("op") != "D").select(
+        "key", "id", "cnt", "status", "payload_b64", "ratio"
+    )

@@ -108,9 +108,13 @@ def merge_hash_bucketed(
     ).persist()
     try:
         if not os.path.exists(path):
-            result = last_state_per_key(chg, table_col).filter(
-                F.col("op") != "D"
-            ).drop("op")
+            # D winners are RETAINED as tombstones: without them, a
+            # late-arriving event OLDER than an applied delete would
+            # resurrect the row (the reference never sees this — its sorter
+            # + resolved-ts contract delivers per-key in order; a file
+            # source across restarts does not). read_state() filters them;
+            # purge_tombstones() reclaims them below the GC safepoint.
+            result = last_state_per_key(chg, table_col)
             # one file per bucket dir: without this, every writer task sprays
             # a small file into every bucket it sees (32 tasks x 1024 dirs)
             result.repartition(F.col("bucket")).write.mode(
@@ -125,22 +129,18 @@ def merge_hash_bucketed(
         # per batch, the metadata analog of the full-table scan. (Delta/
         # Iceberg get this from the transaction log; plain parquet gets it
         # from the explicit dir list.)
-        from pyspark.sql import types as T
-
-        target_schema = T.StructType(
-            [f for f in chg.schema.fields if f.name != "op"]
-        )
         existing = [
             p
             for b in affected
             if os.path.isdir(p := os.path.join(path, f"bucket={b}"))
         ]
         if existing:
+            # stored rows keep their op (D rows are tombstones and must keep
+            # outranking older late arrivals)
             current = (
-                spark.read.schema(target_schema)
+                spark.read.schema(chg.schema)
                 .option("basePath", path)
                 .parquet(*existing)
-                .withColumn("op", F.lit("I"))
             )
             src = current.unionByName(chg, allowMissingColumns=True)
         else:
@@ -150,7 +150,7 @@ def merge_hash_bucketed(
             .withColumn("commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))),
             table_col,
         )
-        result = winner.filter(F.col("op") != "D").drop("op")
+        result = winner  # tombstones retained (see above)
         # stage to a tmp dir (the plan reads the same path it overwrites),
         # then commit by directory rename — the classic staged-commit: no
         # second Spark job, and a bucket whose rows were ALL deleted simply
@@ -168,3 +168,35 @@ def merge_hash_bucketed(
         shutil.rmtree(tmp, ignore_errors=True)
     finally:
         chg.unpersist()
+
+
+def read_state(spark: SparkSession, path: str) -> DataFrame:
+    """Live rows of a hash-bucket target: tombstones filtered out. This is
+    the downstream-visible table state."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return df.filter(F.col("op") != "D")
+
+
+def purge_tombstones(
+    spark: SparkSession, path: str, safepoint_ts: int
+) -> None:
+    """Reclaim tombstones with commit_ts <= safepoint_ts (the GC-safepoint
+    analog, pkg/txnutil/gc): once the source guarantees no event at-or-below
+    the safepoint will ever arrive (resolved-ts contract), deletes below it
+    can never be outranked and are physically dropped. Full-target rewrite —
+    run at maintenance cadence, not per batch."""
+    df = spark.read.parquet(path)
+    kept = df.filter(
+        ~((F.col("op") == "D") & (F.col("commit_ts") <= F.lit(safepoint_ts)))
+    )
+    tmp = f"{path}.purge"
+    kept.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
+    for d in os.listdir(path):
+        if d.startswith("bucket="):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for d in os.listdir(tmp):
+        if d.startswith("bucket="):
+            os.rename(os.path.join(tmp, d), os.path.join(path, d))
+    shutil.rmtree(tmp, ignore_errors=True)
