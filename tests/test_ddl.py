@@ -121,3 +121,49 @@ def test_optimistic_lock_status_lag_and_conflict(spark, sf_dir):
     assert ev2.synced is False and ev2.n_cols == 3 and ev2.n_joined == 4
     sc = rows[("scratch", "shard_0")]
     assert sc.n_conflicts == 1 and sc.synced is False
+
+
+def test_gate_ddl_holds_back_unready_targets(spark):
+    """gate_ddl drops DDL events of targets whose barrier isn't ready and
+    passes everything else (per-batch gating, ddl_manager.go:508)."""
+    from tiflow_spark.streaming.shardddl import gate_ddl
+
+    env = spark.createDataFrame(
+        [
+            ("t_ready", "DDL", 10),
+            ("t_lagging", "DDL", 10),
+            ("t_lagging", "I", 9),
+            ("t_ready", "U", 8),
+        ],
+        "target_table string, op string, commit_ts long",
+    )
+    barrier = spark.createDataFrame(
+        [("t_ready", True), ("t_lagging", False)],
+        "target_table string, barrier_ready boolean",
+    )
+    out = gate_ddl(env, barrier).collect()
+    kept = {(r.target_table, r.op) for r in out}
+    assert ("t_ready", "DDL") in kept
+    assert ("t_lagging", "DDL") not in kept  # held back at the barrier
+    assert ("t_lagging", "I") in kept and ("t_ready", "U") in kept
+
+
+def test_asof_resolve_unit_semantics(spark):
+    """Isolated as-of semantics on the hand-seeded fixture registry:
+    version boundaries are inclusive, earliest version covers ts 0."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        demo_registry,
+    )
+
+    reg = demo_registry(spark, (100, 200))
+    events = spark.createDataFrame(
+        [(1, 50), (2, 100), (3, 150), (4, 200), (5, 999)],
+        "seq long, commit_ts long",
+    ).withColumn("logical_table", F.lit("events"))
+    got = {
+        r.seq: r.version_no for r in asof_resolve(events, reg).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 3, 5: 3}

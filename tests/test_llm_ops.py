@@ -101,3 +101,20 @@ def test_multimodal_pipeline_shapes(spark, sf_dir):
     )
     src = media.select("media_id", F.length("payload").cast("long").alias("n"))
     assert reassembled.exceptAll(src).count() == 0
+
+
+def test_multimodal_resize_rewrites_meta_only(spark, sf_dir):
+    """resize stage: meta rewritten to the target dims, payload untouched
+    (pixel work is the stub boundary)."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.llm.multimodal import resize_stub, synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents")).limit(20)
+    out = resize_stub(media, 64, 48)
+    rows = out.select(
+        "meta.width", "meta.height",
+        (F.octet_length("payload") == F.col("meta.n_bytes")).alias("intact"),
+    ).collect()
+    assert all(r.width == 64 and r.height == 48 and r.intact for r in rows)

@@ -40,15 +40,6 @@ def demo_registry(spark: SparkSession, boundaries: tuple[int, int]) -> DataFrame
     )
 
 
-def registry_from_ddl_stream(ddl):
-    """Convenience re-export: the production registry is folded FROM the DDL
-    side-channel (sources/ddl_stream.registry_from_ddl — the HandleDDLJob
-    analog, cdc/entry/schema_storage.go:191). demo_registry above remains
-    only as a hand-seeded fixture for isolated unit tests."""
-    from tiflow_spark.sources.ddl_stream import registry_from_ddl
-
-    return registry_from_ddl(ddl)
-
 
 def asof_resolve(
     events: DataFrame,
