@@ -189,3 +189,15 @@ def test_salted_count_matches_plain_count(spark, sf_dir):
         for r in salted_count(env, ["table"], n_salts=8).collect()
     }
     assert plain == salted
+
+
+def test_compact_agg_strategy_combines_map_side(spark, sf_dir):
+    """strategy='agg' must place partial_max_by BEFORE the exchange — the
+    map-side combine that shrinks the shuffle for hot-key streams."""
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators.compactor import compact
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    plan = compact(env, strategy="agg")._jdf.queryExecution().executedPlan().toString()
+    ex = plan.index("Exchange hashpartitioning")
+    assert "partial_max_by" in plan[ex:], "no map-side combine below exchange"

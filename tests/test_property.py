@@ -157,3 +157,18 @@ def test_changes_to_state_matches_sequential_replay(spark, batch):
         else:
             expect[k] = r[6]
     assert got == {k: v for k, v in expect.items()}
+
+
+def test_compact_strategies_equivalent(spark, sf_dir):
+    """window and agg strategies must produce identical nets on the real
+    envelope (the physical plan differs; the contract may not)."""
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators.compactor import compact, last_state_per_key
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    a = compact(env, strategy="window")
+    b = compact(env, strategy="agg").select(*a.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    la = last_state_per_key(env, strategy="window")
+    lb = last_state_per_key(env, strategy="agg").select(*la.columns)
+    assert la.exceptAll(lb).count() == 0 and lb.exceptAll(la).count() == 0

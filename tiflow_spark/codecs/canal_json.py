@@ -191,3 +191,42 @@ def canal_json_sql_duckdb(
       data: CASE WHEN op = 'D' THEN [{img_map("before")}] ELSE [{img_map("after")}] END,
       old: CASE WHEN op = 'U' THEN [{img_map("before")}] END
     }}) AS value FROM env"""
+
+
+def encode_canal_json_ddl(ddl: DataFrame) -> DataFrame:
+    """DDL events → Canal-JSON DDL messages (the MQ DDL sink,
+    cdc/sink/ddlsink/mq + canal_json_row_event_encoder.go DDL path):
+    isDdl=true, sql = the DDL query, type mapped from the kind taxonomy
+    (CREATE/ALTER/ERASE/TRUNCATE/RENAME/CINDEX/DINDEX per canal's
+    EventType), empty data/old."""
+    event_type = (
+        F.when(F.col("ddl_type").startswith("create table"), "CREATE")
+        .when(F.col("ddl_type").startswith("drop table"), "ERASE")
+        .when(F.col("ddl_type") == "truncate table", "TRUNCATE")
+        .when(F.col("ddl_type") == "rename table", "RENAME")
+        .when(F.col("ddl_type") == "create index", "CINDEX")
+        .when(F.col("ddl_type") == "drop index", "DINDEX")
+        .otherwise("ALTER")
+    )
+    msg = F.struct(
+        F.lit(0).cast("long").alias("id"),
+        F.col("schema").alias("database"),
+        F.col("table").alias("table"),
+        F.lit(None).cast("array<string>").alias("pkNames"),
+        F.lit(True).alias("isDdl"),
+        event_type.alias("type"),
+        F.expr("commit_ts div 1000").alias("es"),
+        F.lit(0).cast("long").alias("ts"),
+        F.col("query").alias("sql"),
+        F.lit(None).cast("map<string,int>").alias("sqlType"),
+        F.lit(None).cast("map<string,string>").alias("mysqlType"),
+        F.lit(None).cast("array<map<string,string>>").alias("data"),
+        F.lit(None).cast("array<map<string,string>>").alias("old"),
+    )
+    return ddl.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+    )

@@ -6,10 +6,18 @@ Reference: dm/syncer/compactor.go:28-230. Truth table (comments :154-162):
 Plus: updates that change the identity key must be split FIRST
 (split_updates), so inside the compactor a key never migrates.
 
-Spark-first shape: a single window over (target_table, key) ordered by
-(commit_ts, seq) — `first` op + `last` image per key give the net change.
-One shuffle on the same (table, key) hash the causality stage and the apply
-stage reuse, so at scale the three stages share one exchange.
+Spark-first shape — TWO physical strategies, one semantic contract:
+
+- ``strategy="window"`` (default): one shuffle on (table, key) + a
+  partition-local sort. Fastest when events-per-key-per-input-partition is
+  ~1 (wide key spaces — the common CDC shape), because a map-side combine
+  has nothing to combine and a struct-comparing max_by only adds overhead
+  (measured ~15-20% slower at sf0.1).
+- ``strategy="agg"``: max_by/min_by hash aggregation over the composite
+  order key. partial_max_by runs BEFORE the exchange, so the shuffle
+  carries one candidate per key per map task — the right plan when keys
+  repeat heavily within input partitions (hot-key update storms, large
+  micro-batches of few keys). Equivalence is property-tested.
 
 Event ordering rule (delete < update < insert at equal commit_ts,
 cdc/model/sink.go:439-452) is encoded as op_weight.
@@ -35,20 +43,60 @@ def _order_key() -> F.Column:
     return F.struct(F.col("commit_ts"), F.col("seq"), op_weight())
 
 
-def compact(env: DataFrame, table_col: str = "table") -> DataFrame:
+def _net_op(first_op, last_op):
+    """The compactor truth table (compactor.go:154-162)."""
+    return (
+        F.when((first_op == "I") & (last_op == "D"), F.lit(None).cast("string"))
+        .when(first_op == "I", F.lit("I"))
+        .when((first_op == "D") & (last_op == "D"), F.lit("D"))
+        .when(last_op == "D", F.lit("D"))
+        .when(first_op == "D", F.lit("U"))  # D..I → REPLACE-shaped update
+        .otherwise(F.lit("U"))
+    )
+
+
+def compact(
+    env: DataFrame, table_col: str = "table", strategy: str = "window"
+) -> DataFrame:
     """Net change per (table, key): first-op/last-op recombination.
 
     Returns one row per key with the same envelope columns; `op` is the net
     operation, before = first event's before, after = last event's after,
     commit_ts/start_ts/seq = the last event's (the net change is observed at
-    the last change's timestamp, compactor.go:163).
-
-    Shape: a hash aggregation with max_by/min_by over the composite order
-    key — partial (map-side) combine, so the shuffle carries one row per
-    key per map task instead of the whole stream, and no sort is needed.
-    (The windowed form sorts every partition; at 100 TB the sort and the
-    unsalvageable full-row shuffle dominate.)
+    the last change's timestamp, compactor.go:163). See module docstring
+    for the strategy choice.
     """
+    if strategy == "agg":
+        return _compact_agg(env, table_col)
+    w = Window.partitionBy(table_col, "key").orderBy(*order_cols())
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    enriched = env.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+        F.first("op").over(w).alias("_first_op"),
+        F.last("op").over(w_all).alias("_last_op"),
+        F.first("before").over(w).alias("_first_before"),
+        F.last("after").over(w_all).alias("_last_after"),
+    ).filter(F.col("_rn") == F.col("_n"))  # keep only the last row per key
+    out = (
+        enriched.withColumn("op", _net_op(F.col("_first_op"), F.col("_last_op")))
+        .filter(F.col("op").isNotNull())  # I..D annihilates
+        .withColumn(
+            "before",
+            F.when(F.col("op").isin("U", "D"), F.col("_first_before")),
+        )
+        .withColumn(
+            "after",
+            F.when(F.col("op").isin("I", "U"), F.col("_last_after")),
+        )
+        .drop("_rn", "_n", "_first_op", "_last_op", "_first_before", "_last_after")
+    )
+    return out
+
+
+def _compact_agg(env: DataFrame, table_col: str) -> DataFrame:
+    """Map-side-combining form: partial_max_by before the exchange."""
     ordk = _order_key()
     others = [c for c in env.columns if c not in (table_col, "key")]
     g = env.groupBy(table_col, "key").agg(
@@ -64,18 +112,8 @@ def compact(env: DataFrame, table_col: str = "table") -> DataFrame:
         "_first_op",
         "_first_before",
     )
-    first_op, last_op = F.col("_first_op"), F.col("op")
-    # net op truth table
-    net_op = (
-        F.when((first_op == "I") & (last_op == "D"), F.lit(None).cast("string"))
-        .when(first_op == "I", F.lit("I"))
-        .when((first_op == "D") & (last_op == "D"), F.lit("D"))
-        .when(last_op == "D", F.lit("D"))
-        .when(first_op == "D", F.lit("U"))  # D..I → REPLACE-shaped update
-        .otherwise(F.lit("U"))
-    )
     return (
-        flat.withColumn("_net", net_op)
+        flat.withColumn("_net", _net_op(F.col("_first_op"), F.col("op")))
         .filter(F.col("_net").isNotNull())  # I..D annihilates
         .withColumn(
             "before",
@@ -90,18 +128,31 @@ def compact(env: DataFrame, table_col: str = "table") -> DataFrame:
     )
 
 
-def last_state_per_key(env: DataFrame, table_col: str = "table") -> DataFrame:
+def last_state_per_key(
+    env: DataFrame, table_col: str = "table", strategy: str = "window"
+) -> DataFrame:
     """Just the final event per key (no truth-table recombination) — the
-    dedup primitive used by the MERGE applier (max-ts-wins). Same
-    map-side-combining max_by aggregation shape as compact()."""
-    ordk = _order_key()
-    others = [c for c in env.columns if c not in (table_col, "key")]
-    g = env.groupBy(table_col, "key").agg(
-        F.max_by(F.struct(*[F.col(c) for c in others]), ordk).alias("_last")
+    dedup primitive used by the MERGE applier (max-ts-wins). Same strategy
+    trade-off as compact()."""
+    if strategy == "agg":
+        ordk = _order_key()
+        others = [c for c in env.columns if c not in (table_col, "key")]
+        g = env.groupBy(table_col, "key").agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), ordk).alias("_last")
+        )
+        return g.select(
+            *[
+                F.col(c)
+                if c in (table_col, "key")
+                else F.col(f"_last.{c}").alias(c)
+                for c in env.columns
+            ]
+        )
+    w = Window.partitionBy(table_col, "key").orderBy(
+        *[c.desc() for c in order_cols()]
     )
-    return g.select(
-        *[
-            F.col(c) if c in (table_col, "key") else F.col(f"_last.{c}").alias(c)
-            for c in env.columns
-        ]
+    return (
+        env.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

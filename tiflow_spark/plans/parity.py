@@ -2241,3 +2241,38 @@ def q_typed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last.filter(F.col("op") != "D").select(
         "key", "id", "cnt", "status", "payload_b64", "ratio"
     )
+
+
+@register(
+    "codec_canal_json_ddl",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", commit_ts, seq, to_json({{
+      id: 0::BIGINT,
+      database: "schema",
+      "table": "table",
+      pkNames: CAST(NULL AS VARCHAR[]),
+      isDdl: true,
+      type: CASE WHEN ddl_type LIKE 'create table%' THEN 'CREATE'
+                 WHEN ddl_type LIKE 'drop table%' THEN 'ERASE'
+                 WHEN ddl_type = 'truncate table' THEN 'TRUNCATE'
+                 WHEN ddl_type = 'rename table' THEN 'RENAME'
+                 WHEN ddl_type = 'create index' THEN 'CINDEX'
+                 WHEN ddl_type = 'drop index' THEN 'DINDEX'
+                 ELSE 'ALTER' END,
+      es: commit_ts // 1000,
+      ts: 0::BIGINT,
+      sql: query,
+      sqlType: CAST(NULL AS MAP(VARCHAR, INT)),
+      mysqlType: CAST(NULL AS MAP(VARCHAR, VARCHAR)),
+      data: CAST(NULL AS MAP(VARCHAR, VARCHAR)[]),
+      old: CAST(NULL AS MAP(VARCHAR, VARCHAR)[])
+    }}) AS value
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_codec_canal_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ DDL sink: surviving DDL events encoded as Canal-JSON DDL
+    messages (cdc/sink/ddlsink/mq; canal_json encoder DDL path) —
+    isDdl=true, canal EventType taxonomy, sql carries the statement."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json_ddl
+
+    return encode_canal_json_ddl(_allowed_ddl(spark, sf_dir))
