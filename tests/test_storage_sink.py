@@ -94,3 +94,29 @@ def test_files_ordered_by_commit_ts(spark, sf_dir, tmp_path):
         rows.sort(key=lambda r: r["file"])
         for a, b in zip(rows, rows[1:]):
             assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_ddl_schema_versions_written_per_registry_version(spark, sf_dir, tmp_path):
+    """Each DDL-driven registry version gets its own schema file with the
+    cumulative column list + ADD COLUMN defaults (cloud-storage DDL sink,
+    path.go generateSchemaFilePath)."""
+    import json as _json
+
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.sinks.storage import write_ddl_schema_versions
+    from tiflow_spark.sources.ddl_stream import ddl_stream, registry_from_ddl
+
+    reg = registry_from_ddl(
+        ddl_stream(load_table(spark, sf_dir, "events"))
+    ).filter("table = 'events'")
+    paths = write_ddl_schema_versions(reg, str(tmp_path / "sink"))
+    assert len(paths) == 3  # v1 create + 2 ADD COLUMNs
+    defs = sorted(
+        (_json.load(open(p)) for p in paths),
+        key=lambda d: d["TableVersion"],
+    )
+    assert [d["TableColumnsTotal"] for d in defs] == [2, 3, 4]
+    v3 = defs[2]["TableColumns"]
+    tier = next(c for c in v3 if c["ColumnName"] == "tier")
+    assert tier["ColumnDefault"] == "std" and tier["ColumnType"] == "VARCHAR"
+    assert defs[0]["TableVersion"] < defs[2]["TableVersion"]

@@ -251,3 +251,57 @@ def storage_layout_stats(
             F.count(F.lit(1)).alias("rows"),
         )
     )
+
+
+def write_ddl_schema_versions(
+    registry: DataFrame,
+    base_dir: str,
+    schema_name: str = "target",
+    type_of: dict[str, str] | None = None,
+) -> list[str]:
+    """Cloud-storage DDL sink (cdc/sink/ddlsink/cloudstorage/cloud_storage_
+    ddl_sink.go + pkg/sink/cloudstorage/path.go generateSchemaFilePath):
+    every version of the DDL-driven schema registry lands as its own
+    ``{schema}/{table}/meta/schema_{version_ts}_{crc}.json`` so a consumer
+    can decode data files written under ANY historical table version.
+
+    The registry is tiny (one row per version) — the driver-side loop is
+    bounded metadata work, same as the reference's DDL sink. Returns the
+    written paths."""
+    type_of = type_of or {"id": "BIGINT", "balance": "DOUBLE"}
+    written = []
+    for row in registry.collect():
+        cols = [
+            {
+                "ColumnName": c,
+                "ColumnType": type_of.get(c, "VARCHAR"),
+                "ColumnNullable": "false" if c == "id" else "true",
+                "ColumnIsPk": "true" if c == "id" else "false",
+                **(
+                    {"ColumnDefault": row["defaults"][c]}
+                    if row["defaults"] and c in row["defaults"]
+                    else {}
+                ),
+            }
+            for c in row["columns"]
+        ]
+        defn = {
+            "Table": row["table"],
+            "Schema": schema_name,
+            "Version": 1,
+            "TableVersion": int(row["version_ts"]),
+            "Query": "",
+            "Type": 0,
+            "TableColumns": cols,
+            "TableColumnsTotal": len(cols),
+        }
+        payload = json.dumps(defn, indent=4).encode()
+        checksum = zlib.crc32(payload) & 0xFFFFFFFF
+        meta_dir = os.path.join(base_dir, schema_name, row["table"], "meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        name = f"schema_{int(row['version_ts'])}_{checksum:010d}.json"
+        p = os.path.join(meta_dir, name)
+        with open(p, "wb") as fh:
+            fh.write(payload)
+        written.append(p)
+    return written
