@@ -112,7 +112,12 @@ def partition_by_fk_causality(
 ) -> DataFrame:
     """Repartition by the FK-lifted causality key + restore event order —
     same single-shuffle shape as partition_by_causality, with FK-linked
-    tables co-located."""
+    tables co-located.
+
+    Sort is by the LIFTED key then commit order, NOT table-first: parent and
+    child rows sharing a root-parent key domain must interleave in commit
+    order (the guarantee FK lifting exists to provide — the reference's
+    worker queue applies its events strictly by commit ts across tables)."""
     return env.repartition(
         num_partitions, fk_causality_key(relations, table_col)
-    ).sortWithinPartitions(table_col, "key", *order_cols())
+    ).sortWithinPartitions(fk_causality_key(relations, table_col), *order_cols())

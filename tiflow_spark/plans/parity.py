@@ -725,7 +725,7 @@ def q_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = registry_from_ddl(ddl_stream(events)).filter(
         F.col("table") == "events"
     )
-    decoded = decode_with_schema(asof_resolve(env, reg))
+    decoded = decode_with_schema(asof_resolve(env, reg), reg)
     return decoded.select(
         "seq", "commit_ts", "version_no", "note_resolved", "tier_resolved"
     )

@@ -9,17 +9,32 @@ partitioned by bucket. At 100 TB the snapshot shuffle is the single
 largest avoidable cost in a merge; bucketing removes it from every batch
 forever at the price of one bucketed write.
 
+Commit protocol (crash-atomic, replay-recoverable): each batch stages its
+rewritten buckets under ``<path>/_staging/batch-<id>/`` (invisible to Spark
+reads — underscore prefix), writes a manifest listing affected + staged
+buckets, then an atomic ``_COMMIT`` marker, and only then swaps staged dirs
+into place. A crash BEFORE the marker leaves the target untouched (the
+foreachBatch replay redoes the batch); a crash AFTER the marker is completed
+by :func:`recover` on the next merge/read — so the documented
+replay-idempotent contract holds across every crash window. This is the
+parquet-native miniature of a Delta/Iceberg transaction log, which remains
+the production seam of foreachBatch.
+
 `tests/test_plan_contracts.py::test_bucketed_merge_does_not_shuffle_target`
-asserts the property on the physical plan.
+asserts the no-target-shuffle property on the physical plan.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_META = "_target_meta.json"
+_STAGING = "_staging"
 
 
 def write_bucketed_target(
@@ -49,8 +64,6 @@ def merge_against_bucketed(
     shuffles into the target's bucket layout; the target side reads
     in-place. Net-delete keys drop, upserts win — same semantics as
     apply.merge_into_snapshot."""
-    from pyspark.sql import functions as F
-
     target = spark.table(table_name)
     chg = changes.select(
         F.col("op").alias("_op"),
@@ -69,6 +82,88 @@ def merge_against_bucketed(
     )
 
 
+# ------------------------------------------------ atomic-commit machinery
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def read_target_meta(path: str) -> dict | None:
+    """Target sizing metadata written at creation (n_buckets is a TARGET
+    property, not a caller opinion — callers are validated against it)."""
+    return _read_json(os.path.join(path, _META))
+
+
+def _write_target_meta(path: str, n_buckets: int, key_cols) -> None:
+    _atomic_write_json(
+        os.path.join(path, _META),
+        {"n_buckets": n_buckets, "key_cols": list(key_cols)},
+    )
+
+
+def _apply_commit(path: str, stage: str, manifest: dict) -> None:
+    """Swap staged bucket dirs into the target. Idempotent: safe to re-run
+    from any crash point after the _COMMIT marker exists."""
+    staged = set(manifest["staged"])
+    for b in manifest["affected"]:
+        name = f"bucket={b}"
+        dest = os.path.join(path, name)
+        src = os.path.join(stage, name)
+        if name in staged:
+            if os.path.isdir(src):
+                shutil.rmtree(dest, ignore_errors=True)
+                os.rename(src, dest)
+            # else: already swapped by a previous (crashed) attempt
+        else:
+            # every row of this bucket was deleted — bucket dir goes away
+            shutil.rmtree(dest, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def recover(path: str) -> None:
+    """Complete half-committed batches; discard uncommitted staging.
+
+    Called before every merge and state read: a batch whose _COMMIT marker
+    exists is rolled FORWARD (its swap is finished); one without is rolled
+    BACK by deletion (the streaming checkpoint replays it)."""
+    root = os.path.join(path, _STAGING)
+    if not os.path.isdir(root):
+        return
+    for entry in sorted(os.listdir(root)):
+        stage = os.path.join(root, entry)
+        manifest = _read_json(os.path.join(stage, "manifest.json"))
+        if os.path.exists(os.path.join(stage, "_COMMIT")) and manifest:
+            _apply_commit(path, stage, manifest)
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+def _commit_staged(path: str, stage: str, affected: list[int]) -> None:
+    """manifest → fsynced _COMMIT marker → swap. The marker is the commit
+    point; everything after it is re-runnable."""
+    staged = sorted(
+        d for d in os.listdir(stage) if d.startswith("bucket=")
+    )
+    manifest = {"affected": affected, "staged": staged}
+    _atomic_write_json(os.path.join(stage, "manifest.json"), manifest)
+    _atomic_write_json(os.path.join(stage, "_COMMIT"), {"ok": True})
+    _apply_commit(path, stage, manifest)
+
+
 def merge_hash_bucketed(
     changes: DataFrame,
     path: str,
@@ -81,25 +176,37 @@ def merge_hash_bucketed(
     O(target): the target is a parquet directory hash-partitioned on
     ``bucket = pmod(xxhash64(key), n_buckets)``. Each batch
 
-    1. computes the buckets its keys touch (a tiny distinct on the batch),
-    2. reads ONLY those partitions (partition-pruned scan),
-    3. re-resolves max-(commit_ts, seq, op)-wins per key, and
-    4. dynamic-partition-overwrites only the touched buckets.
+    1. completes/rolls back any interrupted prior commit (recover),
+    2. computes the buckets its keys touch (a tiny distinct on the batch),
+    3. reads ONLY those partitions (partition-pruned, schema-merged scan),
+    4. re-resolves max-(commit_ts, seq, op)-wins per key, and
+    5. stages + atomically commits only the touched buckets.
 
     Untouched buckets are never read or written — the property that makes a
-    standing changefeed viable when the target is 1000x the batch. This is
-    the parquet-native analog of Delta/Iceberg MERGE INTO (which remains
-    the production seam of foreachBatch); the reference's MySQL sink gets
-    the same effect from index lookups (cdc/sink/dmlsink/txn/mysql).
+    standing changefeed viable when the target is 1000x the batch. The
+    reference's MySQL sink gets the same effect from index lookups
+    (cdc/sink/dmlsink/txn/mysql).
 
-    Sizing: n_buckets should scale with target size so one bucket ~ a few
-    hundred MB (100 TB target / 256 MB ≈ 400k buckets); replaying a batch
-    re-merges the same winners — idempotent, same contract as the
-    reference's safe-mode REPLACE.
+    Sizing: n_buckets is fixed at target creation (persisted in
+    _target_meta.json; callers are validated against it) and should scale
+    with target size so one bucket ~ a few hundred MB (100 TB target /
+    256 MB ≈ 400k buckets). Use :func:`resize_buckets` to re-home a target
+    that outgrew its layout. Replaying a batch re-merges the same winners —
+    idempotent, same contract as the reference's safe-mode REPLACE.
     """
     from tiflow_spark.operators.compactor import last_state_per_key
 
     spark = changes.sparkSession
+    exists = os.path.isdir(path)
+    if exists:
+        recover(path)
+        meta = read_target_meta(path)
+        if meta and meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"target {path} was created with n_buckets="
+                f"{meta['n_buckets']}, merge called with {n_buckets}; "
+                "use resize_buckets() to change the layout"
+            )
     chg = changes.withColumn(
         "bucket",
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast(
@@ -107,7 +214,7 @@ def merge_hash_bucketed(
         ),
     ).persist()
     try:
-        if not os.path.exists(path):
+        if not exists:
             # D winners are RETAINED as tombstones: without them, a
             # late-arriving event OLDER than an applied delete would
             # resurrect the row (the reference never sees this — its sorter
@@ -120,6 +227,7 @@ def merge_hash_bucketed(
             result.repartition(F.col("bucket")).write.mode(
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
+            _write_target_meta(path, n_buckets, key_cols)
             return
         affected = sorted(
             r.bucket for r in chg.select("bucket").distinct().collect()
@@ -136,9 +244,11 @@ def merge_hash_bucketed(
         ]
         if existing:
             # stored rows keep their op (D rows are tombstones and must keep
-            # outranking older late arrivals)
+            # outranking older late arrivals). mergeSchema: a schema-evolved
+            # target must never be narrowed by a replayed pre-DDL batch —
+            # the union schema is the widest of stored ∪ batch.
             current = (
-                spark.read.schema(chg.schema)
+                spark.read.option("mergeSchema", "true")
                 .option("basePath", path)
                 .parquet(*existing)
             )
@@ -150,29 +260,25 @@ def merge_hash_bucketed(
             .withColumn("commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))),
             table_col,
         )
-        result = winner  # tombstones retained (see above)
-        # stage to a tmp dir (the plan reads the same path it overwrites),
-        # then commit by directory rename — the classic staged-commit: no
-        # second Spark job, and a bucket whose rows were ALL deleted simply
-        # has no staged dir and gets removed. (Delta/Iceberg MERGE INTO is
-        # the production seam; this is the parquet-native incarnation.)
-        tmp = f"{path}.tmp-{batch_id}"
-        result.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        # stage inside the target dir (same filesystem → rename is atomic;
+        # underscore prefix → invisible to Spark scans), then manifest +
+        # marker + swap. A bucket whose rows were ALL deleted has no staged
+        # dir and is removed at swap time.
+        stage = os.path.join(path, _STAGING, f"batch-{batch_id}")
+        shutil.rmtree(stage, ignore_errors=True)
+        winner.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(tmp)
-        staged = {d for d in os.listdir(tmp) if d.startswith("bucket=")}
-        for b in affected:
-            shutil.rmtree(os.path.join(path, f"bucket={b}"), ignore_errors=True)
-        for d in staged:
-            os.rename(os.path.join(tmp, d), os.path.join(path, d))
-        shutil.rmtree(tmp, ignore_errors=True)
+        ).parquet(stage)
+        _commit_staged(path, stage, affected)
     finally:
         chg.unpersist()
 
 
 def read_state(spark: SparkSession, path: str) -> DataFrame:
     """Live rows of a hash-bucket target: tombstones filtered out. This is
-    the downstream-visible table state."""
+    the downstream-visible table state. Completes any half-committed batch
+    first so readers never observe a torn commit."""
+    recover(path)
     df = spark.read.option("mergeSchema", "true").parquet(path)
     return df.filter(F.col("op") != "D")
 
@@ -184,19 +290,65 @@ def purge_tombstones(
     analog, pkg/txnutil/gc): once the source guarantees no event at-or-below
     the safepoint will ever arrive (resolved-ts contract), deletes below it
     can never be outranked and are physically dropped. Full-target rewrite —
-    run at maintenance cadence, not per batch."""
-    df = spark.read.parquet(path)
+    run at maintenance cadence, not per batch. mergeSchema so a schema-
+    evolved target keeps every column regardless of which file inference
+    would have picked."""
+    recover(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     kept = df.filter(
         ~((F.col("op") == "D") & (F.col("commit_ts") <= F.lit(safepoint_ts)))
     )
-    tmp = f"{path}.purge"
-    kept.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+    _rewrite_all(path, kept, stage_name="purge")
+
+
+def resize_buckets(
+    spark: SparkSession,
+    path: str,
+    n_buckets_new: int,
+    key_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Re-home the target into a new bucket count — the maintenance op for a
+    target that outgrew its layout (the 100 TB sizing math above). One full
+    read + one full write, committed atomically through the same staged
+    manifest; steady-state merges are untouched. key_cols defaults to the
+    creation-time metadata."""
+    recover(path)
+    meta = read_target_meta(path)
+    cols = tuple(key_cols or (meta or {}).get("key_cols") or ())
+    if not cols:
+        raise ValueError(f"no key_cols given and no metadata at {path}")
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .drop("bucket")
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets_new)
+            ).cast("int"),
+        )
+    )
+    _rewrite_all(path, df, stage_name="resize")
+    _write_target_meta(path, n_buckets_new, cols)
+
+
+def _rewrite_all(path: str, df: DataFrame, stage_name: str) -> None:
+    """Full-target rewrite through the staged-manifest commit: affected =
+    every current bucket ∪ every staged bucket, so stale dirs vanish and the
+    swap is crash-recoverable like any batch commit."""
+    stage = os.path.join(path, _STAGING, stage_name)
+    shutil.rmtree(stage, ignore_errors=True)
+    df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(tmp)
-    for d in os.listdir(path):
-        if d.startswith("bucket="):
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    for d in os.listdir(tmp):
-        if d.startswith("bucket="):
-            os.rename(os.path.join(tmp, d), os.path.join(path, d))
-    shutil.rmtree(tmp, ignore_errors=True)
+    ).parquet(stage)
+    old = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+    }
+    new = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(stage)
+        if d.startswith("bucket=")
+    }
+    _commit_staged(path, stage, sorted(old | new))

@@ -265,18 +265,24 @@ def write_ddl_schema_versions(
     ``{schema}/{table}/meta/schema_{version_ts}_{crc}.json`` so a consumer
     can decode data files written under ANY historical table version.
 
+    Column types come from the registry's DDL-parsed ``types`` map (the
+    TableInfo analog); ``type_of`` only overrides/fills gaps. The first
+    column is reported as the PK, the handle-key convention of the envelope.
+
     The registry is tiny (one row per version) — the driver-side loop is
     bounded metadata work, same as the reference's DDL sink. Returns the
     written paths."""
-    type_of = type_of or {"id": "BIGINT", "balance": "DOUBLE"}
+    type_of = type_of or {}
     written = []
     for row in registry.collect():
+        row_types = dict(row["types"]) if "types" in row and row["types"] else {}
+        pk = row["columns"][0] if row["columns"] else None
         cols = [
             {
                 "ColumnName": c,
-                "ColumnType": type_of.get(c, "VARCHAR"),
-                "ColumnNullable": "false" if c == "id" else "true",
-                "ColumnIsPk": "true" if c == "id" else "false",
+                "ColumnType": type_of.get(c, row_types.get(c, "VARCHAR")),
+                "ColumnNullable": "false" if c == pk else "true",
+                "ColumnIsPk": "true" if c == pk else "false",
                 **(
                     {"ColumnDefault": row["defaults"][c]}
                     if row["defaults"] and c in row["defaults"]

@@ -1,0 +1,230 @@
+"""Minimal real-DDL parser — the TableInfo-building half of HandleDDLJob.
+
+The reference receives DDL jobs with a parsed ``model.TableInfo`` attached
+(TiDB's parser has already run); its schema storage only *applies* them
+(cdc/entry/schema_storage.go:122-191). Building on Spark we receive raw DDL
+SQL strings (the ``query`` field every CDC protocol carries), so this module
+supplies the parse step: classify the statement into the reference's DDL
+taxonomy (pkg/binlog-filter/filter.go:36-96) and extract the structural
+payload (column defs, drops, renames) the registry fold needs.
+
+Deliberately minimal — the MySQL-dialect subset that appears in replication
+streams: CREATE TABLE column lists, ALTER TABLE ADD/DROP/MODIFY/CHANGE
+COLUMN, RENAME TABLE, TRUNCATE, DROP TABLE, and classification-only kinds
+(indexes, views, databases). Regex-based, case-insensitive, backtick/quote
+tolerant. Anything unrecognized returns None and the caller falls back to
+the event's declared ddl_type with no structural change — fail-safe, never
+fail-wrong.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ColumnDef:
+    name: str
+    col_type: str
+    default: str | None = None
+
+
+@dataclass(frozen=True)
+class DDLOp:
+    kind: str  # canonical taxonomy name (binlog-filter naming)
+    schema: str | None = None
+    table: str | None = None
+    columns: tuple[ColumnDef, ...] = field(default_factory=tuple)
+    drop_column: str | None = None
+    old_column: str | None = None  # CHANGE COLUMN rename source
+    rename_to: str | None = None  # rename target table name
+
+
+_IDENT = r"[`\"']?([\w$]+)[`\"']?"
+_QUALIFIED = rf"(?:{_IDENT}\s*\.\s*)?{_IDENT}"
+
+# column-list entries that are constraints, not columns
+_CONSTRAINT_HEAD = re.compile(
+    r"^\s*(PRIMARY\s+KEY|UNIQUE(\s+KEY|\s+INDEX)?\s*[(\s]|KEY\s|INDEX\s"
+    r"|CONSTRAINT\s|FOREIGN\s+KEY|CHECK\s*\()",
+    re.I,
+)
+# keywords that terminate the type expression in a column def
+_TYPE_STOP = re.compile(
+    r"\s+(PRIMARY|NOT|NULL|DEFAULT|UNIQUE|AUTO_INCREMENT|COMMENT|KEY"
+    r"|REFERENCES|COLLATE|CHARACTER|CHARSET|ON|GENERATED|AS|FIRST|AFTER)\b",
+    re.I,
+)
+_DEFAULT = re.compile(
+    r"\bDEFAULT\s+(?:'((?:[^']|'')*)'|\"((?:[^\"]|\"\")*)\"|([\w().+-]+))",
+    re.I,
+)
+
+
+def _split_ident(m_schema: str | None, m_table: str) -> tuple[str | None, str]:
+    return m_schema, m_table
+
+
+def _parse_default(clause: str) -> str | None:
+    m = _DEFAULT.search(clause)
+    if not m:
+        return None
+    if m.group(1) is not None:
+        return m.group(1).replace("''", "'")
+    if m.group(2) is not None:
+        return m.group(2).replace('""', '"')
+    bare = m.group(3)
+    return None if bare.upper() == "NULL" else bare
+
+
+def _parse_column_def(entry: str) -> ColumnDef | None:
+    entry = entry.strip()
+    if not entry or _CONSTRAINT_HEAD.match(entry):
+        return None
+    m = re.match(rf"^{_IDENT}\s+(.+)$", entry, re.S)
+    if not m:
+        return None
+    name, rest = m.group(1), m.group(2).strip()
+    stop = _TYPE_STOP.search(rest)
+    col_type = (rest[: stop.start()] if stop else rest).strip()
+    return ColumnDef(name, col_type.upper(), _parse_default(rest))
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas at paren depth 0, quote-aware."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in body:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+# classification-only statements → taxonomy kind
+_CLASSIFY = [
+    (re.compile(r"^\s*CREATE\s+DATABASE\b", re.I), "create database"),
+    (re.compile(r"^\s*DROP\s+DATABASE\b", re.I), "drop database"),
+    (re.compile(r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", re.I), "create view"),
+    (re.compile(r"^\s*DROP\s+VIEW\b", re.I), "drop view"),
+    (re.compile(r"^\s*CREATE\s+(UNIQUE\s+)?INDEX\b", re.I), "create index"),
+    (re.compile(r"^\s*DROP\s+INDEX\b", re.I), "drop index"),
+    (re.compile(r"^\s*ANALYZE\b", re.I), "analyze table"),
+    (re.compile(r"^\s*CREATE\s+SEQUENCE\b", re.I), "create sequence"),
+]
+
+
+def parse_ddl(query: str) -> DDLOp | None:
+    """Parse one DDL statement into its taxonomy kind + structural payload.
+    Returns None for statements outside the recognized subset."""
+    if not query:
+        return None
+    q = query.strip().rstrip(";").strip()
+
+    m = re.match(
+        rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s*\((.*)\)\s*[^)]*$",
+        q,
+        re.I | re.S,
+    )
+    if m:
+        cols = tuple(
+            c
+            for entry in _split_top_level(m.group(3))
+            if (c := _parse_column_def(entry)) is not None
+        )
+        return DDLOp("create table", m.group(1), m.group(2), columns=cols)
+
+    m = re.match(rf"^ALTER\s+TABLE\s+{_QUALIFIED}\s+(.*)$", q, re.I | re.S)
+    if m:
+        schema, table, action = m.group(1), m.group(2), m.group(3).strip()
+        a = re.match(
+            rf"^ADD\s+(?:COLUMN\s+)?(?!INDEX\b|KEY\b|CONSTRAINT\b|PRIMARY\b|"
+            rf"UNIQUE\b|FOREIGN\b|PARTITION\b){_IDENT}\s+(.+)$",
+            action,
+            re.I | re.S,
+        )
+        if a:
+            cd = _parse_column_def(f"{a.group(1)} {a.group(2)}")
+            if cd:
+                return DDLOp("add column", schema, table, columns=(cd,))
+        a = re.match(rf"^DROP\s+(?:COLUMN\s+)?{_IDENT}\s*$", action, re.I)
+        if a and a.group(1).upper() not in (
+            "PRIMARY", "INDEX", "KEY", "PARTITION", "CHECK",
+        ):
+            return DDLOp("drop column", schema, table, drop_column=a.group(1))
+        a = re.match(
+            rf"^MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S
+        )
+        if a:
+            cd = _parse_column_def(f"{a.group(1)} {a.group(2)}")
+            if cd:
+                return DDLOp("modify column", schema, table, columns=(cd,))
+        a = re.match(
+            rf"^CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+(.+)$",
+            action,
+            re.I | re.S,
+        )
+        if a:
+            cd = _parse_column_def(f"{a.group(2)} {a.group(3)}")
+            if cd:
+                return DDLOp(
+                    "modify column",
+                    schema,
+                    table,
+                    columns=(cd,),
+                    old_column=a.group(1),
+                )
+        a = re.match(rf"^RENAME\s+(?:TO\s+|AS\s+)?{_QUALIFIED}\s*$", action, re.I)
+        if a:
+            return DDLOp("rename table", schema, table, rename_to=a.group(2))
+        a = re.match(r"^ADD\s+(PRIMARY\s+KEY|INDEX|KEY|UNIQUE)", action, re.I)
+        if a:
+            kind = (
+                "add primary key"
+                if "PRIMARY" in a.group(1).upper()
+                else "create index"
+            )
+            return DDLOp(kind, schema, table)
+        if re.match(r"^DROP\s+PRIMARY\s+KEY", action, re.I):
+            return DDLOp("drop primary key", schema, table)
+        if re.match(r"^DROP\s+(INDEX|KEY)\s", action, re.I):
+            return DDLOp("drop index", schema, table)
+        return None
+
+    m = re.match(
+        rf"^RENAME\s+TABLE\s+{_QUALIFIED}\s+TO\s+{_QUALIFIED}", q, re.I
+    )
+    if m:
+        return DDLOp(
+            "rename table", m.group(1), m.group(2), rename_to=m.group(4)
+        )
+
+    m = re.match(rf"^TRUNCATE\s+(?:TABLE\s+)?{_QUALIFIED}\s*$", q, re.I)
+    if m:
+        return DDLOp("truncate table", m.group(1), m.group(2))
+
+    m = re.match(
+        rf"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_QUALIFIED}", q, re.I
+    )
+    if m:
+        return DDLOp("drop table", m.group(1), m.group(2))
+
+    for pat, kind in _CLASSIFY:
+        if pat.match(q):
+            return DDLOp(kind)
+    return None

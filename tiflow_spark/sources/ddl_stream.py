@@ -21,7 +21,7 @@ range, so the identical stream is constructible in DuckDB
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # The DDL kinds cdc's schema storage accepts (pkg/filter/filter.go:36-96
@@ -155,9 +155,15 @@ def ddl_filter_predicate(cfg) -> F.Column:
     keep = F.lit(True)
     for rule in cfg.event_filters:
         kinds = [e for e in rule.events if e not in ("I", "U", "D")]
-        if not kinds:
-            continue
         matched = any_table_matches(rule.tables, cfg.case_sensitive)
+        if not kinds:
+            # A Do rule whitelisting only DML kinds drops every DDL for its
+            # matched tables (binlog-filter Do semantics: unlisted event
+            # kinds are filtered out). Ignore rules with no DDL kinds have
+            # nothing to drop here.
+            if rule.action == "Do":
+                keep = keep & ~matched
+            continue
         hit = F.col("ddl_type").isin(*kinds) | F.lit("all ddl" in kinds)
         if rule.action == "Ignore":
             keep = keep & ~(matched & hit)
@@ -166,68 +172,102 @@ def ddl_filter_predicate(cfg) -> F.Column:
     return keep
 
 
-# Base columns of tables at their bootstrap CREATE TABLE (the reference
-# parses these from the DDL job's TableInfo; we key them by table name).
-_BASE_COLUMNS = {"events": ("id", "balance"), "scratch": ("id",)}
+_REGISTRY_SCHEMA = (
+    "table string, version_ts long, version_no int, columns array<string>, "
+    "defaults map<string,string>, types map<string,string>, "
+    "_defs array<struct<key:string,value:string>>"
+)
+
+# DDL kinds that change the decode schema and therefore emit a registry
+# version (the reference bumps schema version on every job; only these
+# change TableInfo's column set or name, which is all the mounter reads).
+_SCHEMA_KINDS = frozenset(
+    {"create table", "add column", "drop column", "modify column",
+     "rename table"}
+)
 
 
-def registry_from_ddl(
-    ddl: DataFrame, base_columns: dict[str, tuple[str, ...]] | None = None
-) -> DataFrame:
+def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     """HandleDDLJob analog (cdc/entry/schema_storage.go:122-191): fold the
     DDL stream into versioned schema rows (table, version_ts, version_no,
-    columns, defaults) — the registry `asof_resolve` broadcasts.
+    columns, types, defaults) — the registry `asof_resolve` broadcasts.
 
-    A cumulative window over (create table | add column) DDLs per table:
-    version_no = position, columns = base ∪ adds so far, defaults = the
-    ADD COLUMN defaults so far (mounter.go:843-853 backfill source).
+    The fold PARSES each event's ``query`` string (ddl_parse.parse_ddl) —
+    CREATE TABLE column lists, ALTER ADD/DROP/MODIFY/CHANGE COLUMN, RENAME
+    TABLE — and replays them sequentially into per-table column state,
+    exactly the reference's in-memory schema storage on the owner node. The
+    DDL stream is metadata-scale by nature (the reference holds ALL of it in
+    one process), so the driver-side collect here is bounded the same way
+    the owner's memory is; the resulting registry broadcasts to executors.
+
+    Column semantics (MySQL/TiDB): ADD appends, DROP removes, MODIFY changes
+    type/default in place, CHANGE renames in place, RENAME TABLE moves the
+    whole lineage to the new name (version history continues), DROP TABLE
+    ends the lineage. Defaults map = every column with a declared DEFAULT
+    (mounter.go:843-853 getDefaultOrZeroValue backfill source).
     """
-    base_columns = base_columns or _BASE_COLUMNS
-    base_map = F.create_map(
-        *[
-            x
-            for name, cols in sorted(base_columns.items())
-            for x in (F.lit(name), F.array(*[F.lit(c) for c in cols]))
-        ]
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+
+    spark = ddl.sparkSession
+    events = (
+        ddl.filter(ddl_allowlist_predicate())
+        .select("table", "commit_ts", "seq", "ddl_type", "query")
+        .orderBy("commit_ts", "seq")
+        .collect()
     )
-    rows = ddl.filter(
-        ddl_allowlist_predicate()
-        & F.col("ddl_type").isin("create table", "add column")
-    ).select(
-        "table",
-        F.col("commit_ts").alias("version_ts"),
-        "seq",
-        F.when(
-            F.col("ddl_type") == "create table",
-            F.coalesce(base_map[F.col("table")], F.array().cast("array<string>")),
+    # per-table state: ordered list of (name, type, default)
+    tables: dict[str, list[tuple[str, str, str | None]]] = {}
+    version_no: dict[str, int] = {}
+    out = []
+    for ev in events:
+        op = parse_ddl(ev.query)
+        kind = op.kind if op is not None else ev.ddl_type
+        if kind not in _SCHEMA_KINDS:
+            if kind == "drop table":
+                tables.pop(ev.table, None)
+            continue
+        name = (op.table if op is not None else None) or ev.table
+        if kind == "create table":
+            cols = [(c.name, c.col_type, c.default) for c in op.columns]
+            tables[name] = cols
+            version_no[name] = 0
+        elif name not in tables:
+            continue  # DDL for an untracked lineage (e.g. renamed-away)
+        elif kind == "add column":
+            c = op.columns[0]
+            state = tables[name]
+            if all(x[0] != c.name for x in state):
+                state.append((c.name, c.col_type, c.default))
+        elif kind == "drop column":
+            tables[name] = [
+                x for x in tables[name] if x[0] != op.drop_column
+            ]
+        elif kind == "modify column":
+            c = op.columns[0]
+            old = op.old_column or c.name
+            tables[name] = [
+                (c.name, c.col_type, c.default) if x[0] == old else x
+                for x in tables[name]
+            ]
+        elif kind == "rename table":
+            tables[op.rename_to] = tables.pop(name)
+            version_no[op.rename_to] = version_no.pop(name)
+            name = op.rename_to
+        version_no[name] += 1
+        state = tables[name]
+        defs = [(n, d) for n, _, d in state if d is not None]
+        out.append(
+            (
+                name,
+                ev.commit_ts,
+                version_no[name],
+                [n for n, _, _ in state],
+                dict(defs),
+                {n: t for n, t, _ in state},
+                defs,
+            )
         )
-        .otherwise(F.array(F.col("add_column")))
-        .alias("_adds"),
-        F.when(
-            F.col("add_column").isNotNull(),
-            F.struct(
-                F.col("add_column").alias("key"),
-                F.col("default_value").alias("value"),
-            ),
-        ).alias("_def"),
-    )
-    w = Window.partitionBy("table").orderBy("version_ts", "seq")
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        rows.withColumn("version_no", F.row_number().over(w))
-        .withColumn("columns", F.flatten(F.collect_list("_adds").over(wc)))
-        .withColumn("_defs", F.collect_list("_def").over(wc))
-        .withColumn(
-            "defaults",
-            F.map_from_entries(
-                F.when(F.size("_defs") > 0, F.col("_defs")).otherwise(
-                    F.array().cast("array<struct<key:string,value:string>>")
-                )
-            ),
-        )
-        .select("table", "version_ts", "version_no", "columns", "defaults",
-                "_defs")
-    )
+    return spark.createDataFrame(out, _REGISTRY_SCHEMA)
 
 
 # ------------------------------------------------- optimistic shard-DDL mode

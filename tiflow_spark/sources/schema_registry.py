@@ -79,21 +79,74 @@ def asof_resolve(
     )
 
 
-def decode_with_schema(resolved: DataFrame) -> DataFrame:
-    """Default-value backfill per resolved version: fields the version lacks
-    are nulled; fields the version has but the row predates get defaults.
+def _spark_cast(sql_type: str) -> str:
+    """MySQL/ANSI column type → Spark cast target (the subset replication
+    streams carry; unknowns decode as string, the codecs' wire default)."""
+    head = sql_type.split("(")[0].strip().upper()
+    if head in ("DECIMAL", "NUMERIC"):
+        return sql_type.lower() if "(" in sql_type else "decimal(10,0)"
+    return {
+        "BIGINT": "long", "INT": "int", "INTEGER": "int", "MEDIUMINT": "int",
+        "SMALLINT": "smallint", "TINYINT": "tinyint",
+        "DOUBLE": "double", "REAL": "double", "FLOAT": "float",
+        "BOOLEAN": "boolean", "BOOL": "boolean",
+        "DATE": "date", "DATETIME": "timestamp_ntz",
+        "TIMESTAMP": "timestamp_ntz",
+        "BINARY": "binary", "VARBINARY": "binary", "BLOB": "binary",
+    }.get(head, "string")
 
-    Demo payload = the envelope's after image (id, balance, note) + virtual
-    'tier' column introduced by v3.
-    """
-    has = F.array_contains
-    cols = F.col("columns")
-    return resolved.select(
-        "*",
-        F.when(has(cols, "note"), F.coalesce(F.col("after.note"), F.element_at("defaults", "note"))).alias(
-            "note_resolved"
-        ),
-        F.when(has(cols, "tier"), F.coalesce(F.lit(None).cast("string"), F.element_at("defaults", "tier"))).alias(
-            "tier_resolved"
-        ),
+
+def registry_column_plan(
+    registry: DataFrame,
+) -> list[tuple[str, str]]:
+    """Driver-side extraction of the registry's column universe: every
+    column any version ever had, in first-introduced order, with its LATEST
+    declared SQL type. The registry is metadata-scale (the reference keeps
+    all of it in the owner's memory), so this collect is bounded the same
+    way."""
+    rows = sorted(
+        registry.select("table", "version_no", "columns", "types").collect(),
+        key=lambda r: (r.table, r.version_no),
     )
+    ordered: list[str] = []
+    types: dict[str, str] = {}
+    for r in rows:
+        for c in r.columns:
+            if c not in types:
+                ordered.append(c)
+            types[c] = (r.types or {}).get(c, "VARCHAR")
+    return [(c, types[c]) for c in ordered]
+
+
+def decode_with_schema(
+    resolved: DataFrame,
+    registry: DataFrame,
+    payload_col: str = "after",
+) -> DataFrame:
+    """Default-value backfill per resolved version — fully derived from the
+    registry (no per-deployment column names in engine code): for every
+    column the registry ever defined, emit ``<col>_resolved`` =
+
+    - NULL when the row's resolved version lacks the column,
+    - the payload field (cast to the declared type) when present,
+    - else the version's declared DEFAULT (mounter.go:843-853
+      getDefaultOrZeroValue).
+    """
+    payload_fields = {
+        f.name for f in resolved.schema[payload_col].dataType.fields
+    }
+    out = [F.col("*")]
+    for c, sql_type in registry_column_plan(registry):
+        t = _spark_cast(sql_type)
+        src = (
+            F.col(f"{payload_col}.{c}").cast(t)
+            if c in payload_fields
+            else F.lit(None).cast(t)
+        )
+        out.append(
+            F.when(
+                F.array_contains(F.col("columns"), c),
+                F.coalesce(src, F.element_at("defaults", F.lit(c)).cast(t)),
+            ).alias(f"{c}_resolved")
+        )
+    return resolved.select(*out)

@@ -201,18 +201,31 @@ class DDLStreamingTarget(StreamingTarget):
         self._state_path = f"{target_path}.ddl_state.json"
 
     def _load_applied_version(self) -> int:
-        import json
+        from tiflow_spark.sinks.bucketed import _read_json
 
-        if os.path.exists(self._state_path):
-            with open(self._state_path) as f:
-                return json.load(f)["version"]
-        return 1
+        # torn/corrupt state files fall back to "nothing applied yet" — the
+        # registry probe of the next batch re-derives the floor
+        state = _read_json(self._state_path)
+        return state["version"] if state else 1
 
     def _save_applied_version(self, v: int) -> None:
-        import json
+        from tiflow_spark.sinks.bucketed import _atomic_write_json
 
-        with open(self._state_path, "w") as f:
-            json.dump({"version": v}, f)
+        _atomic_write_json(self._state_path, {"version": v})
+
+    def _columns_at(self, version: int) -> list[str]:
+        """Target column list of the highest registry version <= `version` —
+        derived entirely from the DDL-folded registry (no per-deployment
+        names in engine code). Registry is metadata-scale; cached."""
+        if not hasattr(self, "_version_columns"):
+            self._version_columns = {
+                r.version_no: list(r.columns)
+                for r in self.registry.select("version_no", "columns").collect()
+            }
+        vers = self._version_columns
+        eligible = [v for v in vers if v <= version]
+        pick = max(eligible) if eligible else min(vers)
+        return vers[pick]
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         from tiflow_spark.sinks.bucketed import merge_hash_bucketed
@@ -222,14 +235,15 @@ class DDLStreamingTarget(StreamingTarget):
         )
 
         env = batch.withColumn("logical_table", F.lit(self.logical_table))
-        dec = decode_with_schema(asof_resolve(env, self.registry))
+        dec = decode_with_schema(
+            asof_resolve(env, self.registry), self.registry
+        )
         vmax = dec.agg(F.max("version_no")).collect()[0][0] or 1
         # applied-DDL state persists across batches AND restarts — a
         # replayed batch of pre-DDL events must never narrow the evolved
         # target schema (the reference checkpoints executed DDL the same
         # way, ddl_manager's checkpointTs)
         applied = max(vmax, self._load_applied_version())
-        self._save_applied_version(applied)
         last = last_state_per_key(dec, self.table_col)
         cols = [
             F.col(self.table_col).alias("target_table"),
@@ -237,12 +251,13 @@ class DDLStreamingTarget(StreamingTarget):
             F.col("op"),
             F.col("commit_ts"),
             F.col("seq"),
-            F.col("after.id").alias("id"),
-            F.col("after.balance").alias("balance"),
-            F.col("note_resolved").alias("note"),
         ]
-        if applied >= 3:  # barrier passed → ADD COLUMN tier takes effect
-            cols.append(F.col("tier_resolved").alias("tier"))
+        key_names = {"target_table", "key", "op", "commit_ts", "seq"}
+        cols += [
+            F.col(f"{c}_resolved").alias(c)
+            for c in self._columns_at(applied)
+            if c not in key_names
+        ]
         merge_hash_bucketed(
             last.select(*cols),
             self.target_path,
@@ -251,6 +266,10 @@ class DDLStreamingTarget(StreamingTarget):
             table_col="target_table",
             batch_id=batch_id,
         )
+        # persist applied-DDL state only AFTER the merge committed: a failed
+        # merge must not advance schema state (the replayed batch redoes
+        # both). Atomic write → a crash can't tear the file.
+        self._save_applied_version(applied)
 
 
 def run_changefeed_with_ddl(
