@@ -560,6 +560,7 @@ _install_analytics()
 from tiflow_spark.sources.ddl_stream import (  # noqa: E402
     DDL_ALLOWLIST,
     DDL_SQL_DUCKDB,
+    OPTIMISTIC_DDL_SQL_DUCKDB,
     ddl_allowlist_predicate,
     ddl_filter_predicate,
     ddl_stream,
@@ -728,6 +729,186 @@ def q_schema_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_with_schema(asof_resolve(env, reg), reg)
     return decoded.select(
         "seq", "commit_ts", "version_no", "note_resolved", "tier_resolved"
+    )
+
+
+# --- second DDL lineage: drop/modify/rename exercised end-to-end. The demo
+# templates live HERE (test side); the engine folds them by PARSING the query
+# strings only (sources/ddl_parse.py) — no pre-parsed fields, no base-column
+# map. Mirrors dm/tests/shardddl* migration shapes.
+_DDL2 = [
+    # (seq, pos12, table, ddl_type, query)
+    (1, 0, "orders_x", "create table",
+     "CREATE TABLE orders_x (id BIGINT PRIMARY KEY, amount DOUBLE, "
+     "status VARCHAR DEFAULT 'new')"),
+    (2, 2, "orders_x", "add column",
+     "ALTER TABLE orders_x ADD COLUMN region VARCHAR DEFAULT 'emea'"),
+    (3, 4, "orders_x", "drop column",
+     "ALTER TABLE orders_x DROP COLUMN status"),
+    (4, 6, "orders_x", "modify column",
+     "ALTER TABLE orders_x MODIFY COLUMN amount DECIMAL(12,2) DEFAULT '0'"),
+    (5, 8, "orders_x", "rename table",
+     "RENAME TABLE orders_x TO orders_y"),
+    (6, 10, "orders_y", "add column",
+     "ALTER TABLE orders_y ADD COLUMN flag VARCHAR DEFAULT 'n'"),
+]
+
+
+def _ddl2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    tpl = spark.createDataFrame(
+        _DDL2, "seq long, pos12 long, table string, ddl_type string, "
+        "query string"
+    )
+    return bounds.crossJoin(F.broadcast(tpl)).select(
+        F.lit("DDL").alias("op"),
+        F.lit("shard_0").alias("schema"),
+        "table",
+        (F.col("t0") + F.expr("(t1 - t0) * pos12 div 12")).alias("commit_ts"),
+        "seq",
+        "ddl_type",
+        "query",
+    )
+
+
+# oracle-side: the SAME fold expressed declaratively over pre-exploded
+# column ops (test-side metadata; the engine sees only the SQL strings)
+_DDL2_OPS_SQL = """
+    (1, 'id', 'add', 'BIGINT', NULL, 1),
+    (1, 'amount', 'add', 'DOUBLE', NULL, 2),
+    (1, 'status', 'add', 'VARCHAR', 'new', 3),
+    (2, 'region', 'add', 'VARCHAR', 'emea', 4),
+    (3, 'status', 'drop', NULL, NULL, NULL),
+    (4, 'amount', 'modify', 'DECIMAL(12,2)', '0', NULL),
+    (6, 'flag', 'add', 'VARCHAR', 'n', 5)"""
+_DDL2_VERS_SQL = """
+    (1, 0, 'orders_x'), (2, 2, 'orders_x'), (3, 4, 'orders_x'),
+    (4, 6, 'orders_x'), (5, 8, 'orders_y'), (6, 10, 'orders_y')"""
+_DDL2_CTE = f"""ddl2_bounds AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+),
+ops AS (SELECT * FROM (VALUES {_DDL2_OPS_SQL})
+        v(op_seq, col, action, typ, dflt, ord)),
+vers AS (SELECT * FROM (VALUES {_DDL2_VERS_SQL}) v(vseq, pos12, tbl))"""
+
+
+@register(
+    "ddl_drop_column",
+    f"""WITH {_DDL2_CTE},
+    state AS (
+      SELECT v.vseq, v.pos12, v.tbl, o.col,
+             arg_max(o.action, o.op_seq) AS last_action,
+             arg_max(o.typ, o.op_seq) FILTER (o.typ IS NOT NULL) AS cur_type,
+             arg_max(o.dflt, o.op_seq) FILTER (o.dflt IS NOT NULL) AS cur_dflt,
+             min(o.ord) AS ord
+      FROM vers v JOIN ops o ON o.op_seq <= v.vseq
+      GROUP BY v.vseq, v.pos12, v.tbl, o.col
+    ),
+    live AS (SELECT * FROM state WHERE last_action <> 'drop')
+    SELECT tbl AS "table",
+           t0 + (t1 - t0) * pos12 // 12 AS version_ts,
+           CAST(row_number() OVER (ORDER BY vseq) AS INT) AS version_no,
+           string_agg(col, ',' ORDER BY ord) AS columns_csv,
+           string_agg(col || '=' || cur_type, ',' ORDER BY ord) AS types_csv,
+           string_agg(col || '=' || cur_dflt, ',' ORDER BY ord)
+             AS defaults_csv
+    FROM live CROSS JOIN ddl2_bounds
+    GROUP BY tbl, pos12, vseq, t0, t1""",
+)
+def q_ddl_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry fold over REAL DDL strings incl. DROP/MODIFY COLUMN and
+    RENAME TABLE (schema_storage.go HandleDDLJob full ddlWhiteListMap
+    coverage): versions carry the live column set, parsed types, and
+    current defaults; a rename continues the lineage under the new name."""
+    reg = registry_from_ddl(_ddl2_stream(spark, sf_dir))
+    return reg.select(
+        "table",
+        "version_ts",
+        "version_no",
+        F.concat_ws(",", "columns").alias("columns_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "columns",
+                lambda c: F.concat(c, F.lit("="), F.element_at("types", c)),
+            ),
+        ).alias("types_csv"),
+        F.concat_ws(
+            ",",
+            F.filter(
+                F.transform(
+                    "columns",
+                    lambda c: F.when(
+                        F.element_at("defaults", c).isNotNull(),
+                        F.concat(c, F.lit("="), F.element_at("defaults", c)),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).alias("defaults_csv"),
+    )
+
+
+@register(
+    "ddl_rename_table",
+    f"""{ENV_CTE}, b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    )
+    SELECT seq, commit_ts,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 8 // 12
+           THEN 'orders_y' ELSE 'orders_x' END AS "table",
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 10 // 12 THEN 6
+           WHEN commit_ts >= t0 + (t1 - t0) * 8 // 12 THEN 5
+           WHEN commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 4
+           WHEN commit_ts >= t0 + (t1 - t0) * 4 // 12 THEN 3
+           WHEN commit_ts >= t0 + (t1 - t0) * 2 // 12 THEN 2
+           ELSE 1 END AS version_no,
+      CASE WHEN commit_ts < t0 + (t1 - t0) * 4 // 12 THEN 'new' END
+        AS status_resolved,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 2 // 12 THEN 'emea' END
+        AS region_resolved,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 10 // 12 THEN 'n' END
+        AS flag_resolved
+    FROM env CROSS JOIN b""",
+)
+def q_ddl_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of decode ACROSS a table rename: events before the rename resolve
+    under the old lineage name, after it under the new — version history
+    and defaults flow through (schema_storage version continuity; a dropped
+    column stops resolving, a post-rename ADD COLUMN backfills)."""
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        decode_with_schema,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    reg = registry_from_ddl(_ddl2_stream(spark, sf_dir))
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    env = events_to_changes(events).crossJoin(F.broadcast(bounds))
+    env = env.withColumn(
+        "logical_table",
+        F.when(
+            F.col("commit_ts") >= F.col("t0")
+            + F.expr("(t1 - t0) * 8 div 12"),
+            F.lit("orders_y"),
+        ).otherwise(F.lit("orders_x")),
+    )
+    dec = decode_with_schema(asof_resolve(env, reg), reg)
+    return dec.select(
+        "seq",
+        "commit_ts",
+        F.col("logical_table").alias("table"),
+        "version_no",
+        "status_resolved",
+        "region_resolved",
+        "flag_resolved",
     )
 
 
@@ -2165,6 +2346,68 @@ def q_shardddl_optimistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ddl = optimistic_shard_ddl(load_table(spark, sf_dir, "events"))
     return optimistic_lock_status(ddl)
+
+
+@register(
+    "shardddl_enforce",
+    f"""WITH {OPTIMISTIC_DDL_SQL_DUCKDB.lstrip()},
+    ddl AS (
+      SELECT shard, "table", commit_ts, col_name, col_type FROM opt_ddl
+      UNION ALL
+      SELECT 'shard_1', 'scratch', t0 + (t1 - t0) * 9 // 12, 'flag',
+             'varchar'
+      FROM opt_bounds
+    ),
+    probes AS (
+      SELECT 'p' || CAST(p AS VARCHAR) AS probe_label,
+             t0 + (t1 - t0) * p // 12 AS probe_ts
+      FROM opt_bounds CROSS JOIN (VALUES (6), (8), (10)) pv(p)
+    ),
+    latest AS (
+      SELECT probe_label, shard, "table", col_name,
+             arg_max(col_type, commit_ts) AS col_type
+      FROM probes JOIN ddl ON commit_ts <= probe_ts
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT probe_label, "table",
+           CAST(sum(CASE WHEN n_types > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conflicts,
+           sum(CASE WHEN n_types > 1 THEN 1 ELSE 0 END) > 0 AS paused
+    FROM (SELECT probe_label, "table", col_name,
+                 count(DISTINCT col_type) AS n_types
+          FROM latest GROUP BY 1, 2, 3)
+    GROUP BY 1, 2""",
+)
+def q_shardddl_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-mode ENFORCEMENT timeline (dm/syncer/shardddl/optimist.go
+    + OptimisticShardTarget): the `scratch.flag` varchar-vs-int conflict
+    appears once both declarations are seen (probe 8 → paused) and clears
+    when shard_1's reconciling MODIFY re-joins the lattice (probe 10 →
+    resumed). `events` never pauses."""
+    from tiflow_spark.sources.ddl_stream import optimistic_shard_ddl
+    from tiflow_spark.streaming.shardddl import optimistic_lock_timeline
+
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    reconcile = bounds.select(
+        F.lit("shard_1").alias("shard"),
+        F.lit("scratch").alias("table"),
+        (F.col("t0") + F.expr("(t1 - t0) * 9 div 12")).alias("commit_ts"),
+        F.lit("modify column").alias("ddl_type"),
+        F.lit("flag").alias("col_name"),
+        F.lit("varchar").alias("col_type"),
+    )
+    ddl = optimistic_shard_ddl(events).unionByName(reconcile)
+    probes = bounds.crossJoin(
+        spark.createDataFrame([(6,), (8,), (10,)], "p long")
+    ).select(
+        F.concat(F.lit("p"), F.col("p").cast("string")).alias("probe_label"),
+        (F.col("t0") + F.expr("(t1 - t0) * p div 12")).alias("probe_ts"),
+    )
+    return optimistic_lock_timeline(ddl, probes)
 
 
 @register(

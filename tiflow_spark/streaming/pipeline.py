@@ -307,6 +307,85 @@ def run_changefeed_with_ddl(
     return q, target
 
 
+class OptimisticShardTarget(StreamingTarget):
+    """Streaming target that ENFORCES optimistic shard-DDL conflicts
+    (dm/syncer/shardddl/optimist.go): when the lattice join of per-shard
+    schemas is undefined for a table (incompatible column types seen), that
+    table's replication pauses — its events are parked in a pending store —
+    while every other table keeps applying. When a later DDL reconciles the
+    lattice, the parked events flush IN ORDER (the merge's
+    max-(commit_ts, seq)-wins resolution restores per-key order across the
+    pause) together with the live batch.
+
+    The pause set is re-evaluated per micro-batch from the DDLs seen up to
+    the batch's high-water mark — the same information horizon the DM
+    coordinator has."""
+
+    def __init__(
+        self,
+        target_path: str,
+        progress_path: str,
+        shard_ddl: DataFrame,
+        pending_path: str,
+        gate_col: str = "table",
+        n_buckets: int = 32,
+    ):
+        super().__init__(
+            target_path=target_path,
+            progress_path=progress_path,
+            n_buckets=n_buckets,
+        )
+        self.shard_ddl = shard_ddl
+        self.pending_path = pending_path
+        self.gate_col = gate_col
+
+    def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from tiflow_spark.streaming.shardddl import conflicted_tables_asof
+
+        spark = batch.sparkSession
+        hwm = batch.agg(F.max("commit_ts")).collect()[0][0]
+        if hwm is None:
+            return
+        paused = conflicted_tables_asof(self.shard_ddl, hwm)
+        gate = F.col(self.gate_col)
+        held = batch.filter(gate.isin(*paused)) if paused else None
+        live = batch.filter(~gate.isin(*paused)) if paused else batch
+        # park the paused tables' events (appended; replayed batches re-park
+        # the same rows — merge dedup makes the flush idempotent)
+        if held is not None:
+            held.write.mode("append").parquet(self.pending_path)
+        # flush previously parked tables that are no longer conflicted
+        still = None
+        if os.path.isdir(self.pending_path):
+            pend = spark.read.parquet(self.pending_path)
+            resumed = (
+                pend.filter(~F.col(self.gate_col).isin(*paused))
+                if paused
+                else pend
+            )
+            if resumed.limit(1).count() > 0:
+                live = live.unionByName(resumed)
+                still = (
+                    pend.filter(F.col(self.gate_col).isin(*paused))
+                    if paused
+                    else pend.limit(0)
+                )
+        super().merge_batch(live, batch_id)
+        if still is not None:
+            # shrink the pending store to the still-held rows only AFTER the
+            # merge committed (a crash in between re-flushes on replay — the
+            # merge is idempotent). Bounded by held volume, not target size.
+            import shutil
+
+            tmp = f"{self.pending_path}.tmp"
+            if still.limit(1).count() > 0:
+                still.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(self.pending_path)
+                os.rename(tmp, self.pending_path)
+            else:
+                shutil.rmtree(self.pending_path)
+
+
 def windowed_throughput(stream: DataFrame, watermark_delay: str = "10 seconds") -> DataFrame:
     """Event-time windowed event counts with late-data handling — the
     watermark/frontier surface (resolved-ts contract, §2.10)."""

@@ -69,8 +69,18 @@ def optimistic_lock_status(shard_ddl: DataFrame) -> DataFrame:
       (lattice join undefined → replication must pause for that table).
 
     Pure aggregations + one broadcast join of tiny per-table totals; no
-    driver-side state."""
-    cols = shard_ddl.select("shard", "table", "col_name", "col_type").distinct()
+    driver-side state. Each shard's CURRENT type per column wins (a later
+    MODIFY COLUMN supersedes the shard's earlier declaration — how a
+    conflict is reconciled in optimist.go's lattice re-join); DDL frames
+    without a commit_ts column fall back to distinct declarations."""
+    if "commit_ts" in shard_ddl.columns:
+        cols = shard_ddl.groupBy("shard", "table", "col_name").agg(
+            F.max_by("col_type", F.col("commit_ts")).alias("col_type")
+        )
+    else:
+        cols = shard_ddl.select(
+            "shard", "table", "col_name", "col_type"
+        ).distinct()
     per_table = cols.groupBy("table").agg(
         F.countDistinct("col_name").alias("n_joined"),
     )
@@ -97,3 +107,51 @@ def optimistic_lock_status(shard_ddl: DataFrame) -> DataFrame:
             & (F.col("n_conflicts") == 0)
         ).alias("synced"),
     )
+
+
+def optimistic_lock_timeline(
+    shard_ddl: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """Lock status AS-OF each probe timestamp — the declarative form of the
+    optimist coordinator's state machine over time (dm/syncer/shardddl/
+    optimist.go): a conflict appears when incompatible per-shard types have
+    both been seen, and clears when a later DDL re-joins the lattice.
+
+    ``probes``: (probe_label, probe_ts) — tiny; cross-joined against the
+    (tiny) DDL stream, so the whole evaluation is metadata-scale."""
+    seen = probes.crossJoin(shard_ddl).filter(
+        F.col("commit_ts") <= F.col("probe_ts")
+    )
+    latest = seen.groupBy("probe_label", "shard", "table", "col_name").agg(
+        F.max_by("col_type", F.col("commit_ts")).alias("col_type")
+    )
+    return (
+        latest.groupBy("probe_label", "table", "col_name")
+        .agg(F.count_distinct("col_type").alias("n_types"))
+        .groupBy("probe_label", "table")
+        .agg(
+            F.sum((F.col("n_types") > 1).cast("long")).alias("n_conflicts")
+        )
+        .select(
+            "probe_label",
+            "table",
+            "n_conflicts",
+            (F.col("n_conflicts") > 0).alias("paused"),
+        )
+    )
+
+
+def conflicted_tables_asof(shard_ddl: DataFrame, ts: int) -> set[str]:
+    """Tables whose optimistic lock is in conflict among DDLs seen up to
+    ``ts`` — the per-batch pause set. Metadata-scale collect (the reference
+    keeps the same state in the DM-master's memory)."""
+    status = optimistic_lock_status(
+        shard_ddl.filter(F.col("commit_ts") <= F.lit(ts))
+    )
+    return {
+        r.table
+        for r in status.filter(F.col("n_conflicts") > 0)
+        .select("table")
+        .distinct()
+        .collect()
+    }
