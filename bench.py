@@ -35,6 +35,11 @@ def main() -> None:
         "cdc_apply",
         "cdc_dispatch",
         "validate_checksum",
+        # round-2/3 capability paths — typed decode+apply, DDL-driven
+        # registry fold + as-of decode across a rename, MinHash+LSH dedup
+        "cdc_typed_apply",
+        "ddl_rename_table",
+        "dedup_minhash_lsh",
     ]
     bench_queries = [q for q in bench_queries if q in REGISTRY]
 
@@ -58,6 +63,10 @@ def main() -> None:
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # cross-round comparable core (the r1/r2 headline set, pre-breadth)
+    core7 = round(
+        sum(v for k, v in timings.items() if k in bench_queries[:7]), 3
+    )
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     # steady-state streaming apply: seed the hash-bucket target with the full
@@ -103,6 +112,7 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "core7_sec": core7,
                 "queries": timings,
                 "apply_rows_per_sec": round(n_events / timings["cdc_apply"])
                 if timings.get("cdc_apply")

@@ -175,3 +175,59 @@ def test_do_rule_with_dml_only_events_drops_ddl(spark):
     )
     kept = {r.seq for r in ddl.filter(ddl_filter_predicate(cfg)).collect()}
     assert kept == {2}
+
+
+def test_create_table_key_constraints_and_options():
+    """Structure facts off CREATE TABLE: inline/table-level PK, UNIQUE keys,
+    charset/collation table options (table_structure.go reads the same off
+    SHOW CREATE TABLE)."""
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+
+    op = parse_ddl(
+        "CREATE TABLE t (a BIGINT, b VARCHAR(10), score FLOAT, "
+        "CONSTRAINT pk_t PRIMARY KEY (a, b), UNIQUE KEY uk_b (b(5))) "
+        "ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin"
+    )
+    assert op.pk_columns == ("a", "b")
+    assert op.unique_keys == (("b",),)
+    assert (op.charset, op.collate) == ("utf8mb4", "utf8mb4_bin")
+
+    inline = parse_ddl(
+        "CREATE TABLE u (id INT UNSIGNED PRIMARY KEY, sid VARCHAR UNIQUE)"
+    )
+    assert inline.pk_columns == ("id",)
+    assert inline.unique_keys == (("sid",),)
+    assert inline.charset is None
+
+    keyless = parse_ddl("CREATE TABLE logs (msg VARCHAR, ts BIGINT)")
+    assert keyless.pk_columns == () and keyless.unique_keys == ()
+
+
+def test_structure_prechecks(spark):
+    """PK/UK existence, FLOAT-pk warning, charset consistency across shards
+    (dm/pkg/checker/table_structure.go)."""
+    from tiflow_spark.validation.precheck import run_structure_prechecks
+
+    ddl = spark.createDataFrame(
+        [
+            ("s0", "orders",
+             "CREATE TABLE orders (id BIGINT PRIMARY KEY) "
+             "DEFAULT CHARSET=utf8mb4"),
+            ("s1", "orders",
+             "CREATE TABLE orders (id BIGINT, PRIMARY KEY (id)) "
+             "DEFAULT CHARSET=latin1"),
+            ("s0", "m", "CREATE TABLE m (score DOUBLE PRIMARY KEY)"),
+            ("s0", "logs", "CREATE TABLE logs (msg VARCHAR)"),
+        ],
+        "shard string, table string, query string",
+    )
+    out = {
+        (r.check_name, r.target_table): (r.passed, r.detail_cnt)
+        for r in run_structure_prechecks(spark, ddl).collect()
+    }
+    assert out[("pk_uk_exists", "orders")] == (True, 0)
+    assert out[("pk_uk_exists", "logs")] == (False, 1)
+    assert out[("no_float_pk", "m")] == (False, 1)
+    assert out[("no_float_pk", "orders")] == (True, 0)
+    assert out[("charset_consistent", "orders")] == (False, 2)
+    assert out[("charset_consistent", "m")] == (True, 1)

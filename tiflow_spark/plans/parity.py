@@ -1493,6 +1493,70 @@ def q_precheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_prechecks(tfm.route(env, DEMO_CFG))
 
 
+# shard CREATE TABLEs for the structure precheck — REAL SQL strings; the
+# engine side parses them (ddl_parse), the oracle sees only the hand-derived
+# structure facts. Shapes mirror dm/tests precheck fixtures: a consistent
+# 3-shard merge with one charset stray, a FLOAT pk, a keyless table, a
+# UNIQUE-key-only table.
+_SHARD_DDL = [
+    ("shard_0", "orders",
+     "CREATE TABLE orders (id BIGINT PRIMARY KEY, amount DOUBLE, "
+     "note VARCHAR) DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin"),
+    ("shard_1", "orders",
+     "CREATE TABLE orders (id BIGINT, amount DOUBLE, note VARCHAR, "
+     "PRIMARY KEY (id)) DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_bin"),
+    ("shard_2", "orders",
+     "CREATE TABLE orders (id BIGINT PRIMARY KEY, amount DOUBLE, "
+     "note VARCHAR) DEFAULT CHARSET=latin1"),
+    ("shard_0", "metrics",
+     "CREATE TABLE metrics (score FLOAT PRIMARY KEY, v BIGINT)"),
+    ("shard_0", "logs", "CREATE TABLE logs (msg VARCHAR, ts BIGINT)"),
+    ("shard_0", "sessions",
+     "CREATE TABLE sessions (sid VARCHAR(64), v BIGINT, "
+     "UNIQUE KEY uk_sid (sid))"),
+]
+
+
+@register(
+    "precheck_structure",
+    """WITH facts AS (SELECT * FROM (VALUES
+      ('shard_0', 'orders',   TRUE,  FALSE, 'utf8mb4', 'utf8mb4_bin'),
+      ('shard_1', 'orders',   TRUE,  FALSE, 'utf8mb4', 'utf8mb4_bin'),
+      ('shard_2', 'orders',   TRUE,  FALSE, 'latin1',  NULL),
+      ('shard_0', 'metrics',  TRUE,  TRUE,  NULL,      NULL),
+      ('shard_0', 'logs',     FALSE, FALSE, NULL,      NULL),
+      ('shard_0', 'sessions', TRUE,  FALSE, NULL,      NULL))
+      v(shard, tbl, has_pk_uk, pk_is_float, charset, "collate"))
+    SELECT 'pk_uk_exists' AS check_name, tbl AS target_table,
+           sum(CASE WHEN has_pk_uk THEN 0 ELSE 1 END) = 0 AS passed,
+           CAST(sum(CASE WHEN has_pk_uk THEN 0 ELSE 1 END) AS BIGINT)
+             AS detail_cnt
+    FROM facts GROUP BY tbl
+    UNION ALL
+    SELECT 'no_float_pk', tbl,
+           sum(CASE WHEN pk_is_float THEN 1 ELSE 0 END) = 0,
+           CAST(sum(CASE WHEN pk_is_float THEN 1 ELSE 0 END) AS BIGINT)
+    FROM facts GROUP BY tbl
+    UNION ALL
+    SELECT 'charset_consistent', tbl, count(DISTINCT variant) = 1,
+           CAST(count(DISTINCT variant) AS BIGINT)
+    FROM (SELECT tbl, concat_ws('/', coalesce(charset, '<default>'),
+                                coalesce("collate", '<default>')) AS variant
+          FROM facts)
+    GROUP BY tbl""",
+)
+def q_precheck_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-level DM prechecks parsed from real shard CREATE TABLE SQL
+    (dm/pkg/checker/table_structure.go): PK/UK existence, FLOAT-pk warning,
+    charset/collation consistency across a merge target's shards."""
+    from tiflow_spark.validation.precheck import run_structure_prechecks
+
+    ddl = spark.createDataFrame(
+        _SHARD_DDL, "shard string, table string, query string"
+    )
+    return run_structure_prechecks(spark, ddl)
+
+
 _GHOST_CASE = """CASE seq % 6
       WHEN 0 THEN '_' || "table" || '_gho'
       WHEN 1 THEN '_' || "table" || '_ghc'

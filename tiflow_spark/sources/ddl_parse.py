@@ -28,6 +28,8 @@ class ColumnDef:
     name: str
     col_type: str
     default: str | None = None
+    is_pk: bool = False  # inline PRIMARY KEY on the column def
+    is_unique: bool = False  # inline UNIQUE on the column def
 
 
 @dataclass(frozen=True)
@@ -39,6 +41,10 @@ class DDLOp:
     drop_column: str | None = None
     old_column: str | None = None  # CHANGE COLUMN rename source
     rename_to: str | None = None  # rename target table name
+    pk_columns: tuple[str, ...] = ()  # inline + table-level PRIMARY KEY
+    unique_keys: tuple[tuple[str, ...], ...] = ()  # UNIQUE KEY column sets
+    charset: str | None = None  # table-option DEFAULT CHARSET
+    collate: str | None = None  # table-option COLLATE
 
 
 _IDENT = r"[`\"']?([\w$]+)[`\"']?"
@@ -88,7 +94,40 @@ def _parse_column_def(entry: str) -> ColumnDef | None:
     name, rest = m.group(1), m.group(2).strip()
     stop = _TYPE_STOP.search(rest)
     col_type = (rest[: stop.start()] if stop else rest).strip()
-    return ColumnDef(name, col_type.upper(), _parse_default(rest))
+    return ColumnDef(
+        name,
+        col_type.upper(),
+        _parse_default(rest),
+        is_pk=re.search(r"\bPRIMARY\s+KEY\b", rest, re.I) is not None,
+        is_unique=re.search(r"\bUNIQUE\b(?!\s+KEY\s*\()", rest, re.I)
+        is not None,
+    )
+
+
+_PK_CONSTRAINT = re.compile(
+    r"(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)",
+    re.I,
+)
+_UK_CONSTRAINT = re.compile(
+    r"(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?UNIQUE"
+    r"(?:\s+KEY|\s+INDEX)?(?:\s+[`\"']?[\w$]+[`\"']?)?\s*\(([^)]*)\)",
+    re.I,
+)
+_CHARSET_OPT = re.compile(
+    r"(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*(\w+)", re.I
+)
+_COLLATE_OPT = re.compile(r"COLLATE\s*=?\s*(\w+)", re.I)
+
+
+def _key_cols(group: str) -> tuple[str, ...]:
+    """Column names from a key-constraint column list (strip quotes and
+    index-length suffixes like `name(10)`)."""
+    out = []
+    for part in group.split(","):
+        m = re.match(rf"^\s*{_IDENT}", part)
+        if m:
+            out.append(m.group(1))
+    return tuple(out)
 
 
 def _split_top_level(body: str) -> list[str]:
@@ -137,17 +176,44 @@ def parse_ddl(query: str) -> DDLOp | None:
     q = query.strip().rstrip(";").strip()
 
     m = re.match(
-        rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s*\((.*)\)\s*[^)]*$",
+        rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QUALIFIED}\s*\((.*)\)\s*([^)]*)$",
         q,
         re.I | re.S,
     )
     if m:
+        entries = _split_top_level(m.group(3))
         cols = tuple(
             c
-            for entry in _split_top_level(m.group(3))
+            for entry in entries
             if (c := _parse_column_def(entry)) is not None
         )
-        return DDLOp("create table", m.group(1), m.group(2), columns=cols)
+        # table-level key constraints (the structure facts DM's precheck
+        # reads off SHOW CREATE TABLE, dm/pkg/checker/table_structure.go)
+        pk: tuple[str, ...] = tuple(c.name for c in cols if c.is_pk)
+        uks: list[tuple[str, ...]] = [(c.name,) for c in cols if c.is_unique]
+        for entry in entries:
+            e = entry.strip()
+            if not _CONSTRAINT_HEAD.match(e):
+                continue
+            km = _PK_CONSTRAINT.match(e)
+            if km:
+                pk = pk + _key_cols(km.group(1))
+                continue
+            km = _UK_CONSTRAINT.match(e)
+            if km:
+                uks.append(_key_cols(km.group(1)))
+        opts = m.group(4) or ""
+        cm, om = _CHARSET_OPT.search(opts), _COLLATE_OPT.search(opts)
+        return DDLOp(
+            "create table",
+            m.group(1),
+            m.group(2),
+            columns=cols,
+            pk_columns=pk,
+            unique_keys=tuple(uks),
+            charset=cm.group(1).lower() if cm else None,
+            collate=om.group(1).lower() if om else None,
+        )
 
     m = re.match(rf"^ALTER\s+TABLE\s+{_QUALIFIED}\s+(.*)$", q, re.I | re.S)
     if m:

@@ -13,6 +13,7 @@ the (routed) change stream — no driver loops.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -111,6 +112,107 @@ def check_auto_increment_conflicts(routed: DataFrame) -> DataFrame:
         (F.col("detail_cnt") == 0).alias("passed"),
         "detail_cnt",
     )
+
+
+def table_structure_facts(spark, ddl: DataFrame) -> DataFrame:
+    """Per-shard table-structure facts parsed from real CREATE TABLE
+    statements (dm/pkg/checker/table_structure.go reads the same facts off
+    SHOW CREATE TABLE). DDL sets are metadata-scale — collected and parsed
+    driver-side exactly like the schema-registry fold; the *checks* stay
+    declarative aggregations over this facts frame.
+
+    Input columns: (shard, table, query). Output one row per (shard, table):
+    has_pk_uk, pk_is_float, charset, collate, n_columns."""
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+
+    rows = []
+    for ev in ddl.select("shard", "table", "query").collect():
+        op = parse_ddl(ev.query)
+        if op is None or op.kind != "create table":
+            continue
+        types = {c.name: c.col_type for c in op.columns}
+        pk_float = any(
+            re.match(r"^(FLOAT|DOUBLE|REAL)\b", types.get(c, ""))
+            for c in op.pk_columns
+        )
+        rows.append(
+            (
+                ev.shard,
+                ev.table,
+                bool(op.pk_columns) or bool(op.unique_keys),
+                pk_float,
+                op.charset,
+                op.collate,
+                len(op.columns),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "shard string, target_table string, has_pk_uk boolean, "
+        "pk_is_float boolean, charset string, collate string, "
+        "n_columns int",
+    )
+
+
+def check_pk_uk_exists(facts: DataFrame) -> DataFrame:
+    """Every shard table must define a PRIMARY KEY or UNIQUE key
+    (table_structure.go TablesChecker: no PK/UK → replication can't
+    identify rows)."""
+    return facts.groupBy("target_table").agg(
+        F.sum((~F.col("has_pk_uk")).cast("long")).alias("detail_cnt")
+    ).select(
+        F.lit("pk_uk_exists").alias("check_name"),
+        "target_table",
+        (F.col("detail_cnt") == 0).alias("passed"),
+        "detail_cnt",
+    )
+
+
+def check_no_float_pk(facts: DataFrame) -> DataFrame:
+    """FLOAT/DOUBLE-typed primary keys are flagged (inexact equality makes
+    them unreliable replication handles — the reference warns on them)."""
+    return facts.groupBy("target_table").agg(
+        F.sum(F.col("pk_is_float").cast("long")).alias("detail_cnt")
+    ).select(
+        F.lit("no_float_pk").alias("check_name"),
+        "target_table",
+        (F.col("detail_cnt") == 0).alias("passed"),
+        "detail_cnt",
+    )
+
+
+def check_charset_consistency(facts: DataFrame) -> DataFrame:
+    """All shards of one merge target must agree on table charset/collation
+    (table_structure.go ShardingTablesChecker structure diff — charset
+    divergence corrupts merged text comparisons). detail_cnt = number of
+    distinct (charset, collate) variants; 1 passes."""
+    variants = F.concat_ws(
+        "/",
+        F.coalesce(F.col("charset"), F.lit("<default>")),
+        F.coalesce(F.col("collate"), F.lit("<default>")),
+    )
+    return facts.withColumn("variant", variants).groupBy(
+        "target_table"
+    ).agg(F.count_distinct("variant").alias("detail_cnt")).select(
+        F.lit("charset_consistent").alias("check_name"),
+        "target_table",
+        (F.col("detail_cnt") == 1).alias("passed"),
+        "detail_cnt",
+    )
+
+
+def run_structure_prechecks(spark, ddl: DataFrame) -> DataFrame:
+    """Structure-level prechecks over shard CREATE TABLE statements — the
+    data-derivable remainder of DM's checker suite (checker.go:84-731);
+    privilege/binlog-format/server-version checks are connection-level and
+    stay out of scope for a file-based engine."""
+    facts = table_structure_facts(spark, ddl)
+    checks = [
+        check_pk_uk_exists(facts),
+        check_no_float_pk(facts),
+        check_charset_consistency(facts),
+    ]
+    return reduce(DataFrame.unionByName, checks)
 
 
 def run_prechecks(routed: DataFrame) -> DataFrame:
