@@ -56,6 +56,7 @@ _PRIORITY = [
     "mm_feature_extract",
     # new in round 3
     "precheck_structure",
+    "sink_mq_roundtrip",
 ]
 
 

@@ -120,3 +120,38 @@ def test_ddl_schema_versions_written_per_registry_version(spark, sf_dir, tmp_pat
     tier = next(c for c in v3 if c["ColumnName"] == "tier")
     assert tier["ColumnDefault"] == "std" and tier["ColumnType"] == "VARCHAR"
     assert defs[0]["TableVersion"] < defs[2]["TableVersion"]
+
+
+def test_file_broker_multi_batch_offsets(spark, tmp_path):
+    """Produce two batches; consume sees contiguous per-(topic, partition)
+    offsets in (batch, dispatch-order) sequence, and a topic filter prunes
+    to that topic only (mq_dml_sink.go ordering contract)."""
+    from tiflow_spark.sinks.mq import (
+        consume_file_broker,
+        produce_file_broker,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "topic string, partition int, key string, value string, "
+            "commit_ts long, seq long",
+        )
+
+    broker = str(tmp_path / "broker")
+    produce_file_broker(
+        batch([("t1", 0, "k1", "v1", 100, 1), ("t1", 0, "k2", "v2", 90, 2),
+               ("t2", 1, "k3", "v3", 50, 3)]),
+        broker, batch_id=0,
+    )
+    produce_file_broker(
+        batch([("t1", 0, "k4", "v4", 200, 4)]), broker, batch_id=1
+    )
+    out = consume_file_broker(spark, broker).collect()
+    t10 = sorted(
+        [(r.offset, r.key) for r in out if r.topic == "t1"],
+    )
+    # batch 0 ordered by (commit_ts, seq): k2(90) < k1(100); batch 1 after
+    assert t10 == [(0, "k2"), (1, "k1"), (2, "k4")]
+    only_t2 = consume_file_broker(spark, broker, topic="t2").collect()
+    assert [(r.topic, r.offset, r.key) for r in only_t2] == [("t2", 0, "k3")]

@@ -23,6 +23,14 @@ Spark shape: encoding runs as an Arrow-batched pandas UDF (the documented
 slow path for codecs Spark cannot express with built-ins — SURVEY.md §2.8
 flags avro as the one codec needing custom bytes). Decode mirrors it.
 Both are map-only stages; everything else in the pipeline stays JVM-side.
+
+Registry decision (final): the schema registry stays LOCAL — an in-process
+id↔schema map behind the same lookup interface a Confluent/Glue client
+exposes. The wire format is registry-agnostic (the 4-byte schema id is
+opaque to consumers), so swapping in a live registry client is a
+constructor argument, not a format change; a network client would be
+untestable in this sandbox and adds no coverage of the encoding itself,
+which is what the reference's avro.go owns.
 """
 
 from __future__ import annotations

@@ -85,7 +85,11 @@ def _image_map(side: str, fields: list[T.StructField]) -> Column:
     return F.when(F.col(side).isNotNull(), F.create_map(*kv))
 
 
-def encode_canal_json(env: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> DataFrame:
+def encode_canal_json(
+    env: DataFrame,
+    pk_names: tuple[str, ...] = ("id",),
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
     sql_type = F.create_map(
         *[
@@ -130,6 +134,7 @@ def encode_canal_json(env: DataFrame, pk_names: tuple[str, ...] = ("id",)) -> Da
         "table",
         "commit_ts",
         "seq",
+        *extra_cols,
         F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
     )
 
@@ -161,7 +166,7 @@ def decode_canal_json(
 
 
 def canal_json_sql_duckdb(
-    payload_cols: list[tuple[str, str]], env_cte: str
+    payload_cols: list[tuple[str, str]], env_cte: str, extra_select: str = ""
 ) -> str:
     """DuckDB SQL building byte-identical canal-json messages."""
     java_types = {"bigint": -5, "int": 4, "double": 8, "string": 12}
@@ -175,8 +180,9 @@ def canal_json_sql_duckdb(
 
     sql_t = ", ".join(f"'{n}': {java_types[t]}" for n, t in payload_cols)
     mysql_t = ", ".join(f"'{n}': '{mysql_types[t]}'" for n, t in payload_cols)
+    extra = f"{extra_select}, " if extra_select else ""
     return f"""{env_cte}
-    SELECT "schema", "table", commit_ts, seq, to_json({{
+    SELECT "schema", "table", commit_ts, seq, {extra}to_json({{
       id: 0::BIGINT,
       database: "schema",
       "table": "table",

@@ -1646,6 +1646,65 @@ def _install_claim_check_sql() -> None:
 _install_claim_check_sql()
 
 
+_MQ_BROKER_DIRS: dict[str, str] = {}
+
+
+def _mq_broker_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Produce the dispatched canal-json stream to a file broker once per
+    (process, sf_dir); the roundtrip query consumes from it."""
+    if sf_dir not in _MQ_BROKER_DIRS:
+        import tempfile
+
+        from tiflow_spark.codecs.canal_json import encode_canal_json
+        from tiflow_spark.sinks.mq import produce_file_broker
+
+        d = dispatch(_env(spark, sf_dir), DEMO_CFG, num_partitions=16)
+        msgs = encode_canal_json(d, extra_cols=("topic", "partition", "key"))
+        base = tempfile.mkdtemp(prefix="tiflow_mq_")
+        produce_file_broker(msgs, base, batch_id=0)
+        _MQ_BROKER_DIRS[sf_dir] = base
+    return _MQ_BROKER_DIRS[sf_dir]
+
+
+@register("sink_mq_roundtrip", None)  # SQL installed below
+def q_sink_mq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ sink produce→consume round trip through the file-backed broker
+    (mq_dml_sink.go + the kafka consumer): dispatched canal-json messages
+    come back with per-(topic, partition) offsets in dispatch order —
+    byte-equal values, oracle-recomputed topic/partition/offset."""
+    from tiflow_spark.sinks.mq import consume_file_broker
+
+    out = consume_file_broker(spark, _mq_broker_dir(spark, sf_dir))
+    return out.select("topic", "partition", "offset", "key", "value")
+
+
+def _install_mq_roundtrip_sql() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+
+    part = (
+        "CAST((('0x' || substr(md5(\"schema\" || chr(1) || \"table\" || "
+        "chr(1) || key), 1, 15))::BIGINT) % 16 AS INT)"
+    )
+    canal = canal_json_sql_duckdb(
+        PAYLOAD_COLS,
+        ENV_CTE,
+        extra_select=f"\"schema\" || '.' || \"table\" AS topic, "
+        f"{part} AS partition, key",
+    )
+    REGISTRY["sink_mq_roundtrip"] = (
+        REGISTRY["sink_mq_roundtrip"][0],
+        f"""SELECT topic, partition,
+          CAST(row_number() OVER (PARTITION BY topic, partition
+                                  ORDER BY commit_ts, seq) - 1 AS BIGINT)
+            AS "offset",
+          key, value
+        FROM ({canal}) canal""",
+    )
+
+
+_install_mq_roundtrip_sql()
+
+
 @register(
     "shardddl_barrier",
     f"""{FILTERED_CTE},

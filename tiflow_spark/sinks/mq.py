@@ -1,0 +1,72 @@
+"""File-backed MQ broker — the Kafka/Pulsar produce/consume seam without a
+live broker in the sandbox.
+
+The reference's MQ sink (cdc/sink/dmlsink/mq/mq_dml_sink.go + the kafka
+producer in pkg/sink/kafka) guarantees exactly one property the rest of the
+system depends on: messages of one (topic, partition) are appended in
+dispatch order and a consumer replays them by ascending offset. Production
+Spark deployments get this from the built-in Kafka sink
+(``df.write.format("kafka")`` — same topic/key/value contract, partition
+chosen by the producer from our ``partition`` column); this module keeps the
+contract *testable* here:
+
+- :func:`produce_file_broker` appends one parquet "segment" per produce call,
+  hash-partitioned on (topic, partition) with in-batch offsets — a map-side
+  write plus one per-partition window, no global shuffle.
+- :func:`consume_file_broker` replays segments in (batch, in-batch offset)
+  order and assigns global per-partition offsets — the Kafka consumer view.
+
+Scale: the broker directory is partitioned by (topic, partition), so a
+consumer of one topic prunes to that subtree; offset assignment windows over
+single (topic, partition) groups — the same per-partition ordering cost any
+Kafka producer pays. At 100 TB the broker IS Kafka and this module's column
+contract is the only thing the engine sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: columns a produce batch must carry (ordering columns included — the MQ
+#: sink receives the dispatched, causality-ordered stream)
+MESSAGE_COLS = ("topic", "partition", "key", "value", "commit_ts", "seq")
+
+
+def produce_file_broker(
+    msgs: DataFrame, broker_dir: str, batch_id: int = 0
+) -> None:
+    """Append one batch of messages to the file broker.
+
+    In-batch offsets follow (commit_ts, seq) — the dispatch order the
+    conflict detector established; replaying the same batch_id is
+    idempotent at the consumer (same segment, same offsets)."""
+    w = Window.partitionBy("topic", "partition").orderBy("commit_ts", "seq")
+    (
+        msgs.select(*MESSAGE_COLS)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .withColumn("batch_offset", (F.row_number().over(w) - 1).cast("long"))
+        .write.mode("append")
+        .partitionBy("topic", "partition")
+        .parquet(broker_dir)
+    )
+
+
+def consume_file_broker(
+    spark: SparkSession, broker_dir: str, topic: str | None = None
+) -> DataFrame:
+    """Replay broker messages with global per-(topic, partition) offsets.
+
+    A topic filter prunes to its partition subtree (partition-pruned scan,
+    no full-broker read)."""
+    df = spark.read.parquet(broker_dir)
+    if topic is not None:
+        df = df.filter(F.col("topic") == topic)
+    w = Window.partitionBy("topic", "partition").orderBy(
+        "batch_id", "batch_offset"
+    )
+    return df.withColumn(
+        "offset", (F.row_number().over(w) - 1).cast("long")
+    ).select(
+        "topic", "partition", "offset", "key", "value", "commit_ts", "seq"
+    )
