@@ -9,17 +9,15 @@ written before an ADD COLUMN are backfilled with the column default
 Spark-first shape:
 - the registry is a tiny versioned table (table, version_ts, version_no,
   columns[...]) — broadcast everywhere
-- as-of resolution = broadcast join on table + version_ts <= commit_ts,
-  keep the max version (one window over the join, no custom code paths) —
-  at 100 TB the event side never shuffles: broadcast + map-side window
-  via aggregation-free max_by pattern. We use the join+row_number form for
-  clarity; Catalyst broadcasts the registry side.
+- as-of resolution = broadcast the per-table sorted version arrays and pick
+  the applicable version with array functions — equi-join + map-only, the
+  event side never shuffles or multiplies.
 - default backfill = coalesce(field, default) per added column.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -49,33 +47,45 @@ def asof_resolve(
 ) -> DataFrame:
     """Attach the schema version in effect at each event's commit_ts.
 
-    Join on table + version_ts <= commit_ts, keep latest version — the
-    declarative form of getSnapshot's binary search. Registry is broadcast;
-    the (huge) event side keeps its partitioning. ``unique_col`` identifies
-    an event for the keep-latest window.
+    The declarative form of getSnapshot's binary search: each table's (tiny)
+    version history is packed into one version_ts-sorted array, broadcast,
+    and the event picks the last version with version_ts <= commit_ts with
+    array functions — an equi-broadcast-join plus a map-only projection.
+    The (huge) event side never shuffles and never multiplies: the earlier
+    join-on-inequality + keep-latest-window form expanded every event by
+    its version count and shuffled the expansion on (table, ``unique_col``),
+    which at 100 TB is the dominant cost of decode. Version arrays are
+    O(DDL count per table) — metadata-scale by construction.
     """
-    r = registry.select(
-        F.col("table").alias("_r_table"),
-        "version_ts",
-        "version_no",
-        "columns",
-        "defaults",
+    packed = registry.groupBy("table").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("version_ts", "version_no", "columns", "defaults")
+            ),
+            # explicit comparator: sort_array can't order map-bearing structs
+            lambda a, b: F.when(a["version_ts"] < b["version_ts"], -1)
+            .when(a["version_ts"] > b["version_ts"], 1)
+            .otherwise(0),
+        ).alias("_versions")
+    ).withColumnRenamed("table", "_r_table")
+    applicable = F.filter(
+        F.col("_versions"), lambda v: v["version_ts"] <= F.col("commit_ts")
     )
-    joined = events.join(
-        F.broadcast(r),
-        on=[
-            events[event_table_col] == r["_r_table"],
-            r["version_ts"] <= events["commit_ts"],
-        ],
-        how="left",
-    ).drop("_r_table")
-    w = Window.partitionBy(event_table_col, unique_col).orderBy(
-        F.col("version_no").desc()
-    )
+    # F.get: NULL (not an ANSI error) for no applicable version / no table
+    pick = F.get(applicable, F.size(applicable) - 1)
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "version_ts")
+        events.join(
+            F.broadcast(packed),
+            on=events[event_table_col] == packed["_r_table"],
+            how="left",
+        )
+        .withColumn("_v", pick)
+        .select(
+            *events.columns,
+            F.col("_v.version_no").alias("version_no"),
+            F.col("_v.columns").alias("columns"),
+            F.col("_v.defaults").alias("defaults"),
+        )
     )
 
 
