@@ -57,6 +57,7 @@ _PRIORITY = [
     # new in round 3
     "precheck_structure",
     "sink_mq_roundtrip",
+    "ddl_truncate",
 ]
 
 

@@ -177,3 +177,60 @@ def test_purge_preserves_evolved_schema(spark, tmp_path):
     # tombstone physically gone
     raw = spark.read.option("mergeSchema", "true").parquet(target)
     assert raw.filter(F.col("op") == "D").count() == 0
+
+
+def test_truncate_watermark_semantics(spark, tmp_path):
+    """TRUNCATE is a metadata-only watermark: pre-truncate rows vanish from
+    read_state immediately (other tables untouched), replayed pre-truncate
+    batches stay invisible, purge physically reclaims, and a watermark
+    recorded before target creation survives it."""
+    from tiflow_spark.sinks.bucketed import (
+        merge_hash_bucketed,
+        purge_tombstones,
+        read_state,
+        read_target_meta,
+        truncate_table,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "target_table string, key string, op string, commit_ts long, "
+            "seq long, v long",
+        )
+
+    path = str(tmp_path / "t")
+    merge_hash_bucketed(
+        batch([("a", "k1", "I", 100, 1, 1), ("a", "k2", "I", 200, 2, 2),
+               ("b", "k1", "I", 150, 3, 3)]),
+        path, n_buckets=4, batch_id=0,
+    )
+    truncate_table(path, "a", 180)
+    vis = {(r.target_table, r.key) for r in read_state(spark, path).collect()}
+    assert vis == {("a", "k2"), ("b", "k1")}
+    # post-truncate merge + replayed PRE-truncate batch (must stay erased)
+    merge_hash_bucketed(batch([("a", "k3", "I", 300, 4, 4)]), path,
+                        n_buckets=4, batch_id=1)
+    merge_hash_bucketed(batch([("a", "k1", "I", 100, 1, 1)]), path,
+                        n_buckets=4, batch_id=2)
+    vis = {(r.target_table, r.key) for r in read_state(spark, path).collect()}
+    assert vis == {("a", "k2"), ("a", "k3"), ("b", "k1")}
+    # physical reclamation: raw rows below the watermark disappear,
+    # visibility unchanged; the watermark itself stays (monotone)
+    purge_tombstones(spark, path, safepoint_ts=0)
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    assert raw.filter(
+        (F.col("target_table") == "a") & (F.col("commit_ts") < 180)
+    ).count() == 0
+    vis = {(r.target_table, r.key) for r in read_state(spark, path).collect()}
+    assert vis == {("a", "k2"), ("a", "k3"), ("b", "k1")}
+    truncate_table(path, "a", 120)  # older replay: no-op
+    assert read_target_meta(path)["truncates"]["a"] == 180
+    # watermark recorded BEFORE creation survives the creation write
+    p2 = str(tmp_path / "t2")
+    truncate_table(p2, "a", 50)
+    merge_hash_bucketed(
+        batch([("a", "k0", "I", 40, 5, 5), ("a", "k9", "I", 60, 6, 6)]),
+        p2, n_buckets=4, batch_id=0,
+    )
+    assert {r.key for r in read_state(spark, p2).collect()} == {"k9"}

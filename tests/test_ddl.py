@@ -153,12 +153,18 @@ def test_asof_resolve_unit_semantics(spark):
     version boundaries are inclusive, earliest version covers ts 0."""
     from pyspark.sql import functions as F
 
-    from tiflow_spark.sources.schema_registry import (
-        asof_resolve,
-        demo_registry,
-    )
+    from tiflow_spark.sources.schema_registry import asof_resolve
 
-    reg = demo_registry(spark, (100, 200))
+    reg = spark.createDataFrame(
+        [
+            ("events", 0, 1, ["id", "balance"], {}),
+            ("events", 100, 2, ["id", "balance", "note"], {"note": "{}"}),
+            ("events", 200, 3, ["id", "balance", "note", "tier"],
+             {"note": "{}", "tier": "std"}),
+        ],
+        "table string, version_ts long, version_no int, "
+        "columns array<string>, defaults map<string,string>",
+    )
     events = spark.createDataFrame(
         [(1, 50), (2, 100), (3, 150), (4, 200), (5, 999)],
         "seq long, commit_ts long",

@@ -136,3 +136,44 @@ def test_run_changefeed_with_ddl_api(spark, tmp_path, chunks):
     n_std = live.filter(F.col("tier") == "std").count()
     n_expected = live.filter(F.col("commit_ts") >= b2).count()
     assert n_std == n_expected > 0
+
+
+def test_truncate_ddl_applies_at_barrier(spark, tmp_path, chunks):
+    """A TRUNCATE TABLE DDL in the side-channel erases pre-truncate rows
+    from the visible target state once its barrier batch applies —
+    metadata-only (raw files keep the rows until purge)."""
+    import os
+
+    from tiflow_spark.sinks.bucketed import read_state
+    from tiflow_spark.streaming.pipeline import run_changefeed_with_ddl
+
+    src, events, b2 = chunks
+    trunc = (
+        events.agg(F.min(F.unix_micros("ts")).alias("t0"),
+                   F.max(F.unix_micros("ts")).alias("t1"))
+        .select(
+            F.lit("DDL").alias("op"),
+            F.lit("shard_0").alias("schema"),
+            F.lit("events").alias("table"),
+            (F.col("t0") + F.expr("(t1 - t0) * 8 div 12")).alias("commit_ts"),
+            F.lit(99).cast("long").alias("seq"),
+            F.lit("truncate table").alias("ddl_type"),
+            F.lit("TRUNCATE TABLE events").alias("query"),
+        )
+    )
+    ddl = ddl_stream(events).unionByName(trunc, allowMissingColumns=True)
+    work = str(tmp_path / "work_trunc")
+    # shard tables merge into the logical table the TRUNCATE names
+    from tiflow_spark.config import RouteRule
+
+    cfg = TaskConfig(routes=(RouteRule("*", "events_*", "target", "events"),))
+    run_changefeed_with_ddl(spark, src, cfg, work, ddl)
+    state = read_state(spark, os.path.join(work, "target"))
+    n_new = state.filter(F.col("commit_ts") >= b2).count()
+    assert state.filter(F.col("commit_ts") < b2).count() == 0
+    assert n_new > 0
+    # metadata-only: raw target still holds pre-truncate rows until purge
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(work, "target")
+    )
+    assert raw.filter(F.col("commit_ts") < b2).count() > 0

@@ -429,6 +429,70 @@ def q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddl_truncate",
+    f"""{SPLIT_CTE},
+    b AS (SELECT min(commit_ts) AS t0, max(commit_ts) AS t1 FROM split),
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split) WHERE rn = 1
+    )
+    SELECT target_table, key, after_id AS id, after_balance AS balance,
+           after_note AS note
+    FROM last CROSS JOIN b
+    WHERE op <> 'D'
+      AND NOT (target_table = 'events_all'
+               AND commit_ts < t0 + (t1 - t0) // 2)""",
+)
+def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATE TABLE applied to the bucketed target at its barrier
+    (pkg/filter truncate job type; the MySQL sink executes the statement):
+    pre-truncate state vanishes from the visible target — including a
+    REPLAYED pre-truncate batch merged after the truncate (the resurrection
+    case) — via the O(1) metadata watermark, not a data rewrite."""
+    import tempfile
+
+    from tiflow_spark.sinks.bucketed import (
+        merge_hash_bucketed,
+        read_state,
+        truncate_table,
+    )
+
+    split = tfm.split_updates(
+        tfm.route(flt.apply_filters(_env(spark, sf_dir), DEMO_CFG), DEMO_CFG)
+    )
+    changes = split.select(
+        "target_table",
+        "key",
+        "op",
+        "commit_ts",
+        "seq",
+        F.col("after.id").alias("id"),
+        F.col("after.balance").alias("balance"),
+        F.col("after.note").alias("note"),
+    )
+    bnd = changes.agg(
+        F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
+    ).collect()[0]
+    cut = bnd.t0 + (bnd.t1 - bnd.t0) // 2
+    target = tempfile.mkdtemp(prefix="tiflow_trunc_q_") + "/target"
+    pre = changes.filter(F.col("commit_ts") < cut)
+    merge_hash_bucketed(pre, target, n_buckets=8, batch_id=0)
+    truncate_table(target, "events_all", cut)
+    merge_hash_bucketed(
+        changes.filter(F.col("commit_ts") >= cut), target, n_buckets=8,
+        batch_id=1,
+    )
+    # replay a pre-truncate batch AFTER the truncate: must stay erased
+    merge_hash_bucketed(pre, target, n_buckets=8, batch_id=2)
+    return read_state(spark, target).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+
+
+@register(
     "cdc_column_ops",
     f"""{ENV_CTE}
     SELECT seq,

@@ -108,11 +108,46 @@ def read_target_meta(path: str) -> dict | None:
     return _read_json(os.path.join(path, _META))
 
 
-def _write_target_meta(path: str, n_buckets: int, key_cols) -> None:
-    _atomic_write_json(
-        os.path.join(path, _META),
-        {"n_buckets": n_buckets, "key_cols": list(key_cols)},
-    )
+def _write_target_meta(
+    path: str, n_buckets: int, key_cols, base: dict | None = None
+) -> None:
+    """Write sizing metadata, preserving any other keys already present (or
+    passed via ``base`` when the caller captured them before a destructive
+    write) — e.g. truncate watermarks recorded before first data."""
+    meta = dict(base or read_target_meta(path) or {})
+    meta.update({"n_buckets": n_buckets, "key_cols": list(key_cols)})
+    _atomic_write_json(os.path.join(path, _META), meta)
+
+
+def truncate_table(path: str, table: str, truncate_ts: int) -> None:
+    """Metadata-only TRUNCATE TABLE — the DDL sink applying a truncate at
+    its barrier (the reference forwards TRUNCATE to the MySQL sink, which
+    drops the rows; job_type taxonomy pkg/filter/filter.go).
+
+    Records a per-table truncate watermark in the target metadata: rows of
+    ``table`` with commit_ts < truncate_ts stop being visible to
+    :func:`read_state` immediately and are physically reclaimed by the next
+    :func:`purge_tombstones`/:func:`resize_buckets` rewrite. O(1) regardless
+    of target size — the 100 TB property; a truncate never rewrites data
+    inline. Monotone + idempotent: replays can only raise the watermark."""
+    meta = read_target_meta(path) or {}
+    tr = dict(meta.get("truncates") or {})
+    if truncate_ts <= tr.get(table, -1):
+        return
+    tr[table] = truncate_ts
+    meta["truncates"] = tr
+    os.makedirs(path, exist_ok=True)
+    _atomic_write_json(os.path.join(path, _META), meta)
+
+
+def _truncated_predicate(meta: dict | None, table_col: str = "target_table"):
+    """Column predicate matching rows erased by a truncate watermark, or
+    None when no truncate was ever applied."""
+    cond = None
+    for t, ts in ((meta or {}).get("truncates") or {}).items():
+        c = (F.col(table_col) == t) & (F.col("commit_ts") < F.lit(ts))
+        cond = c if cond is None else (cond | c)
+    return cond
 
 
 def _apply_commit(path: str, stage: str, manifest: dict) -> None:
@@ -197,7 +232,10 @@ def merge_hash_bucketed(
     from tiflow_spark.operators.compactor import last_state_per_key
 
     spark = changes.sparkSession
-    exists = os.path.isdir(path)
+    meta0 = read_target_meta(path) if os.path.isdir(path) else None
+    # a dir holding only metadata (e.g. a truncate watermark recorded before
+    # first data) is still "uncreated" — no bucket layout exists yet
+    exists = os.path.isdir(path) and bool((meta0 or {}).get("n_buckets"))
     if exists:
         recover(path)
         meta = read_target_meta(path)
@@ -227,7 +265,9 @@ def merge_hash_bucketed(
             result.repartition(F.col("bucket")).write.mode(
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
-            _write_target_meta(path, n_buckets, key_cols)
+            # base=meta0: Spark's overwrite wiped the dir — restore any
+            # pre-creation metadata (truncate watermarks) alongside sizing
+            _write_target_meta(path, n_buckets, key_cols, base=meta0)
             return
         affected = sorted(
             r.bucket for r in chg.select("bucket").distinct().collect()
@@ -280,7 +320,9 @@ def read_state(spark: SparkSession, path: str) -> DataFrame:
     first so readers never observe a torn commit."""
     recover(path)
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    return df.filter(F.col("op") != "D")
+    live = df.filter(F.col("op") != "D")
+    trunc = _truncated_predicate(read_target_meta(path))
+    return live.filter(~trunc) if trunc is not None else live
 
 
 def purge_tombstones(
@@ -298,6 +340,11 @@ def purge_tombstones(
     kept = df.filter(
         ~((F.col("op") == "D") & (F.col("commit_ts") <= F.lit(safepoint_ts)))
     )
+    # physically reclaim truncated rows too (the watermark stays — a
+    # replayed pre-truncate batch must keep merging into invisibility)
+    trunc = _truncated_predicate(read_target_meta(path))
+    if trunc is not None:
+        kept = kept.filter(~trunc)
     _rewrite_all(path, kept, stage_name="purge")
 
 

@@ -270,6 +270,27 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, _REGISTRY_SCHEMA)
 
 
+def truncate_events(ddl: DataFrame) -> list[tuple[str, int]]:
+    """(table, commit_ts) of TRUNCATE TABLE DDLs that pass the allow-list,
+    parsed from query strings, in commit order — the sink applies each at
+    its barrier (sinks/bucketed.truncate_table). Metadata-scale collect,
+    bounded exactly like the registry fold above."""
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+
+    out = []
+    for ev in (
+        ddl.filter(ddl_allowlist_predicate())
+        .select("table", "commit_ts", "ddl_type", "query")
+        .orderBy("commit_ts")
+        .collect()
+    ):
+        op = parse_ddl(ev.query)
+        kind = op.kind if op is not None else ev.ddl_type
+        if kind == "truncate table":
+            out.append(((op.table if op else None) or ev.table, ev.commit_ts))
+    return out
+
+
 # ------------------------------------------------- optimistic shard-DDL mode
 
 # (shard, pos12, ddl_type, table, col_name, col_type): each shard applies

@@ -17,26 +17,8 @@ Spark-first shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def demo_registry(spark: SparkSession, boundaries: tuple[int, int]) -> DataFrame:
-    """Three schema versions of the streamed table: v1 (id, balance),
-    v2 adds note (default '{}'), v3 adds tier (default 'std').
-
-    boundaries: the two commit_ts cutpoints between v1→v2 and v2→v3.
-    """
-    b1, b2 = boundaries
-    rows = [
-        ("events", 0, 1, ["id", "balance"], {}),
-        ("events", b1, 2, ["id", "balance", "note"], {"note": "{}"}),
-        ("events", b2, 3, ["id", "balance", "note", "tier"], {"note": "{}", "tier": "std"}),
-    ]
-    return spark.createDataFrame(
-        rows, "table string, version_ts long, version_no int, columns array<string>, defaults map<string,string>"
-    )
-
 
 
 def asof_resolve(

@@ -190,6 +190,7 @@ class DDLStreamingTarget(StreamingTarget):
         registry,
         logical_table: str = "events",
         n_buckets: int = 32,
+        truncates: list[tuple[str, int]] | None = None,
     ):
         super().__init__(
             target_path=target_path,
@@ -198,6 +199,7 @@ class DDLStreamingTarget(StreamingTarget):
         )
         self.registry = registry
         self.logical_table = logical_table
+        self.truncates = truncates or []
         self._state_path = f"{target_path}.ddl_state.json"
 
     def _load_applied_version(self) -> int:
@@ -238,7 +240,11 @@ class DDLStreamingTarget(StreamingTarget):
         dec = decode_with_schema(
             asof_resolve(env, self.registry), self.registry
         )
-        vmax = dec.agg(F.max("version_no")).collect()[0][0] or 1
+        probe = dec.agg(
+            F.max("version_no").alias("vmax"),
+            F.max("commit_ts").alias("hwm"),
+        ).collect()[0]
+        vmax = probe.vmax or 1
         # applied-DDL state persists across batches AND restarts — a
         # replayed batch of pre-DDL events must never narrow the evolved
         # target schema (the reference checkpoints executed DDL the same
@@ -266,6 +272,14 @@ class DDLStreamingTarget(StreamingTarget):
             table_col="target_table",
             batch_id=batch_id,
         )
+        # truncate DDLs whose barrier this batch reached: metadata-only
+        # watermark, monotone → replay-idempotent, O(1) in target size
+        if probe.hwm is not None:
+            from tiflow_spark.sinks.bucketed import truncate_table
+
+            for t, ts in self.truncates:
+                if ts <= probe.hwm:
+                    truncate_table(self.target_path, t, ts)
         # persist applied-DDL state only AFTER the merge committed: a failed
         # merge must not advance schema state (the replayed batch redoes
         # both). Atomic write → a crash can't tear the file.
@@ -284,16 +298,24 @@ def run_changefeed_with_ddl(
     """Changefeed consuming BOTH channels: DML from the file source, DDL
     from the side-channel. The registry folds from the DDL stream
     (HandleDDLJob analog) and the target schema evolves at the barrier."""
-    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.sources.ddl_stream import (
+        registry_from_ddl,
+        truncate_events,
+    )
 
     registry = registry_from_ddl(ddl).filter(
         F.col("table") == logical_table
     )
+    # truncates are applied under the TARGET table name; with route rules
+    # in cfg, pass pre-mapped pairs to DDLStreamingTarget directly
     target = DDLStreamingTarget(
         target_path=os.path.join(work_dir, "target"),
         progress_path=os.path.join(work_dir, "progress"),
         registry=registry,
         logical_table=logical_table,
+        truncates=[
+            (t, ts) for t, ts in truncate_events(ddl) if t == logical_table
+        ],
     )
     stream = read_change_stream(spark, source_dir, max_files)
     transformed = transform_stream(stream, cfg)
