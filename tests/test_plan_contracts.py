@@ -201,3 +201,47 @@ def test_compact_agg_strategy_combines_map_side(spark, sf_dir):
     plan = compact(env, strategy="agg")._jdf.queryExecution().executedPlan().toString()
     ex = plan.index("Exchange hashpartitioning")
     assert "partial_max_by" in plan[ex:], "no map-side combine below exchange"
+
+
+def test_asof_resolve_is_shuffle_free(spark, sf_dir):
+    """As-of schema resolution must not shuffle (or multiply) the event
+    side: one broadcast of packed version arrays + map-only pick. A shuffle
+    or window here re-partitions the full decode input at 100 TB."""
+    fn, _ = REGISTRY["schema_asof_decode"]
+    plan = plan_of(fn(spark, sf_dir))
+    # the single allowed exchange packs the metadata-scale registry into
+    # per-table version arrays (input: the tiny DDL-fold RDD, not parquet);
+    # the event branch runs scan → project → broadcast-join → project
+    assert n_exchanges(plan) <= 1
+    assert "BroadcastExchange" in plan
+    assert re.search(r"^\(\d+\) Window", plan, flags=re.M) is None
+    # and that exchange belongs to the registry's partial/final aggregate
+    # pair, i.e. it is sandwiched between the two hash-aggregate nodes —
+    # never attached to the event scan
+    heads = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    for i, h in enumerate(heads):
+        if h == "Exchange":
+            assert "Aggregate" in heads[i - 1] and "Aggregate" in heads[i + 1]
+
+
+def test_mq_consume_prunes_topic_partitions(spark, sf_dir, tmp_path):
+    """A topic-filtered consume must prune to that topic's partition subtree
+    — at broker scale a consumer never lists, let alone reads, other
+    topics' segments."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sinks.mq import (
+        consume_file_broker,
+        produce_file_broker,
+    )
+
+    msgs = spark.createDataFrame(
+        [("ta", 0, "k", "v", 1, 1), ("tb", 0, "k", "v", 1, 2)],
+        "topic string, partition int, key string, value string, "
+        "commit_ts long, seq long",
+    )
+    broker = str(tmp_path / "broker")
+    produce_file_broker(msgs, broker)
+    plan = plan_of(consume_file_broker(spark, broker, topic="ta"))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "topic" in m.group(1)
