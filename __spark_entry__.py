@@ -58,6 +58,8 @@ _PRIORITY = [
     "precheck_structure",
     "sink_mq_roundtrip",
     "ddl_truncate",
+    "dedup_groups",
+    "ddl_multi_schema_change",
 ]
 
 

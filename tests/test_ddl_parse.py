@@ -231,3 +231,42 @@ def test_structure_prechecks(spark):
     assert out[("no_float_pk", "orders")] == (True, 0)
     assert out[("charset_consistent", "orders")] == (False, 2)
     assert out[("charset_consistent", "m")] == (True, 1)
+
+
+def test_multi_schema_change_parse_and_fold(spark):
+    """Comma-list ALTER parses into ordered sub-ops and folds into ONE
+    registry version; an index-only comma list emits no version
+    (ActionMultiSchemaChange, pkg/filter/filter.go)."""
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+    op = parse_ddl(
+        "ALTER TABLE t ADD COLUMN a INT DEFAULT '1', DROP COLUMN b, "
+        "RENAME TO t2"
+    )
+    assert op.kind == "multi schema change"
+    assert [s.kind for s in op.sub_ops] == [
+        "add column", "drop column", "rename table",
+    ]
+
+    ddl = spark.createDataFrame(
+        [
+            ("t", 100, 1, "create table",
+             "CREATE TABLE t (id BIGINT PRIMARY KEY, b INT)"),
+            ("t", 200, 2, "multi schema change",
+             "ALTER TABLE t ADD COLUMN a INT DEFAULT '1', DROP COLUMN b, "
+             "RENAME TO t2"),
+            ("t2", 300, 3, "multi schema change",
+             "ALTER TABLE t2 ADD INDEX i (a), DROP INDEX j"),
+        ],
+        "table string, commit_ts long, seq long, ddl_type string, "
+        "query string",
+    )
+    reg = {
+        r.version_no: (r.table, list(r.columns), dict(r.defaults))
+        for r in registry_from_ddl(ddl).collect()
+    }
+    assert reg == {
+        1: ("t", ["id", "b"], {}),
+        2: ("t2", ["id", "a"], {"a": "1"}),  # one version, rename applied
+    }

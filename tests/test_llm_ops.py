@@ -118,3 +118,24 @@ def test_multimodal_resize_rewrites_meta_only(spark, sf_dir):
         (F.octet_length("payload") == F.col("meta.n_bytes")).alias("intact"),
     ).collect()
     assert all(r.width == 64 and r.height == 48 and r.intact for r in rows)
+
+
+def test_duplicate_groups_chain_and_singleton(spark):
+    """Label propagation finds transitive components (a-b, b-c → one group
+    labeled min id) and singletons group to themselves."""
+    from tiflow_spark.llm.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long"
+    )
+    got = {
+        r.doc_id: (r.group_id, r.group_size, r.is_representative)
+        for r in duplicate_groups(pairs, corpus).collect()
+    }
+    assert got == {
+        1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False),
+        5: (5, 2, True), 6: (5, 2, False), 9: (9, 1, True),
+    }

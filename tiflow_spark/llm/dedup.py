@@ -487,3 +487,84 @@ cands AS (
 )
 SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+# ------------------------------------------------------- duplicate grouping
+
+
+def duplicate_groups(
+    pairs: DataFrame, corpus: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over the near-dup pair graph + a canonical doc
+    per component — the step that turns pairwise findings into the actual
+    keep/drop decision a dedup pipeline executes.
+
+    Min-label propagation to fixpoint: every paired doc starts labeled with
+    its own id; each round a node adopts the min label in its closed
+    neighborhood. A round is one equi-join + one aggregate keyed on doc_id;
+    rounds needed = component diameter (near-dup clusters are small and
+    star-ish, so a handful). The driver participates ONLY in the 1-scalar
+    convergence probe per round, never in data volume; lineage is truncated
+    per round (localCheckpoint) so the iterative plan stays flat. At
+    extreme component sizes swap the round body for large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce") — same join
+    shape, provably O(log n) rounds.
+
+    Returns every corpus doc: (doc_id, group_id, group_size,
+    is_representative) with group_id = min doc_id of the component and
+    singletons grouping to themselves.
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels, edges["src"] == labels["doc_id"]
+            ).select(F.col("dst").alias("doc_id"), "label")
+            new = (
+                labels.unionByName(nbr)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            improved = (
+                new.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if improved == 0:
+                break
+    finally:
+        edges.unpersist()
+    comp = labels.withColumnRenamed("label", "group_id")
+    out = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("group_id")
+    return out.select(
+        "doc_id",
+        "group_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.col("group_id")).alias("is_representative"),
+    )

@@ -976,6 +976,90 @@ def q_ddl_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multi-action ALTER lineage: one atomic statement carrying add/drop/modify
+# (+ an index op that must not emit a version) — reference job type
+# "multi schema change" (pkg/filter/filter.go; TiDB ActionMultiSchemaChange)
+_DDL3 = [
+    (1, 0, "inv", "create table",
+     "CREATE TABLE inv (id BIGINT PRIMARY KEY, qty INT DEFAULT '0', "
+     "loc VARCHAR DEFAULT 'us')"),
+    (2, 4, "inv", "multi schema change",
+     "ALTER TABLE inv ADD COLUMN price DECIMAL(8,2) DEFAULT '1.50', "
+     "DROP COLUMN loc, MODIFY COLUMN qty BIGINT DEFAULT '5', "
+     "ADD INDEX idx_qty (qty)"),
+    (3, 8, "inv", "multi schema change",
+     "ALTER TABLE inv ADD INDEX i2 (price), DROP INDEX idx_qty"),
+]
+
+
+@register(
+    "ddl_multi_schema_change",
+    """WITH b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    expected AS (SELECT * FROM (VALUES
+      (1, 0, 'id,qty,loc', 'id=BIGINT,qty=INT,loc=VARCHAR',
+       'qty=0,loc=us'),
+      (2, 4, 'id,qty,price', 'id=BIGINT,qty=BIGINT,price=DECIMAL(8,2)',
+       'qty=5,price=1.50'))
+      v(version_no, pos12, columns_csv, types_csv, defaults_csv))
+    SELECT 'inv' AS "table",
+           t0 + (t1 - t0) * pos12 // 12 AS version_ts,
+           version_no, columns_csv, types_csv, defaults_csv
+    FROM expected CROSS JOIN b""",
+)
+def q_ddl_multi_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-action ALTER (comma list) folds into ONE registry
+    version applying every action in statement order; an index-only
+    multi-statement emits no version. Engine parses the raw SQL; the
+    oracle declares the expected structure."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    tpl = spark.createDataFrame(
+        _DDL3, "seq long, pos12 long, table string, ddl_type string, "
+        "query string"
+    )
+    ddl = bounds.crossJoin(F.broadcast(tpl)).select(
+        F.lit("DDL").alias("op"),
+        F.lit("shard_0").alias("schema"),
+        "table",
+        (F.col("t0") + F.expr("(t1 - t0) * pos12 div 12")).alias("commit_ts"),
+        "seq",
+        "ddl_type",
+        "query",
+    )
+    reg = registry_from_ddl(ddl)
+    return reg.select(
+        "table",
+        "version_ts",
+        "version_no",
+        F.concat_ws(",", "columns").alias("columns_csv"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "columns",
+                lambda c: F.concat(c, F.lit("="), F.element_at("types", c)),
+            ),
+        ).alias("types_csv"),
+        F.concat_ws(
+            ",",
+            F.filter(
+                F.transform(
+                    "columns",
+                    lambda c: F.when(
+                        F.element_at("defaults", c).isNotNull(),
+                        F.concat(c, F.lit("="), F.element_at("defaults", c)),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ).alias("defaults_csv"),
+    )
+
+
 @register(
     "snapshot_merge",
     f"""{ENV_CTE},
@@ -1103,6 +1187,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_groups", None)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate grouping: MinHash+LSH pairs → connected components →
+    canonical doc per cluster — the keep/drop decision a dedup pipeline
+    executes over pairwise findings."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        duplicate_groups,
+        minhash_lsh_pairs,
+    )
+
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    return duplicate_groups(minhash_lsh_pairs(corpus, 16, 4, 0.5), corpus)
+
+
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (pair search tested separately — the tiny shared
@@ -1154,6 +1253,26 @@ def _install_llm_oracles() -> None:
         "dedup_exact": dd.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(0.5, max_df=128),
         "dedup_minhash_lsh": dd.minhash_lsh_sql(16, 4, 0.5),
+        # connected components over the SAME pair graph via transitive
+        # closure (recursive CTE); min reachable id = the component label
+        "dedup_groups": f"""WITH RECURSIVE {dd.CORPUS_SQL.strip()},
+        pairs AS (SELECT id_a, id_b FROM ({dd.minhash_lsh_sql(16, 4, 0.5)})),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach (id, label) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+        ),
+        comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
+        SELECT doc_id, group_id,
+               CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+                 AS group_size,
+               doc_id = group_id AS is_representative
+        FROM (SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
+              FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id)""",
         "dedup_simhash": dd.simhash_sql(),
         "sim_topk_cosine": sim.topk_cosine_sql(list(range(8)), 5),
         "sim_ann_lsh": sim.ann_lsh_topk_sql(list(range(8)), 5),

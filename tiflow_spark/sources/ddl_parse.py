@@ -45,6 +45,7 @@ class DDLOp:
     unique_keys: tuple[tuple[str, ...], ...] = ()  # UNIQUE KEY column sets
     charset: str | None = None  # table-option DEFAULT CHARSET
     collate: str | None = None  # table-option COLLATE
+    sub_ops: tuple["DDLOp", ...] = ()  # multi schema change actions, in order
 
 
 _IDENT = r"[`\"']?([\w$]+)[`\"']?"
@@ -168,6 +169,65 @@ _CLASSIFY = [
 ]
 
 
+def _parse_alter_action(
+    schema: str | None, table: str, action: str
+) -> DDLOp | None:
+    """One ALTER TABLE action (the comma-list element) → DDLOp."""
+    a = re.match(
+        rf"^ADD\s+(?:COLUMN\s+)?(?!INDEX\b|KEY\b|CONSTRAINT\b|PRIMARY\b|"
+        rf"UNIQUE\b|FOREIGN\b|PARTITION\b){_IDENT}\s+(.+)$",
+        action,
+        re.I | re.S,
+    )
+    if a:
+        cd = _parse_column_def(f"{a.group(1)} {a.group(2)}")
+        if cd:
+            return DDLOp("add column", schema, table, columns=(cd,))
+    a = re.match(rf"^DROP\s+(?:COLUMN\s+)?{_IDENT}\s*$", action, re.I)
+    if a and a.group(1).upper() not in (
+        "PRIMARY", "INDEX", "KEY", "PARTITION", "CHECK",
+    ):
+        return DDLOp("drop column", schema, table, drop_column=a.group(1))
+    a = re.match(
+        rf"^MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S
+    )
+    if a:
+        cd = _parse_column_def(f"{a.group(1)} {a.group(2)}")
+        if cd:
+            return DDLOp("modify column", schema, table, columns=(cd,))
+    a = re.match(
+        rf"^CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+(.+)$",
+        action,
+        re.I | re.S,
+    )
+    if a:
+        cd = _parse_column_def(f"{a.group(2)} {a.group(3)}")
+        if cd:
+            return DDLOp(
+                "modify column",
+                schema,
+                table,
+                columns=(cd,),
+                old_column=a.group(1),
+            )
+    a = re.match(rf"^RENAME\s+(?:TO\s+|AS\s+)?{_QUALIFIED}\s*$", action, re.I)
+    if a:
+        return DDLOp("rename table", schema, table, rename_to=a.group(2))
+    a = re.match(r"^ADD\s+(PRIMARY\s+KEY|INDEX|KEY|UNIQUE)", action, re.I)
+    if a:
+        kind = (
+            "add primary key"
+            if "PRIMARY" in a.group(1).upper()
+            else "create index"
+        )
+        return DDLOp(kind, schema, table)
+    if re.match(r"^DROP\s+PRIMARY\s+KEY", action, re.I):
+        return DDLOp("drop primary key", schema, table)
+    if re.match(r"^DROP\s+(INDEX|KEY)\s", action, re.I):
+        return DDLOp("drop index", schema, table)
+    return None
+
+
 def parse_ddl(query: str) -> DDLOp | None:
     """Parse one DDL statement into its taxonomy kind + structural payload.
     Returns None for statements outside the recognized subset."""
@@ -217,60 +277,24 @@ def parse_ddl(query: str) -> DDLOp | None:
 
     m = re.match(rf"^ALTER\s+TABLE\s+{_QUALIFIED}\s+(.*)$", q, re.I | re.S)
     if m:
-        schema, table, action = m.group(1), m.group(2), m.group(3).strip()
-        a = re.match(
-            rf"^ADD\s+(?:COLUMN\s+)?(?!INDEX\b|KEY\b|CONSTRAINT\b|PRIMARY\b|"
-            rf"UNIQUE\b|FOREIGN\b|PARTITION\b){_IDENT}\s+(.+)$",
-            action,
-            re.I | re.S,
-        )
-        if a:
-            cd = _parse_column_def(f"{a.group(1)} {a.group(2)}")
-            if cd:
-                return DDLOp("add column", schema, table, columns=(cd,))
-        a = re.match(rf"^DROP\s+(?:COLUMN\s+)?{_IDENT}\s*$", action, re.I)
-        if a and a.group(1).upper() not in (
-            "PRIMARY", "INDEX", "KEY", "PARTITION", "CHECK",
-        ):
-            return DDLOp("drop column", schema, table, drop_column=a.group(1))
-        a = re.match(
-            rf"^MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+(.+)$", action, re.I | re.S
-        )
-        if a:
-            cd = _parse_column_def(f"{a.group(1)} {a.group(2)}")
-            if cd:
-                return DDLOp("modify column", schema, table, columns=(cd,))
-        a = re.match(
-            rf"^CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+(.+)$",
-            action,
-            re.I | re.S,
-        )
-        if a:
-            cd = _parse_column_def(f"{a.group(2)} {a.group(3)}")
-            if cd:
-                return DDLOp(
-                    "modify column",
-                    schema,
-                    table,
-                    columns=(cd,),
-                    old_column=a.group(1),
-                )
-        a = re.match(rf"^RENAME\s+(?:TO\s+|AS\s+)?{_QUALIFIED}\s*$", action, re.I)
-        if a:
-            return DDLOp("rename table", schema, table, rename_to=a.group(2))
-        a = re.match(r"^ADD\s+(PRIMARY\s+KEY|INDEX|KEY|UNIQUE)", action, re.I)
-        if a:
-            kind = (
-                "add primary key"
-                if "PRIMARY" in a.group(1).upper()
-                else "create index"
+        schema, table = m.group(1), m.group(2)
+        actions = [a.strip() for a in _split_top_level(m.group(3)) if a.strip()]
+        if len(actions) > 1:
+            # multi-action ALTER (MySQL comma list) → the reference's
+            # "multi schema change" job type: one atomic DDL carrying the
+            # parsed sub-operations in statement order. Unrecognized
+            # actions are skipped (fail-safe — same as a lone unknown).
+            subs = tuple(
+                s
+                for act in actions
+                if (s := _parse_alter_action(schema, table, act)) is not None
             )
-            return DDLOp(kind, schema, table)
-        if re.match(r"^DROP\s+PRIMARY\s+KEY", action, re.I):
-            return DDLOp("drop primary key", schema, table)
-        if re.match(r"^DROP\s+(INDEX|KEY)\s", action, re.I):
-            return DDLOp("drop index", schema, table)
-        return None
+            return (
+                DDLOp("multi schema change", schema, table, sub_ops=subs)
+                if subs
+                else None
+            )
+        return _parse_alter_action(schema, table, actions[0])
 
     m = re.match(
         rf"^RENAME\s+TABLE\s+{_QUALIFIED}\s+TO\s+{_QUALIFIED}", q, re.I

@@ -183,7 +183,7 @@ _REGISTRY_SCHEMA = (
 # change TableInfo's column set or name, which is all the mounter reads).
 _SCHEMA_KINDS = frozenset(
     {"create table", "add column", "drop column", "modify column",
-     "rename table"}
+     "rename table", "multi schema change"}
 )
 
 
@@ -219,20 +219,16 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     tables: dict[str, list[tuple[str, str, str | None]]] = {}
     version_no: dict[str, int] = {}
     out = []
-    for ev in events:
-        op = parse_ddl(ev.query)
-        kind = op.kind if op is not None else ev.ddl_type
-        if kind not in _SCHEMA_KINDS:
-            if kind == "drop table":
-                tables.pop(ev.table, None)
-            continue
-        name = (op.table if op is not None else None) or ev.table
+    def apply_one(kind: str, op, name: str) -> str | None:
+        """One structural op against the fold state; returns the (possibly
+        renamed) lineage name, or None when the op was a no-op."""
         if kind == "create table":
-            cols = [(c.name, c.col_type, c.default) for c in op.columns]
-            tables[name] = cols
+            tables[name] = [
+                (c.name, c.col_type, c.default) for c in op.columns
+            ]
             version_no[name] = 0
         elif name not in tables:
-            continue  # DDL for an untracked lineage (e.g. renamed-away)
+            return None  # untracked lineage (e.g. renamed-away)
         elif kind == "add column":
             c = op.columns[0]
             state = tables[name]
@@ -253,6 +249,33 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
             tables[op.rename_to] = tables.pop(name)
             version_no[op.rename_to] = version_no.pop(name)
             name = op.rename_to
+        return name
+
+    for ev in events:
+        op = parse_ddl(ev.query)
+        kind = op.kind if op is not None else ev.ddl_type
+        if kind not in _SCHEMA_KINDS:
+            if kind == "drop table":
+                tables.pop(ev.table, None)
+            continue
+        name = (op.table if op is not None else None) or ev.table
+        if kind == "multi schema change":
+            # atomic comma-list ALTER: apply every sub-op in statement
+            # order, emit ONE registry version for the whole statement
+            applied = None
+            for sub in op.sub_ops:
+                if sub.kind not in _SCHEMA_KINDS:
+                    continue  # e.g. ADD INDEX riding in the comma list
+                nxt = apply_one(sub.kind, sub, name)
+                if nxt is not None:
+                    name, applied = nxt, True
+            if applied is None:
+                continue
+        else:
+            nxt = apply_one(kind, op, name)
+            if nxt is None:
+                continue
+            name = nxt
         version_no[name] += 1
         state = tables[name]
         defs = [(n, d) for n, _, d in state if d is not None]
