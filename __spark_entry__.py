@@ -60,6 +60,7 @@ _PRIORITY = [
     "ddl_truncate",
     "dedup_groups",
     "ddl_multi_schema_change",
+    "data_split",
 ]
 
 

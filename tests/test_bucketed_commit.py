@@ -234,3 +234,36 @@ def test_truncate_watermark_semantics(spark, tmp_path):
         p2, n_buckets=4, batch_id=0,
     )
     assert {r.key for r in read_state(spark, p2).collect()} == {"k9"}
+
+
+def test_recover_table_clears_watermark_until_purge(spark, tmp_path):
+    """FLASHBACK semantics: recover restores truncated rows while they
+    physically survive; after purge the rows are gone for good."""
+    from tiflow_spark.sinks.bucketed import (
+        merge_hash_bucketed,
+        purge_tombstones,
+        read_state,
+        recover_table,
+        truncate_table,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows,
+            "target_table string, key string, op string, commit_ts long, "
+            "seq long, v long",
+        )
+
+    path = str(tmp_path / "t")
+    merge_hash_bucketed(
+        batch([("a", "k1", "I", 100, 1, 1), ("a", "k2", "I", 200, 2, 2)]),
+        path, n_buckets=4, batch_id=0,
+    )
+    truncate_table(path, "a", 150)
+    assert {r.key for r in read_state(spark, path).collect()} == {"k2"}
+    recover_table(path, "a")  # pre-purge: rows come back
+    assert {r.key for r in read_state(spark, path).collect()} == {"k1", "k2"}
+    truncate_table(path, "a", 150)
+    purge_tombstones(spark, path, safepoint_ts=0)  # physical reclamation
+    recover_table(path, "a")  # post-purge: nothing to restore
+    assert {r.key for r in read_state(spark, path).collect()} == {"k2"}

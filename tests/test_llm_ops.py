@@ -139,3 +139,28 @@ def test_duplicate_groups_chain_and_singleton(spark):
         1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False),
         5: (5, 2, True), 6: (5, 2, False), 9: (9, 1, True),
     }
+
+
+def test_dataset_split_stability_and_fractions(spark, sf_dir):
+    """Split assignment is per-doc stable under corpus growth (no
+    reassignment when new docs append) and fractions land near weights."""
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.llm.sampling import dataset_split, deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    full = {
+        r.doc_id: r.split for r in dataset_split(docs, w).collect()
+    }
+    half = {
+        r.doc_id: r.split
+        for r in dataset_split(docs.filter("doc_id % 2 = 0"), w).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())  # no reassignment
+    n = len(full)
+    train = sum(1 for v in full.values() if v == "train")
+    assert abs(train / n - 0.9) < 0.05
+    # deterministic_sample subsets monotonically: 5% ⊂ 10%
+    s10 = {r.doc_id for r in deterministic_sample(docs, 0.10).collect()}
+    s5 = {r.doc_id for r in deterministic_sample(docs, 0.05).collect()}
+    assert s5 <= s10 and 0 < len(s5) < len(s10)

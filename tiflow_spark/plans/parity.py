@@ -1202,6 +1202,27 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_groups(minhash_lsh_pairs(corpus, 16, 4, 0.5), corpus)
 
 
+@register("data_split", None)
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + stable 10% subsample —
+    hash-keyed, map-only, reproducible across engines/runs/corpus growth
+    (llm/sampling.py)."""
+    from tiflow_spark.llm.sampling import dataset_split, deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = dataset_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+    sampled = deterministic_sample(docs, 0.10).select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return split.join(sampled, "doc_id", "left").select(
+        "doc_id", "split", F.coalesce("in_sample", F.lit(False)).alias(
+            "in_sample"
+        )
+    )
+
+
 @register("dedup_simhash", None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (pair search tested separately — the tiny shared
@@ -1242,10 +1263,20 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _install_llm_oracles() -> None:
     from tiflow_spark.llm import dedup as dd
+    from tiflow_spark.llm import sampling as smp
     from tiflow_spark.llm import similarity as sim
     from tiflow_spark.llm import textstats as ts
 
+    split_case = smp.dataset_split_sql(
+        {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    sample_h = smp.portable_hash64_sql_duckdb(
+        "'sample:' || CAST(doc_id AS VARCHAR)"
+    )
     oracles = {
+        "data_split": f"""SELECT doc_id, {split_case} AS split,
+          (({sample_h}) % 1000000 + 1000000) % 1000000 < 100000 AS in_sample
+        FROM documents""",
         "text_token_counts": ts.token_counts_sql(),
         "text_quality": ts.quality_features_sql(),
         "text_langid": ts.lang_id_sql(),

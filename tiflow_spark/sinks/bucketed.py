@@ -140,6 +140,21 @@ def truncate_table(path: str, table: str, truncate_ts: int) -> None:
     _atomic_write_json(os.path.join(path, _META), meta)
 
 
+def recover_table(path: str, table: str) -> None:
+    """FLASHBACK TABLE analog ('recover table' job type): clears a truncate
+    watermark, restoring visibility of rows the truncate hid — valid until
+    a purge/resize rewrite physically reclaimed them (the GC-window
+    semantics of the reference: recoverable while data survives GC).
+    Metadata-only, O(1); a no-op if no watermark exists."""
+    meta = read_target_meta(path) or {}
+    tr = dict(meta.get("truncates") or {})
+    if table not in tr:
+        return
+    del tr[table]
+    meta["truncates"] = tr
+    _atomic_write_json(os.path.join(path, _META), meta)
+
+
 def _truncated_predicate(meta: dict | None, table_col: str = "target_table"):
     """Column predicate matching rows erased by a truncate watermark, or
     None when no truncate was ever applied."""
