@@ -35,41 +35,42 @@ from tiflow_spark.operators import filters as flt
 from tiflow_spark.operators import transforms as tfm
 from tiflow_spark.operators.compactor import last_state_per_key
 
-ENVELOPE_SCHEMA = T.StructType(
+def envelope_schema(payload: T.StructType) -> T.StructType:
+    """CDC envelope schema for an arbitrary row payload: the fixed metadata
+    columns every event carries plus ``before``/``after`` structs of the
+    replicated table's shape. The payload is per-deployment data, never a
+    constant in engine code."""
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("start_ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+        ]
+    )
+
+
+# the test-fixture payload (FIXTURES.md bank-transfer table)
+DEMO_PAYLOAD = T.StructType(
     [
-        T.StructField("op", T.StringType()),
-        T.StructField("schema", T.StringType()),
-        T.StructField("table", T.StringType()),
-        T.StructField("commit_ts", T.LongType()),
-        T.StructField("start_ts", T.LongType()),
-        T.StructField("seq", T.LongType()),
-        T.StructField("key", T.StringType()),
-        T.StructField(
-            "before",
-            T.StructType(
-                [
-                    T.StructField("id", T.LongType()),
-                    T.StructField("balance", T.DoubleType()),
-                    T.StructField("note", T.StringType()),
-                ]
-            ),
-        ),
-        T.StructField(
-            "after",
-            T.StructType(
-                [
-                    T.StructField("id", T.LongType()),
-                    T.StructField("balance", T.DoubleType()),
-                    T.StructField("note", T.StringType()),
-                ]
-            ),
-        ),
+        T.StructField("id", T.LongType()),
+        T.StructField("balance", T.DoubleType()),
+        T.StructField("note", T.StringType()),
     ]
 )
+ENVELOPE_SCHEMA = envelope_schema(DEMO_PAYLOAD)
 
 
 def read_change_stream(
-    spark: SparkSession, source_dir: str, max_files: int = 8
+    spark: SparkSession,
+    source_dir: str,
+    max_files: int = 8,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """File-based CDC source: envelope-parquet files appearing in a directory
     (mirror of the reference's cloud-storage source / kafka-consumer input).
@@ -77,7 +78,7 @@ def read_change_stream(
     maxFilesPerTrigger bounds batch size — the backpressure knob the
     reference implements with memory quotas (processor/memquota)."""
     return (
-        spark.readStream.schema(ENVELOPE_SCHEMA)
+        spark.readStream.schema(schema or ENVELOPE_SCHEMA)
         .option("maxFilesPerTrigger", max_files)
         .parquet(source_dir)
     )
@@ -116,15 +117,21 @@ class StreamingTarget:
         from tiflow_spark.sinks.bucketed import merge_hash_bucketed
 
         last = last_state_per_key(batch, self.table_col)
+        # payload columns come from the batch's own `after` struct — the
+        # envelope schema is per-deployment data, not engine constants
+        meta = {"target_table", "key", "op", "commit_ts", "seq"}
+        payload = [
+            f.name
+            for f in last.schema["after"].dataType.fields
+            if f.name not in meta
+        ]
         changes = last.select(
             F.col(self.table_col).alias("target_table"),
             F.col("key"),
             F.col("op"),
             F.col("commit_ts"),
             F.col("seq"),
-            F.col("after.id").alias("id"),
-            F.col("after.balance").alias("balance"),
-            F.col("after.note").alias("note"),
+            *[F.col(f"after.{c}").alias(c) for c in payload],
         )
         merge_hash_bucketed(
             changes,
