@@ -39,6 +39,19 @@ _NS_TS_COLS = {
 }
 
 
+def epoch_us(col) -> F.Column:
+    """Micros-since-epoch from a TIMESTAMP *or* TIMESTAMP_NTZ column.
+
+    The driver's parquet stores naive ``timestamp[us]`` values, which Spark 4
+    reads as TIMESTAMP_NTZ — a type ``unix_micros`` rejects.  With the session
+    time zone pinned to UTC (session.py / load_table) the NTZ→LTZ cast is
+    value-preserving, so this matches DuckDB's ``epoch_us(ts)`` on either
+    type; on an already-LTZ column the cast is a no-op Catalyst removes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # epoch/date math must be tz-stable regardless of the caller's session
@@ -67,7 +80,7 @@ def events_to_changes(events: DataFrame) -> DataFrame:
         .when(e.event_type == "error", "D")
         .otherwise("U")
     )
-    commit_ts = F.unix_micros(e.ts)
+    commit_ts = epoch_us(e.ts)
     new_id = F.when(
         (op == "U") & (e.event_id % 13 == 0), e.user_id + 100
     ).otherwise(e.user_id)

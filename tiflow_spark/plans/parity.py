@@ -26,6 +26,7 @@ from tiflow_spark.config import (
 )
 from tiflow_spark.envelope import (
     ENVELOPE_SQL_DUCKDB,
+    epoch_us,
     events_to_changes,
     flatten,
     load_table,
@@ -821,8 +822,8 @@ _DDL2 = [
 def _ddl2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     )
     tpl = spark.createDataFrame(
         _DDL2, "seq long, pos12 long, table string, ddl_type string, "
@@ -952,8 +953,8 @@ def q_ddl_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     reg = registry_from_ddl(_ddl2_stream(spark, sf_dir))
     bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     )
     env = events_to_changes(events).crossJoin(F.broadcast(bounds))
     env = env.withColumn(
@@ -1015,8 +1016,8 @@ def q_ddl_multi_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle declares the expected structure."""
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     )
     tpl = spark.createDataFrame(
         _DDL3, "seq long, pos12 long, table string, ddl_type string, "
@@ -2726,8 +2727,8 @@ def q_shardddl_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     )
     reconcile = bounds.select(
         F.lit("shard_1").alias("shard"),
@@ -2807,7 +2808,7 @@ def q_typed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tenv = e.select(
         op.alias("op"),
-        F.unix_micros(e.ts).alias("commit_ts"),
+        epoch_us(e.ts).alias("commit_ts"),
         e.event_id.alias("seq"),
         e.user_id.cast("string").alias("key"),
         e.user_id.alias("id"),

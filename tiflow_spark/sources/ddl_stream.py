@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tiflow_spark.envelope import epoch_us
+
 # The DDL kinds cdc's schema storage accepts (pkg/filter/filter.go:36-96
 # ddlWhiteListMap values, named per pkg/binlog-filter/filter.go taxonomy).
 DDL_ALLOWLIST = frozenset(
@@ -92,8 +94,8 @@ def ddl_stream(events: DataFrame) -> DataFrame:
     """
     spark = events.sparkSession
     bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     )
     templates = spark.createDataFrame(_TEMPLATES, _TEMPLATE_SCHEMA)
     return bounds.crossJoin(F.broadcast(templates)).select(
@@ -345,8 +347,8 @@ def optimistic_shard_ddl(events: DataFrame) -> DataFrame:
     ddl_stream()."""
     spark = events.sparkSession
     bounds = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     )
     tpl = spark.createDataFrame(
         _OPT_TEMPLATES,
