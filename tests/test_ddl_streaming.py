@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from tiflow_spark.config import TaskConfig
-from tiflow_spark.envelope import events_to_changes, load_table
+from tiflow_spark.envelope import epoch_us, events_to_changes, load_table
 from tiflow_spark.sources.ddl_stream import ddl_stream
 
 
@@ -19,8 +19,8 @@ def chunks(spark, sf_dir, tmp_path):
     events = load_table(spark, sf_dir, "events")
     env = events_to_changes(events)
     b = events.agg(
-        F.min(F.unix_micros("ts")).alias("t0"),
-        F.max(F.unix_micros("ts")).alias("t1"),
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
     ).collect()[0]
     b1 = b.t0 + (b.t1 - b.t0) * 4 // 12  # ADD COLUMN note
     b2 = b.t0 + (b.t1 - b.t0) * 8 // 12  # ADD COLUMN tier
@@ -149,8 +149,8 @@ def test_truncate_ddl_applies_at_barrier(spark, tmp_path, chunks):
 
     src, events, b2 = chunks
     trunc = (
-        events.agg(F.min(F.unix_micros("ts")).alias("t0"),
-                   F.max(F.unix_micros("ts")).alias("t1"))
+        events.agg(F.min(epoch_us("ts")).alias("t0"),
+                   F.max(epoch_us("ts")).alias("t1"))
         .select(
             F.lit("DDL").alias("op"),
             F.lit("shard_0").alias("schema"),

@@ -44,10 +44,17 @@ def epoch_us(col) -> F.Column:
 
     The driver's parquet stores naive ``timestamp[us]`` values, which Spark 4
     reads as TIMESTAMP_NTZ — a type ``unix_micros`` rejects.  With the session
-    time zone pinned to UTC (session.py / load_table) the NTZ→LTZ cast is
-    value-preserving, so this matches DuckDB's ``epoch_us(ts)`` on either
-    type; on an already-LTZ column the cast is a no-op Catalyst removes.
+    time zone pinned to UTC the NTZ→LTZ cast is value-preserving, so this
+    matches DuckDB's ``epoch_us(ts)`` on either type; on an already-LTZ
+    column the cast is a no-op Catalyst removes.  Rather than trusting every
+    entry point to have gone through load_table/get_spark first, we pin the
+    active session's time zone here — the engine is UTC-everywhere by
+    contract, so this is idempotent for engine callers and corrective for
+    bare sessions.
     """
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
 
