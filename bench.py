@@ -79,7 +79,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from tiflow_spark.envelope import events_to_changes, load_table
-    from tiflow_spark.sinks.bucketed import merge_hash_bucketed
+    from tiflow_spark.sinks.bucketed import compact_deltas, merge_hash_bucketed
 
     env = events_to_changes(load_table(spark, sf_dir, "events"))
     changes = env.select(
@@ -104,8 +104,26 @@ def main() -> None:
         t0 = time.perf_counter()
         merge_hash_bucketed(small, target, n_buckets=n_buckets, batch_id=i)
         batch_secs.append(round(time.perf_counter() - t0, 3))
+    # merge-on-read steady state: O(batch) single-file delta appends, then
+    # one compaction folding them into the buckets (maintenance cadence) —
+    # the per-batch number is the standing-changefeed cost at any target size
+    delta_secs = []
+    for i in (4, 5, 6):
+        small = changes.filter(F.col("seq") % 1000 == i)
+        t0 = time.perf_counter()
+        merge_hash_bucketed(
+            small, target, n_buckets=n_buckets, batch_id=i, mode="delta"
+        )
+        delta_secs.append(round(time.perf_counter() - t0, 3))
+    t0 = time.perf_counter()
+    compact_deltas(spark, target)
+    compact_sec = round(time.perf_counter() - t0, 3)
     shutil.rmtree(work, ignore_errors=True)
-    print(f"# stream seed {seed_sec}s; batches {batch_secs}", file=sys.stderr)
+    print(
+        f"# stream seed {seed_sec}s; batches {batch_secs}; "
+        f"delta batches {delta_secs}; compact {compact_sec}s",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -119,6 +137,8 @@ def main() -> None:
                 else None,
                 "stream_seed_sec": seed_sec,
                 "stream_batch_secs": batch_secs,
+                "stream_delta_batch_secs": delta_secs,
+                "stream_compact_sec": compact_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -494,6 +494,72 @@ def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_delta_merge",
+    f"""{SPLIT_CTE},
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY target_table, key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM split) WHERE rn = 1
+    )
+    SELECT target_table, key, after_id AS id, after_balance AS balance,
+           after_note AS note
+    FROM last WHERE op <> 'D'""",
+)
+def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read steady state: seed copy-on-write, then append two
+    micro-batches as O(batch) delta files, fold one compaction in between —
+    the visible state must equal the batch last-state oracle at EVERY
+    interleaving (winner resolution is associative). The LSM trade of the
+    reference's pebble db-sorter (docs/design/2022-03-16-ticdc-db-sorter.md)
+    applied to the apply target."""
+    import tempfile
+
+    from tiflow_spark.sinks.bucketed import (
+        compact_deltas,
+        merge_hash_bucketed,
+        read_state,
+    )
+
+    split = tfm.split_updates(
+        tfm.route(flt.apply_filters(_env(spark, sf_dir), DEMO_CFG), DEMO_CFG)
+    )
+    changes = split.select(
+        "target_table",
+        "key",
+        "op",
+        "commit_ts",
+        "seq",
+        F.col("after.id").alias("id"),
+        F.col("after.balance").alias("balance"),
+        F.col("after.note").alias("note"),
+    )
+    bnd = changes.agg(
+        F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
+    ).collect()[0]
+    cut = bnd.t0 + (bnd.t1 - bnd.t0) // 2
+    target = tempfile.mkdtemp(prefix="tiflow_mor_q_") + "/target"
+    merge_hash_bucketed(
+        changes.filter(F.col("commit_ts") < cut), target, n_buckets=8,
+        batch_id=0,
+    )
+    late = changes.filter(F.col("commit_ts") >= cut)
+    merge_hash_bucketed(
+        late.filter(F.col("seq") % 2 == 0), target, n_buckets=8, batch_id=1,
+        mode="delta",
+    )
+    compact_deltas(spark, target)
+    merge_hash_bucketed(
+        late.filter(F.col("seq") % 2 == 1), target, n_buckets=8, batch_id=2,
+        mode="delta",
+    )
+    return read_state(spark, target).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+
+
+@register(
     "cdc_column_ops",
     f"""{ENV_CTE}
     SELECT seq,

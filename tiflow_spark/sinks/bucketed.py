@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 _META = "_target_meta.json"
 _STAGING = "_staging"
+_DELTA = "_delta"
 
 
 def write_bucketed_target(
@@ -181,6 +182,10 @@ def _apply_commit(path: str, stage: str, manifest: dict) -> None:
         else:
             # every row of this bucket was deleted — bucket dir goes away
             shutil.rmtree(dest, ignore_errors=True)
+    # delta files folded into buckets by this commit are consumed with it
+    # (post-marker → re-runnable; a replayed removal is a no-op)
+    for name in manifest.get("deltas", []):
+        shutil.rmtree(os.path.join(path, _DELTA, name), ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -202,13 +207,15 @@ def recover(path: str) -> None:
             shutil.rmtree(stage, ignore_errors=True)
 
 
-def _commit_staged(path: str, stage: str, affected: list[int]) -> None:
+def _commit_staged(
+    path: str, stage: str, affected: list[int], deltas: list[str] = ()
+) -> None:
     """manifest → fsynced _COMMIT marker → swap. The marker is the commit
     point; everything after it is re-runnable."""
     staged = sorted(
         d for d in os.listdir(stage) if d.startswith("bucket=")
     )
-    manifest = {"affected": affected, "staged": staged}
+    manifest = {"affected": affected, "staged": staged, "deltas": list(deltas)}
     _atomic_write_json(os.path.join(stage, "manifest.json"), manifest)
     _atomic_write_json(os.path.join(stage, "_COMMIT"), {"ok": True})
     _apply_commit(path, stage, manifest)
@@ -221,6 +228,7 @@ def merge_hash_bucketed(
     key_cols: tuple[str, ...] = ("target_table", "key"),
     table_col: str = "target_table",
     batch_id: int = 0,
+    mode: str = "rewrite",
 ) -> None:
     """Streaming MERGE with per-batch cost O(batch + touched buckets), not
     O(target): the target is a parquet directory hash-partitioned on
@@ -236,6 +244,18 @@ def merge_hash_bucketed(
     standing changefeed viable when the target is 1000x the batch. The
     reference's MySQL sink gets the same effect from index lookups
     (cdc/sink/dmlsink/txn/mysql).
+
+    ``mode="delta"`` is the merge-on-read fast path (the LSM shape of the
+    reference's pebble db-sorter, docs/design/2022-03-16-ticdc-db-sorter.md):
+    instead of rewriting every touched bucket, the batch's per-key winners
+    are appended as ONE delta file under ``_delta/`` — per-batch write cost
+    O(batch) with a single rename, zero bucket reads. Readers resolve
+    winners across base ∪ deltas at scan time (max-order-key-wins is
+    associative, so resolution order is immaterial); :func:`compact_deltas`
+    folds accumulated deltas into the buckets at maintenance cadence,
+    restoring resolve-free reads. Copy-on-write ("rewrite") keeps the
+    cheapest reads; delta mode makes a high-frequency changefeed's steady
+    state O(batch) on BOTH sides of the write-amplification trade.
 
     Sizing: n_buckets is fixed at target creation (persisted in
     _target_meta.json; callers are validated against it) and should scale
@@ -284,59 +304,171 @@ def merge_hash_bucketed(
             # pre-creation metadata (truncate watermarks) alongside sizing
             _write_target_meta(path, n_buckets, key_cols, base=meta0)
             return
+        if mode == "delta":
+            _append_delta(chg, path, table_col, batch_id)
+            return
         affected = sorted(
             r.bucket for r in chg.select("bucket").distinct().collect()
         )
-        # list ONLY the touched bucket dirs (basePath keeps the partition
-        # column) — full-tree partition discovery is O(n_buckets) listing
-        # per batch, the metadata analog of the full-table scan. (Delta/
-        # Iceberg get this from the transaction log; plain parquet gets it
-        # from the explicit dir list.)
-        existing = [
-            p
-            for b in affected
-            if os.path.isdir(p := os.path.join(path, f"bucket={b}"))
-        ]
-        if existing:
-            # stored rows keep their op (D rows are tombstones and must keep
-            # outranking older late arrivals). mergeSchema: a schema-evolved
-            # target must never be narrowed by a replayed pre-DDL batch —
-            # the union schema is the widest of stored ∪ batch.
-            current = (
-                spark.read.option("mergeSchema", "true")
-                .option("basePath", path)
-                .parquet(*existing)
-            )
-            src = current.unionByName(chg, allowMissingColumns=True)
-        else:
-            src = chg
-        winner = last_state_per_key(
-            src.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1)))
-            .withColumn("commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))),
-            table_col,
-        )
-        # stage inside the target dir (same filesystem → rename is atomic;
-        # underscore prefix → invisible to Spark scans), then manifest +
-        # marker + swap. A bucket whose rows were ALL deleted has no staged
-        # dir and is removed at swap time.
-        stage = os.path.join(path, _STAGING, f"batch-{batch_id}")
-        shutil.rmtree(stage, ignore_errors=True)
-        winner.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(stage)
-        _commit_staged(path, stage, affected)
+        _merge_rewrite(spark, chg, path, affected, table_col, f"batch-{batch_id}")
     finally:
         chg.unpersist()
+
+
+def _append_delta(
+    chg: DataFrame, path: str, table_col: str, batch_id: int
+) -> None:
+    """Merge-on-read append: the batch's winners land as one delta file.
+
+    Single coalesced write into staging, then a dir rename into
+    ``_delta/batch-<id>`` — no bucket is read or rewritten. Replaying a
+    batch id REPLACES its delta (idempotent); a crash between remove and
+    rename loses only a delta the replayed batch re-creates (the
+    foreachBatch replay contract, same as an uncommitted staged batch)."""
+    from tiflow_spark.operators.compactor import last_state_per_key
+
+    winner = last_state_per_key(
+        chg.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1))).withColumn(
+            "commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))
+        ),
+        table_col,
+    )
+    name = f"batch-{batch_id}"
+    stage = os.path.join(path, _STAGING, f"delta-{name}")
+    shutil.rmtree(stage, ignore_errors=True)
+    winner.coalesce(1).write.mode("overwrite").parquet(stage)
+    dest_root = os.path.join(path, _DELTA)
+    os.makedirs(dest_root, exist_ok=True)
+    dest = os.path.join(dest_root, name)
+    shutil.rmtree(dest, ignore_errors=True)
+    os.rename(stage, dest)
+
+
+def list_deltas(path: str) -> list[str]:
+    """Names of unconsumed delta appends, oldest batch first."""
+    root = os.path.join(path, _DELTA)
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if not d.startswith("."))
+
+
+def _read_deltas(spark: SparkSession, path: str, names: list[str]) -> DataFrame:
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, _DELTA, n) for n in names]
+    )
+
+
+def _merge_rewrite(
+    spark: SparkSession,
+    chg: DataFrame,
+    path: str,
+    affected: list[int],
+    table_col: str,
+    commit_name: str,
+    consume_deltas: list[str] = (),
+) -> None:
+    """Copy-on-write merge body: fold ``chg`` (already bucket-stamped) into
+    its touched buckets through the staged-manifest commit. ``consume_deltas``
+    lists delta dirs whose rows are included in ``chg`` — the commit removes
+    them atomically with the bucket swap."""
+    from tiflow_spark.operators.compactor import last_state_per_key
+
+    # list ONLY the touched bucket dirs (basePath keeps the partition
+    # column) — full-tree partition discovery is O(n_buckets) listing
+    # per batch, the metadata analog of the full-table scan. (Delta/
+    # Iceberg get this from the transaction log; plain parquet gets it
+    # from the explicit dir list.)
+    existing = [
+        p
+        for b in affected
+        if os.path.isdir(p := os.path.join(path, f"bucket={b}"))
+    ]
+    if existing:
+        # stored rows keep their op (D rows are tombstones and must keep
+        # outranking older late arrivals). mergeSchema: a schema-evolved
+        # target must never be narrowed by a replayed pre-DDL batch —
+        # the union schema is the widest of stored ∪ batch.
+        current = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(*existing)
+        )
+        src = current.unionByName(chg, allowMissingColumns=True)
+    else:
+        src = chg
+    winner = last_state_per_key(
+        src.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1)))
+        .withColumn("commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))),
+        table_col,
+    )
+    # stage inside the target dir (same filesystem → rename is atomic;
+    # underscore prefix → invisible to Spark scans), then manifest +
+    # marker + swap. A bucket whose rows were ALL deleted has no staged
+    # dir and is removed at swap time.
+    stage = os.path.join(path, _STAGING, commit_name)
+    shutil.rmtree(stage, ignore_errors=True)
+    winner.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(stage)
+    _commit_staged(path, stage, affected, deltas=consume_deltas)
+
+
+def compact_deltas(spark: SparkSession, path: str, table_col: str | None = None) -> int:
+    """Fold accumulated merge-on-read deltas into their buckets — the
+    maintenance pass that restores resolve-free reads. Cost O(deltas +
+    touched buckets); untouched buckets stay untouched. The staged commit
+    consumes the folded delta files atomically with the bucket swap, so a
+    crash at any point either keeps the deltas (pre-marker) or finishes
+    consuming them (post-marker) — never double-applies (winner resolution
+    is idempotent anyway). Returns the number of deltas folded."""
+    recover(path)
+    names = list_deltas(path)
+    if not names:
+        return 0
+    meta = read_target_meta(path) or {}
+    tcol = table_col or (meta.get("key_cols") or ["target_table"])[0]
+    chg = _read_deltas(spark, path, names).persist()
+    try:
+        affected = sorted(
+            r.bucket for r in chg.select("bucket").distinct().collect()
+        )
+        _merge_rewrite(
+            spark, chg, path, affected, tcol, "compact", consume_deltas=names
+        )
+    finally:
+        chg.unpersist()
+    return len(names)
 
 
 def read_state(spark: SparkSession, path: str) -> DataFrame:
     """Live rows of a hash-bucket target: tombstones filtered out. This is
     the downstream-visible table state. Completes any half-committed batch
-    first so readers never observe a torn commit."""
+    first so readers never observe a torn commit.
+
+    Merge-on-read: when unconsumed ``_delta`` appends exist, base ∪ deltas
+    is winner-resolved at scan time (one extra shuffle, proportional to the
+    data read — not to the target, since base buckets are still pruned by
+    any pushed key predicate). A compacted target skips the resolve
+    entirely."""
     recover(path)
     df = spark.read.option("mergeSchema", "true").parquet(path)
+    meta = read_target_meta(path)
+    deltas = list_deltas(path)
+    if deltas:
+        from tiflow_spark.operators.compactor import last_state_per_key
+
+        tcol = ((meta or {}).get("key_cols") or ["target_table"])[0]
+        df = df.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1))).withColumn(
+            "commit_ts", F.coalesce(F.col("commit_ts"), F.lit(-1))
+        )
+        df = last_state_per_key(
+            df.unionByName(
+                _read_deltas(spark, path, deltas), allowMissingColumns=True
+            ),
+            tcol,
+        )
     live = df.filter(F.col("op") != "D")
-    trunc = _truncated_predicate(read_target_meta(path))
+    trunc = _truncated_predicate(meta)
     return live.filter(~trunc) if trunc is not None else live
 
 
@@ -350,6 +482,7 @@ def purge_tombstones(
     run at maintenance cadence, not per batch. mergeSchema so a schema-
     evolved target keeps every column regardless of which file inference
     would have picked."""
+    compact_deltas(spark, path)  # deltas must fold before a full rewrite
     recover(path)
     df = spark.read.option("mergeSchema", "true").parquet(path)
     kept = df.filter(
@@ -374,6 +507,7 @@ def resize_buckets(
     read + one full write, committed atomically through the same staged
     manifest; steady-state merges are untouched. key_cols defaults to the
     creation-time metadata."""
+    compact_deltas(spark, path)  # deltas must fold before a full rewrite
     recover(path)
     meta = read_target_meta(path)
     cols = tuple(key_cols or (meta or {}).get("key_cols") or ())

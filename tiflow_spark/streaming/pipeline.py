@@ -105,6 +105,10 @@ class StreamingTarget:
     key_col: str = "key"
     table_col: str = "target_table"
     n_buckets: int = 32
+    # "rewrite" = copy-on-write (cheapest reads); "delta" = merge-on-read
+    # O(batch) appends, fold with sinks/bucketed.compact_deltas at
+    # maintenance cadence (see merge_hash_bucketed docstring)
+    merge_mode: str = "rewrite"
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Idempotent MERGE of one micro-batch (runs on the driver inside
@@ -140,6 +144,7 @@ class StreamingTarget:
             key_cols=("target_table", self.key_col),
             table_col="target_table",
             batch_id=batch_id,
+            mode=self.merge_mode,
         )
         # progress/syncpoint record: (batch_id, resolved_ts, rows_applied) —
         # the reference's checkpoint-ts + syncpoint store (§2.7, §2.10)
