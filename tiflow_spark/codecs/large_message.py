@@ -1,0 +1,179 @@
+"""Large-message handling for MQ codecs: handle-key-only + claim-check.
+
+Reference: pkg/config/large_message.go:22-29 — three options for a message
+whose encoded value exceeds ``max-message-bytes``:
+
+- ``none``: fail (ErrMessageTooLarge)
+- ``handle-key-only``: re-encode the event keeping ONLY handle-key columns
+  and stamp the TiDB extension ``_tidb.onlyHandleKey = true``
+  (canal_json_row_event_encoder.go:92-96,172; canal_json_message.go:151) —
+  the consumer later back-fills the full row from the upstream by key
+- ``claim-check``: externalize the payload to storage and ship a pointer
+  (pkg/sink/kafka/claimcheck, codecs/claim_check.py)
+
+Spark shape: both encodings and the per-row choice are ONE projection — a
+codegen'd CASE on octet_length of the full encoding. No join, no shuffle,
+no Python row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tiflow_spark.codecs.canal_json import (
+    _image_map,
+    _java_sql_type_of,
+    _mysql_type_of,
+)
+from tiflow_spark.codecs.claim_check import apply_claim_check
+
+
+def _message_json(
+    env: DataFrame, pk_names: tuple[str, ...], only_handle_key: bool
+) -> Column:
+    """Canal-JSON value as a Column; with ``only_handle_key`` the images and
+    type maps are cut to the handle-key columns and the ``_tidb`` extension
+    marks the cut (the consumer must see ``onlyHandleKey`` to know a
+    back-fill is needed — extension required in the reference)."""
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    if only_handle_key:
+        fields = [f for f in fields if f.name in pk_names]
+    sql_type = F.create_map(
+        *[c for f in fields for c in (F.lit(f.name), F.lit(_java_sql_type_of(f)))]
+    )
+    mysql_type = F.create_map(
+        *[c for f in fields for c in (F.lit(f.name), F.lit(_mysql_type_of(f)))]
+    )
+    event_type = (
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .otherwise("DELETE")
+    )
+    data = F.when(
+        F.col("op") == "D", F.array(_image_map("before", fields))
+    ).otherwise(F.array(_image_map("after", fields)))
+    old = F.when(F.col("op") == "U", F.array(_image_map("before", fields)))
+    parts = [
+        F.lit(0).cast("long").alias("id"),
+        F.col("schema").alias("database"),
+        F.col("table").alias("table"),
+        F.array(*[F.lit(p) for p in pk_names]).alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        event_type.alias("type"),
+        F.expr("commit_ts div 1000").alias("es"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit("").alias("sql"),
+        sql_type.alias("sqlType"),
+        mysql_type.alias("mysqlType"),
+        data.alias("data"),
+        old.cast("array<map<string,string>>").alias("old"),
+    ]
+    if only_handle_key:
+        parts.append(
+            F.struct(
+                F.col("commit_ts").alias("commitTs"),
+                F.lit(True).alias("onlyHandleKey"),
+            ).alias("_tidb")
+        )
+    return F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
+
+
+def apply_large_message_handle(
+    env: DataFrame,
+    option: str,
+    threshold_bytes: int,
+    pk_names: tuple[str, ...] = ("id",),
+    claim_check_prefix: str = "s3://claim-check",
+) -> DataFrame:
+    """The large-message dispatch (pkg/config/large_message.go): encode full
+    canal-json; where the value exceeds ``threshold_bytes``, apply the
+    configured fallback. Returns the MQ-bound frame with an
+    ``only_handle_key`` / claim-check / ``too_large`` marker so consumers
+    know what they received."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+
+    if option == "claim-check":
+        return apply_claim_check(
+            encode_canal_json(env, pk_names=pk_names),
+            threshold_bytes,
+            claim_check_prefix,
+        )
+    if option == "handle-key-only":
+        full = _message_json(env, pk_names, only_handle_key=False)
+        hk = _message_json(env, pk_names, only_handle_key=True)
+        oversized = F.octet_length(full) > F.lit(threshold_bytes)
+        return env.select(
+            "schema",
+            "table",
+            "commit_ts",
+            "seq",
+            F.when(oversized, hk).otherwise(full).alias("value"),
+            oversized.alias("only_handle_key"),
+        )
+    if option == "none":
+        # the reference raises ErrMessageTooLarge; batch analog: surface the
+        # violation as a column the caller can fail on (a streaming query
+        # can't throw per-row)
+        out = encode_canal_json(env, pk_names=pk_names)
+        return out.withColumn(
+            "too_large", F.octet_length(F.col("value")) > F.lit(threshold_bytes)
+        )
+    raise ValueError(f"unknown large-message-handle option: {option}")
+
+
+def handle_key_only_sql_duckdb(
+    payload_cols: list[tuple[str, str]],
+    pk_cols: list[tuple[str, str]],
+    env_cte: str,
+    threshold_bytes: int,
+) -> str:
+    """DuckDB oracle: full message when it fits, handle-key-only otherwise —
+    byte-identical to :func:`apply_large_message_handle`'s output."""
+    java_types = {"bigint": -5, "int": 4, "double": 8, "string": 12}
+    mysql_types = {
+        "bigint": "bigint",
+        "int": "int",
+        "double": "double",
+        "string": "varchar",
+    }
+
+    def img_map(prefix: str, cols: list[tuple[str, str]]) -> str:
+        kv = ", ".join(
+            f"'{name}': CAST({prefix}_{name} AS VARCHAR)" for name, _ in cols
+        )
+        return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
+
+    def body(cols: list[tuple[str, str]], extension: str) -> str:
+        sql_t = ", ".join(f"'{n}': {java_types[t]}" for n, t in cols)
+        mysql_t = ", ".join(f"'{n}': '{mysql_types[t]}'" for n, t in cols)
+        return f"""to_json({{
+          id: 0::BIGINT,
+          database: "schema",
+          "table": "table",
+          pkNames: ['id'],
+          isDdl: false,
+          type: CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
+                ELSE 'DELETE' END,
+          es: commit_ts // 1000,
+          ts: 0::BIGINT,
+          sql: '',
+          sqlType: MAP {{{sql_t}}},
+          mysqlType: MAP {{{mysql_t}}},
+          data: CASE WHEN op = 'D' THEN [{img_map("before", cols)}]
+                ELSE [{img_map("after", cols)}] END,
+          old: CASE WHEN op = 'U' THEN [{img_map("before", cols)}] END{extension}
+        }})"""
+
+    full = body(payload_cols, "")
+    hk = body(
+        pk_cols, ",\n          _tidb: {commitTs: commit_ts, onlyHandleKey: true}"
+    )
+    # strlen = byte length in DuckDB for these ASCII-only JSON values
+    # (octet_length is BLOB-only there); matches Spark's octet_length
+    return f"""{env_cte}
+    SELECT "schema", "table", commit_ts, seq,
+      CASE WHEN strlen({full}) > {threshold_bytes} THEN {hk}
+           ELSE {full} END AS value,
+      strlen({full}) > {threshold_bytes} AS only_handle_key
+    FROM env"""

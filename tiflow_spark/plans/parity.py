@@ -559,6 +559,122 @@ def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# txn window for the synthetic stream: one upstream transaction = one shard's
+# events inside one hour (multi-row, skewed sizes — the shape the splitter
+# and the large-txn holdout exist for). 3.6e9 us = 1h.
+_TXN_W = 3_600_000_000
+_TXN_CTE = f"""{ENV_CTE},
+    txn AS (
+      SELECT *, commit_ts // {_TXN_W} AS txn_window,
+             "schema" || '/' || CAST(commit_ts // {_TXN_W} AS VARCHAR) AS txn_id,
+             count(*) OVER (PARTITION BY "schema", commit_ts // {_TXN_W})
+               AS txn_rows,
+             row_number() OVER (PARTITION BY "schema", commit_ts // {_TXN_W}
+               ORDER BY commit_ts, seq) AS rn
+      FROM env
+    )"""
+
+
+@register(
+    "cdc_txn_split",
+    f"""{_TXN_CTE}
+    SELECT "schema", txn_window, txn_rows,
+           CAST((rn - 1) // 8 AS INT) AS flush_seq,
+           count(*) AS flush_rows, min(seq) AS first_seq, max(seq) AS last_seq
+    FROM txn
+    GROUP BY 1, 2, 3, 4""",
+)
+def q_cdc_txn_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink txn splitting under AtomicityLevel "none"
+    (pkg/config/sink.go:106-112; the MQ/storage sinks' always-split mode,
+    cdc/sink sink.go:1187): each upstream transaction is packed into
+    deterministic ≤8-row flush sub-batches in event order — the multirow
+    DML batch shape of dm/syncer/dml_worker.go."""
+    from tiflow_spark.operators.txn import assign_flush_batches
+
+    env = _env(spark, sf_dir).withColumn(
+        "txn_window", (F.col("commit_ts") / F.lit(_TXN_W)).cast("long")
+    )
+    flushed = assign_flush_batches(
+        env, ("schema", "txn_window"), max_txn_rows=8, atomicity="none"
+    )
+    return flushed.groupBy("schema", "txn_window", "txn_rows", "flush_seq").agg(
+        F.count(F.lit(1)).alias("flush_rows"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+    )
+
+
+@register(
+    "cdc_txn_holdout_wm",
+    f"""{_TXN_CTE}
+    SELECT "table",
+      coalesce(min(CASE WHEN txn_rows > 12 THEN start_ts END) - 1,
+               max(commit_ts)) AS wm_blocked,
+      coalesce(max(CASE WHEN txn_rows <= 12 THEN commit_ts END),
+               max(commit_ts)) AS wm_advanced,
+      count(DISTINCT CASE WHEN txn_rows > 12 THEN txn_id END)
+        AS heldout_txns,
+      coalesce(max(CASE WHEN txn_rows <= 12 THEN commit_ts END),
+               max(commit_ts))
+        - coalesce(min(CASE WHEN txn_rows > 12 THEN start_ts END) - 1,
+                   max(commit_ts)) AS wm_lag_us
+    FROM txn GROUP BY 1""",
+)
+def q_cdc_txn_holdout_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large transactions must not block the watermark
+    (docs/design/2024-01-22-ticdc-large-txn-not-block-wm.md): per table,
+    the OLD watermark (pinned to the oldest large txn's start_ts) vs the
+    redesigned one (advances over ordinary rows, large txns tracked on the
+    side) — wm_lag_us is the freshness a large prewrite would have cost."""
+    from tiflow_spark.operators.txn import resolved_ts_with_txn_holdout
+
+    env = _env(spark, sf_dir).withColumn(
+        "txn_window", (F.col("commit_ts") / F.lit(_TXN_W)).cast("long")
+    )
+    return resolved_ts_with_txn_holdout(
+        env, ("schema", "txn_window"), max_txn_rows=12, table_col="table"
+    )
+
+
+@register(
+    "cdc_bdr_filter",
+    f"""{ENV_CTE},
+    stamped AS (
+      SELECT *, CASE WHEN seq % 11 = 0 THEN 1
+                     WHEN seq % 17 = 0 THEN 2 ELSE 0 END AS write_source
+      FROM env
+    )
+    SELECT "schema", "table", count(*) AS rows,
+           max(commit_ts) AS max_ts,
+           round(sum(coalesce(after_balance, 0)), 2) AS balance_sum
+    FROM stamped WHERE write_source = 0
+    GROUP BY 1, 2""",
+)
+def q_cdc_bdr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BDR-mode loopback prevention: rows stamped with a nonzero CDC write
+    source (the `tidb_cdc_write_source` session variable every sink writes
+    under, pkg/sink/mysql/db_helper.go:334-343) are dropped before
+    replication — the kv client's FilterLoop flag
+    (cdc/kv/shared_client.go:516) as a pushed-down envelope predicate."""
+    from tiflow_spark.operators.txn import filter_loopback
+
+    env = _env(spark, sf_dir).withColumn(
+        "write_source",
+        F.when(F.col("seq") % 11 == 0, 1)
+        .when(F.col("seq") % 17 == 0, 2)
+        .otherwise(0),
+    )
+    kept = filter_loopback(env)
+    return kept.groupBy("schema", "table").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.max("commit_ts").alias("max_ts"),
+        F.round(F.sum(F.coalesce(F.col("after.balance"), F.lit(0.0))), 2).alias(
+            "balance_sum"
+        ),
+    )
+
+
 @register(
     "cdc_column_ops",
     f"""{ENV_CTE}
@@ -1925,6 +2041,34 @@ def _install_claim_check_sql() -> None:
 
 
 _install_claim_check_sql()
+
+
+@register("codec_handle_key_only", None)  # SQL installed below
+def q_codec_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-message handle-key-only (pkg/config/large_message.go:27-28;
+    canal_json_row_event_encoder.go:92-96): a canal-json value over
+    max-message-bytes is re-encoded with ONLY the handle-key columns and
+    stamped `_tidb.onlyHandleKey` so the consumer back-fills the full row
+    by key — one codegen'd CASE projection, no join."""
+    from tiflow_spark.codecs.large_message import apply_large_message_handle
+
+    return apply_large_message_handle(
+        _env(spark, sf_dir), "handle-key-only", 340
+    )
+
+
+def _install_handle_key_only_sql() -> None:
+    from tiflow_spark.codecs.large_message import handle_key_only_sql_duckdb
+
+    REGISTRY["codec_handle_key_only"] = (
+        REGISTRY["codec_handle_key_only"][0],
+        handle_key_only_sql_duckdb(
+            PAYLOAD_COLS, [("id", "bigint")], ENV_CTE, 340
+        ),
+    )
+
+
+_install_handle_key_only_sql()
 
 
 _MQ_BROKER_DIRS: dict[str, str] = {}
