@@ -20,47 +20,53 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
-# With more than 50 registered, we rotate coverage across rounds: queries
-# that have no green driver row yet (r2 checked the first 50 of 73) come
-# first, so every registered query accumulates a driver-checked row.  The
-# remainder — all green in CORRECTNESS_r02.json — follows in registration
-# order, which keeps the flagship CDC pipeline + codecs + OLAP set inside
-# the window as regression sentinels.
+# With more than 50 registered, we rotate coverage across rounds: every
+# query in this list was EITHER added this round OR had no CORRECTNESS_r03
+# row (r3's window covered the round-2/3 additions; these are the r1/r2
+# stalwarts rotating back in), so each registered query keeps accumulating
+# recent driver-checked rows.  The remainder follows in registration order
+# as regression sentinels.
 _PRIORITY = [
-    # round-2 capability work the driver hasn't touched yet
-    "cdc_type_fidelity",
-    "cdc_typed_apply",
-    "cdc_causality_fk",
-    "shardddl_optimistic",
-    "shardddl_barrier",
-    "shardddl_enforce",
-    "codec_craft_roundtrip",
-    "sink_mysql_dml",
-    "redo_replay",
-    "ddl_drop_column",
-    "ddl_rename_table",
-    "codec_canal_json_ddl",
-    "handle_error_dlq",
-    "validate_binsearch",
-    "snapshot_chunks",
-    "cdc_row_checksum",
-    "sim_ann_ivf",
-    "filter_helper",
-    "cdc_metrics",
-    "cdc_checkpoint",
-    "codec_simple",
-    "codec_simple_bootstrap",
-    "codec_open_batched",
-    "codec_avro_roundtrip",
-    "mm_frame_sample",
-    "mm_feature_extract",
-    # new in round 3
-    "precheck_structure",
-    "sink_mq_roundtrip",
-    "ddl_truncate",
-    "dedup_groups",
-    "ddl_multi_schema_change",
-    "data_split",
+    # new in round 4
+    "stream_delta_merge",
+    "cdc_txn_split",
+    "cdc_txn_holdout_wm",
+    "cdc_bdr_filter",
+    "codec_handle_key_only",
+    "pack_sequences",
+    # no driver row in round 3 (all green in r1/r2) — rotate back in
+    "olap_pricing_summary",
+    "olap_shipping_priority",
+    "olap_daily_event_rollup",
+    "olap_top_spenders",
+    "olap_local_supplier_volume",
+    "olap_large_orders",
+    "ddl_filter",
+    "ddl_schema_evolution",
+    "ddl_barrier_plan",
+    "schema_asof_decode",
+    "snapshot_merge",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "validate_chunk_compare",
+    "validate_row_diff",
+    "validate_repair",
+    "validate_checksum",
+    "sink_storage_roundtrip",
+    "sink_storage_layout",
+    "validate_pending",
+    "precheck",
+    "online_ddl_route",
+    "codec_claim_check",
 ]
 
 

@@ -90,3 +90,77 @@ def deterministic_sample(
     return docs.filter(
         _bucket(F.col(id_col), salt) < int(fraction * _BUCKETS)
     )
+
+
+def stratified_quota_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    quota: int,
+    quotas: dict[str, int] | None = None,
+    salt: str = "strat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(quota, |stratum|) docs per stratum, hash-ordered.
+
+    Balanced-mixture construction (e.g. "≤100k docs per language"): docs
+    inside each stratum are ranked by their salted content hash — a
+    deterministic shuffle — and the first ``quota`` win (``quotas``
+    overrides per stratum value). Fraction-based sampleBy can't hit exact
+    counts and re-deals on every run; this is reproducible across engines
+    and stable under corpus growth UP TO the quota boundary (new docs can
+    only displace the boundary ranks — hash order itself never changes).
+
+    Scale shape: one shuffle on the stratum key; the per-stratum sort is
+    spillable (sort-based window), and the shuffled projection is cut to
+    (stratum, hash, id) before ranking so a hot stratum moves minimal
+    bytes. Parallelism is bounded by the stratum count — for very few, very
+    hot strata, pre-filter with :func:`deterministic_sample` at a fraction
+    safely above quota/|stratum| to shrink the ranked set first.
+
+    Output: id_col, stratum_col, pick_rank (1-based within stratum).
+    """
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    ranked = (
+        docs.select(id_col, stratum_col, h.alias("_h"))
+        .withColumn("pick_rank", F.row_number().over(w))
+        .drop("_h")
+    )
+    if quotas:
+        cap: Column = F.lit(quota)
+        for name, q in quotas.items():
+            cap = F.when(F.col(stratum_col) == name, F.lit(q)).otherwise(cap)
+        return ranked.filter(F.col("pick_rank") <= cap)
+    return ranked.filter(F.col("pick_rank") <= quota)
+
+
+def stratified_quota_sample_sql(
+    stratum_col: str,
+    quota: int,
+    quotas: dict[str, int] | None = None,
+    salt: str = "strat",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL selecting the identical stratified sample."""
+    h = portable_hash64_sql_duckdb(
+        f"'{salt}:' || CAST({id_col} AS VARCHAR)"
+    )
+    if quotas:
+        arms = " ".join(
+            f"WHEN {stratum_col} = '{n}' THEN {q}" for n, q in quotas.items()
+        )
+        cap = f"CASE {arms} ELSE {quota} END"
+    else:
+        cap = str(quota)
+    return f"""
+    SELECT {id_col}, {stratum_col}, pick_rank FROM (
+      SELECT {id_col}, {stratum_col},
+             row_number() OVER (PARTITION BY {stratum_col}
+               ORDER BY {h}, {id_col}) AS pick_rank
+      FROM {table})
+    WHERE pick_rank <= {cap}"""

@@ -1324,6 +1324,33 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load_table(spark, sf_dir, "documents"))
 
 
+@register("pack_sequences", None)  # SQL installed below
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: global token offsets via the
+    two-phase distributed prefix sum (within-group windows + broadcast
+    group offsets — no single-partition global window), each document
+    binned where its first token lands under a 4096-token budget."""
+    from tiflow_spark.llm.packing import pack_documents
+    from tiflow_spark.llm.textstats import token_counts
+
+    counts = token_counts(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return pack_documents(counts, token_budget=4096, n_groups=64)
+
+
+def _install_packing_sql() -> None:
+    from tiflow_spark.llm.packing import pack_documents_sql_duckdb
+
+    REGISTRY["pack_sequences"] = (
+        REGISTRY["pack_sequences"][0],
+        pack_documents_sql_duckdb(4096, n_groups=64),
+    )
+
+
+_install_packing_sql()
+
+
 @register("text_langid", None)
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language identification."""
@@ -1404,6 +1431,93 @@ def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_sample"
         )
     )
+
+
+@register(
+    "mq_consumer_flush",
+    f"""{ENV_CTE},
+    b AS (SELECT min(commit_ts) AS t0, max(commit_ts) AS t1 FROM env),
+    resolved AS (
+      SELECT p.p AS partition, t0 + (t1 - t0) * k.k // 4 AS resolved_ts
+      FROM b, generate_series(0, 3) p(p), generate_series(1, 3) k(k)
+    )
+    SELECT e.seq, CAST(e.key AS BIGINT) % 4 AS partition, e.commit_ts,
+           min(r.resolved_ts) AS flush_wm
+    FROM env e LEFT JOIN resolved r
+      ON CAST(e.key AS BIGINT) % 4 = r.partition
+     AND r.resolved_ts >= e.commit_ts
+    GROUP BY 1, 2, 3""",
+)
+def q_mq_consumer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MQ consumer event grouping (cmd/kafka-consumer/event_group.go): each
+    consumed DML is flushed by the first resolved-ts watermark >= its
+    commit_ts on its partition; rows beyond the last watermark stay
+    buffered (flush_wm NULL). Control stream broadcast — no data-sized
+    shuffle beyond the group."""
+    from tiflow_spark.sinks.mq import assign_flush_on_resolved
+
+    env = _env(spark, sf_dir)
+    dml = env.select(
+        "seq",
+        (F.col("key").cast("bigint") % 4).alias("partition"),
+        "commit_ts",
+    )
+    b = env.agg(
+        F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
+    )
+    resolved = (
+        b.select(
+            F.explode(F.array(*[F.lit(p) for p in range(4)])).alias(
+                "partition"
+            ),
+            "t0",
+            "t1",
+        )
+        .select(
+            "partition",
+            F.explode(
+                F.array(*[F.lit(k) for k in (1, 2, 3)])
+            ).alias("k"),
+            "t0",
+            "t1",
+        )
+        .select(
+            "partition",
+            (
+                F.col("t0")
+                + F.floor((F.col("t1") - F.col("t0")) * F.col("k") / 4)
+            ).alias("resolved_ts"),
+        )
+    )
+    return assign_flush_on_resolved(dml, resolved)
+
+
+@register("sample_stratified", None)  # SQL installed below
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling for balanced training mixtures:
+    ≤60 docs per language (90 for en), picked by deterministic salted-hash
+    rank within each stratum — reproducible across engines and stable
+    under corpus growth (llm/sampling.py::stratified_quota_sample)."""
+    from tiflow_spark.llm.sampling import stratified_quota_sample
+
+    return stratified_quota_sample(
+        load_table(spark, sf_dir, "documents"),
+        "lang",
+        quota=60,
+        quotas={"en": 90},
+    )
+
+
+def _install_stratified_sql() -> None:
+    from tiflow_spark.llm.sampling import stratified_quota_sample_sql
+
+    REGISTRY["sample_stratified"] = (
+        REGISTRY["sample_stratified"][0],
+        stratified_quota_sample_sql("lang", 60, quotas={"en": 90}),
+    )
+
+
+_install_stratified_sql()
 
 
 @register("dedup_simhash", None)

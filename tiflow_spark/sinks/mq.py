@@ -70,3 +70,40 @@ def consume_file_broker(
     ).select(
         "topic", "partition", "offset", "key", "value", "commit_ts", "seq"
     )
+
+
+def assign_flush_on_resolved(
+    dml: DataFrame, resolved: DataFrame
+) -> DataFrame:
+    """Consumer-side event grouping: which watermark flushes each event.
+
+    The MQ consumer buffers DML per (partition, table) and flushes
+    everything with ``commit_ts <= resolved_ts`` when a resolved-ts control
+    message arrives on that partition (cmd/kafka-consumer/event_group.go:
+    Append tracks the group; Resolve drains the prefix). The protocol
+    guarantees a resolved message follows every event below its ts on that
+    partition, so the flush a row belongs to is simply the FIRST
+    resolved_ts >= commit_ts — rows beyond the last watermark stay
+    buffered (flush_wm NULL).
+
+    ``resolved``: (partition, resolved_ts) — one row per control message.
+    Scale shape: the control stream is metadata-sized (one message per
+    partition per flush interval), so the range join broadcasts it; the
+    min-aggregation groups on the DML's own key space. No data-sized
+    shuffle is added beyond the groupBy.
+    """
+    from pyspark.sql.functions import broadcast
+
+    r = resolved.select(
+        F.col("partition").alias("_rp"), F.col("resolved_ts").alias("_rts")
+    )
+    cols = dml.columns
+    joined = dml.join(
+        broadcast(r),
+        (F.col("partition") == F.col("_rp"))
+        & (F.col("_rts") >= F.col("commit_ts")),
+        "left",
+    )
+    return joined.groupBy(*[F.col(c) for c in cols]).agg(
+        F.min("_rts").alias("flush_wm")
+    )
