@@ -245,3 +245,67 @@ def test_mq_consume_prunes_topic_partitions(spark, sf_dir, tmp_path):
     plan = plan_of(consume_file_broker(spark, broker, topic="ta"))
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m is not None and "topic" in m.group(1)
+
+
+def test_handle_key_only_is_map_only_single_projection(spark, sf_dir):
+    """Large-message dispatch must not join full against handle-key-only
+    encodings — both are CASE arms of one projection."""
+    fn, _ = REGISTRY["codec_handle_key_only"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan
+
+
+def test_bdr_filter_is_pushed_predicate(spark, sf_dir):
+    """The loopback filter is a codegen'd predicate, not a shuffle."""
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators.txn import filter_loopback
+
+    import pyspark.sql.functions as F
+
+    env = events_to_changes(load_table(spark, sf_dir, "events")).withColumn(
+        "write_source", (F.col("seq") % 7).cast("int")
+    )
+    assert n_exchanges(plan_of(filter_loopback(env))) == 0
+
+
+def test_txn_split_shuffles_once_on_txn_key(spark, sf_dir):
+    """Flush assignment = one hash exchange on the txn key (the window),
+    nothing else."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators.txn import assign_flush_batches
+
+    env = events_to_changes(load_table(spark, sf_dir, "events")).withColumn(
+        "txn_window", (F.col("commit_ts") / F.lit(3_600_000_000)).cast("long")
+    )
+    out = assign_flush_batches(
+        env, ("schema", "txn_window"), max_txn_rows=8, atomicity="none"
+    )
+    assert n_exchanges(plan_of(out)) == 1
+
+
+def test_packing_has_no_data_sized_global_window(spark, sf_dir):
+    """The token prefix sum must run as within-group windows plus a
+    broadcast offset join; the only single-partition exchange allowed is
+    the metadata-scale group-offset frame."""
+    from tiflow_spark.llm.packing import pack_documents
+    from tiflow_spark.llm.textstats import token_counts
+    from tiflow_spark.envelope import load_table
+
+    counts = token_counts(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    plan = plan_of(pack_documents(counts, token_budget=4096, n_groups=64))
+    assert "BroadcastHashJoin" in plan  # offsets come back via broadcast
+    # exactly one SinglePartition exchange — the 64-row offsets frame
+    assert plan.count("Arguments: SinglePartition") <= 1
+
+
+def test_mq_consumer_flush_broadcasts_control_stream(spark, sf_dir):
+    """The resolved-ts control stream is metadata-sized and must broadcast;
+    the DML side shuffles only for its own re-aggregation."""
+    fn, _ = REGISTRY["mq_consumer_flush"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
