@@ -34,6 +34,9 @@ _PRIORITY = [
     "cdc_bdr_filter",
     "codec_handle_key_only",
     "pack_sequences",
+    "sample_stratified",
+    "mq_consumer_flush",
+    "cdc_safe_mode_window",
     # no driver row in round 3 (all green in r1/r2) — rotate back in
     "olap_pricing_summary",
     "olap_shipping_priority",

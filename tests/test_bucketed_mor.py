@@ -153,6 +153,63 @@ def test_purge_and_resize_fold_pending_deltas_first(spark, tmp_path):
     assert _state(spark, str(tmp_path / "t2")) == expected
 
 
+def test_delta_mode_schema_evolution(spark, tmp_path):
+    """An ADD COLUMN arriving as a delta append must widen the visible
+    state (nulls backfilled on base rows) and survive compaction; a
+    replayed pre-DDL delta must never narrow it back."""
+    target = str(tmp_path / "t")
+    merge_hash_bucketed(_chg(spark, SEED), target, n_buckets=4, batch_id=0)
+    widened = (
+        "target_table string, key string, op string, commit_ts long, "
+        "seq long, id long, balance double, note string, tier string"
+    )
+    b_wide = [("t", "3", "U", 200, 100, 3, 33.0, "y", "gold")]
+    merge_hash_bucketed(
+        spark.createDataFrame(b_wide, widened), target, n_buckets=4,
+        batch_id=1, mode="delta",
+    )
+    state = read_state(spark, target)
+    assert "tier" in state.columns
+    got = {r.key: r.tier for r in state.collect()}
+    assert got["3"] == "gold" and got["5"] is None  # backfilled NULL
+    compact_deltas(spark, target)
+    state2 = read_state(spark, target)
+    assert {r.key: r.tier for r in state2.collect()} == got
+    # replayed pre-DDL batch (narrow schema) must not drop the column
+    merge_hash_bucketed(
+        _chg(spark, B1), target, n_buckets=4, batch_id=1, mode="delta"
+    )
+    compact_deltas(spark, target)
+    assert "tier" in read_state(spark, target).columns
+
+
+def test_streaming_target_auto_compaction_cadence(spark, tmp_path):
+    """compact_every folds deltas inside the foreachBatch loop — the
+    LSM level-0 cap that bounds resolve-at-read cost."""
+    from tiflow_spark.streaming.pipeline import StreamingTarget
+
+    base = tmp_path / "auto"
+    tgt = StreamingTarget(
+        target_path=str(base / "target"),
+        progress_path=str(base / "progress"),
+        n_buckets=4,
+        merge_mode="delta",
+        compact_every=2,
+    )
+    env_schema = (
+        "target_table string, key string, op string, commit_ts long, "
+        "seq long, after struct<id: long, balance: double, note: string>"
+    )
+    for i in range(4):
+        rows = [("t", str(k), "I", 100 + i, i * 10 + k, (k, float(i), "x"))
+                for k in range(3)]
+        tgt.merge_batch(spark.createDataFrame(rows, env_schema), i)
+    # batch 0 seeds; batch 2's post-merge fold consumes deltas 1+2; delta 3 waits
+    assert list_deltas(tgt.target_path) == ["batch-3"]
+    state = _state(spark, tgt.target_path)
+    assert len(state) == 3  # 3 keys, last writer (i=3) wins
+
+
 def test_streaming_target_delta_mode(spark, tmp_path):
     """StreamingTarget(merge_mode="delta") end-to-end equivalence."""
     from tiflow_spark.streaming.pipeline import StreamingTarget

@@ -187,3 +187,24 @@ def safe_mode_rewrite(env: DataFrame, enabled: bool | Column = True) -> DataFram
         .otherwise(F.col("op"))
     )
     return env.withColumn("dml_mode", mode)
+
+
+def safe_mode_window(
+    env: DataFrame,
+    resume_ts: int,
+    duration_us: int,
+    always_on: bool = False,
+) -> DataFrame:
+    """Safe-mode AUTO-SWITCH: the initialization phase after a resume.
+
+    After a restart, events at-or-below the last checkpoint may already be
+    applied downstream, so the syncer runs safe mode (idempotent REPLACE
+    forms) for the first ``safe-mode-duration`` past the resume point —
+    default 2x the checkpoint flush interval (dm/config/subtask.go:409-415;
+    dm/syncer/syncer.go enable/exitSafeModeTS:260,1976) — then exits
+    automatically. ``always_on`` models the permanent config flag, which
+    conflicts with a duration in the reference and simply ORs here."""
+    cond = F.lit(always_on) | (
+        F.col("commit_ts") < F.lit(resume_ts + duration_us)
+    )
+    return safe_mode_rewrite(env, cond)

@@ -738,6 +738,34 @@ def q_safe_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_safe_mode_window",
+    f"""{ENV_CTE},
+    b AS (SELECT min(commit_ts) AS t0, max(commit_ts) AS t1 FROM env)
+    SELECT CASE WHEN commit_ts < t0 + (t1 - t0) * 6 // 10
+                THEN CASE op WHEN 'I' THEN 'R' WHEN 'U' THEN 'DR' ELSE op END
+                ELSE op END AS dml_mode,
+           op, commit_ts < t0 + (t1 - t0) * 6 // 10 AS in_window,
+           count(*) AS cnt
+    FROM env CROSS JOIN b GROUP BY 1, 2, 3""",
+)
+def q_safe_mode_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-mode auto-switch: idempotent REPLACE forms only during the
+    initialization window after a resume (checkpoint + safe-mode-duration,
+    dm/config/subtask.go:409-415), ordinary DML after it exits."""
+    env = _env(spark, sf_dir)
+    b = env.agg(
+        F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
+    ).collect()[0]
+    resume, dur = b.t0, (b.t1 - b.t0) * 6 // 10
+    out = tfm.safe_mode_window(env, resume, dur)
+    return out.groupBy(
+        "dml_mode",
+        "op",
+        (F.col("commit_ts") < F.lit(resume + dur)).alias("in_window"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
     "cdc_causality",
     f"""{ENV_CTE}
     SELECT (('0x' || substr(md5("table" || chr(1) || key), 1, 15))::BIGINT) % 16

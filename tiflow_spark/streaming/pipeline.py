@@ -109,6 +109,10 @@ class StreamingTarget:
     # O(batch) appends, fold with sinks/bucketed.compact_deltas at
     # maintenance cadence (see merge_hash_bucketed docstring)
     merge_mode: str = "rewrite"
+    # delta mode: fold accumulated deltas every N batches (0 = manual).
+    # Bounds resolve-at-read cost to <= N batches of deltas — the
+    # level-0-file cap of an LSM.
+    compact_every: int = 8
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Idempotent MERGE of one micro-batch (runs on the driver inside
@@ -147,6 +151,15 @@ class StreamingTarget:
             mode=self.merge_mode,
         )
         # progress/syncpoint record: (batch_id, resolved_ts, rows_applied) —
+        if (
+            self.merge_mode == "delta"
+            and self.compact_every
+            and batch_id > 0
+            and batch_id % self.compact_every == 0
+        ):
+            from tiflow_spark.sinks.bucketed import compact_deltas
+
+            compact_deltas(batch.sparkSession, self.target_path)
         # the reference's checkpoint-ts + syncpoint store (§2.7, §2.10)
         prog = batch.groupBy().agg(
             F.lit(batch_id).alias("batch_id"),
@@ -203,11 +216,15 @@ class DDLStreamingTarget(StreamingTarget):
         logical_table: str = "events",
         n_buckets: int = 32,
         truncates: list[tuple[str, int]] | None = None,
+        merge_mode: str = "rewrite",
+        compact_every: int = 8,
     ):
         super().__init__(
             target_path=target_path,
             progress_path=progress_path,
             n_buckets=n_buckets,
+            merge_mode=merge_mode,
+            compact_every=compact_every,
         )
         self.registry = registry
         self.logical_table = logical_table
@@ -283,6 +300,7 @@ class DDLStreamingTarget(StreamingTarget):
             key_cols=("target_table", self.key_col),
             table_col="target_table",
             batch_id=batch_id,
+            mode=self.merge_mode,
         )
         # truncate DDLs whose barrier this batch reached: metadata-only
         # watermark, monotone → replay-idempotent, O(1) in target size
