@@ -37,6 +37,9 @@ _PRIORITY = [
     "sample_stratified",
     "mq_consumer_flush",
     "cdc_safe_mode_window",
+    "olap_order_priority",
+    "olap_late_shipments",
+    "olap_promo_revenue",
     # no driver row in round 3 (all green in r1/r2) — rotate back in
     "olap_pricing_summary",
     "olap_shipping_priority",

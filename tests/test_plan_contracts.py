@@ -309,3 +309,20 @@ def test_mq_consumer_flush_broadcasts_control_stream(spark, sf_dir):
     fn, _ = REGISTRY["mq_consumer_flush"]
     plan = plan_of(fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_order_priority_semi_join_and_pushdown(spark, sf_dir):
+    """Q4 shape: EXISTS compiles to a left-semi join (orders never
+    duplicate) and the quarter filter reaches the orders parquet scan."""
+    fn, _ = REGISTRY["olap_order_priority"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan)
+
+
+def test_promo_revenue_broadcasts_part(spark, sf_dir):
+    """Q14 shape: the part dimension broadcasts; lineitem never shuffles
+    for the join."""
+    fn, _ = REGISTRY["olap_promo_revenue"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

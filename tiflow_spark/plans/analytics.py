@@ -249,3 +249,111 @@ FROM (
 ) big
 JOIN orders   ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey"""
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: per-priority count of orders in a quarter that had at
+    least one line shipped after the order date (the testdata lacks
+    l_commitdate/l_receiptdate, so ship-after-order is the lateness
+    predicate). Plan shape: pushed date-range scan on orders, left-semi
+    join on orderkey — the EXISTS never duplicates orders."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1"""
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: for lines shipped >= 60 days after their order in
+    1996, split line counts by return flag into critical
+    (URGENT/HIGH-priority orders) vs ordinary — one shuffle on orderkey,
+    conditional aggregation instead of two scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate")
+        >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+LATE_SHIPMENT_SQL = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY 1"""
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: PROMO part types' share of revenue for one quarter.
+    Part dimension broadcasts; revenue arithmetic stays decimal-exact and
+    the final percentage rounds to a hash-stable 4 places."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'"""

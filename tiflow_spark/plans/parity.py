@@ -822,6 +822,15 @@ def _install_analytics() -> None:
             an.LOCAL_SUPPLIER_VOLUME_SQL,
         ),
         "olap_large_orders": (an.large_orders, an.LARGE_ORDERS_SQL),
+        "olap_order_priority": (
+            an.order_priority_check,
+            an.ORDER_PRIORITY_SQL,
+        ),
+        "olap_late_shipments": (
+            an.late_shipment_priority,
+            an.LATE_SHIPMENT_SQL,
+        ),
+        "olap_promo_revenue": (an.promo_revenue, an.PROMO_REVENUE_SQL),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
