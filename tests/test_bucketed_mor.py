@@ -210,6 +210,37 @@ def test_streaming_target_auto_compaction_cadence(spark, tmp_path):
     assert len(state) == 3  # 3 keys, last writer (i=3) wins
 
 
+def test_run_changefeed_delta_mode_equals_rewrite(spark, sf_dir, tmp_path):
+    """Full Structured-Streaming changefeed in merge-on-read mode must land
+    the same visible state as copy-on-write."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.plans.parity import DEMO_CFG
+    from tiflow_spark.streaming.pipeline import run_changefeed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = str(tmp_path / "source")
+    for chunk in (1, 0):  # two out-of-order micro-batch files
+        env.filter(F.col("seq") % 2 == chunk).write.mode("append").parquet(src)
+    states = {}
+    for mode in ("rewrite", "delta"):
+        work = str(tmp_path / mode)
+        _, target = run_changefeed(
+            spark, src, DEMO_CFG, work, merge_mode=mode
+        )
+        states[mode] = sorted(
+            map(
+                tuple,
+                read_state(spark, target.target_path)
+                .select("target_table", "key", "id", "balance")
+                .collect(),
+            )
+        )
+    assert states["delta"] == states["rewrite"]
+    assert len(states["delta"]) > 0
+
+
 def test_streaming_target_delta_mode(spark, tmp_path):
     """StreamingTarget(merge_mode="delta") end-to-end equivalence."""
     from tiflow_spark.streaming.pipeline import StreamingTarget

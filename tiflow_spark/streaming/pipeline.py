@@ -175,12 +175,14 @@ def run_changefeed(
     cfg: TaskConfig,
     work_dir: str,
     await_termination: bool = True,
+    merge_mode: str = "rewrite",
 ):
     """End-to-end streaming changefeed with availableNow trigger (drains the
     source then stops — the batch-boundary semantics integration tests use)."""
     target = StreamingTarget(
         target_path=os.path.join(work_dir, "target"),
         progress_path=os.path.join(work_dir, "progress"),
+        merge_mode=merge_mode,
     )
     stream = read_change_stream(spark, source_dir)
     transformed = transform_stream(stream, cfg)
