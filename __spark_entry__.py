@@ -40,6 +40,11 @@ _PRIORITY = [
     "olap_order_priority",
     "olap_late_shipments",
     "olap_promo_revenue",
+    "text_repetition",
+    "text_pii_scrub",
+    "text_contamination",
+    "corpus_funnel",
+    "cdc_vector_type",
     # no driver row in round 3 (all green in r1/r2) — rotate back in
     "olap_pricing_summary",
     "olap_shipping_priority",

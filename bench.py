@@ -40,6 +40,8 @@ def main() -> None:
         "cdc_typed_apply",
         "ddl_rename_table",
         "dedup_minhash_lsh",
+        # round-4: end-to-end curation funnel (quality → dedup → decontam)
+        "corpus_funnel",
     ]
     bench_queries = [q for q in bench_queries if q in REGISTRY]
 

@@ -326,3 +326,22 @@ def test_promo_revenue_broadcasts_part(spark, sf_dir):
     fn, _ = REGISTRY["olap_promo_revenue"]
     plan = plan_of(fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_benchmark_side_is_broadcast(spark, sf_dir):
+    """The benchmark gram index is tiny; the corpus side must meet it via
+    BroadcastHashJoin — the only shuffle on this path is the per-doc fold
+    keyed by doc_id (≤2 exchanges: the fold's partial/final split)."""
+    fn, _ = REGISTRY["text_contamination"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_and_pii_shuffle_budget(spark, sf_dir):
+    """PII scrub is map-only; repetition spends exactly its two doc_id-keyed
+    aggregations (gram counts, per-doc fold)."""
+    fn, _ = REGISTRY["text_pii_scrub"]
+    assert n_exchanges(plan_of(fn(spark, sf_dir))) == 0
+    fn, _ = REGISTRY["text_repetition"]
+    assert n_exchanges(plan_of(fn(spark, sf_dir))) <= 3

@@ -212,3 +212,169 @@ def fingerprint_sql(table: str = "documents", k: int = 24) -> str:
                i -> {h})) AS fp_max,
       {full_h} AS fp_full
     FROM {table}"""
+
+
+# ------------------------------------------------------- repetition signals
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup.word_shingles, which
+    dedups) — repetition scoring needs the counts. Same shifted-array
+    zip_with construction: O(words) array references, never the
+    O(words²) indexed-lambda form."""
+    toks = tokens(text)
+    joined = toks
+    for j in range(1, n):
+        joined = F.zip_with(
+            joined,
+            F.slice(toks, j + 1, 2_000_000_000),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(joined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+
+
+def repetitive_corpus(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic corpus with injected repetition: every 9th doc's text is
+    replaced by its first 6 words repeated 10 times — gives the repetition
+    signals real positives (the base word-soup corpus is repetition-free)."""
+    t = F.col(text_col)
+    first6 = F.array_join(F.slice(tokens(t), 1, 6), " ")
+    rep = F.rtrim(F.repeat(F.concat(first6, F.lit(" ")), 10))
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, rep).otherwise(t).alias("text"),
+    )
+
+
+REPETITIVE_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 9 = 0 THEN rtrim(repeat(
+      array_to_string(list_slice(
+        list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), 1, 6),
+        ' ') || ' ', 10))
+    ELSE text END AS text
+  FROM documents
+)"""
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+
+    - ``uniq_word_ratio``  distinct words / words (low ⇒ repetitive)
+    - ``top2gram_char_frac``  max over 2-grams of count·len(gram) / chars
+      (character mass of the most dominant bigram)
+    - ``dup3gram_char_frac``  Σ count·len(gram) over 3-grams with count>1,
+      / chars (character mass inside duplicated trigrams)
+    - ``repetitive``  flag: uniq<0.3 OR dup3>0.2
+
+    Two shuffles, both keyed by doc_id (gram counting, then per-doc fold) —
+    no skew risk beyond document size itself; at 100 TB this is the same
+    shape as any per-doc aggregation."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    base = docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "uniq_word_ratio"
+        ),
+        word_ngrams(t, 2).alias("g2"),
+        word_ngrams(t, 3).alias("g3"),
+    )
+    ex = base.select(
+        "doc_id",
+        "n_chars",
+        "uniq_word_ratio",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("g2"),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    F.col("g3"),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("g"),
+    )
+    counts = ex.groupBy(
+        "doc_id",
+        "n_chars",
+        "uniq_word_ratio",
+        F.col("g.n").alias("n"),
+        F.col("g.gram").alias("gram"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy("doc_id", "n_chars", "uniq_word_ratio").agg(
+        F.max(
+            F.when(F.col("n") == 2, F.col("cnt") * F.length("gram"))
+        ).alias("top2_chars"),
+        F.sum(
+            F.when(
+                (F.col("n") == 3) & (F.col("cnt") > 1),
+                F.col("cnt") * F.length("gram"),
+            )
+        ).alias("dup3_chars"),
+    )
+    top2 = F.round(
+        F.coalesce(F.col("top2_chars"), F.lit(0)) / F.col("n_chars"), 6
+    )
+    dup3 = F.round(
+        F.coalesce(F.col("dup3_chars"), F.lit(0)) / F.col("n_chars"), 6
+    )
+    return agg.select(
+        "doc_id",
+        "uniq_word_ratio",
+        top2.alias("top2gram_char_frac"),
+        dup3.alias("dup3gram_char_frac"),
+        ((F.col("uniq_word_ratio") < 0.3) | (dup3 > 0.2)).alias("repetitive"),
+    )
+
+
+def _ngrams_sql(n: int, toks: str = "toks") -> str:
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 1) + 1),"
+        f" i -> {parts})"
+    )
+
+
+def repetition_features_sql() -> str:
+    return f"""WITH {REPETITIVE_CORPUS_SQL.strip()},
+base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+uw AS (
+  SELECT doc_id, n_chars,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+           AS uniq_word_ratio,
+         toks
+  FROM base
+),
+g AS (
+  SELECT doc_id, 2 AS n, unnest({_ngrams_sql(2)}) AS gram FROM uw
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest({_ngrams_sql(3)}) AS gram FROM uw
+),
+counts AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2_chars,
+    sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(gram) END)
+      AS dup3_chars
+  FROM counts GROUP BY 1
+)
+SELECT u.doc_id AS doc_id, uniq_word_ratio,
+  round(coalesce(top2_chars, 0) * 1.0 / n_chars, 6) AS top2gram_char_frac,
+  round(coalesce(dup3_chars, 0) * 1.0 / n_chars, 6) AS dup3gram_char_frac,
+  (uniq_word_ratio < 0.3
+   OR round(coalesce(dup3_chars, 0) * 1.0 / n_chars, 6) > 0.2)
+    AS repetitive
+FROM uw u LEFT JOIN agg a ON u.doc_id = a.doc_id"""

@@ -3218,3 +3218,128 @@ def q_codec_canal_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.codecs.canal_json import encode_canal_json_ddl
 
     return encode_canal_json_ddl(_allowed_ddl(spark, sf_dir))
+
+
+# ------------------------------------- round-4 LLM curation operators
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register("text_repetition", None)  # oracle installed below
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (unique-word ratio, top-2gram
+    and duplicated-3gram character fractions) over a corpus with injected
+    repetitive docs. Map + two doc_id-keyed shuffles; no Python."""
+    from tiflow_spark.llm.textstats import (
+        repetition_features,
+        repetitive_corpus,
+    )
+
+    return repetition_features(repetitive_corpus(_docs(spark, sf_dir)))
+
+
+@register("text_pii_scrub", None)  # oracle installed below
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails/phones/IPs): counts per class and
+    the md5 of the scrubbed text. Pure regexp built-ins — map-only."""
+    from tiflow_spark.llm.pii import pii_corpus, pii_scrub
+
+    return pii_scrub(pii_corpus(_docs(spark, sf_dir)))
+
+
+@register("text_contamination", None)  # oracle installed below
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: distinct 5-gram overlap between the
+    dup-augmented corpus and a benchmark subset; benchmark gram index is
+    broadcast so the corpus side never shuffles before the per-doc fold."""
+    from tiflow_spark.llm.contamination import benchmark_grams, contamination
+    from tiflow_spark.llm.dedup import corpus_with_dups
+
+    docs = _docs(spark, sf_dir)
+    return contamination(
+        corpus_with_dups(docs), benchmark_grams(docs)
+    )
+
+
+@register("corpus_funnel", None)  # oracle installed below
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: raw → quality filter → exact dedup →
+    benchmark decontamination, reporting docs/chars per stage."""
+    from tiflow_spark.llm.pipeline import corpus_funnel
+
+    return corpus_funnel(_docs(spark, sf_dir))
+
+
+def _install_round4_llm_oracles() -> None:
+    from tiflow_spark.llm.contamination import contamination_sql
+    from tiflow_spark.llm.pii import pii_scrub_sql
+    from tiflow_spark.llm.pipeline import corpus_funnel_sql
+    from tiflow_spark.llm.textstats import repetition_features_sql
+
+    for name, sql in (
+        ("text_repetition", repetition_features_sql()),
+        ("text_pii_scrub", pii_scrub_sql()),
+        ("text_contamination", contamination_sql()),
+        ("corpus_funnel", corpus_funnel_sql()),
+    ):
+        REGISTRY[name] = (REGISTRY[name][0], sql)
+
+
+_install_round4_llm_oracles()
+
+
+# --------------------------------------- TiDBVectorFloat32 type fidelity
+
+@register(
+    "cdc_vector_type",
+    """WITH v AS (
+  SELECT event_id AS seq,
+    '[' || (event_id % 7) || '.0,' || (event_id % 11) || '.0,'
+        || (event_id % 13) || '.0]' AS vec_text
+  FROM events
+), p AS (
+  SELECT seq, vec_text,
+    list_transform(string_split(trim(vec_text, '[]'), ','),
+                   x -> CAST(x AS FLOAT)) AS arr
+  FROM v
+)
+SELECT seq, vec_text, len(arr) AS dim,
+  round(sqrt(list_sum(list_transform(arr,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+  ('[' || array_to_string(list_transform(arr, x -> CAST(x AS VARCHAR)), ',')
+   || ']') = vec_text AS roundtrip_ok
+FROM p""",
+)
+def q_vector_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TiDBVectorFloat32 fidelity (mounter.go:832, SURVEY §1.2): the wire
+    form is the vector literal string; decode to array<float>, compute
+    dim + L2 norm (ANN-ready), and re-encode losslessly for sinks."""
+    from tiflow_spark.types import encode_vector, parse_vector
+
+    ev = load_table(spark, sf_dir, "events")
+    did = F.col("event_id")
+    vec_text = F.concat(
+        F.lit("["), (did % 7).cast("string"), F.lit(".0,"),
+        (did % 11).cast("string"), F.lit(".0,"),
+        (did % 13).cast("string"), F.lit(".0]"),
+    )
+    v = ev.select(did.alias("seq"), vec_text.alias("vec_text"))
+    arr = parse_vector(F.col("vec_text"))
+    return v.select(
+        "seq",
+        "vec_text",
+        F.size(arr).alias("dim"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    arr,
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
+        ).alias("l2"),
+        (encode_vector(arr) == F.col("vec_text")).alias("roundtrip_ok"),
+    )

@@ -149,3 +149,22 @@ def text_or_binary(col: Column, binary_flag: bool) -> Column:
     """BinaryFlag routing (sink.go:98): binary charset → BinaryType bytes,
     else text. Encoders then render base64/hex vs plain string."""
     return col.cast("binary") if binary_flag else col.cast("string")
+
+
+def parse_vector(col: Column) -> Column:
+    """TiDBVectorFloat32 literal ``[1.0,2.0,...]`` → ``array<float>``
+    (mounter.go:832-834 formats the datum via its String() form; codecs
+    deliver it as that literal). Pure built-ins — codegen'd parse."""
+    return F.transform(
+        F.split(F.regexp_replace(col, r"[\[\]]", ""), ","),
+        lambda x: x.cast("float"),
+    )
+
+
+def encode_vector(arr: Column) -> Column:
+    """``array<float>`` → TiDB vector literal (the sink-side inverse)."""
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ","),
+        F.lit("]"),
+    )
