@@ -45,6 +45,10 @@ _PRIORITY = [
     "text_contamination",
     "corpus_funnel",
     "cdc_vector_type",
+    "join_asof",
+    "join_range",
+    "olap_user_sessions",
+    "olap_nation_volume",
     # no driver row in round 3 (all green in r1/r2) — rotate back in
     "olap_pricing_summary",
     "olap_shipping_priority",

@@ -56,7 +56,7 @@ def main() -> None:
     for name in bench_queries:
         fn, _ = REGISTRY[name]
         best, n = None, 0
-        for _rep in range(2):  # min-of-2: GC/scheduler noise, not the plan
+        for _rep in range(3):  # min-of-3: GC/scheduler noise, not the plan
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             el = time.perf_counter() - t0

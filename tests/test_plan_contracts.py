@@ -345,3 +345,24 @@ def test_repetition_and_pii_shuffle_budget(spark, sf_dir):
     assert n_exchanges(plan_of(fn(spark, sf_dir))) == 0
     fn, _ = REGISTRY["text_repetition"]
     assert n_exchanges(plan_of(fn(spark, sf_dir))) <= 3
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join must compile to union + ONE keyed exchange + window —
+    no join operator, no range explosion."""
+    fn, _ = REGISTRY["join_asof"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_is_equi_join_no_cartesian(spark, sf_dir):
+    """The bucketed range join must hit an equi-join (hash/sort-merge on
+    key+bucket), never BroadcastNestedLoop/Cartesian."""
+    fn, _ = REGISTRY["join_range"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

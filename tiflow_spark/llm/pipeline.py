@@ -16,9 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from tiflow_spark.llm.contamination import benchmark_grams, contamination
 from tiflow_spark.llm.dedup import CORPUS_SQL, _shingles_sql, corpus_with_dups
-from tiflow_spark.llm.textstats import quality_features
+from tiflow_spark.llm.textstats import quality_score
 
 
 def corpus_funnel(
@@ -34,40 +36,64 @@ def corpus_funnel(
     dedup (min doc_id per exact-text md5) → clean (drop non-benchmark docs
     sharing ≥ min_shared 5-grams with the benchmark).
     Output: (stage_ord, stage, n_docs, n_chars) — 4 rows.
+
+    Single-pass shape: per-doc survival FLAGS (quality inline, dedup via a
+    min-over-digest window, contamination via a broadcast-joined id set),
+    then ONE conditional aggregation unpivoted to the 4 stage rows — not
+    four union branches each recomputing the corpus lineage (measured 2×+
+    slower at sf0.1, and 4× the scan at 100 TB).
     """
     corpus = corpus_with_dups(docs)
-    quality = quality_features(corpus).filter(
-        F.col("quality_score") >= min_quality
-    )
-    q_docs = corpus.join(quality.select("doc_id"), "doc_id", "left_semi")
-    # exact dedup: keep the smallest doc_id per content digest
-    keep = (
-        q_docs.groupBy(F.md5(F.col("text")).alias("digest"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    d_docs = q_docs.join(keep, "doc_id", "left_semi")
+    flagged = corpus.withColumn(
+        "q", quality_score(F.col("text")) >= min_quality
+    ).withColumn(
+        "keep_id",
+        F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+            Window.partitionBy(F.md5(F.col("text")))
+        ),
+    ).withColumn("d", F.col("q") & (F.col("doc_id") == F.col("keep_id")))
     bench = benchmark_grams(docs, n=n, benchmark_every=benchmark_every)
-    contam = contamination(
-        d_docs, bench, n=n, min_shared=min_shared,
-        benchmark_every=benchmark_every,
-    ).filter(F.col("contaminated") & ~F.col("is_benchmark"))
-    clean = d_docs.join(contam.select("doc_id"), "doc_id", "left_anti")
-
-    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(ord_).alias("stage_ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.length("text")).alias("n_chars"),
+    contam_ids = (
+        contamination(
+            flagged.filter(F.col("d")).select("doc_id", "text"),
+            bench,
+            n=n,
+            min_shared=min_shared,
+            benchmark_every=benchmark_every,
         )
-
-    return (
-        stage(corpus, 1, "raw")
-        .unionByName(stage(q_docs, 2, "quality"))
-        .unionByName(stage(d_docs, 3, "dedup"))
-        .unionByName(stage(clean, 4, "clean"))
+        .filter(F.col("contaminated") & ~F.col("is_benchmark"))
+        .select("doc_id", F.lit(True).alias("_contam"))
     )
+    final = flagged.join(F.broadcast(contam_ids), "doc_id", "left").withColumn(
+        "c", F.col("d") & F.col("_contam").isNull()
+    )
+    chars = F.length("text")
+    agg = final.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(chars).alias("c1"),
+        F.sum(F.when(F.col("q"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("q"), chars).otherwise(0)).alias("c2"),
+        F.sum(F.when(F.col("d"), 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(F.col("d"), chars).otherwise(0)).alias("c3"),
+        F.sum(F.when(F.col("c"), 1).otherwise(0)).alias("n4"),
+        F.sum(F.when(F.col("c"), chars).otherwise(0)).alias("c4"),
+    )
+    stages = [(1, "raw"), (2, "quality"), (3, "dedup"), (4, "clean")]
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(o).alias("stage_ord"),
+                        F.lit(s).alias("stage"),
+                        F.col(f"n{o}").alias("n_docs"),
+                        F.col(f"c{o}").alias("n_chars"),
+                    )
+                    for o, s in stages
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage_ord", "r.stage", "r.n_docs", "r.n_chars")
 
 
 def corpus_funnel_sql(

@@ -46,6 +46,33 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score(t: Column) -> Column:
+    """Composite quality score in [0,1] as a reusable Column (the funnel
+    computes it inline on the corpus, avoiding a per-stage join)."""
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS)))
+    punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    stop_ratio = F.round(stop_hits / n_tok, 6)
+    punct_ratio = F.round(punct / n_chars, 6)
+    mean_tok_len = F.round(
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x))
+        / n_tok,
+        6,
+    )
+    len_ok = (n_tok >= 10) & (n_tok <= 1000)
+    return F.round(
+        (
+            F.when(len_ok, 0.4).otherwise(0.0)
+            + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 0.3).otherwise(0.0)
+            + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+            + F.when((mean_tok_len >= 2.5) & (mean_tok_len <= 12), 0.1).otherwise(0.0)
+        ),
+        2,
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals with a
     composite score in [0,1] (heuristics in the spirit of C4/Gopher rules).

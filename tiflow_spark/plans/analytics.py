@@ -357,3 +357,117 @@ SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+
+def user_sessions(
+    spark: SparkSession, sf_dir: str, gap_min: int = 30
+) -> DataFrame:
+    """Sessionization: split each user's event stream at inactivity gaps
+    > gap_min — the batch face of streaming session windows. One shuffle
+    (user_id); both the lag flag and the running session counter reuse
+    the same sort order."""
+    from pyspark.sql import Window
+
+    from tiflow_spark.envelope import epoch_us
+
+    gap_us = gap_min * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("tus"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("tus").over(w)
+    flag = F.when(
+        prev.isNull() | (F.col("tus") - prev > gap_us), 1
+    ).otherwise(0)
+    s = ev.withColumn("ns", flag).withColumn(
+        "session_seq", F.sum("ns").over(run)
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("tus").alias("session_start"),
+        F.max("tus").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value")).alias("value_sum"),
+    )
+
+
+USER_SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events
+),
+f AS (
+  SELECT *,
+    CASE WHEN lag(tus) OVER w IS NULL
+           OR tus - lag(tus) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+s AS (
+  SELECT *,
+    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM f
+)
+SELECT user_id, session_seq, min(tus) AS session_start,
+       max(tus) AS session_end, count(*) AS n_events,
+       CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         AS value_sum
+FROM s GROUP BY 1, 2"""
+
+
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style shipping volume between two nation groups: revenue of
+    lineitems shipped supplier-nation → customer-nation for a nation pair,
+    by year. Both nation dims broadcast; lineitem⋈orders is the only big
+    join (on orderkey) and the date filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    # pair populated at every test scale incl. sf0.001
+    pair = (("NATION_18", "NATION_19"), ("NATION_19", "NATION_18"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == pair[0][0]) & (F.col("cust_nation") == pair[0][1]))
+            | ((F.col("supp_nation") == pair[1][0]) & (F.col("cust_nation") == pair[1][1]))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(
+        _dec_sum(
+            _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        ).alias("revenue")
+    )
+
+
+NATION_VOLUME_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))),
+         2) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+GROUP BY 1, 2, 3"""

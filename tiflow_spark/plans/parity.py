@@ -822,6 +822,8 @@ def _install_analytics() -> None:
             an.LOCAL_SUPPLIER_VOLUME_SQL,
         ),
         "olap_large_orders": (an.large_orders, an.LARGE_ORDERS_SQL),
+        "olap_user_sessions": (an.user_sessions, an.USER_SESSIONS_SQL),
+        "olap_nation_volume": (an.nation_volume, an.NATION_VOLUME_SQL),
         "olap_order_priority": (
             an.order_priority_check,
             an.ORDER_PRIORITY_SQL,
@@ -3342,4 +3344,89 @@ def q_vector_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2"),
         (encode_vector(arr) == F.col("vec_text")).alias("roundtrip_ok"),
+    )
+
+
+# -------------------------------------------- generic temporal joins
+
+@register(
+    "join_asof",
+    """WITH readings AS (
+  SELECT user_id, ts, max_by(value, event_id) AS value FROM events
+  GROUP BY 1, 2
+), probes AS (
+  SELECT event_id AS probe_id, user_id, ts FROM events WHERE event_id % 10 = 0
+)
+SELECT p.probe_id AS probe_id, p.user_id AS user_id,
+       epoch_us(p.ts) AS probe_ts,
+       epoch_us(r.ts) AS state_ts, r.value AS state_value
+FROM probes p ASOF LEFT JOIN readings r
+  ON p.user_id = r.user_id AND p.ts > r.ts""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join: each probe picks up the most recent STRICTLY
+    earlier reading of its user — union-tag + one keyed shuffle + running
+    last(ignorenulls), never a range join. DuckDB's native ASOF JOIN is
+    the oracle. (Generalizes the schema-snapshot as-of lookup,
+    cdc/entry/schema_storage.go:122-152.)"""
+    from tiflow_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    readings = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    probes = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").alias("probe_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        probes, readings, ["user_id"], "ts", "ts", ["ts", "value"],
+        strict=True,
+    )
+    return out.select(
+        "probe_id",
+        "user_id",
+        epoch_us("ts").alias("probe_ts"),
+        epoch_us("r_ts").alias("state_ts"),
+        F.col("r_value").alias("state_value"),
+    )
+
+
+@register(
+    "join_range",
+    """WITH probes AS (
+  SELECT event_id AS probe_id, user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_id % 53 = 0
+)
+SELECT p.probe_id AS probe_id, p.user_id AS user_id,
+       e.event_id AS near_id, e.event_type AS near_type,
+       epoch_us(e.ts) - p.pts AS delta_us
+FROM probes p JOIN events e
+  ON p.user_id = e.user_id
+ AND abs(epoch_us(e.ts) - p.pts) <= 21600000000
+ AND e.event_id <> p.probe_id""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic range join: events of the same user within ±6 h of each
+    probe. Bucketed by the window width so the range predicate becomes an
+    equi-join on (user, bucket) — 3× probe replication instead of a
+    per-user cartesian; plan-asserted no CartesianProduct."""
+    from tiflow_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w_us = 21_600_000_000  # 6 h in µs
+    probes = ev.filter(F.col("event_id") % 53 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        epoch_us("ts").alias("pts"),
+    )
+    right = ev.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("ets")
+    )
+    out = range_join(probes, right, ["user_id"], "pts", "ets", w_us)
+    return out.filter(F.col("r_event_id") != F.col("probe_id")).select(
+        "probe_id",
+        "user_id",
+        F.col("r_event_id").alias("near_id"),
+        F.col("r_event_type").alias("near_type"),
+        (F.col("r_ets") - F.col("pts")).alias("delta_us"),
     )
