@@ -163,3 +163,75 @@ def test_any_mor_interleaving_converges(spark, tmp_path_factory, script):
         if op != "D"
     }
     assert got == expect
+
+
+# -------------------------------------------------------- temporal joins
+
+temporal_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),     # key
+        st.integers(0, 1000),  # ts
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(lrows=temporal_rows, rrows=temporal_rows, strict=st.booleans())
+@SLOW
+def test_asof_join_matches_brute_force(spark, lrows, rrows, strict):
+    from tiflow_spark.operators.temporal import asof_join
+
+    # right side must be unique per (key, ts) — documented precondition
+    rmap = {}
+    for i, (k, ts) in enumerate(rrows):
+        rmap[(k, ts)] = float(i)
+    runique = [(k, ts, v) for (k, ts), v in rmap.items()]
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+        "id LONG, k LONG, ts LONG",
+    )
+    right = spark.createDataFrame(runique, "k LONG, ts LONG, v DOUBLE")
+    got = {
+        r["id"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["ts", "v"], strict=strict
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(lrows):
+        cands = [
+            (rts, v)
+            for (rk, rts, v) in runique
+            if rk == k and (rts < ts if strict else rts <= ts)
+        ]
+        want = max(cands, default=(None, None), key=lambda c: c[0] or 0) if cands else (None, None)
+        assert got[i] == want, (i, k, ts, got[i], want)
+
+
+@given(lrows=temporal_rows, rrows=temporal_rows, window=st.integers(1, 300))
+@SLOW
+def test_range_join_matches_brute_force(spark, lrows, rrows, window):
+    from tiflow_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lrows)],
+        "id LONG, k LONG, ts LONG",
+    )
+    right = spark.createDataFrame(
+        [(j, k, ts) for j, (k, ts) in enumerate(rrows)],
+        "rid LONG, k LONG, ts LONG",
+    )
+    got = sorted(
+        (r["id"], r["r_rid"])
+        for r in range_join(
+            left, right.select("k", F.col("ts"), "rid"),
+            ["k"], "ts", "ts", window,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, lts) in enumerate(lrows)
+        for j, (rk, rts) in enumerate(rrows)
+        if lk == rk and abs(lts - rts) <= window
+    )
+    assert got == want
