@@ -49,6 +49,8 @@ _PRIORITY = [
     "join_range",
     "olap_user_sessions",
     "olap_nation_volume",
+    "sink_uri_route",
+    "sim_ann_sq",
     # no driver row in round 3 (all green in r1/r2) — rotate back in
     "olap_pricing_summary",
     "olap_shipping_priority",

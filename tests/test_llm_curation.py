@@ -94,3 +94,44 @@ def test_corpus_funnel_monotone_and_attrition(spark, sf_dir):
     # remove at least the near-clones of benchmark docs
     assert n[2] < n[1]
     assert n[3] < n[2]
+
+
+def test_sq_ann_recall_vs_brute_force(spark, sf_dir):
+    """SQ8 ADC candidate generation must carry ≥80% of the true top-5 into
+    the re-rank pool at R=20 (on the synthetic embeddings it is exact, but
+    the contract we pin is recall, not equality)."""
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.llm.quantized import sq_ann_topk
+    from tiflow_spark.llm.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_cosine(emb, qids, 5).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sq_ann_topk(emb, qids, k=5, rerank=20).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_sq8_codes_bounded(spark, sf_dir):
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.llm.quantized import quantize_sq8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    mx = (
+        emb.select(
+            F.array_max(
+                F.transform(quantize_sq8(F.col("embedding")), F.abs)
+            ).alias("m")
+        )
+        .agg(F.max("m"))
+        .collect()[0][0]
+    )
+    assert mx <= 127

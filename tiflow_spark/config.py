@@ -186,3 +186,127 @@ def from_json(text: str) -> TaskConfig:
     import json
 
     return from_dict(json.loads(text))
+
+
+# ------------------------------------------------------------- sink URIs
+
+# scheme → sink kind (cdc/sink/validator; factory cdc/sink/dmlsink):
+# mysql/tidb drive the txn MERGE apply, kafka/pulsar the MQ sink,
+# file/s3/gcs/azure the cloud-storage sink.
+SINK_SCHEMES: dict[str, str] = {
+    "mysql": "mysql",
+    "tidb": "mysql",
+    "mysql+ssl": "mysql",
+    "tidb+ssl": "mysql",
+    "kafka": "mq",
+    "kafka+ssl": "mq",
+    "pulsar": "mq",
+    "pulsar+ssl": "mq",
+    "file": "storage",
+    "s3": "storage",
+    "gcs": "storage",
+    "azblob": "storage",
+    "blackhole": "blackhole",
+}
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    """Parsed sink URI (the `--sink-uri` surface of changefeed creation)."""
+
+    uri: str
+    scheme: str
+    kind: str  # mysql | mq | storage | blackhole
+    host: str | None = None
+    port: int | None = None
+    target: str | None = None  # topic (mq) / path (storage) / db (mysql)
+    protocol: str | None = None  # codec for mq/storage sinks
+    params: tuple[tuple[str, str], ...] = ()
+
+
+def parse_sink_uri(uri: str) -> SinkSpec:
+    """Parse a changefeed sink URI into a SinkSpec.
+
+    Mirrors the reference's URI routing (cdc/sink/validator/validator.go,
+    pkg/sink/sink_type): scheme picks the sink family, host:port the
+    endpoint, first path segment the topic/database, query params the
+    knobs (protocol, safe-mode, worker-count, ...).
+    """
+    import re
+    from urllib.parse import parse_qsl, urlsplit
+
+    m = re.match(r"^([a-z0-9+]+)://", uri)
+    if not m:
+        raise ValueError(f"sink uri has no scheme: {uri!r}")
+    scheme = m.group(1)
+    if scheme not in SINK_SCHEMES:
+        raise ValueError(f"unsupported sink scheme: {scheme!r}")
+    parts = urlsplit(uri)
+    params = tuple(sorted(parse_qsl(parts.query)))
+    target = parts.path.lstrip("/") or None
+    protocol = dict(params).get("protocol")
+    return SinkSpec(
+        uri=uri,
+        scheme=scheme,
+        kind=SINK_SCHEMES[scheme],
+        host=parts.hostname,
+        port=parts.port,
+        target=target,
+        protocol=protocol,
+        params=params,
+    )
+
+
+# Portable regexes (Java regex ∩ RE2) shared by the Spark operator and the
+# DuckDB oracle so both engines *compute* the parse, not compare literals.
+_URI_RE = {
+    "scheme": r"^([a-z0-9+]+)://",
+    "host": r"^[a-z0-9+]+://(?:[^/@?#]*@)?([^/:?#]*)",
+    "port": r"^[a-z0-9+]+://(?:[^/@?#]*@)?[^/:?#]*:([0-9]+)",
+    "target": r"^[a-z0-9+]+://[^/?#]*/([^?#]*)",
+    "protocol": r"[?&]protocol=([^&#]*)",
+}
+
+
+def sink_uri_columns(df, uri_col: str = "uri"):
+    """Columnar sink-URI parse: the DataFrame form of :func:`parse_sink_uri`
+    (same fields, Spark built-ins only, codegen'd)."""
+    from pyspark.sql import functions as F
+
+    u = F.col(uri_col)
+
+    def ext(name: str):
+        return F.nullif(F.regexp_extract(u, _URI_RE[name], 1), F.lit(""))
+
+    scheme = ext("scheme")
+    kind = F.lit(None).cast("string")
+    for s, k in reversed(sorted(SINK_SCHEMES.items())):
+        kind = F.when(scheme == s, F.lit(k)).otherwise(kind)
+    return df.select(
+        u.alias("uri"),
+        scheme.alias("scheme"),
+        kind.alias("kind"),
+        ext("host").alias("host"),
+        ext("port").cast("int").alias("port"),
+        ext("target").alias("target"),
+        ext("protocol").alias("protocol"),
+    )
+
+
+def sink_uri_sql(uris_values: str) -> str:
+    """DuckDB twin of :func:`sink_uri_columns` over a VALUES list."""
+    def ext(name: str) -> str:
+        pat = _URI_RE[name].replace("'", "''")
+        return f"nullif(regexp_extract(uri, '{pat}', 1), '')"
+
+    kind_case = " ".join(
+        f"WHEN '{s}' THEN '{k}'" for s, k in sorted(SINK_SCHEMES.items())
+    )
+    return f"""WITH uris(uri) AS (VALUES {uris_values})
+SELECT uri, {ext("scheme")} AS scheme,
+  CASE {ext("scheme")} {kind_case} END AS kind,
+  {ext("host")} AS host,
+  CAST({ext("port")} AS INT) AS port,
+  {ext("target")} AS target,
+  {ext("protocol")} AS protocol
+FROM uris"""

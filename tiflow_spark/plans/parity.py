@@ -3430,3 +3430,72 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_type").alias("near_type"),
         (F.col("r_ets") - F.col("pts")).alias("delta_us"),
     )
+
+
+# ----------------------------------------------- sink URI routing surface
+
+_SINK_URIS = [
+    "mysql://root:pw@10.0.0.1:3306/db?safe-mode=true&worker-count=16",
+    "tidb+ssl://user@tidb-lb:4000/prod",
+    "kafka://broker1:9092/cdc-topic?protocol=canal-json&partition-num=6",
+    "kafka+ssl://broker2:9093/events?protocol=avro&replication-factor=3",
+    "pulsar://pulsar-host:6650/persistent-topic?protocol=maxwell",
+    "s3://bucket/prefix/path?protocol=csv&flush-interval=5s",
+    "file:///var/cdc/out?protocol=canal-json&file-size=67108864",
+    "gcs://gbucket/cdc?protocol=open-protocol",
+    "azblob://container/cdc-sink?protocol=debezium",
+    "blackhole://",
+]
+
+
+def _sink_uri_values() -> str:
+    return ", ".join("('" + u.replace("'", "''") + "')" for u in _SINK_URIS)
+
+
+@register("sink_uri_route", None)  # oracle installed below
+def q_sink_uri_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-URI routing (the `--sink-uri` changefeed surface,
+    cdc/sink/validator): scheme → sink family, endpoint/topic/protocol
+    extraction — computed columnar with shared portable regexes on both
+    engines."""
+    from tiflow_spark.config import sink_uri_columns
+
+    df = spark.createDataFrame([(u,) for u in _SINK_URIS], "uri STRING")
+    return sink_uri_columns(df)
+
+
+def _install_sink_uri_sql() -> None:
+    from tiflow_spark.config import sink_uri_sql
+
+    REGISTRY["sink_uri_route"] = (
+        REGISTRY["sink_uri_route"][0],
+        sink_uri_sql(_sink_uri_values()),
+    )
+
+
+_install_sink_uri_sql()
+
+
+# ------------------------------------------ scalar-quantized ANN (SQ8)
+
+@register("sim_ann_sq", None)  # oracle installed below
+def q_sim_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized two-stage ANN: int8 codes + integer ADC top-R, exact
+    cosine re-rank of the R candidates — the IVF-PQ search shape with a
+    deterministic, oracle-mirrorable quantizer (llm/quantized.py)."""
+    from tiflow_spark.llm.quantized import sq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq_ann_topk(emb, list(range(8)), k=5, rerank=20)
+
+
+def _install_sq_sql() -> None:
+    from tiflow_spark.llm.quantized import sq_ann_topk_sql
+
+    REGISTRY["sim_ann_sq"] = (
+        REGISTRY["sim_ann_sq"][0],
+        sq_ann_topk_sql(list(range(8)), 5, 20),
+    )
+
+
+_install_sq_sql()

@@ -84,3 +84,97 @@ def target_maintenance(
             "key_cols": meta.get("key_cols"),
         }
     raise ValueError(f"unknown maintenance action: {action}")
+
+
+# -------------------------------------------------- changefeed-create facade
+
+_MQ_ENCODERS = {
+    "canal-json": "canal_json:encode_canal_json",
+    "maxwell": "maxwell:encode_maxwell",
+    "debezium": "debezium:encode_debezium",
+    "open-protocol": "open_protocol:encode_open_protocol",
+    "simple": "simple:encode_simple",
+}
+
+
+def _mq_encode(env: DataFrame, protocol: str) -> DataFrame:
+    import importlib
+
+    if protocol not in _MQ_ENCODERS:
+        raise ValueError(
+            f"unsupported MQ protocol {protocol!r}; "
+            f"supported: {sorted(_MQ_ENCODERS)}"
+        )
+    mod_name, fn_name = _MQ_ENCODERS[protocol].split(":")
+    mod = importlib.import_module(f"tiflow_spark.codecs.{mod_name}")
+    return getattr(mod, fn_name)(env)
+
+
+def create_changefeed(
+    spark: SparkSession,
+    source_dir: str,
+    cfg: TaskConfig,
+    sink_uri: str,
+    work_dir: str,
+):
+    """`cdc cli changefeed create --sink-uri=...` analog: parse the sink
+    URI, route to the matching sink family, run the pipeline end-to-end.
+
+    Returns (SinkSpec, result):
+    - mysql/tidb  → streaming MERGE apply; result = (query, StreamingTarget)
+      (merge-mode / safe-mode knobs from URI params)
+    - kafka/pulsar → drain source, transform, encode per `protocol` param,
+      dispatch, produce to the file-backed broker at work_dir/broker;
+      result = broker dir
+    - file/s3/...  → transform + CSV storage-sink layout at work_dir/storage;
+      result = list of data files written
+    - blackhole    → transform + noop write; result = None
+    """
+    import os
+
+    from tiflow_spark.config import parse_sink_uri
+    from tiflow_spark.operators import filters as flt
+    from tiflow_spark.operators import transforms as tfm
+    from tiflow_spark.operators.dispatchers import dispatch
+    from tiflow_spark.streaming.pipeline import ENVELOPE_SCHEMA, run_changefeed
+
+    spec = parse_sink_uri(sink_uri)
+    params = dict(spec.params)
+    if spec.kind == "mysql":
+        merge_mode = params.get("merge-mode", "rewrite")
+        result = run_changefeed(
+            spark, source_dir, cfg, work_dir, merge_mode=merge_mode
+        )
+        return spec, result
+
+    env = spark.read.schema(ENVELOPE_SCHEMA).parquet(source_dir)
+    env = tfm.split_updates(tfm.route(flt.apply_filters(env, cfg), cfg))
+    if spec.kind == "mq":
+        from tiflow_spark.sinks.mq import produce_file_broker
+
+        protocol = spec.protocol or "canal-json"
+        n_parts = int(params.get("partition-num", "16"))
+        d = dispatch(env, cfg, num_partitions=n_parts)
+        value = _mq_encode(env, protocol).select("commit_ts", "seq", "value")
+        msgs = d.select(
+            "topic", "partition", "key", "commit_ts", "seq"
+        ).join(value, ["commit_ts", "seq"])
+        broker = os.path.join(work_dir, "broker")
+        produce_file_broker(msgs, broker, batch_id=0)
+        return spec, broker
+    if spec.kind == "storage":
+        from tiflow_spark.sinks.storage import (
+            StorageSinkConfig,
+            write_storage_sink,
+        )
+
+        if spec.protocol not in (None, "csv"):
+            raise ValueError(
+                f"storage sink supports protocol=csv, got {spec.protocol!r}"
+            )
+        out = os.path.join(work_dir, "storage")
+        files = write_storage_sink(env, out, StorageSinkConfig())
+        return spec, files
+    # blackhole: execute the pipeline, discard output
+    env.write.format("noop").mode("overwrite").save()
+    return spec, None
