@@ -51,6 +51,8 @@ _PRIORITY = [
     "olap_nation_volume",
     "sink_uri_route",
     "sim_ann_sq",
+    "olap_sliding_rate",
+    "text_normalize",
     # no driver row in round 3 (all green in r1/r2) — rotate back in
     "olap_pricing_summary",
     "olap_shipping_priority",

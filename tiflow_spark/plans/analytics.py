@@ -471,3 +471,39 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
 GROUP BY 1, 2, 3"""
+
+
+def sliding_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rate: 1-hour windows sliding every 15 minutes
+    (each event lands in 4 overlapping windows) — Spark's native
+    F.window(slide) operator; the streaming face is identical plus a
+    watermark. One shuffle keyed by window start."""
+    ev = load_table(spark, sf_dir, "events")
+    from tiflow_spark.envelope import epoch_us
+
+    w = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .select(
+            epoch_us("w.start").alias("window_start"),
+            "event_type",
+            "events",
+            "users",
+        )
+    )
+
+
+SLIDING_EVENT_RATE_SQL = """
+WITH slid AS (
+  SELECT epoch_us(time_bucket(INTERVAL 15 MINUTE, ts)
+                  - j * INTERVAL 15 MINUTE) AS window_start,
+         event_type, user_id
+  FROM events, unnest([0, 1, 2, 3]) AS t(j)
+)
+SELECT window_start, event_type,
+       count(*) AS events, count(DISTINCT user_id) AS users
+FROM slid GROUP BY 1, 2"""

@@ -824,6 +824,7 @@ def _install_analytics() -> None:
         "olap_large_orders": (an.large_orders, an.LARGE_ORDERS_SQL),
         "olap_user_sessions": (an.user_sessions, an.USER_SESSIONS_SQL),
         "olap_nation_volume": (an.nation_volume, an.NATION_VOLUME_SQL),
+        "olap_sliding_rate": (an.sliding_event_rate, an.SLIDING_EVENT_RATE_SQL),
         "olap_order_priority": (
             an.order_priority_check,
             an.ORDER_PRIORITY_SQL,
@@ -3499,3 +3500,25 @@ def _install_sq_sql() -> None:
 
 
 _install_sq_sql()
+
+
+@register("text_normalize", None)  # oracle installed below
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation text normalization: control-char strip, whitespace
+    collapse, lowercase — plus the md5/length a downstream dedup consumes.
+    Map-only."""
+    from tiflow_spark.llm.textstats import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
+def _install_normalize_sql() -> None:
+    from tiflow_spark.llm.textstats import normalize_text_sql
+
+    REGISTRY["text_normalize"] = (
+        REGISTRY["text_normalize"][0],
+        normalize_text_sql(),
+    )
+
+
+_install_normalize_sql()
