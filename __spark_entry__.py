@@ -27,7 +27,11 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # recent driver-checked rows.  The remainder follows in registration order
 # as regression sentinels.
 _PRIORITY = [
-    # new in round 4
+    # new in round 4 (latest additions first — never driver-checked)
+    "cdc_partition_route",
+    "cdc_charset_decode",
+    "sample_temperature",
+    "text_rarity",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

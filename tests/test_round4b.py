@@ -1,0 +1,126 @@
+"""Round-4 additions: partition-table routing, charset fidelity,
+temperature resampling, token rarity."""
+
+from pyspark.sql import functions as F
+
+from tiflow_spark.llm.sampling import temperature_resample
+from tiflow_spark.llm.textstats import token_rarity
+from tiflow_spark.operators.partition_table import route_partitions
+from tiflow_spark.types import decode_charset, encode_charset
+
+
+def _mini_env(spark):
+    rows = [
+        # (schema, table, key, physical_table_id)
+        ("s0", "t0", "1", 100),
+        ("s0", "t0", "2", 101),  # same table, other partition
+        ("s0", "t0", "1", 101),  # key 1 seen in BOTH partitions
+        ("s0", "plain", "9", 999),  # not in the directory
+    ]
+    return spark.createDataFrame(
+        rows, "schema STRING, table STRING, key STRING, physical_table_id LONG"
+    )
+
+
+def _directory(spark):
+    return spark.createDataFrame(
+        [(100, "s0", "t0_logical", "p0"), (101, "s0", "t0_logical", "p1")],
+        "physical_table_id LONG, logical_schema STRING, "
+        "logical_table STRING, partition_name STRING",
+    )
+
+
+def test_route_partitions_merges_and_passes_through(spark):
+    out = route_partitions(_mini_env(spark), _directory(spark))
+    rows = {
+        (r["table"], r["key"], r["partition_name"]) for r in out.collect()
+    }
+    # all partitioned rows renamed to the logical table, provenance kept
+    assert ("t0_logical", "1", "p0") in rows
+    assert ("t0_logical", "1", "p1") in rows
+    assert ("t0_logical", "2", "p1") in rows
+    # non-partitioned table untouched, no partition name
+    assert ("plain", "9", None) in rows
+    assert len(rows) == 4
+
+
+def test_route_partitions_is_broadcast_no_shuffle(spark):
+    out = route_partitions(_mini_env(spark), _directory(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_charset_gbk_roundtrip(spark):
+    df = spark.createDataFrame([("数据同步",), ("表",)], "s STRING")
+    out = df.select(
+        "s",
+        decode_charset(encode_charset(F.col("s"), "GBK"), "GBK").alias("rt"),
+        F.length(encode_charset(F.col("s"), "GBK")).alias("nbytes"),
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["s"]
+    # GBK is 2 bytes per CJK char (vs 3 in UTF-8) — proves real conversion
+    assert {r["nbytes"] for r in out} == {8, 2}
+
+
+def test_temperature_resample_quotas(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_resample(docs, "lang", n_target=200, alpha=0.5)
+    per = {
+        r["lang"]: (r["picked"], r["quota"])
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("picked"), F.first("quota").alias("quota"))
+        .collect()
+    }
+    counts = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # every stratum fills its quota exactly (quota < stratum size here)
+    for lang, (picked, quota) in per.items():
+        assert picked == min(quota, counts[lang])
+    # sqrt mix: tail languages get a HIGHER sampling rate than the head
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    assert per[tail][1] / counts[tail] > per[head][1] / counts[head]
+    # total lands within one-per-stratum of the target (floor rounding)
+    total_quota = sum(q for _, q in per.values())
+    assert 200 - len(per) <= total_quota <= 200
+
+
+def test_temperature_alpha_one_is_proportional(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_resample(docs, "lang", n_target=100, alpha=1.0)
+    per = {
+        r["lang"]: r["quota"]
+        for r in out.select("lang", "quota").distinct().collect()
+    }
+    counts = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(counts.values())
+    for lang, q in per.items():
+        assert q == (100 * counts[lang]) // n
+
+
+def test_temperature_resample_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in temperature_resample(docs, "lang", 150).collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_resample(
+            docs.repartition(7), "lang", 150
+        ).collect()
+    }
+    assert a == b  # partitioning-independent (hash-ranked, not RNG)
+
+
+def test_token_rarity_flags_rare_vocab(spark):
+    rows = [
+        (1, "common common words here"),
+        (2, "common words here again"),
+        (3, "zzyzx qwfparst glorp common"),  # 3 hapaxes
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in token_rarity(docs, rare_df=2).collect()}
+    assert out[3]["rare_cnt"] == 3
+    assert out[3]["rare_ratio"] > out[1]["rare_ratio"]
+    # 'common' appears in all 3 docs → df=3; doc 1's tokens all df>=2 except
+    # none — 'words'/'here' are in docs 1+2 (df=2), so nothing rare
+    assert out[1]["rare_cnt"] == 0

@@ -164,3 +164,100 @@ def stratified_quota_sample_sql(
                ORDER BY {h}, {id_col}) AS pick_rank
       FROM {table})
     WHERE pick_rank <= {cap}"""
+
+
+def temperature_resample(
+    docs: DataFrame,
+    stratum_col: str,
+    n_target: int,
+    alpha: float = 0.5,
+    salt: str = "temp",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain-mix rebalancing (the multilingual-sampling
+    rule of mBERT/XLM-R: p_d ∝ c_d^α): compute per-stratum quotas from the
+    observed counts, then keep the hash-first ``quota_d`` docs of each
+    stratum. α=1 keeps natural proportions, α=0 is uniform-per-domain,
+    α=0.5 (default) is the square-root mix that upsamples tail domains.
+
+    α is restricted to {0, 0.5, 1} so every quota is computed with
+    correctly-rounded IEEE ops only (sqrt is exact-rounded; pow is not) —
+    the DuckDB twin reproduces quotas bit-exactly. Weights and totals stay
+    in BIGINT; caller must keep n_target · max(w_d) < 2⁶³ (true for any
+    corpus below ~10⁹ docs per stratum at α=0.5 — at larger scale, shrink
+    the weight scale factor).
+
+    Scale shape: the count agg is map-side combining on the stratum key;
+    quotas are a stratum-count-sized table (broadcast); the per-stratum
+    rank is one sort-based window — same shape as
+    :func:`stratified_quota_sample`, whose hot-stratum pre-filter note
+    applies here too.
+
+    Output: id_col, stratum_col, pick_rank, quota.
+    """
+    if alpha not in (0.0, 0.5, 1.0):
+        raise ValueError("alpha must be 0, 0.5 or 1 (exact-arithmetic contract)")
+    counts = docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("c"))
+    if alpha == 1.0:
+        w = F.col("c")
+    elif alpha == 0.0:
+        w = F.lit(1000).cast("long")
+    else:
+        w = F.floor(F.sqrt(F.col("c")) * 1000).cast("long")
+    weights = counts.select(stratum_col, w.alias("w"))
+    total = weights.agg(F.sum("w").alias("tw"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        F.expr(f"CAST({n_target} AS BIGINT) * w div tw").alias("quota"),
+    )
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    ranked = (
+        docs.select(id_col, stratum_col, h.alias("_h"))
+        .withColumn("pick_rank", F.row_number().over(rank_w))
+        .drop("_h")
+    )
+    return ranked.join(F.broadcast(quotas), stratum_col).filter(
+        F.col("pick_rank") <= F.col("quota")
+    )
+
+
+def temperature_resample_sql(
+    stratum_col: str,
+    n_target: int,
+    alpha: float = 0.5,
+    salt: str = "temp",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing the identical temperature-rebalanced sample."""
+    if alpha == 1.0:
+        w = "c"
+    elif alpha == 0.0:
+        w = "CAST(1000 AS BIGINT)"
+    else:
+        w = "CAST(floor(sqrt(c) * 1000) AS BIGINT)"
+    h = portable_hash64_sql_duckdb(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH counts AS (
+      SELECT {stratum_col}, count(*) AS c FROM {table} GROUP BY 1
+    ), weights AS (
+      SELECT {stratum_col}, {w} AS w FROM counts
+    ), quotas AS (
+      SELECT {stratum_col},
+        CAST((CAST({n_target} AS BIGINT) * w) // (SELECT sum(w) FROM weights)
+          AS BIGINT) AS quota
+      FROM weights
+    ), ranked AS (
+      SELECT {id_col}, {stratum_col},
+        row_number() OVER (PARTITION BY {stratum_col}
+          ORDER BY {h}, {id_col}) AS pick_rank
+      FROM {table}
+    )
+    SELECT {id_col}, {stratum_col}, pick_rank, quota
+    FROM ranked JOIN quotas USING ({stratum_col})
+    WHERE pick_rank <= quota"""

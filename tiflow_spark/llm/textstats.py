@@ -407,6 +407,77 @@ SELECT u.doc_id AS doc_id, uniq_word_ratio,
 FROM uw u LEFT JOIN agg a ON u.doc_id = a.doc_id"""
 
 
+# --------------------------------------------------- token-rarity signals
+
+
+def token_rarity(
+    docs: DataFrame, text_col: str = "text", rare_df: int = 5
+) -> DataFrame:
+    """Corpus-grounded rarity signals per document.
+
+    Builds the corpus document-frequency table (distinct tokens per doc →
+    docs per token), then scores each document by how much of its
+    vocabulary is rare: ``rare_ratio`` = distinct tokens with df <
+    ``rare_df`` / distinct tokens, and ``mean_df_r`` = mean document
+    frequency of its tokens. High rare_ratio flags OCR noise / gibberish /
+    boilerplate-free outliers; abnormally high mean_df flags template text.
+
+    Scale shape: the df table is vocabulary-sized (≪ corpus) and the join
+    back is token-keyed — two shuffles, both with map-side combine. All
+    arithmetic stays in integer space until one final division + round, so
+    the DuckDB twin matches bit-exactly (no float accumulation order).
+    """
+    t = F.col(text_col)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.lower(t)))).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    per_doc = (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("df") < rare_df, 1).otherwise(0)).alias(
+                "rare_cnt"
+            ),
+            F.sum("df").alias("df_sum"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct",
+        "rare_cnt",
+        F.round(F.col("rare_cnt") / F.col("n_distinct"), 6).alias("rare_ratio"),
+        F.round(F.col("df_sum") / F.col("n_distinct"), 6).alias("mean_df_r"),
+    )
+
+
+def token_rarity_sql(table: str = "documents", rare_df: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+        AS tok
+      FROM {table}
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM toks GROUP BY 1
+    ), per_doc AS (
+      SELECT doc_id,
+        count(*) AS n_distinct,
+        sum(CASE WHEN df < {rare_df} THEN 1 ELSE 0 END) AS rare_cnt,
+        sum(df) AS df_sum
+      FROM toks JOIN dfreq USING (tok) GROUP BY 1
+    )
+    SELECT doc_id, n_distinct,
+      CAST(rare_cnt AS BIGINT) AS rare_cnt,
+      round(rare_cnt * 1.0 / n_distinct, 6) AS rare_ratio,
+      round(df_sum * 1.0 / n_distinct, 6) AS mean_df_r
+    FROM per_doc"""
+
+
 # ------------------------------------------------------ text normalization
 
 

@@ -3522,3 +3522,183 @@ def _install_normalize_sql() -> None:
 
 
 _install_normalize_sql()
+
+
+# -------------------------------------- partitioned-table routing (round 4)
+
+_PARTITION_DIR = [
+    # (physical_table_id, logical_schema, logical_table, partition_name)
+    (s * 1000 + t * 10 + p, f"shard_{s}", f"events_{t}", f"p{p}")
+    for s in (0, 1)
+    for t in (0, 1)
+    for p in (0, 1, 2)
+]
+
+
+@register(
+    "cdc_partition_route",
+    f"""
+WITH env AS ({ENVELOPE_SQL_DUCKDB.strip()}),
+ids AS (
+  SELECT e.*, (CAST("schema"[7] AS BIGINT) * 1000
+               + CAST("table"[8] AS BIGINT) * 10
+               + CAST(key AS BIGINT) % 3) AS physical_table_id
+  FROM env e
+),
+pdir(physical_table_id, logical_schema, logical_table, partition_name) AS (
+  VALUES {", ".join(f"({pid}, '{ls}', '{lt}', '{pn}')" for pid, ls, lt, pn in _PARTITION_DIR)}
+),
+routed AS (
+  SELECT coalesce(d.logical_schema, i."schema") AS "schema",
+         coalesce(d.logical_table, i."table") AS "table",
+         i.key, d.partition_name
+  FROM ids i LEFT JOIN pdir d USING (physical_table_id)
+),
+b AS (
+  SELECT *, ({{H}}) % 8 AS bucket FROM routed
+)
+SELECT "schema", "table", bucket,
+  count(*) AS rows_cnt,
+  count(DISTINCT key) AS n_keys,
+  count(DISTINCT partition_name) AS n_parts
+FROM b GROUP BY 1, 2, 3""".replace(
+        "{H}",
+        "(('0x' || substr(md5(\"schema\" || '.' || \"table\" || '.' || key), 1, 15))::BIGINT)",
+    ),
+)
+def q_cdc_partition_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-table merge: physical partition ids broadcast-mapped to
+    their logical table (events_0/events_1 are 3-way partitioned here;
+    events_2/events_3 pass through non-partitioned), then index-value
+    dispatch on the LOGICAL identity — proving a key keeps its bucket no
+    matter which physical partition carried it. Map-only + broadcast join;
+    the final rollup is the only shuffle."""
+    from tiflow_spark.functions.hashing import portable_hash64
+    from tiflow_spark.operators.partition_table import route_partitions
+
+    env = _env(spark, sf_dir)
+    with_pid = env.withColumn(
+        "physical_table_id",
+        F.substring("schema", 7, 1).cast("bigint") * 1000
+        + F.substring("table", 8, 1).cast("bigint") * 10
+        + F.col("key").cast("bigint") % 3,
+    )
+    pdir = spark.createDataFrame(
+        _PARTITION_DIR,
+        "physical_table_id BIGINT, logical_schema STRING, "
+        "logical_table STRING, partition_name STRING",
+    )
+    routed = route_partitions(with_pid, pdir)
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat_ws(".", F.col("schema"), F.col("table"), F.col("key"))
+        ),
+        F.lit(8),
+    )
+    return (
+        routed.withColumn("bucket", bucket)
+        .groupBy("schema", "table", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows_cnt"),
+            F.countDistinct("key").alias("n_keys"),
+            F.countDistinct("partition_name").alias("n_parts"),
+        )
+    )
+
+
+# ----------------------------------------- charset fidelity (GBK round 4)
+
+_GBK_STRINGS = ["数据同步", "变更捕获", "分区表"]
+
+
+def _gbk_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{s}', '{s.encode('gbk').hex().upper()}')"
+        for i, s in enumerate(_GBK_STRINGS)
+    )
+    return f"(VALUES {rows}) AS gm(sel, txt, gbk_hex)"
+
+
+@register(
+    "cdc_charset_decode",
+    f"""
+SELECT gm.txt AS decoded, gm.gbk_hex AS gbk_hex, count(*) AS cnt
+FROM events e JOIN {_gbk_values_sql()} ON e.user_id % 3 = gm.sel
+GROUP BY 1, 2""",
+)
+def q_cdc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset fidelity (charset_gbk e2e analog): each event carries a GBK
+    byte payload (synthesized by encoding a known string); the mounter path
+    decodes it back to UTF-8 JVM-side via types.decode_charset — hex of
+    the raw bytes proves the bytes really were GBK, the decoded text
+    proves lossless round-trip. Map-only + one rollup."""
+    from tiflow_spark.types import decode_charset, encode_charset
+
+    ev = load_table(spark, sf_dir, "events")
+    txt = F.element_at(
+        F.array(*[F.lit(s) for s in _GBK_STRINGS]),
+        (F.col("user_id") % 3 + 1).cast("int"),
+    )
+    gbk = encode_charset(txt, "GBK")
+    return (
+        ev.select(
+            decode_charset(gbk, "GBK").alias("decoded"),
+            F.hex(gbk).alias("gbk_hex"),
+        )
+        .groupBy("decoded", "gbk_hex")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ------------------------------- temperature domain-mix resample (round 4)
+
+
+@register("sample_temperature", None)  # oracle installed below
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) domain-mix rebalancing over the documents
+    corpus by language — the sqrt-sampling rule that upsamples tail
+    languages. Quotas derive from exact integer/sqrt arithmetic, selection
+    is hash-ranked per stratum (llm/sampling.py)."""
+    from tiflow_spark.llm.sampling import temperature_resample
+
+    return temperature_resample(
+        _docs(spark, sf_dir), "lang", n_target=200, alpha=0.5
+    )
+
+
+def _install_temperature_sql() -> None:
+    from tiflow_spark.llm.sampling import temperature_resample_sql
+
+    REGISTRY["sample_temperature"] = (
+        REGISTRY["sample_temperature"][0],
+        temperature_resample_sql("lang", 200, 0.5),
+    )
+
+
+_install_temperature_sql()
+
+
+# ------------------------------------------- token-rarity signals (round 4)
+
+
+@register("text_rarity", None)  # oracle installed below
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded token rarity per document: document-frequency table
+    (vocab-sized) joined back per token — rare-vocabulary ratio and mean
+    token document frequency, the gibberish/template quality signals
+    (llm/textstats.py token_rarity)."""
+    from tiflow_spark.llm.textstats import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir))
+
+
+def _install_rarity_sql() -> None:
+    from tiflow_spark.llm.textstats import token_rarity_sql
+
+    REGISTRY["text_rarity"] = (
+        REGISTRY["text_rarity"][0],
+        token_rarity_sql(),
+    )
+
+
+_install_rarity_sql()

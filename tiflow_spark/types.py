@@ -168,3 +168,33 @@ def encode_vector(arr: Column) -> Column:
         F.array_join(F.transform(arr, lambda x: x.cast("string")), ","),
         F.lit("]"),
     )
+
+
+def decode_charset(col: Column, charset: str) -> Column:
+    """Non-UTF8 column charset → UTF-8 string (JVM-side, codegen'd).
+
+    The reference decodes upstream column bytes against the column's MySQL
+    charset before encoding events (mounter charset handling; e2e
+    tests/integration_tests/charset_gbk/). Spark's built-in ``decode``
+    supports the same java.nio charsets (GBK, BIG5, latin1, ...) once
+    ``spark.sql.legacy.javaCharsets`` is on (Spark 4 restricts the default
+    set to unicode/latin1), so the conversion is a pure expression — no
+    Python, no UDF. The flag is set here so callers need no session setup.
+    """
+    _enable_java_charsets()
+    return F.decode(col, charset)
+
+
+def _enable_java_charsets() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+
+
+def encode_charset(col: Column, charset: str) -> Column:
+    """UTF-8 string → target-charset bytes (inverse path, for sinks that
+    must ship the upstream charset verbatim)."""
+    _enable_java_charsets()
+    return F.encode(col, charset)
