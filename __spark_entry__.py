@@ -32,6 +32,7 @@ _PRIORITY = [
     "cdc_charset_decode",
     "sample_temperature",
     "text_rarity",
+    "dedup_minhash_capped",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

@@ -366,3 +366,39 @@ def test_range_join_is_equi_join_no_cartesian(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_partition_route_is_broadcast_map_only(spark, sf_dir):
+    """Physical→logical partition routing must be a broadcast map join;
+    the only exchanges belong to the final rollup aggregate."""
+    fn, _ = REGISTRY["cdc_partition_route"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) <= 2  # partial/final of the rollup only
+
+
+def test_charset_decode_is_pure_map_plus_rollup(spark, sf_dir):
+    """GBK encode/decode is expression-only — no join, no Python."""
+    fn, _ = REGISTRY["cdc_charset_decode"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_exchanges(plan) <= 2
+
+
+def test_temperature_resample_broadcasts_quotas(spark, sf_dir):
+    """Quota table (stratum-count-sized) must broadcast; the data-sized
+    shuffles are the stratum count agg and the per-stratum rank window."""
+    fn, _ = REGISTRY["sample_temperature"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_capped_no_cartesian(spark, sf_dir):
+    """The hot-bucket-capped LSH path stays bucket-local: equi-joins only."""
+    fn, _ = REGISTRY["dedup_minhash_capped"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

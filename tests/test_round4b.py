@@ -124,3 +124,39 @@ def test_token_rarity_flags_rare_vocab(spark):
     # 'common' appears in all 3 docs → df=3; doc 1's tokens all df>=2 except
     # none — 'words'/'here' are in docs 1+2 (df=2), so nothing rare
     assert out[1]["rare_cnt"] == 0
+
+
+def test_minhash_hot_bucket_star_linking(spark):
+    from tiflow_spark.llm.dedup import duplicate_groups, minhash_lsh_pairs
+
+    # 40 identical docs (one mega bucket in every band) + 2 unrelated docs
+    boiler = [(i, "terms of service apply to all users of this site") for i in range(40)]
+    other = [
+        (100, "completely different text about spark shuffles and joins"),
+        (101, "yet another unrelated document mentioning parquet files"),
+    ]
+    docs = spark.createDataFrame(boiler + other, "doc_id LONG, text STRING")
+
+    capped = minhash_lsh_pairs(docs, max_bucket=10, threshold=0.5)
+    pairs = capped.collect()
+    # star linking: 39 edges to doc 0 instead of 40*39/2 = 780 pairs
+    assert len(pairs) == 39
+    assert all(r["id_a"] == 0 and r["jaccard"] == 1.0 for r in pairs)
+
+    # connectivity preserved: all 40 boilerplate docs land in ONE group
+    groups = duplicate_groups(capped, docs).collect()
+    g = {r["doc_id"]: r["group_id"] for r in groups}
+    assert {g[i] for i in range(40)} == {0}
+    assert g[100] == 100 and g[101] == 101  # singletons untouched
+
+
+def test_minhash_cap_default_is_exact_all_pairs(spark):
+    from tiflow_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "shared boilerplate text repeated verbatim here") for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    # below the cap (and with no cap) the full pair set is produced
+    assert minhash_lsh_pairs(docs).count() == 15
+    assert minhash_lsh_pairs(docs, max_bucket=10).count() == 15

@@ -299,12 +299,26 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate generation + true-Jaccard verification.
 
     bands × rows/band signatures; docs sharing any band bucket become
     candidates (shuffle keyed on (band, signature) — sub-quadratic), then
     exact Jaccard over shingle sets filters false positives.
+
+    ``max_bucket`` is the 100 TB hot-bucket knob: a band bucket of d docs
+    expands to d² candidate pairs, and real corpora have mega-buckets
+    (boilerplate, templated pages) where d reaches millions. Buckets
+    larger than ``max_bucket`` are STAR-LINKED instead — every member
+    pairs only with the bucket's minimum doc_id — turning d² into d while
+    preserving connectivity for :func:`duplicate_groups` (connected
+    components over verified pairs). Caveat: a star edge the verifier
+    rejects can split a group that all-pairs expansion would have kept
+    joined transitively; acceptable because over-cap buckets are
+    near-identical boilerplate in practice (their members agree on a full
+    band), and exact dedup upstream should have removed identical docs
+    already. Default None = exact all-pairs (the oracle-mirrored mode).
     """
     rows_per_band = num_hashes // bands
     # shingle ONCE, persist, and feed both the signature and verification
@@ -332,15 +346,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a, b = banded.alias("a"), banded.alias("b")
+    if max_bucket is not None:
+        stats = banded.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
+        )
+        banded = banded.join(stats, ["band", "sig"])
+        small = banded.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_rep")
+        star = (
+            banded.filter(
+                (F.col("_bsz") > max_bucket) & (F.col("doc_id") != F.col("_rep"))
+            )
+            .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+        )
+    else:
+        small, star = banded, None
+    a, b = small.alias("a"), small.alias("b")
     cands = (
         a.join(b, ["band", "sig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .distinct()
     )
+    if star is not None:
+        cands = cands.unionByName(star)
+    cands = cands.distinct()
     # verify candidates with true jaccard over the SAME persisted shingles
     sa = sh_arr.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh_arr.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -361,7 +391,11 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_sql(
-    num_hashes: int = 16, bands: int = 4, threshold: float = 0.5, n: int = 3
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> str:
     rows_per_band = num_hashes // bands
     mh = ", ".join(
@@ -379,6 +413,30 @@ def minhash_lsh_sql(
         )
         for b in range(bands)
     )
+    if max_bucket is None:
+        cands = """cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+    else:
+        cands = f"""stats AS (
+  SELECT band, sig, count(*) AS bsz, min(doc_id) AS rep
+  FROM banded GROUP BY 1, 2
+),
+bb AS (
+  SELECT b.doc_id, b.band, b.sig, s.bsz, s.rep
+  FROM banded b JOIN stats s ON b.band = s.band AND b.sig = s.sig
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+   AND a.bsz <= {max_bucket}
+  UNION
+  SELECT DISTINCT rep AS id_a, doc_id AS id_b
+  FROM bb WHERE bsz > {max_bucket} AND doc_id <> rep
+)"""
     return f"""WITH {CORPUS_SQL.strip()},
 sh AS (SELECT doc_id, {_shingles_sql("text", n)} AS sh FROM corpus),
 hs AS (SELECT doc_id,
@@ -389,11 +447,7 @@ banded AS (
   SELECT doc_id, b.* FROM sigs,
   LATERAL (VALUES {band_rows}) AS b(band, sig)
 ),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-)
+{cands}
 SELECT id_a, id_b,
   round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
         len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard

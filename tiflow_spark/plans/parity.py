@@ -3702,3 +3702,36 @@ def _install_rarity_sql() -> None:
 
 
 _install_rarity_sql()
+
+
+# ---------------------------------- hot-bucket-capped MinHash LSH (round 4)
+
+
+@register("dedup_minhash_capped", None)  # oracle installed below
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the 100 TB hot-bucket knob active: band buckets
+    over 2 members are star-linked through their min doc_id (O(d) edges
+    instead of O(d²)), then true-Jaccard-verified as usual — the
+    boilerplate/mega-cluster mitigation (llm/dedup.minhash_lsh_pairs
+    max_bucket)."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        corpus_with_dups(load_table(spark, sf_dir, "documents")),
+        16,
+        4,
+        0.5,
+        max_bucket=2,
+    )
+
+
+def _install_minhash_capped_sql() -> None:
+    from tiflow_spark.llm import dedup as dd
+
+    REGISTRY["dedup_minhash_capped"] = (
+        REGISTRY["dedup_minhash_capped"][0],
+        dd.minhash_lsh_sql(16, 4, 0.5, max_bucket=2),
+    )
+
+
+_install_minhash_capped_sql()
