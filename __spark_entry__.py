@@ -33,6 +33,8 @@ _PRIORITY = [
     "sample_temperature",
     "text_rarity",
     "dedup_minhash_capped",
+    "data_epoch_shuffle",
+    "corpus_export_shards",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

@@ -261,3 +261,59 @@ def temperature_resample_sql(
     SELECT {id_col}, {stratum_col}, pick_rank, quota
     FROM ranked JOIN quotas USING ({stratum_col})
     WHERE pick_rank <= quota"""
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training order for one epoch: every doc gets a
+    (shard, position) — the order a trainer streams shard files and rows
+    within them. Keyed on hash(salt:epoch:doc_id), so:
+
+    - a different epoch re-deals the whole order (fresh shuffle per epoch,
+      the property RNG-based shuffles only give you by re-running);
+    - the order is reproducible across runs, engines and partition counts
+      (restart-safe mid-epoch training);
+    - shards are hash-balanced (±√ deviation), so shard files are
+      near-equal and trainer workers stay load-balanced.
+
+    One shuffle (the per-shard rank window) over data keyed by shard —
+    parallelism = n_shards, which at 100 TB is the number of output files
+    and should be sized ≥ cluster cores. Output: id_col, shard, pos.
+    """
+    h = portable_hash64(
+        F.concat(F.lit(f"{salt}:{epoch}:"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return (
+        docs.select(
+            id_col,
+            h.alias("_h"),
+            F.pmod(h, F.lit(n_shards)).alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_h")
+    )
+
+
+def epoch_shuffle_sql(
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    h = portable_hash64_sql_duckdb(
+        f"'{salt}:{epoch}:' || CAST({id_col} AS VARCHAR)"
+    )
+    return f"""
+    SELECT {id_col}, shard,
+      row_number() OVER (PARTITION BY shard ORDER BY h, {id_col}) AS pos
+    FROM (SELECT {id_col}, {h} AS h, ({h}) % {n_shards} AS shard
+          FROM {table})"""

@@ -3735,3 +3735,50 @@ def _install_minhash_capped_sql() -> None:
 
 
 _install_minhash_capped_sql()
+
+
+# ------------------------------ epoch shuffle + sharded export (round 4)
+
+
+@register("data_epoch_shuffle", None)  # oracle installed below
+def q_data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: (shard, pos) for every doc,
+    re-dealt by epoch salt, reproducible across runs/engines/partitionings
+    (llm/sampling.epoch_shuffle)."""
+    from tiflow_spark.llm.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=3, n_shards=8)
+
+
+def _install_epoch_shuffle_sql() -> None:
+    from tiflow_spark.llm.sampling import epoch_shuffle_sql
+
+    REGISTRY["data_epoch_shuffle"] = (
+        REGISTRY["data_epoch_shuffle"][0],
+        epoch_shuffle_sql(3, 8),
+    )
+
+
+_install_epoch_shuffle_sql()
+
+
+@register("corpus_export_shards", None)  # oracle installed below
+def q_corpus_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export manifest: per-shard doc/token/char counts for the
+    hash-balanced trainer shards (llm/export.shard_stats) — the metadata
+    the file writer persists as _manifest.json."""
+    from tiflow_spark.llm.export import shard_stats
+
+    return shard_stats(_docs(spark, sf_dir), n_shards=8)
+
+
+def _install_export_shards_sql() -> None:
+    from tiflow_spark.llm.export import shard_stats_sql
+
+    REGISTRY["corpus_export_shards"] = (
+        REGISTRY["corpus_export_shards"][0],
+        shard_stats_sql(8),
+    )
+
+
+_install_export_shards_sql()
