@@ -35,6 +35,8 @@ _PRIORITY = [
     "dedup_minhash_capped",
     "data_epoch_shuffle",
     "corpus_export_shards",
+    "sim_ann_recall",
+    "corpus_profile",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

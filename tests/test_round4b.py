@@ -199,3 +199,28 @@ def test_write_training_shards_manifest_and_order(spark, sf_dir, tmp_path):
     }
     got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
     assert got == expect
+
+
+def test_ann_recall_bounds_and_exactness(spark, sf_dir):
+    from tiflow_spark.llm.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ann_recall(emb, list(range(8)), k=5, planes=3).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_exact"] == 5
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall"] - r["n_hits"] / 5) < 1e-9
+    # the LSH index must be usefully better than nothing on this corpus
+    assert sum(r["n_hits"] for r in rows) > 0
+
+
+def test_corpus_profile_totals(spark, sf_dir):
+    from tiflow_spark.llm.export import corpus_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = corpus_profile(docs).collect()
+    assert sum(r["n_docs"] for r in prof) == docs.count()
+    for r in prof:
+        assert r["min_chars"] <= r["median_chars"] <= r["max_chars"]
+        assert r["min_chars"] <= r["mean_chars"] <= r["max_chars"]

@@ -122,3 +122,37 @@ def shard_stats_sql(
                                t -> t <> ''))) AS BIGINT) AS n_tokens,
       CAST(sum(length(text)) AS BIGINT) AS n_chars
     FROM {table} GROUP BY 1"""
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """Dataset-card profile: per (source, lang) document counts and length
+    statistics — the at-a-glance table a corpus release ships with and the
+    drift monitor a standing ingestion pipeline diffs between snapshots.
+
+    mean stays exact (integer sum ÷ count, one correctly-rounded division);
+    median of integer lengths interpolates to at worst .5 — both
+    engine-portable, unlike general float quantiles. One map-side-combining
+    aggregate on a (source, lang)-keyed shuffle; group count is
+    metadata-scale."""
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.sum(F.length("text")) / F.count(F.lit(1)), 6).alias(
+            "mean_chars"
+        ),
+        F.median(F.length("text")).alias("median_chars"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
+def corpus_profile_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT source, lang,
+      count(*) AS n_docs,
+      CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      round(sum(length(text)) * 1.0 / count(*), 6) AS mean_chars,
+      CAST(median(length(text)) AS DOUBLE) AS median_chars,
+      min(length(text)) AS min_chars,
+      max(length(text)) AS max_chars
+    FROM {table} GROUP BY 1, 2"""

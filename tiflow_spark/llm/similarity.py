@@ -340,3 +340,55 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    planes: int = 8,
+) -> DataFrame:
+    """Recall@k of the LSH ANN against the exact brute-force ranking —
+    the quality gauge every approximate index needs before it replaces
+    the exact scan in a pipeline. Per query: how many of the true top-k
+    the bucketed search found.
+
+    Both sides are deterministic (6dp-rounded cosine, id tiebreaks), so
+    recall itself is engine-portable and oracle-checkable — unusual for
+    ANN evaluation and exactly why the planes are hash-derived instead of
+    trained. Cost = the two searches (broadcast-query joins) + one
+    metadata-scale join on (query_id, vec_id)."""
+    exact = topk_cosine(embeddings, query_ids, k).select(
+        "query_id", "vec_id"
+    )
+    approx = ann_lsh_topk(embeddings, query_ids, k, planes).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_vid").alias("n_hits"),
+        F.round(F.count("a_vid") / F.count(F.lit(1)), 6).alias("recall"),
+    )
+
+
+def ann_recall_sql(
+    query_ids: list[int], k: int = 5, planes: int = 8, dims: int = 64
+) -> str:
+    return f"""WITH exact AS (
+  SELECT * FROM ({topk_cosine_sql(query_ids, k)})
+), approx AS (
+  SELECT * FROM ({ann_lsh_topk_sql(query_ids, k, planes, dims)})
+)
+SELECT e.query_id AS query_id,
+  count(*) AS n_exact,
+  count(a.vec_id) AS n_hits,
+  round(count(a.vec_id) * 1.0 / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY 1"""

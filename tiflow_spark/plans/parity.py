@@ -3782,3 +3782,53 @@ def _install_export_shards_sql() -> None:
 
 
 _install_export_shards_sql()
+
+
+# --------------------------------- ANN recall + corpus profile (round 4)
+
+
+@register("sim_ann_recall", None)  # oracle installed below
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN vs the exact brute-force top-k, per query —
+    the deterministic quality gauge for the approximate index
+    (llm/similarity.ann_recall)."""
+    from tiflow_spark.llm.similarity import ann_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 3 planes = 8 coarse buckets: a recall-oriented operating point for
+    # this corpus size (8 planes ~ bucket-per-vector at sf0.001 → recall≈0)
+    return ann_recall(emb, list(range(8)), k=5, planes=3)
+
+
+def _install_ann_recall_sql() -> None:
+    from tiflow_spark.llm.similarity import ann_recall_sql
+
+    REGISTRY["sim_ann_recall"] = (
+        REGISTRY["sim_ann_recall"][0],
+        ann_recall_sql(list(range(8)), 5, planes=3),
+    )
+
+
+_install_ann_recall_sql()
+
+
+@register("corpus_profile", None)  # oracle installed below
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile per (source, lang): doc counts + exact length
+    stats (mean/median/min/max) — release metadata and drift monitoring
+    in one aggregate (llm/export.corpus_profile)."""
+    from tiflow_spark.llm.export import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
+def _install_corpus_profile_sql() -> None:
+    from tiflow_spark.llm.export import corpus_profile_sql
+
+    REGISTRY["corpus_profile"] = (
+        REGISTRY["corpus_profile"][0],
+        corpus_profile_sql(),
+    )
+
+
+_install_corpus_profile_sql()
