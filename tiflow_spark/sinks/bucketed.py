@@ -548,3 +548,89 @@ def _rewrite_all(path: str, df: DataFrame, stage_name: str) -> None:
         if d.startswith("bucket=")
     }
     _commit_staged(path, stage, sorted(old | new))
+
+
+def snapshot_target(path: str, snap_path: str, info: dict | None = None) -> dict:
+    """Consistent point-in-time snapshot of a bucketed target — the
+    syncpoint consistent-read story (cdc/syncpointstore): the reference
+    records (primary_ts, secondary_ts) so readers can query the downstream
+    at a ts consistent with an upstream ts; here the downstream *is* a file
+    target, so the snapshot is a hardlink clone of its current bucket/delta
+    files plus the metadata. Zero data copy, O(#files) metadata work; the
+    clone is immutable while the live target keeps merging (bucket swaps
+    replace whole directories, never mutate linked files in place). On an
+    object store the same operation is a manifest copy — this is the
+    filesystem miniature.
+
+    Any half-committed batch is rolled forward first, so the snapshot is a
+    real commit boundary. The clone is a fully valid target:
+    :func:`read_state` (and every maintenance op) works on it unchanged.
+    Returns the snapshot metadata (written to ``<snap_path>/_snapshot.json``).
+    """
+    recover(path)
+    if os.path.exists(snap_path):
+        raise ValueError(f"snapshot path exists: {snap_path}")
+    os.makedirs(snap_path)
+    linked_files = 0
+    for entry in sorted(os.listdir(path)):
+        src = os.path.join(path, entry)
+        if entry.startswith("bucket=") and os.path.isdir(src):
+            dst = os.path.join(snap_path, entry)
+            os.makedirs(dst)
+            for f in os.listdir(src):
+                if not f.startswith(("_", ".")):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                    linked_files += 1
+        elif entry == _DELTA and os.path.isdir(src):
+            for name in sorted(os.listdir(src)):
+                ddir = os.path.join(src, name)
+                if not os.path.isdir(ddir):
+                    continue
+                dd = os.path.join(snap_path, _DELTA, name)
+                os.makedirs(dd)
+                for f in os.listdir(ddir):
+                    if not f.startswith(("_", ".")):
+                        os.link(os.path.join(ddir, f), os.path.join(dd, f))
+                        linked_files += 1
+        elif entry == _META:
+            shutil.copyfile(src, os.path.join(snap_path, _META))
+    snap_meta = {
+        "source": os.path.abspath(path),
+        "linked_files": linked_files,
+        **(info or {}),
+    }
+    _atomic_write_json(os.path.join(snap_path, "_snapshot.json"), snap_meta)
+    return snap_meta
+
+
+def syncpoint_snapshot(
+    path: str,
+    snapshots_root: str,
+    primary_ts: int,
+    info: dict | None = None,
+    key: str | None = None,
+) -> dict:
+    """Record a syncpoint: snapshot the target under
+    ``<snapshots_root>/sp-<key>`` and append the (key → snapshot) mapping
+    to ``<snapshots_root>/_syncpoints.json`` — the
+    mysql_syncpoint_store.go analog where the 'secondary ts' is the
+    immutable snapshot itself. Idempotent per key (a replayed syncpoint
+    returns the existing mapping). ``key`` defaults to the primary_ts;
+    streaming ticks key by batch_id instead, because a frontier that did
+    not advance (late out-of-order arrivals) still deserves its own
+    snapshot of the newly applied rows."""
+    os.makedirs(snapshots_root, exist_ok=True)
+    index_path = os.path.join(snapshots_root, "_syncpoints.json")
+    index = _read_json(index_path) or {"syncpoints": {}}
+    key = key if key is not None else str(primary_ts)
+    if key in index["syncpoints"]:
+        return index["syncpoints"][key]
+    snap_path = os.path.join(snapshots_root, f"sp-{key}")
+    meta = snapshot_target(
+        path, snap_path, info={"primary_ts": primary_ts, **(info or {})}
+    )
+    entry = {"primary_ts": primary_ts, "path": snap_path,
+             "linked_files": meta["linked_files"], **(info or {})}
+    index["syncpoints"][key] = entry
+    _atomic_write_json(index_path, index)
+    return entry

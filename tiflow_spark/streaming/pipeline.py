@@ -113,6 +113,11 @@ class StreamingTarget:
     # Bounds resolve-at-read cost to <= N batches of deltas — the
     # level-0-file cap of an LSM.
     compact_every: int = 8
+    # every N batches, hardlink-snapshot the target at the batch's
+    # resolved_ts (syncpointstore consistent reads; 0 = off). Snapshots
+    # land under ``syncpoints_root`` (defaults to <target>/../syncpoints).
+    syncpoint_every: int = 0
+    syncpoints_root: str | None = None
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Idempotent MERGE of one micro-batch (runs on the driver inside
@@ -167,6 +172,33 @@ class StreamingTarget:
             F.count(F.lit(1)).alias("events"),
         )
         prog.write.mode("append").parquet(self.progress_path)
+        if self.syncpoint_every and batch_id % self.syncpoint_every == 0:
+            # the syncpoint label is the resolved FRONTIER — max commit_ts
+            # across every batch applied so far (monotone, like the
+            # reference's primary_ts), not this batch's own max: file
+            # arrival order is not ts order, so a later batch can carry
+            # earlier timestamps. The frontier read is metadata-scale
+            # (progress rows: one per batch).
+            spark = batch.sparkSession
+            frontier = (
+                spark.read.parquet(self.progress_path)
+                .agg(F.max("resolved_ts").alias("ts"))
+                .collect()[0]["ts"]
+            )
+            if frontier is not None:
+                from tiflow_spark.sinks.bucketed import syncpoint_snapshot
+
+                root = self.syncpoints_root or os.path.join(
+                    os.path.dirname(self.target_path.rstrip("/")),
+                    "syncpoints",
+                )
+                syncpoint_snapshot(
+                    self.target_path,
+                    root,
+                    int(frontier),
+                    info={"batch_id": batch_id},
+                    key=f"b{batch_id}",
+                )
 
 
 def run_changefeed(
@@ -176,6 +208,7 @@ def run_changefeed(
     work_dir: str,
     await_termination: bool = True,
     merge_mode: str = "rewrite",
+    syncpoint_every: int = 0,
 ):
     """End-to-end streaming changefeed with availableNow trigger (drains the
     source then stops — the batch-boundary semantics integration tests use)."""
@@ -183,6 +216,7 @@ def run_changefeed(
         target_path=os.path.join(work_dir, "target"),
         progress_path=os.path.join(work_dir, "progress"),
         merge_mode=merge_mode,
+        syncpoint_every=syncpoint_every,
     )
     stream = read_change_stream(spark, source_dir)
     transformed = transform_stream(stream, cfg)

@@ -45,6 +45,9 @@ def target_maintenance(
       resize           — re-home to kwargs[n_buckets] buckets
       recover-table    — clear a truncate watermark for kwargs[table]
                          (FLASHBACK/recover table job type)
+      syncpoint        — hardlink-snapshot the target under
+                         kwargs[snapshots_root] at kwargs[primary_ts]
+                         (syncpointstore consistent-read analog)
       status           — bucket/delta/meta inventory, no changes
     """
     import os
@@ -56,6 +59,7 @@ def target_maintenance(
         read_target_meta,
         recover_table,
         resize_buckets,
+        syncpoint_snapshot,
     )
 
     if action == "compact":
@@ -70,6 +74,11 @@ def target_maintenance(
     if action == "recover-table":
         recover_table(path, kwargs["table"])
         return {"action": action, "table": kwargs["table"]}
+    if action == "syncpoint":
+        entry = syncpoint_snapshot(
+            path, kwargs["snapshots_root"], int(kwargs["primary_ts"])
+        )
+        return {"action": action, **entry}
     if action == "status":
         meta = read_target_meta(path) or {}
         buckets = [
