@@ -126,3 +126,86 @@ def test_star_linking_preserves_components(spark, clusters, cap):
         edges_in = [p for p in capped if p[0] in members or p[1] in members]
         if n > cap:
             assert len(edges_in) == n - 1
+
+
+# ---------------------------------------- snapshot immutability property
+
+ops_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["rewrite", "delta", "compact", "purge"]),
+        st.integers(0, 5),   # key
+        st.integers(0, 1),   # op: 0=upsert, 1=delete
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(ops=ops_strategy, snap_at=st.integers(0, 8))
+def test_snapshot_immutable_under_random_interleavings(
+    spark, tmp_path_factory, ops, snap_at
+):
+    """Take a snapshot after the i-th operation of a random
+    merge/delta/compact/purge sequence: the snapshot must forever equal
+    the state at that instant, no matter what runs afterwards."""
+    from tiflow_spark.sinks.bucketed import (
+        compact_deltas,
+        merge_hash_bucketed,
+        purge_tombstones,
+        read_state,
+        snapshot_target,
+    )
+
+    work = tmp_path_factory.mktemp("snapprop")
+    target = str(work / "t")
+
+    def state():
+        return {
+            (r["target_table"], r["key"]): r["balance"]
+            for r in read_state(spark, target).collect()
+        }
+
+    merge_hash_bucketed(
+        spark.createDataFrame(
+            [("I", "a", "0", 0, 0, 0.0)],
+            "op STRING, target_table STRING, key STRING, commit_ts LONG, "
+            "seq LONG, balance DOUBLE",
+        ),
+        target, n_buckets=2, batch_id=0,
+    )
+    snap = None
+    frozen = None
+    snap_at = min(snap_at, len(ops))
+    if snap_at == 0:
+        snap = str(work / "snap")
+        snapshot_target(target, snap)
+        frozen = state()
+    for i, (kind, key, is_del) in enumerate(ops, start=1):
+        ts = 10 * i
+        if kind in ("rewrite", "delta"):
+            chg = spark.createDataFrame(
+                [(
+                    "D" if is_del else "U",
+                    "a", str(key), ts, i, float(ts),
+                )],
+                "op STRING, target_table STRING, key STRING, commit_ts LONG, "
+                "seq LONG, balance DOUBLE",
+            )
+            merge_hash_bucketed(
+                chg, target, n_buckets=2, batch_id=i,
+                mode="delta" if kind == "delta" else "rewrite",
+            )
+        elif kind == "compact":
+            compact_deltas(spark, target)
+        else:
+            purge_tombstones(spark, target, safepoint_ts=10 * i)
+        if i == snap_at:
+            snap = str(work / "snap")
+            snapshot_target(target, snap)
+            frozen = state()
+    if snap is not None:
+        assert {
+            (r["target_table"], r["key"]): r["balance"]
+            for r in read_state(spark, snap).collect()
+        } == frozen
