@@ -37,6 +37,7 @@ _PRIORITY = [
     "corpus_export_shards",
     "sim_ann_recall",
     "corpus_profile",
+    "cdc_generated_columns",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

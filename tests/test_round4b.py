@@ -224,3 +224,32 @@ def test_corpus_profile_totals(spark, sf_dir):
     for r in prof:
         assert r["min_chars"] <= r["median_chars"] <= r["max_chars"]
         assert r["min_chars"] <= r["mean_chars"] <= r["max_chars"]
+
+
+def test_generated_columns_respect_null_images(spark, sf_dir):
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators.transforms import with_generated_columns
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    gen = with_generated_columns(
+        env, {"cents": "CAST(round(balance * 100, 0) AS BIGINT)"}
+    )
+    # D events have no after image -> generated col stays inside the null
+    assert gen.filter((F.col("op") == "D") & F.col("after").isNotNull()).count() == 0
+    assert gen.filter((F.col("op") == "I") & F.col("before").isNotNull()).count() == 0
+    # value correctness on a sample
+    row = gen.filter(F.col("op") == "U").select("after.balance", "after.cents").first()
+    assert row["cents"] == int(round(row["balance"] * 100, 0))
+
+
+def test_generated_column_feeds_expression_filter(spark):
+    from tiflow_spark.operators.transforms import with_generated_columns
+
+    env = spark.createDataFrame(
+        [("I", None, (1, 10.0)), ("I", None, (2, 200.0))],
+        "op STRING, before STRUCT<id LONG, balance DOUBLE>, "
+        "after STRUCT<id LONG, balance DOUBLE>",
+    )
+    gen = with_generated_columns(env, {"big": "balance > 100"})
+    kept = gen.filter(F.expr("NOT after.big"))
+    assert [r["after"]["id"] for r in kept.collect()] == [1]

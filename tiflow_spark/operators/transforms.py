@@ -208,3 +208,43 @@ def safe_mode_window(
         F.col("commit_ts") < F.lit(resume_ts + duration_us)
     )
     return safe_mode_rewrite(env, cond)
+
+
+def with_generated_columns(
+    env: DataFrame,
+    generated: dict[str, str],
+    images: tuple[str, ...] = ("before", "after"),
+) -> DataFrame:
+    """Synthesize virtual generated columns into the row images.
+
+    The reference's expression filter evaluates predicates that reference
+    VIRTUAL GENERATED columns — values absent from the binlog image and
+    recomputed from the row at filter time (pkg/filter/expr_filter.go:
+    251-382, getGenerateExpr). Here a generated column is an SQL expression
+    over the image's own fields, written with bare column names
+    (``"id + balance"``); it is rewritten against each image struct and
+    appended with ``withField`` — pure codegen'd expressions, evaluated
+    only when the image is non-null (a D event has no after, an I no
+    before; same short-circuit as the reference).
+
+    Caveat: the rewrite is token-based — a field name inside a *string
+    literal* of the expression would be rewritten too. Generated-column
+    definitions are arithmetic/function expressions in practice; mirror of
+    the reference's own parser-level restriction to deterministic exprs.
+    """
+    import re
+
+    out = env
+    for img in images:
+        fields = [f.name for f in out.schema[img].dataType.fields]
+        for name, expr in generated.items():
+            pat = r"\b(" + "|".join(map(re.escape, sorted(fields, key=len, reverse=True))) + r")\b"
+            qualified = re.sub(pat, rf"{img}.\1", expr)
+            out = out.withColumn(
+                img,
+                F.when(
+                    F.col(img).isNotNull(),
+                    F.col(img).withField(name, F.expr(qualified)),
+                ),
+            )
+    return out

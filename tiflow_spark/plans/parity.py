@@ -3832,3 +3832,44 @@ def _install_corpus_profile_sql() -> None:
 
 
 _install_corpus_profile_sql()
+
+
+# ------------------------------------- virtual generated columns (round 4)
+
+
+@register(
+    "cdc_generated_columns",
+    f"""
+WITH env AS ({ENVELOPE_SQL_DUCKDB.strip()}),
+g AS (
+  SELECT op, "table", key, commit_ts,
+    CASE WHEN op <> 'I'
+      THEN CAST(round(before_balance * 100, 0) AS BIGINT) END AS before_cents,
+    CASE WHEN op <> 'D'
+      THEN CAST(round(after_balance * 100, 0) AS BIGINT) END AS after_cents
+  FROM env
+)
+SELECT "table", op, count(*) AS cnt,
+  CAST(sum(coalesce(after_cents, 0)) AS BIGINT) AS sum_after_cents,
+  count(CASE WHEN after_cents > 15000 THEN 1 END) AS n_high
+FROM g GROUP BY 1, 2""",
+)
+def q_cdc_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual generated columns recomputed into the row images (the
+    expression-filter prerequisite, expr_filter.go getGenerateExpr): a
+    cents-denominated generated column appears in before/after only where
+    the image exists, then feeds a predicate + rollup. Map-only + one
+    aggregate."""
+    from tiflow_spark.operators.transforms import with_generated_columns
+
+    env = _env(spark, sf_dir)
+    gen = with_generated_columns(
+        env, {"cents": "CAST(round(balance * 100, 0) AS BIGINT)"}
+    )
+    return gen.groupBy("table", "op").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.coalesce(F.col("after.cents"), F.lit(0))).alias(
+            "sum_after_cents"
+        ),
+        F.count(F.when(F.col("after.cents") > 15000, 1)).alias("n_high"),
+    )
