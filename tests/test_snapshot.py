@@ -177,3 +177,33 @@ def test_streaming_syncpoints_capture_batch_boundaries(spark, sf_dir):
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_changefeed_status_rollup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.plans.parity import DEMO_CFG
+    from tiflow_spark.tools import changefeed_status, create_changefeed
+
+    work = tempfile.mkdtemp(prefix="tiflow_status_")
+    try:
+        env = events_to_changes(load_table(spark, sf_dir, "events"))
+        src = f"{work}/source"
+        env.repartition(2).write.mode("append").parquet(src)
+        spec, _ = create_changefeed(
+            spark, src, DEMO_CFG,
+            "mysql://root@db:3306/x?sync-point=true", work,
+        )
+        assert spec.kind == "mysql"
+        st = changefeed_status(spark, work)
+        assert st["batches"] >= 1
+        assert st["events_applied"] > 0
+        assert st["resolved_ts"] is not None
+        assert st["target"]["n_bucket_dirs"] > 0
+        assert len(st["syncpoints"]) >= 1
+        sp = next(iter(st["syncpoints"].values()))
+        assert read_state(spark, sp["path"]).count() > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

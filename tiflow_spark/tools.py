@@ -151,8 +151,19 @@ def create_changefeed(
     params = dict(spec.params)
     if spec.kind == "mysql":
         merge_mode = params.get("merge-mode", "rewrite")
+        # --sync-point surface (cdc cli changefeed create: sync-point +
+        # sync-point-interval); interval here is batch-denominated since
+        # the availableNow trigger has no wall clock
+        syncpoint_every = 0
+        if params.get("sync-point") in ("true", "1", "yes"):
+            syncpoint_every = int(params.get("sync-point-every-batches", "1"))
         result = run_changefeed(
-            spark, source_dir, cfg, work_dir, merge_mode=merge_mode
+            spark,
+            source_dir,
+            cfg,
+            work_dir,
+            merge_mode=merge_mode,
+            syncpoint_every=syncpoint_every,
         )
         return spec, result
 
@@ -187,3 +198,42 @@ def create_changefeed(
     # blackhole: execute the pipeline, discard output
     env.write.format("noop").mode("overwrite").save()
     return spec, None
+
+
+def changefeed_status(spark: SparkSession, work_dir: str) -> dict:
+    """`cdc cli changefeed query` analog: one status dict for a changefeed
+    work dir — applied-batch progress (checkpoint-ts role), target
+    inventory, recorded syncpoints. All metadata-scale reads."""
+    import os
+
+    from tiflow_spark.sinks.bucketed import _read_json
+
+    status: dict = {"work_dir": work_dir}
+    prog_path = os.path.join(work_dir, "progress")
+    if os.path.isdir(prog_path):
+        from pyspark.sql import functions as F
+
+        prog = spark.read.parquet(prog_path)
+        row = prog.agg(
+            F.count(F.lit(1)).alias("batches"),
+            F.max("resolved_ts").alias("resolved_ts"),
+            F.sum("events").alias("events_applied"),
+            F.max("batch_id").alias("last_batch_id"),
+        ).collect()[0]
+        status.update(
+            {
+                "batches": row["batches"],
+                "resolved_ts": row["resolved_ts"],
+                "events_applied": row["events_applied"],
+                "last_batch_id": row["last_batch_id"],
+            }
+        )
+    target = os.path.join(work_dir, "target")
+    if os.path.isdir(target):
+        status["target"] = target_maintenance(spark, target, "status")
+    sp_index = _read_json(
+        os.path.join(work_dir, "syncpoints", "_syncpoints.json")
+    )
+    if sp_index:
+        status["syncpoints"] = sp_index["syncpoints"]
+    return status
