@@ -38,6 +38,7 @@ _PRIORITY = [
     "sim_ann_recall",
     "corpus_profile",
     "cdc_generated_columns",
+    "corpus_chunk",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

@@ -55,3 +55,39 @@ def test_bins_are_budget_sized(spark):
             assert r.tokens >= budget - 400  # 400 = max doc size
     total = sum(r.tokens for r in stats)
     assert total == packed.agg(F.sum("n_tokens")).first()[0]
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    from tiflow_spark.llm.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id LONG, text STRING")
+    out = chunk_documents(docs, max_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 25 tokens, stride 8 -> ceil(23/8)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(c1) == 3 and all(r["n_chunks"] == 3 for r in c1)
+    assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    # overlap: chunk k starts 8 tokens after chunk k-1
+    assert c1[1]["chunk_text"].split()[0] == "w8"
+    assert c1[2]["chunk_text"].split()[0] == "w16"
+    # every chunk fits the window; union of chunks covers all tokens
+    assert all(r["chunk_tokens"] <= 10 for r in c1)
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(25)}
+    # short doc -> single chunk, intact
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from tiflow_spark.llm.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)

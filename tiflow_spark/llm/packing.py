@@ -109,3 +109,73 @@ def pack_documents_sql_duckdb(
     SELECT doc_id, n_tokens, start_offset,
            CAST(start_offset // {token_budget} AS BIGINT) AS bin_id
     FROM o"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into context-window-sized chunks with optional
+    token overlap — the long-document companion to concat-and-chunk
+    packing (a doc longer than the training context must be windowed
+    before batching; overlap preserves cross-boundary continuity).
+
+    Chunk k covers tokens [k·stride, k·stride + max_tokens) with
+    stride = max_tokens − overlap. Pure array expressions (split → slice →
+    rejoin) — map-only, explodes to one row per chunk; no shuffle. At
+    100 TB the cost is the explode's row amplification (Σ ceil(len/stride)
+    per doc), the same multiplier any chunker pays.
+
+    Output: doc_id, chunk_id (0-based), n_chunks, chunk_tokens, chunk_text.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_id"),
+            F.slice(toks, k * stride + 1, max_tokens).alias("ctoks"),
+        ),
+    )
+    ex = docs.select(
+        "doc_id", n_chunks.alias("n_chunks"), F.explode(chunks).alias("c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.size("c.ctoks").cast("long").alias("chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    max_tokens: int, overlap: int = 0, table: str = "documents"
+) -> str:
+    stride = max_tokens - overlap
+    toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {toks} AS toks,
+        greatest(CAST(ceil((len({toks}) - {overlap}) * 1.0 / {stride}) AS BIGINT), 1)
+          AS n_chunks
+      FROM {table}
+    )
+    SELECT doc_id,
+      CAST(k AS BIGINT) AS chunk_id,
+      n_chunks,
+      CAST(len(list_slice(toks, k * {stride} + 1,
+                          k * {stride} + {max_tokens})) AS BIGINT)
+        AS chunk_tokens,
+      array_to_string(list_slice(toks, k * {stride} + 1,
+                                 k * {stride} + {max_tokens}), ' ')
+        AS chunk_text
+    FROM base, UNNEST(range(0, n_chunks)) AS u(k)"""

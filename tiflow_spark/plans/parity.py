@@ -3873,3 +3873,28 @@ def q_cdc_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(F.col("after.cents") > 15000, 1)).alias("n_high"),
     )
+
+
+# -------------------------------------------- document chunking (round 4)
+
+
+@register("corpus_chunk", None)  # oracle installed below
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap: docs split into 64-token
+    windows, stride 56 (8-token overlap) — map-only explode
+    (llm/packing.chunk_documents)."""
+    from tiflow_spark.llm.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=64, overlap=8)
+
+
+def _install_chunk_sql() -> None:
+    from tiflow_spark.llm.packing import chunk_documents_sql
+
+    REGISTRY["corpus_chunk"] = (
+        REGISTRY["corpus_chunk"][0],
+        chunk_documents_sql(64, 8),
+    )
+
+
+_install_chunk_sql()
