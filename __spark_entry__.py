@@ -39,6 +39,7 @@ _PRIORITY = [
     "corpus_profile",
     "cdc_generated_columns",
     "corpus_chunk",
+    "cdc_force_replicate",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

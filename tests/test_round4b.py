@@ -253,3 +253,81 @@ def test_generated_column_feeds_expression_filter(spark):
     gen = with_generated_columns(env, {"big": "balance > 100"})
     kept = gen.filter(F.expr("NOT after.big"))
     assert [r["after"]["id"] for r in kept.collect()] == [1]
+
+
+def test_force_replicate_full_row_key(spark):
+    from tiflow_spark.operators.transforms import force_replicate_key
+
+    env = spark.createDataFrame(
+        [
+            ("I", "t", 10, 1, None, (1, 5.0)),
+            ("U", "t", 20, 2, (1, 5.0), (1, 6.0)),  # U -> D(old)+I(new)
+            ("D", "t", 30, 3, (1, 6.0), None),
+        ],
+        "op STRING, table STRING, commit_ts LONG, seq LONG, "
+        "before STRUCT<id LONG, v DOUBLE>, after STRUCT<id LONG, v DOUBLE>",
+    )
+    out = force_replicate_key(env).collect()
+    assert len(out) == 4  # U split into two
+    by_op = {}
+    for r in out:
+        by_op.setdefault(r["op"], []).append(r)
+    assert len(by_op["I"]) == 2 and len(by_op["D"]) == 2
+    # identical content -> identical key (I of row (1,5.0) and the U's D)
+    k_insert = [r for r in by_op["I"] if r["after"]["v"] == 5.0][0]["key"]
+    k_del_old = [r for r in by_op["D"] if r["before"]["v"] == 5.0][0]["key"]
+    assert k_insert == k_del_old
+    # different content -> different key
+    k_new = [r for r in by_op["I"] if r["after"]["v"] == 6.0][0]["key"]
+    assert k_new != k_insert
+    # null-bit disambiguation: (1, NULL) vs (1, '') must differ
+    env2 = spark.createDataFrame(
+        [("I", "t", 1, 1, None, (1, None)), ("I", "t", 1, 2, None, (1, ""))],
+        "op STRING, table STRING, commit_ts LONG, seq LONG, "
+        "before STRUCT<id LONG, s STRING>, after STRUCT<id LONG, s STRING>",
+    )
+    keys = {r["key"] for r in force_replicate_key(env2).collect()}
+    assert len(keys) == 2
+
+
+def test_storage_cleanup_retention(spark, sf_dir, tmp_path):
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        cleanup_storage_sink,
+        read_storage_sink,
+        write_storage_sink,
+    )
+    from pyspark.sql import types as T
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    out = str(tmp_path / "sink")
+    write_storage_sink(env, out, StorageSinkConfig())
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    dates = sorted(
+        r["dir_date"]
+        for r in read_storage_sink(spark, out, payload)
+        .select("dir_date").distinct().collect()
+    )
+    assert len(dates) >= 2, "fixture must span multiple dates"
+    cutoff = dates[1]
+    # dry run lists but keeps
+    listed = cleanup_storage_sink(out, cutoff, dry_run=True)
+    assert listed and all(dates[0] in p for p in listed)
+    still = read_storage_sink(spark, out, payload).select("dir_date").distinct().count()
+    assert still == len(dates)
+    # real cleanup removes only the expired date dirs
+    removed = cleanup_storage_sink(out, cutoff)
+    assert removed == listed
+    left = sorted(
+        r["dir_date"]
+        for r in read_storage_sink(spark, out, payload)
+        .select("dir_date").distinct().collect()
+    )
+    assert left == dates[1:]

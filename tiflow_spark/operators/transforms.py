@@ -248,3 +248,68 @@ def with_generated_columns(
                 ),
             )
     return out
+
+
+def force_replicate_key(env: DataFrame) -> DataFrame:
+    """Key synthesis for tables WITHOUT a usable handle key — the
+    `force-replicate` mode (tests/integration_tests/force_replicate_table;
+    config force-replicate): a PK/UK-less table cannot be keyed, so the
+    row's entire image becomes its identity (md5 over all columns + null
+    bits, the sync_diff canonical-row trick) and UPDATEs are split into
+    DELETE(before)+INSERT(after) since identity == content. The reference
+    warns such tables can diverge under duplicate rows; same caveat holds
+    (two identical rows share a key — documented divergence).
+
+    Map-only: rewrites `key` and explodes U into D+I; composes before the
+    causality repartition like any other key derivation.
+    """
+    def row_key(img: str) -> Column:
+        s = env.schema[img].dataType
+        parts = []
+        for f in s.fields:
+            c = F.col(f"{img}.{f.name}")
+            parts.append(F.coalesce(c.cast("string"), F.lit("")))
+            parts.append(F.when(c.isNull(), "1").otherwise("0"))
+        return F.md5(F.concat_ws(",", *parts))
+
+    split = F.when(
+        F.col("op") == "U",
+        F.array(
+            F.struct(
+                F.lit("D").alias("op"),
+                F.col("before").alias("before"),
+                F.lit(None).cast(env.schema["after"].dataType).alias("after"),
+                (F.col("seq") * 2).alias("seq"),
+                row_key("before").alias("key"),
+            ),
+            F.struct(
+                F.lit("I").alias("op"),
+                F.lit(None).cast(env.schema["before"].dataType).alias("before"),
+                F.col("after").alias("after"),
+                (F.col("seq") * 2 + 1).alias("seq"),
+                row_key("after").alias("key"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("op").alias("op"),
+                F.col("before").alias("before"),
+                F.col("after").alias("after"),
+                (F.col("seq") * 2).alias("seq"),
+                F.when(F.col("op") == "D", row_key("before"))
+                .otherwise(row_key("after"))
+                .alias("key"),
+            )
+        )
+    )
+    other = [c for c in env.columns if c not in ("op", "before", "after", "seq", "key")]
+    ex = env.select(*other, F.explode(split).alias("_e"))
+    return ex.select(
+        F.col("_e.op").alias("op"),
+        *other,
+        F.col("_e.seq").alias("seq"),
+        F.col("_e.key").alias("key"),
+        F.col("_e.before").alias("before"),
+        F.col("_e.after").alias("after"),
+    )

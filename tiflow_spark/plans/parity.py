@@ -3898,3 +3898,69 @@ def _install_chunk_sql() -> None:
 
 
 _install_chunk_sql()
+
+
+# ------------------------------------------- force-replicate (round 4)
+
+_FR_CANON_B = (
+    "coalesce(CAST(before_id AS VARCHAR), '') || ',' || "
+    "coalesce(CAST(before_balance AS VARCHAR), '') || ',' || "
+    "coalesce(before_note, '') || ',' || "
+    "(CASE WHEN before_id IS NULL THEN '1' ELSE '0' END) || "
+    "(CASE WHEN before_balance IS NULL THEN '1' ELSE '0' END) || "
+    "(CASE WHEN before_note IS NULL THEN '1' ELSE '0' END)"
+)
+_FR_CANON_A = _FR_CANON_B.replace("before_", "after_")
+
+
+@register(
+    "cdc_force_replicate",
+    f"""
+WITH env AS ({ENVELOPE_SQL_DUCKDB.strip()}),
+split AS (
+  SELECT "table", commit_ts, seq * 2 AS seq, 'D' AS op, {_FR_CANON_B} AS rk
+  FROM env WHERE op = 'U'
+  UNION ALL
+  SELECT "table", commit_ts, seq * 2 + 1, 'I', {_FR_CANON_A}
+  FROM env WHERE op = 'U'
+  UNION ALL
+  SELECT "table", commit_ts, seq * 2, op,
+    CASE WHEN op = 'D' THEN {_FR_CANON_B} ELSE {_FR_CANON_A} END
+  FROM env WHERE op <> 'U'
+),
+last AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY "table", rk
+      ORDER BY commit_ts DESC, seq DESC) AS rn
+    FROM split) WHERE rn = 1
+)
+SELECT s."table" AS "table",
+  count(*) AS n_split_events,
+  (SELECT count(*) FROM last l WHERE l."table" = s."table" AND l.op <> 'D')
+    AS n_live
+FROM split s GROUP BY 1""",
+)
+def q_cdc_force_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """force-replicate mode: PK-less tables keyed by their full row image
+    (md5 canonical row) with U split into D+I; per-table split-event and
+    live-state counts. The md5 key and the oracle's raw canonical string
+    induce the same equality classes, so counts are engine-portable."""
+    from tiflow_spark.operators.compactor import last_state_per_key
+    from tiflow_spark.operators.transforms import force_replicate_key
+
+    env = _env(spark, sf_dir)
+    fr = force_replicate_key(env)
+    split_counts = fr.groupBy("table").agg(
+        F.count(F.lit(1)).alias("n_split_events")
+    )
+    live = (
+        last_state_per_key(fr, "table")
+        .filter(F.col("op") != "D")
+        .groupBy("table")
+        .agg(F.count(F.lit(1)).alias("n_live"))
+    )
+    return split_counts.join(live, "table", "left").select(
+        "table",
+        "n_split_events",
+        F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+    )

@@ -311,3 +311,48 @@ def write_ddl_schema_versions(
             fh.write(payload)
         written.append(p)
     return written
+
+
+def cleanup_storage_sink(
+    base_dir: str,
+    retain_from_date: str,
+    cfg: StorageSinkConfig = StorageSinkConfig(),
+    dry_run: bool = False,
+) -> list[str]:
+    """Expired-file cleanup for the storage-sink layout — the reference's
+    `cleanup-worker` (tests/integration_tests/storage_cleanup; storage sink
+    file-expiration-days/file-cleanup-cron-spec config): date directories
+    lexicographically below ``retain_from_date`` are removed per
+    (schema, table, version) subtree; the meta/index and schema.json of
+    retained dates are untouched. Returns the removed directory paths
+    (``dry_run`` only lists them).
+
+    O(#directories) driver-side metadata walk — date dirs, not data files,
+    are enumerated; deletion per dir is a recursive remove exactly like
+    the reference's batch expiration. Lexicographic compare is correct
+    because the layout's date formats are zero-padded (YYYY-MM-DD).
+    """
+    import os
+    import shutil
+
+    removed: list[str] = []
+    ver = cfg.table_version
+    if not os.path.isdir(base_dir):
+        return removed
+    for schema in sorted(os.listdir(base_dir)):
+        sdir = os.path.join(base_dir, schema)
+        if not os.path.isdir(sdir):
+            continue
+        for table in sorted(os.listdir(sdir)):
+            vdir = os.path.join(sdir, table, str(ver))
+            if not os.path.isdir(vdir):
+                continue
+            for date in sorted(os.listdir(vdir)):
+                ddir = os.path.join(vdir, date)
+                if not os.path.isdir(ddir) or date.startswith(("_", ".")):
+                    continue
+                if date < retain_from_date:
+                    removed.append(ddir)
+                    if not dry_run:
+                        shutil.rmtree(ddir, ignore_errors=True)
+    return removed
