@@ -40,6 +40,7 @@ _PRIORITY = [
     "cdc_generated_columns",
     "corpus_chunk",
     "cdc_force_replicate",
+    "snapshot_merge_partial",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

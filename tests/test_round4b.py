@@ -331,3 +331,51 @@ def test_storage_cleanup_retention(spark, sf_dir, tmp_path):
         .select("dir_date").distinct().collect()
     )
     assert left == dates[1:]
+
+
+def test_merge_preserves_downstream_only_columns(spark):
+    from tiflow_spark.operators.apply import merge_preserving_extra_columns
+
+    snapshot = spark.createDataFrame(
+        [(1, 10.0, "keep-a", "2026-01-01"), (2, 20.0, "keep-b", "2026-01-02")],
+        "id LONG, balance DOUBLE, local_note STRING, loaded_at STRING",
+    )
+    # change stream knows nothing about local_note / loaded_at
+    changes = spark.createDataFrame(
+        [("U", 1, 11.0), ("D", 2, None), ("I", 3, 30.0)],
+        "op STRING, id LONG, balance DOUBLE",
+    )
+    out = {
+        r["id"]: r
+        for r in merge_preserving_extra_columns(
+            snapshot, changes, ["id"]
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    # updated row: upstream column written, downstream-only columns kept
+    assert out[1]["balance"] == 11.0
+    assert out[1]["local_note"] == "keep-a"
+    assert out[1]["loaded_at"] == "2026-01-01"
+    # inserted row: downstream-only columns NULL (defaults are the
+    # downstream's job)
+    assert out[3]["balance"] == 30.0 and out[3]["local_note"] is None
+    # schema unchanged and ordered like the snapshot
+    assert [f.name for f in merge_preserving_extra_columns(
+        snapshot, changes, ["id"]).schema.fields] == [
+        "id", "balance", "local_note", "loaded_at"]
+
+
+def test_merge_explicit_null_write_still_nulls(spark):
+    from tiflow_spark.operators.apply import merge_preserving_extra_columns
+
+    snapshot = spark.createDataFrame(
+        [(1, 10.0, "x")], "id LONG, balance DOUBLE, extra STRING"
+    )
+    changes = spark.createDataFrame(
+        [("U", 1, None)], "op STRING, id LONG, balance DOUBLE"
+    )
+    row = merge_preserving_extra_columns(snapshot, changes, ["id"]).collect()[0]
+    # balance IS carried by the change schema -> explicit NULL wins
+    assert row["balance"] is None
+    # extra is not carried -> preserved
+    assert row["extra"] == "x"

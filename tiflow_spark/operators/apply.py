@@ -70,3 +70,45 @@ def merge_into_snapshot(
         for c in snapshot.columns
     ]
     return joined.filter(keep).select(*out_cols)
+
+
+def merge_preserving_extra_columns(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE where the downstream snapshot has columns the change stream
+    does not carry — dm/tests/downstream_more_column: DM generates UPDATEs
+    listing only upstream columns, so downstream-only columns (defaults,
+    generated values, locally-maintained fields) survive replication.
+
+    Same shape as :func:`merge_into_snapshot`, but SQL-faithful column
+    semantics: a column absent from ``changes``' schema is PRESERVED from
+    the existing row on update (new rows get NULL, the downstream
+    default's job); a column present in ``changes`` is written even when
+    NULL (an explicit NULL write, exactly like an UPDATE SET c = NULL).
+    The present/absent distinction is schema-level, so there is no
+    NULL-vs-missing ambiguity. One full-outer join on the key — identical
+    cost to the plain merge.
+    """
+    carried = [c for c in snapshot.columns if c in set(changes.columns)]
+    missing = [c for c in snapshot.columns if c not in set(changes.columns)]
+    for k in key_cols:
+        if k not in carried:
+            raise ValueError(f"key column {k!r} missing from changes")
+    chg = changes.select(
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in carried],
+    )
+    cond = [snapshot[k] == chg[f"_c_{k}"] for k in key_cols]
+    joined = snapshot.join(chg, on=cond, how="full_outer")
+    is_change = F.col("_op").isNotNull()
+    keep = ~is_change | (F.col("_op") != "D")
+    out = {
+        c: F.when(is_change, F.col(f"_c_{c}")).otherwise(F.col(c)).alias(c)
+        for c in carried
+    }
+    for c in missing:
+        out[c] = F.col(c).alias(c)  # joined carries only the snapshot's copy
+    return joined.filter(keep).select(*[out[c] for c in snapshot.columns])

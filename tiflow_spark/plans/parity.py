@@ -3964,3 +3964,64 @@ def q_cdc_force_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_split_events",
         F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
     )
+
+
+# ----------------------------- downstream-more-column merge (round 4)
+
+
+@register(
+    "snapshot_merge_partial",
+    f"""{ENV_CTE},
+    changes AS (
+      SELECT * FROM (
+        SELECT op, coalesce(after_id, before_id) AS id, after_balance,
+               row_number() OVER (
+                 PARTITION BY coalesce(after_id, before_id)
+                 ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM env WHERE NOT (op = 'U' AND before_id <> after_id)
+      ) WHERE rn = 1
+    ),
+    snapshot AS (
+      SELECT c_custkey AS id, round(c_acctbal, 2) AS balance,
+             c_mktsegment AS segment, c_name AS local_name
+      FROM customer WHERE c_custkey < 200
+    )
+    SELECT coalesce(ch.id, s.id) AS id,
+      CASE WHEN ch.op IS NOT NULL THEN ch.after_balance
+           ELSE s.balance END AS balance,
+      s.segment AS segment,
+      s.local_name AS local_name
+    FROM snapshot s FULL OUTER JOIN changes ch ON s.id = ch.id
+    WHERE ch.op IS NULL OR ch.op <> 'D'""",
+)
+def q_snapshot_merge_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """downstream_more_column: the target carries columns the change
+    stream never sees (segment, local_name) — updates write only the
+    carried columns and preserve the rest; net inserts leave them NULL
+    (operators/apply.merge_preserving_extra_columns)."""
+    from tiflow_spark.operators.apply import merge_preserving_extra_columns
+    from tiflow_spark.operators.compactor import last_state_per_key
+
+    env = _env(spark, sf_dir).filter(
+        ~((F.col("op") == "U") & (F.col("before.id") != F.col("after.id")))
+    )
+    snapshot = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.round(F.col("c_acctbal"), 2).alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_name").alias("local_name"),
+        )
+    )
+    env2 = env.withColumn(
+        "key", F.coalesce(F.col("after.id"), F.col("before.id")).cast("string")
+    ).withColumn("table", F.lit("t"))
+    last = last_state_per_key(env2, "table")
+    changes = last.select(
+        "op",
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("id"),
+        F.col("after.balance").alias("balance"),
+    )
+    return merge_preserving_extra_columns(snapshot, changes, ["id"])
