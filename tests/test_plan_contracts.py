@@ -402,3 +402,27 @@ def test_minhash_capped_no_cartesian(spark, sf_dir):
     plan = plan_of(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_chunk_is_map_only(spark, sf_dir):
+    """Chunking must be a pure explode — zero exchanges."""
+    fn, _ = REGISTRY["corpus_chunk"]
+    assert n_exchanges(plan_of(fn(spark, sf_dir))) == 0
+
+
+def test_force_replicate_single_keyed_shuffle(spark, sf_dir):
+    """Full-row keying + split stays map-side; the fold and rollups spend
+    the plan's exchanges — and nothing joins cartesian."""
+    fn, _ = REGISTRY["cdc_force_replicate"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_partial_merge_broadcasts_change_side(spark, sf_dir):
+    """The pre-compacted change set is small — Catalyst must broadcast it
+    against the snapshot (no snapshot shuffle for the join)."""
+    fn, _ = REGISTRY["snapshot_merge_partial"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
