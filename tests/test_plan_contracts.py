@@ -419,10 +419,13 @@ def test_force_replicate_single_keyed_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_partial_merge_broadcasts_change_side(spark, sf_dir):
-    """The pre-compacted change set is small — Catalyst must broadcast it
-    against the snapshot (no snapshot shuffle for the join)."""
+def test_partial_merge_is_keyed_equi_join(spark, sf_dir):
+    """A full-outer MERGE cannot broadcast (Spark restriction); the
+    contract is a key-partitioned equi-join — SortMergeJoin on the key,
+    never a nested-loop/cartesian plan. (In production the bucketed
+    target removes the snapshot-side shuffle — see merge_into_snapshot.)"""
     fn, _ = REGISTRY["snapshot_merge_partial"]
     plan = plan_of(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -379,3 +379,57 @@ def test_merge_explicit_null_write_still_nulls(spark):
     assert row["balance"] is None
     # extra is not carried -> preserved
     assert row["extra"] == "x"
+
+
+def test_generated_column_chains(spark):
+    from tiflow_spark.operators.transforms import with_generated_columns
+
+    env = spark.createDataFrame(
+        [("I", None, (1, 10.0))],
+        "op STRING, before STRUCT<id LONG, balance DOUBLE>, "
+        "after STRUCT<id LONG, balance DOUBLE>",
+    )
+    # second generated column references the first (MySQL allows this)
+    gen = with_generated_columns(
+        env, {"cents": "CAST(balance * 100 AS BIGINT)", "big": "cents > 500"}
+    )
+    row = gen.select("after.cents", "after.big").collect()[0]
+    assert row["cents"] == 1000 and row["big"] is True
+
+
+def test_chunk_documents_skips_empty_docs(spark):
+    from tiflow_spark.llm.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "real content here"), (2, ""), (3, "   ")],
+        "doc_id LONG, text STRING",
+    )
+    out = chunk_documents(docs, max_tokens=8).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_syncpoint_recovers_from_orphan_snapshot_dir(spark, tmp_path):
+    """Crash window: clone exists but the index write never happened —
+    the retry must adopt the key instead of failing forever."""
+    import os
+
+    from tiflow_spark.sinks.bucketed import (
+        merge_hash_bucketed,
+        read_state,
+        syncpoint_snapshot,
+    )
+
+    target = str(tmp_path / "t")
+    merge_hash_bucketed(
+        spark.createDataFrame(
+            [("I", "a", "1", 10, 1, 1.0)],
+            "op STRING, target_table STRING, key STRING, commit_ts LONG, "
+            "seq LONG, balance DOUBLE",
+        ),
+        target, n_buckets=2, batch_id=0,
+    )
+    snaps = str(tmp_path / "snaps")
+    # simulate the orphan: snapshot dir present, index absent
+    os.makedirs(os.path.join(snaps, "sp-10", "bucket=0"))
+    entry = syncpoint_snapshot(target, snaps, primary_ts=10)
+    assert read_state(spark, entry["path"]).count() == 1

@@ -72,11 +72,17 @@ def write_training_shards(
     shard, rows in deterministic intra-shard order) plus
     ``path/_manifest.json``. Returns the manifest dict.
 
-    The repartition uses the shard column itself, so the write is the
-    shuffle — no second pass; ordering inside each file comes from
-    sortWithinPartitions (spillable, no global sort)."""
-    assigned = epoch_shuffle(docs, epoch, n_shards, salt=salt).join(
-        docs, "doc_id"
+    The repartition uses the shard column itself, so the write is the ONE
+    corpus-sized pass (epoch_shuffle keeps the payload columns — no
+    re-attach join); ordering inside each file comes from
+    sortWithinPartitions (spillable, no global sort). The manifest is
+    aggregated from the written files with a column-pruned parquet read
+    of (shard, n_tokens, n_chars) only — cheap, and it audits what was
+    actually written rather than what was intended."""
+    assigned = (
+        epoch_shuffle(docs, epoch, n_shards, salt=salt)
+        .withColumn("n_tokens", F.size(tokens(F.col(text_col))))
+        .withColumn("n_chars", F.length(text_col))
     )
     (
         assigned.repartition(n_shards, "shard")
@@ -85,7 +91,17 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    stats = shard_stats(docs, n_shards, epoch, salt, text_col).collect()
+    spark = docs.sparkSession
+    stats = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .collect()
+    )
     manifest = {
         "epoch": epoch,
         "salt": salt,

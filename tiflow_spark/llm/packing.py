@@ -130,14 +130,19 @@ def chunk_documents(
 
     Output: doc_id, chunk_id (0-based), n_chunks, chunk_tokens, chunk_text.
     """
+    from tiflow_spark.llm.textstats import tokens as _tokens
+
     if overlap >= max_tokens:
         raise ValueError("overlap must be smaller than max_tokens")
     stride = max_tokens - overlap
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = _tokens(F.col(text_col))
     n = F.size(toks)
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
-    ).cast("int")
+    n_chunks = F.when(
+        n > 0,
+        F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+        ),
+    ).cast("int")  # empty/whitespace-only doc → NULL → explode emits no row
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda k: F.struct(
@@ -168,6 +173,7 @@ def chunk_documents_sql(
         greatest(CAST(ceil((len({toks}) - {overlap}) * 1.0 / {stride}) AS BIGINT), 1)
           AS n_chunks
       FROM {table}
+      WHERE len({toks}) > 0
     )
     SELECT doc_id,
       CAST(k AS BIGINT) AS chunk_id,

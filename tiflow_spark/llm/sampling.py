@@ -221,8 +221,12 @@ def temperature_resample(
         .withColumn("pick_rank", F.row_number().over(rank_w))
         .drop("_h")
     )
-    return ranked.join(F.broadcast(quotas), stratum_col).filter(
-        F.col("pick_rank") <= F.col("quota")
+    return (
+        ranked.join(F.broadcast(quotas), stratum_col)
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        # column order mirrors the SQL twin (the driver compare is
+        # name-keyed, but keeping both sides identical costs nothing)
+        .select(id_col, stratum_col, "pick_rank", "quota")
     )
 
 
@@ -291,9 +295,11 @@ def epoch_shuffle(
     from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy("_h", id_col)
+    # keeps every input column (plus shard/pos) so writers need no
+    # corpus-sized join to re-attach payloads after the shuffle
     return (
         docs.select(
-            id_col,
+            "*",
             h.alias("_h"),
             F.pmod(h, F.lit(n_shards)).alias("shard"),
         )

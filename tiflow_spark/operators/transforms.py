@@ -236,8 +236,11 @@ def with_generated_columns(
 
     out = env
     for img in images:
-        fields = [f.name for f in out.schema[img].dataType.fields]
         for name, expr in generated.items():
+            # recompute per appended column: a generated column may
+            # reference an EARLIER generated column (MySQL allows it), so
+            # the rewrite scope must include fields added this loop
+            fields = [f.name for f in out.schema[img].dataType.fields]
             pat = r"\b(" + "|".join(map(re.escape, sorted(fields, key=len, reverse=True))) + r")\b"
             qualified = re.sub(pat, rf"{img}.\1", expr)
             out = out.withColumn(
@@ -264,13 +267,15 @@ def force_replicate_key(env: DataFrame) -> DataFrame:
     causality repartition like any other key derivation.
     """
     def row_key(img: str) -> Column:
+        # canonical-row layout: values then ISNULL bits — the same
+        # CONCAT_WS shape as functions/hashing._canon (sync_diff's trick),
+        # kept in one layout engine-wide so checksum/force-replicate/
+        # oracle row identities never diverge
         s = env.schema[img].dataType
-        parts = []
-        for f in s.fields:
-            c = F.col(f"{img}.{f.name}")
-            parts.append(F.coalesce(c.cast("string"), F.lit("")))
-            parts.append(F.when(c.isNull(), "1").otherwise("0"))
-        return F.md5(F.concat_ws(",", *parts))
+        cols = [F.col(f"{img}.{f.name}") for f in s.fields]
+        vals = [F.coalesce(c.cast("string"), F.lit("")) for c in cols]
+        bits = [F.when(c.isNull(), "1").otherwise("0") for c in cols]
+        return F.md5(F.concat_ws(",", *vals, *bits))
 
     split = F.when(
         F.col("op") == "U",

@@ -3747,7 +3747,9 @@ def q_data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/sampling.epoch_shuffle)."""
     from tiflow_spark.llm.sampling import epoch_shuffle
 
-    return epoch_shuffle(_docs(spark, sf_dir), epoch=3, n_shards=8)
+    return epoch_shuffle(_docs(spark, sf_dir), epoch=3, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
 
 
 def _install_epoch_shuffle_sql() -> None:
@@ -3902,12 +3904,13 @@ _install_chunk_sql()
 
 # ------------------------------------------- force-replicate (round 4)
 
+# values-then-ISNULL-bits, comma-joined — functions/hashing._canon's layout
 _FR_CANON_B = (
     "coalesce(CAST(before_id AS VARCHAR), '') || ',' || "
     "coalesce(CAST(before_balance AS VARCHAR), '') || ',' || "
     "coalesce(before_note, '') || ',' || "
-    "(CASE WHEN before_id IS NULL THEN '1' ELSE '0' END) || "
-    "(CASE WHEN before_balance IS NULL THEN '1' ELSE '0' END) || "
+    "(CASE WHEN before_id IS NULL THEN '1' ELSE '0' END) || ',' || "
+    "(CASE WHEN before_balance IS NULL THEN '1' ELSE '0' END) || ',' || "
     "(CASE WHEN before_note IS NULL THEN '1' ELSE '0' END)"
 )
 _FR_CANON_A = _FR_CANON_B.replace("before_", "after_")

@@ -31,6 +31,8 @@ def get_spark(app_name: str = "tiflow-spark", master: str | None = None) -> Spar
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # full java.nio charset set (GBK/BIG5/...) for types.decode_charset
+        .config("spark.sql.legacy.javaCharsets", "true")
         # testdata parquet uses TIMESTAMP(NANOS); Spark reads them as LongType
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.spill.compress", "true")

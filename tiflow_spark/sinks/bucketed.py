@@ -626,6 +626,11 @@ def syncpoint_snapshot(
     if key in index["syncpoints"]:
         return index["syncpoints"][key]
     snap_path = os.path.join(snapshots_root, f"sp-{key}")
+    # crash window: the clone exists but the index write never happened —
+    # the orphan was never referenced (only the index publishes a
+    # snapshot), so discard and re-clone rather than failing every retry
+    if os.path.exists(snap_path):
+        shutil.rmtree(snap_path, ignore_errors=True)
     meta = snapshot_target(
         path, snap_path, info={"primary_ts": primary_ts, **(info or {})}
     )

@@ -352,7 +352,12 @@ def cleanup_storage_sink(
                 if not os.path.isdir(ddir) or date.startswith(("_", ".")):
                     continue
                 if date < retain_from_date:
-                    removed.append(ddir)
-                    if not dry_run:
-                        shutil.rmtree(ddir, ignore_errors=True)
+                    if dry_run:
+                        removed.append(ddir)
+                        continue
+                    # report only verified deletions — a silent rmtree
+                    # failure must not read as purged in a retention audit
+                    shutil.rmtree(ddir, ignore_errors=True)
+                    if not os.path.isdir(ddir):
+                        removed.append(ddir)
     return removed
