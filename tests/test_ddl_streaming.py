@@ -177,3 +177,39 @@ def test_truncate_ddl_applies_at_barrier(spark, tmp_path, chunks):
         os.path.join(work, "target")
     )
     assert raw.filter(F.col("commit_ts") < b2).count() > 0
+
+
+def test_ddl_blocks_only_related_table(spark, tmp_path, chunks):
+    """ddl_only_block_related_table parity: because decode is as-of per
+    event, a DDL on one table never gates another table's events — rows of
+    the unrelated table past the DDL's commit_ts apply in the same batch,
+    no barrier wait. (The reference needed an explicit optimization for
+    this; here it falls out of the as-of design — this test pins it.)"""
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.sources.schema_registry import asof_resolve
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ddl = spark.createDataFrame(
+        [
+            ("DDL", "shard_0", "evolving", 100, 1, "create table",
+             "CREATE TABLE evolving (id BIGINT PRIMARY KEY)"),
+            ("DDL", "shard_0", "evolving", 500, 2, "add column",
+             "ALTER TABLE evolving ADD COLUMN extra VARCHAR DEFAULT 'x'"),
+        ],
+        "op STRING, schema STRING, table STRING, commit_ts LONG, "
+        "seq LONG, ddl_type STRING, query STRING",
+    )
+    reg = registry_from_ddl(ddl)
+    # events for an UNRELATED table spanning the DDL's commit window
+    ev = spark.createDataFrame(
+        [(1, "unrelated", 400), (2, "unrelated", 600), (3, "evolving", 600)],
+        "seq LONG, logical_table STRING, commit_ts LONG",
+    )
+    resolved = asof_resolve(ev, reg)
+    rows = {(r["logical_table"], r["commit_ts"]): r for r in resolved.collect()}
+    # unrelated rows resolve (version_no null — no registry entry) and are
+    # present on BOTH sides of the DDL ts: nothing held them back
+    assert ("unrelated", 400) in rows and ("unrelated", 600) in rows
+    assert rows[("unrelated", 600)]["version_no"] is None
+    # the related table sees its own post-DDL version
+    assert rows[("evolving", 600)]["version_no"] == 2
