@@ -41,6 +41,7 @@ _PRIORITY = [
     "corpus_chunk",
     "cdc_force_replicate",
     "snapshot_merge_partial",
+    "mm_decode_real",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

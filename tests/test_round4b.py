@@ -433,3 +433,36 @@ def test_syncpoint_recovers_from_orphan_snapshot_dir(spark, tmp_path):
     os.makedirs(os.path.join(snaps, "sp-10", "bucket=0"))
     entry = syncpoint_snapshot(target, snaps, primary_ts=10)
     assert read_state(spark, entry["path"]).count() == 1
+
+
+def test_real_ppm_decode_and_resize(spark):
+    from tiflow_spark.llm.multimodal import (
+        decode_images,
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    # deterministic gradient images, genuinely encoded as binary PPM
+    imgs = [
+        (1, encode_ppm(8, 4, lambda x, y: (x * 30, y * 60, 128))),
+        (2, encode_ppm(4, 4, lambda x, y: (255, 0, 0))),
+        (3, b"\x89PNG not actually decodable here"),
+    ]
+    media = spark.createDataFrame(imgs, "media_id LONG, payload BINARY")
+
+    dec = {r["media_id"]: r for r in decode_images(media).collect()}
+    assert (dec[1]["dec_width"], dec[1]["dec_height"]) == (8, 4)
+    # solid red image: exact channel means
+    assert (dec[2]["mean_r"], dec[2]["mean_g"], dec[2]["mean_b"]) == (255.0, 0.0, 0.0)
+    # non-PPM rows pass through as nulls, not errors
+    assert dec[3]["dec_width"] is None
+
+    rs = {r["media_id"]: r for r in resize_images(media, 2, 2).collect()}
+    assert (rs[1]["out_width"], rs[1]["out_height"]) == (2, 2)
+    # resized payload is itself a valid PPM that decodes to 2x2
+    arr = decode_ppm(bytes(rs[1]["payload"]))
+    assert arr.shape == (2, 2, 3)
+    # nearest-neighbour: top-left pixel keeps the origin color
+    assert tuple(arr[0, 0]) == (0, 0, 128)
+    assert rs[3]["payload"] is None

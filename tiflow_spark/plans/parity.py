@@ -4028,3 +4028,30 @@ def q_snapshot_merge_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after.balance").alias("balance"),
     )
     return merge_preserving_extra_columns(snapshot, changes, ["id"])
+
+
+# ---------------------------------------- real PPM image decode (round 4)
+
+
+@register(
+    "mm_decode_real",
+    """
+SELECT doc_id AS media_id,
+  CAST(2 + doc_id % 7 AS INT) AS dec_width,
+  CAST(2 + doc_id % 3 AS INT) AS dec_height,
+  round(30.0 * (2 + doc_id % 7 - 1) / 2, 6) AS mean_r,
+  round(60.0 * (2 + doc_id % 3 - 1) / 2, 6) AS mean_g,
+  CAST(128.0 AS DOUBLE) AS mean_b
+FROM documents""",
+)
+def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: per-doc gradient PPMs (genuine binary image
+    format, no codec libs) decoded by the Arrow-batched numpy decoder —
+    dimensions and channel means come from the pixel data and must equal
+    their closed forms (llm/multimodal.decode_images). Compressed formats
+    remain behind documented stubs; this proves the decode plumbing with a
+    format the sandbox CAN decode."""
+    from tiflow_spark.llm.multimodal import decode_images, synthesize_ppm_media
+
+    media = synthesize_ppm_media(_docs(spark, sf_dir))
+    return decode_images(media)
