@@ -466,3 +466,20 @@ def test_real_ppm_decode_and_resize(spark):
     # nearest-neighbour: top-left pixel keeps the origin color
     assert tuple(arr[0, 0]) == (0, 0, 128)
     assert rs[3]["payload"] is None
+
+
+def test_real_wav_decode(spark):
+    from tiflow_spark.llm.multimodal import decode_audio, encode_wav_pcm16
+
+    # a real 16-bit PCM WAV: 8 kHz, 0.25 s square-ish wave, peak 12000
+    samples = ([12000] * 100 + [-12000] * 100) * 10
+    wav = encode_wav_pcm16(8000, samples)
+    media = spark.createDataFrame(
+        [(1, wav), (2, b"ID3 not a wav")], "media_id LONG, payload BINARY"
+    )
+    out = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert out[1]["sample_rate"] == 8000
+    assert out[1]["n_samples"] == 2000
+    assert out[1]["duration_ms"] == 250
+    assert out[1]["peak"] == 12000
+    assert out[2]["sample_rate"] is None

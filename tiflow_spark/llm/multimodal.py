@@ -310,3 +310,99 @@ def synthesize_ppm_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     return docs.select("doc_id").mapInPandas(run, out_schema)
+
+
+# ------------------------------ real decode for uncompressed audio (WAV)
+
+
+def encode_wav_pcm16(sample_rate: int, samples) -> bytes:
+    """Build a real mono 16-bit PCM WAV (RIFF) from an int16 iterable —
+    fixture-side synthesis without any audio library."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for mono 16-bit PCM WAV — pure struct+numpy.
+    Returns (sample_rate, np.int16 array) or None for anything else
+    (compressed audio stays behind the documented stubs)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    # walk RIFF chunks: fmt then data (tolerates extra chunks between)
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        return None
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode of WAV payloads: sample count, duration,
+    peak amplitude — from the samples, not trusted metadata."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                dec = decode_wav(bytes(payload))
+                if dec is None:
+                    rows.append((mid, None, None, None, None))
+                else:
+                    rate, samples = dec
+                    rows.append(
+                        (
+                            mid,
+                            rate,
+                            len(samples),
+                            len(samples) * 1000 // rate,
+                            int(abs(samples.astype("i4")).max())
+                            if len(samples)
+                            else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "peak",
+                ],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)
