@@ -42,6 +42,8 @@ _PRIORITY = [
     "cdc_force_replicate",
     "snapshot_merge_partial",
     "mm_decode_real",
+    "olap_disjunctive_revenue",
+    "olap_small_qty_revenue",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

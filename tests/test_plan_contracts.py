@@ -429,3 +429,23 @@ def test_partial_merge_is_keyed_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_disjunctive_revenue_single_pass(spark, sf_dir):
+    """Q19 shape: ONE broadcast join, no union-of-scans, quantity arms
+    pushed to the lineitem side where possible."""
+    fn, _ = REGISTRY["olap_disjunctive_revenue"]
+    plan = plan_of(fn(spark, sf_dir))
+    # lineitem + part read ONCE each (detail-section node headers)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2
+    assert "BroadcastHashJoin" in plan
+    assert "Union" not in plan
+
+
+def test_small_qty_subquery_decorrelates(spark, sf_dir):
+    """Q17 shape: the correlated scalar subquery must run as ONE per-part
+    aggregate joined back — no nested-loop re-execution per row."""
+    fn, _ = REGISTRY["olap_small_qty_revenue"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -507,3 +507,85 @@ WITH slid AS (
 SELECT window_start, event_type,
        count(*) AS events, count(DISTINCT user_id) AS users
 FROM slid GROUP BY 1, 2"""
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under a disjunction of (brand, size,
+    quantity) conjunctions — the classic test that an OR-of-ANDs predicate
+    still evaluates as ONE pass (single broadcast join, predicate in the
+    join, no union-of-three-scans). Exact decimal revenue → double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    arm = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return j.filter(arm).agg(
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT {_REVENUE_SQL} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue of orders below 20% of their part's average
+    quantity — a correlated scalar subquery Catalyst must decorrelate into
+    a per-part aggregate + join (never a per-row re-scan). Quantities are
+    integral doubles, so per-part averages are exact-rounded and
+    order-independent; revenue stays decimal until the final division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 4
+        ).alias("avg_yearly")
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)"""

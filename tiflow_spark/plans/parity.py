@@ -4055,3 +4055,40 @@ def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_ppm_media(_docs(spark, sf_dir))
     return decode_images(media)
+
+
+# ------------------------------------- Q19/Q17-style analytics (round 4)
+
+
+@register("olap_disjunctive_revenue", None)  # oracle installed below
+def q_olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate evaluated in ONE broadcast join
+    pass (plans/analytics.disjunctive_revenue)."""
+    from tiflow_spark.plans.analytics import disjunctive_revenue
+
+    return disjunctive_revenue(spark, sf_dir)
+
+
+@register("olap_small_qty_revenue", None)  # oracle installed below
+def q_olap_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery decorrelated to a per-part
+    aggregate + join (plans/analytics.small_quantity_revenue)."""
+    from tiflow_spark.plans.analytics import small_quantity_revenue
+
+    return small_quantity_revenue(spark, sf_dir)
+
+
+def _install_q19_q17_sql() -> None:
+    from tiflow_spark.plans import analytics as an
+
+    REGISTRY["olap_disjunctive_revenue"] = (
+        REGISTRY["olap_disjunctive_revenue"][0],
+        an.DISJUNCTIVE_REVENUE_SQL,
+    )
+    REGISTRY["olap_small_qty_revenue"] = (
+        REGISTRY["olap_small_qty_revenue"][0],
+        an.SMALL_QUANTITY_REVENUE_SQL,
+    )
+
+
+_install_q19_q17_sql()
