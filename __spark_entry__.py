@@ -44,6 +44,8 @@ _PRIORITY = [
     "mm_decode_real",
     "olap_disjunctive_revenue",
     "olap_small_qty_revenue",
+    "olap_lost_customers",
+    "olap_waiting_suppliers",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

@@ -449,3 +449,21 @@ def test_small_qty_subquery_decorrelates(spark, sf_dir):
     plan = plan_of(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lost_customers_uses_anti_join(spark, sf_dir):
+    """Q22 shape: the no-orders predicate must compile to a LeftAnti join,
+    never a per-row subquery re-scan."""
+    fn, _ = REGISTRY["olap_lost_customers"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_waiting_suppliers_semi_and_anti(spark, sf_dir):
+    """Q21 shape: one LeftSemi (another supplier exists) and one LeftAnti
+    (no other late supplier) over the fact table."""
+    fn, _ = REGISTRY["olap_waiting_suppliers"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

@@ -589,3 +589,108 @@ WHERE p_brand = 'Brand#23'
   AND l_quantity < (
     SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
     WHERE l2.l_partkey = l.l_partkey)"""
+
+
+def lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: per nation, count customers with above-average
+    positive balances who have placed NO orders — the left-anti join +
+    uncorrelated scalar-average shape. The average is sum(DECIMAL) cast to
+    double ÷ count (one correctly-rounded division, order-independent) and
+    per-nation totals stay decimal until the final cast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    rich = pos.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    no_orders = rich.join(
+        orders.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+LOST_CUSTOMERS_SQL = """
+WITH ab AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > 0.0 AND c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers who were the ONLY late shipper on a
+    multi-supplier order — a semi-join (another supplier participated) plus
+    an anti-join (no other supplier was also late) over the same fact
+    table. Late = shipped after the order's 80th percentile... simplified:
+    l_shipdate in the last 30 days of the order's lineitem span. Counts
+    only — integer-exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    span = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("max_ship"))
+    flagged = li.join(span, "l_orderkey").withColumn(
+        "late", F.col("l_shipdate") == F.col("max_ship")
+    )
+    l1 = flagged.filter(F.col("late"))
+    others = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    has_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    late_others = flagged.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    ).distinct()
+    sole_late = has_other.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .filter(F.col("numwait") >= 2)
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH span AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1
+),
+flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate = s.max_ship AS late
+  FROM lineitem l JOIN span s ON l.l_orderkey = s.l_orderkey
+),
+l1 AS (SELECT * FROM flagged WHERE late)
+SELECT l_suppkey, count(DISTINCT l_orderkey) AS numwait
+FROM l1
+WHERE EXISTS (
+    SELECT 1 FROM lineitem o
+    WHERE o.l_orderkey = l1.l_orderkey AND o.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM flagged f
+    WHERE f.l_orderkey = l1.l_orderkey AND f.l_suppkey <> l1.l_suppkey
+      AND f.late)
+GROUP BY 1
+HAVING count(DISTINCT l_orderkey) >= 2"""

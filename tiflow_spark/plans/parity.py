@@ -4092,3 +4092,41 @@ def _install_q19_q17_sql() -> None:
 
 
 _install_q19_q17_sql()
+
+
+# ----------------------------------- Q22/Q21-style analytics (round 4)
+
+
+@register("olap_lost_customers", None)  # oracle installed below
+def q_olap_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average balances with NO orders — left-anti join +
+    broadcast scalar average (plans/analytics.lost_customers)."""
+    from tiflow_spark.plans.analytics import lost_customers
+
+    return lost_customers(spark, sf_dir)
+
+
+@register("olap_waiting_suppliers", None)  # oracle installed below
+def q_olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: sole-late supplier on multi-supplier orders — semi +
+    anti join over the same fact table
+    (plans/analytics.waiting_suppliers)."""
+    from tiflow_spark.plans.analytics import waiting_suppliers
+
+    return waiting_suppliers(spark, sf_dir)
+
+
+def _install_q22_q21_sql() -> None:
+    from tiflow_spark.plans import analytics as an
+
+    REGISTRY["olap_lost_customers"] = (
+        REGISTRY["olap_lost_customers"][0],
+        an.LOST_CUSTOMERS_SQL,
+    )
+    REGISTRY["olap_waiting_suppliers"] = (
+        REGISTRY["olap_waiting_suppliers"][0],
+        an.WAITING_SUPPLIERS_SQL,
+    )
+
+
+_install_q22_q21_sql()
