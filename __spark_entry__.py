@@ -46,6 +46,7 @@ _PRIORITY = [
     "olap_small_qty_revenue",
     "olap_lost_customers",
     "olap_waiting_suppliers",
+    "corpus_select_budget",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

@@ -483,3 +483,36 @@ def test_real_wav_decode(spark):
     assert out[1]["duration_ms"] == 250
     assert out[1]["peak"] == 12000
     assert out[2]["sample_rate"] is None
+
+
+def test_select_within_budget_greedy_cut(spark):
+    from tiflow_spark.llm.sampling import select_within_budget
+
+    rows = [
+        # (doc_id, q, n_tokens)
+        (1, 0.9, 100),
+        (2, 0.9, 100),
+        (3, 0.5, 100),
+        (4, 0.5, 500),  # same band, later id — crosses budget
+        (5, 0.1, 10),   # worse quality, would fit, but comes after the cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, q DOUBLE, n_tokens LONG")
+    out = {r["doc_id"]: r for r in select_within_budget(docs, 350).collect()}
+    # greedy order 1,2,3 consumes 300; 4 would cross 350; 5 ranks after 4
+    # but the conservative cut is prefix-based only for cum_before: doc 5's
+    # cum_before counts docs 1-4 (800) so it is excluded too
+    assert set(out) == {1, 2, 3}
+    assert out[3]["cum_before"] == 200
+
+
+def test_select_within_budget_no_global_window(spark, sf_dir):
+    from tiflow_spark.plans.parity import REGISTRY
+
+    fn, _ = REGISTRY["corpus_select_budget"]
+    plan_df = fn(spark, sf_dir)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    # a single-partition global sort would appear as Exchange SinglePartition
+    # feeding a Window — the scale-killer this operator exists to avoid
+    import re
+
+    assert not re.search(r"Exchange SinglePartition.*\n.*Window", plan)

@@ -323,3 +323,87 @@ def epoch_shuffle_sql(
       row_number() OVER (PARTITION BY shard ORDER BY h, {id_col}) AS pos
     FROM (SELECT {id_col}, {h} AS h, ({h}) % {n_shards} AS shard
           FROM {table})"""
+
+
+def select_within_budget(
+    docs: DataFrame,
+    token_budget: int,
+    quality_col: str = "q",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budget-constrained corpus selection: greedily take the
+    highest-quality documents until the total token budget is spent — the
+    "best N tokens" cut every data-mixing recipe ends with.
+
+    Order = (quality DESC, id ASC); a doc is selected when the cumulative
+    tokens of everything ranked before it stay under the budget (the
+    boundary doc that first crosses the budget is excluded — conservative
+    cut, never overshoots).
+
+    Scale shape — NO global ``ORDER BY``-the-world window: quality scores
+    are discrete (rounded), so the running total is a two-phase
+    distributed prefix sum: a window PARTITIONED BY quality band (parallel
+    across the cluster), plus a band-level offset table that is
+    metadata-scale (distinct quality values) and broadcast back. Same
+    construction as llm/packing's token prefix sum.
+
+    Output: id_col, quality_col, tokens_col, cum_before (tokens consumed
+    by strictly-better-ranked docs).
+    """
+    from pyspark.sql import Window
+
+    q = F.col(quality_col)
+    in_band = Window.partitionBy(quality_col).orderBy(id_col)
+    banded = docs.select(id_col, quality_col, tokens_col).withColumn(
+        "_in_band_cum",
+        F.sum(tokens_col).over(
+            in_band.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    band_totals = banded.groupBy(quality_col).agg(
+        F.max("_in_band_cum").alias("_band_total")
+    )
+    band_order = Window.orderBy(F.col(quality_col).desc())
+    offsets = band_totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_band_total").over(
+                band_order.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(quality_col, "_offset")
+    out = banded.join(F.broadcast(offsets), quality_col).withColumn(
+        "cum_before",
+        F.col("_offset") + F.col("_in_band_cum") - F.col(tokens_col),
+    )
+    return (
+        out.filter(F.col("cum_before") + F.col(tokens_col) <= token_budget)
+        .select(id_col, quality_col, tokens_col, "cum_before")
+    )
+
+
+def select_within_budget_sql(
+    token_budget: int,
+    quality_expr: str,
+    tokens_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the same cut expressed as one global window (the oracle
+    can afford ORDER BY-the-world; the engine must not)."""
+    return f"""
+    WITH scored AS (
+      SELECT {id_col}, {quality_expr} AS q, {tokens_expr} AS n_tokens
+      FROM {table}
+    ), ranked AS (
+      SELECT *,
+        CAST(coalesce(sum(n_tokens) OVER (
+          ORDER BY q DESC, {id_col}
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before
+      FROM scored
+    )
+    SELECT {id_col}, q, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before
+    FROM ranked WHERE cum_before + n_tokens <= {token_budget}"""

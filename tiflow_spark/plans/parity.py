@@ -4130,3 +4130,51 @@ def _install_q22_q21_sql() -> None:
 
 
 _install_q22_q21_sql()
+
+
+# ------------------------------- budget-constrained selection (round 4)
+
+_BUDGET = 6000
+
+
+@register("corpus_select_budget", None)  # oracle installed below
+def q_corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-quality docs under a global token budget: (quality DESC, id)
+    greedy cut via a two-phase distributed prefix sum over discrete
+    quality bands — never an ORDER-BY-the-world window
+    (llm/sampling.select_within_budget)."""
+    from tiflow_spark.llm.sampling import select_within_budget
+    from tiflow_spark.llm.textstats import quality_score, tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return select_within_budget(docs, _BUDGET)
+
+
+def _install_budget_sql() -> None:
+    from tiflow_spark.llm.textstats import quality_features_sql
+
+    REGISTRY["corpus_select_budget"] = (
+        REGISTRY["corpus_select_budget"][0],
+        f"""
+    WITH qf AS ({quality_features_sql()}),
+    scored AS (
+      SELECT doc_id, quality_score AS q, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM qf
+    ), ranked AS (
+      SELECT *,
+        CAST(coalesce(sum(n_tokens) OVER (
+          ORDER BY q DESC, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before
+      FROM scored
+    )
+    SELECT doc_id, q, n_tokens, cum_before
+    FROM ranked WHERE cum_before + n_tokens <= {_BUDGET}""",
+    )
+
+
+_install_budget_sql()
