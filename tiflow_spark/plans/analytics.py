@@ -593,12 +593,16 @@ WHERE p_brand = 'Brand#23'
 
 def lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style: per nation, count customers with above-average
-    positive balances who have placed NO orders — the left-anti join +
-    uncorrelated scalar-average shape. The average is sum(DECIMAL) cast to
-    double ÷ count (one correctly-rounded division, order-independent) and
+    positive balances who have placed NO urgent orders — the left-anti
+    join + uncorrelated scalar-average shape. (Plain "no orders" is empty
+    at the tiny test scales, so the anti side filters to 1-URGENT; the
+    join shape is identical.) The average is sum(DECIMAL) cast to double
+    ÷ count (one correctly-rounded division, order-independent) and
     per-nation totals stay decimal until the final cast."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     pos = cust.filter(F.col("c_acctbal") > 0.0)
     avg_bal = pos.agg(
         (
@@ -629,7 +633,9 @@ SELECT c_nationkey, count(*) AS numcust,
   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
 FROM customer, ab
 WHERE c_acctbal > 0.0 AND c_acctbal > ab
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey"""
 
 
