@@ -47,6 +47,7 @@ _PRIORITY = [
     "olap_lost_customers",
     "olap_waiting_suppliers",
     "corpus_select_budget",
+    "olap_top_supplier",
     "stream_delta_merge",
     "cdc_txn_split",
     "cdc_txn_holdout_wm",

@@ -4178,3 +4178,28 @@ def _install_budget_sql() -> None:
 
 
 _install_budget_sql()
+
+
+# --------------------------------------- Q15-style top supplier (round 4)
+
+
+@register("olap_top_supplier", None)  # oracle installed below
+def q_olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: max-revenue supplier via a scalar max over a reused
+    aggregate; exact-decimal revenue makes the equality stable
+    (plans/analytics.top_supplier)."""
+    from tiflow_spark.plans.analytics import top_supplier
+
+    return top_supplier(spark, sf_dir)
+
+
+def _install_q15_sql() -> None:
+    from tiflow_spark.plans import analytics as an
+
+    REGISTRY["olap_top_supplier"] = (
+        REGISTRY["olap_top_supplier"][0],
+        an.TOP_SUPPLIER_SQL,
+    )
+
+
+_install_q15_sql()
