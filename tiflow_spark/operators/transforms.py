@@ -318,3 +318,46 @@ def force_replicate_key(env: DataFrame) -> DataFrame:
         F.col("_e.before").alias("before"),
         F.col("_e.after").alias("after"),
     )
+
+
+def rekey_by_handle(resolved: DataFrame) -> DataFrame:
+    """Recompute the dispatch/causality ``key`` from the REGISTRY's as-of
+    handle-key columns — the engine-side of HandleKeyFlag selection
+    (cdc/model/sink.go:62-205; partition/index_value.go:27-100 hashes the
+    handle-key values): the key is no longer a caller-supplied column but
+    whatever PK/first-UK the DDL history declares *at each event's
+    commit_ts*, so a mid-stream ADD/DROP PRIMARY KEY re-keys subsequent
+    events exactly as the reference's mounter would.
+
+    Input is ``asof_resolve(..., with_keys=True)`` output (carries
+    ``handle_cols``). Map-only: the payload struct is folded into a
+    name→value map once and the handle columns are looked up per row —
+    stays in whole-stage codegen, no shuffle, no UDF. Rows whose as-of
+    schema has NO handle key (PK-less, UK-less) get a NULL key — callers
+    route those through :func:`force_replicate_key` (force-replicate mode).
+    """
+    side = resolved.schema["after"].dataType
+    names = [f.name for f in side.fields]
+    vals = F.map_from_arrays(
+        F.array(*[F.lit(n) for n in names]),
+        F.array(
+            *[
+                F.coalesce(
+                    F.col(f"after.{n}").cast("string"),
+                    F.col(f"before.{n}").cast("string"),
+                )
+                for n in names
+            ]
+        ),
+    )
+    key = F.when(
+        F.col("handle_cols").isNotNull() & (F.size("handle_cols") > 0),
+        F.concat_ws(
+            "\x01",
+            F.transform(
+                F.col("handle_cols"),
+                lambda c: F.coalesce(F.element_at(vals, c), F.lit("")),
+            ),
+        ),
+    )
+    return resolved.withColumn("key", key)

@@ -1283,6 +1283,156 @@ def q_ddl_multi_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- key-metadata lineage: pk is neither first nor named `id`; DROP/ADD
+# PRIMARY KEY and UNIQUE INDEX DDL move the handle key mid-history
+# (ColumnFlagType, cdc/model/sink.go:62-205; handle-key selection pk→first
+# UK). Non-unique index DDL is decode-neutral and must NOT emit a version.
+_DDL4 = [
+    (1, 0, "acct", "create table",
+     "CREATE TABLE acct (seqno BIGINT, acct_no VARCHAR, bal DOUBLE, "
+     "PRIMARY KEY (acct_no), UNIQUE KEY uq_seq (seqno))"),
+    (2, 2, "acct", "add column",
+     "ALTER TABLE acct ADD COLUMN region VARCHAR DEFAULT 'na'"),
+    (3, 4, "acct", "drop primary key",
+     "ALTER TABLE acct DROP PRIMARY KEY"),
+    (4, 6, "acct", "add primary key",
+     "ALTER TABLE acct ADD PRIMARY KEY (seqno, acct_no)"),
+    (5, 8, "acct", "create index",
+     "CREATE UNIQUE INDEX uq_bal ON acct (bal)"),
+    (6, 9, "acct", "create index",
+     "CREATE INDEX ix_region ON acct (region)"),
+    (7, 10, "acct", "drop index",
+     "DROP INDEX uq_seq ON acct"),
+]
+
+
+def _ddl_fixture_stream(
+    spark: SparkSession, sf_dir: str, templates: list
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(epoch_us("ts")).alias("t0"),
+        F.max(epoch_us("ts")).alias("t1"),
+    )
+    tpl = spark.createDataFrame(
+        templates,
+        "seq long, pos12 long, table string, ddl_type string, query string",
+    )
+    return bounds.crossJoin(F.broadcast(tpl)).select(
+        F.lit("DDL").alias("op"),
+        F.lit("shard_0").alias("schema"),
+        "table",
+        (F.col("t0") + F.expr("(t1 - t0) * pos12 div 12")).alias("commit_ts"),
+        "seq",
+        "ddl_type",
+        "query",
+    )
+
+
+@register(
+    "ddl_key_metadata",
+    """WITH b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    expected AS (SELECT * FROM (VALUES
+      (1, 0, 'seqno,acct_no,bal', 'acct_no', 'seqno', 'acct_no'),
+      (2, 2, 'seqno,acct_no,bal,region', 'acct_no', 'seqno', 'acct_no'),
+      (3, 4, 'seqno,acct_no,bal,region', '', 'seqno', 'seqno'),
+      (4, 6, 'seqno,acct_no,bal,region', 'seqno,acct_no', 'seqno',
+       'seqno,acct_no'),
+      (5, 8, 'seqno,acct_no,bal,region', 'seqno,acct_no', 'seqno;bal',
+       'seqno,acct_no'),
+      (6, 10, 'seqno,acct_no,bal,region', 'seqno,acct_no', 'bal',
+       'seqno,acct_no'))
+      v(version_no, pos12, columns_csv, pk_csv, uk_csv, handle_csv))
+    SELECT 'acct' AS "table",
+           t0 + (t1 - t0) * pos12 // 12 AS version_ts,
+           version_no, columns_csv, pk_csv, uk_csv, handle_csv
+    FROM expected CROSS JOIN b""",
+)
+def q_ddl_key_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK/UK/handle-key metadata folded from raw DDL into the registry
+    (cdc/model/sink.go:62-205 ColumnFlagType; schema_storage.go
+    HandleDDLJob): a table whose pk is neither first nor named `id`,
+    composite ADD PRIMARY KEY, handle-key fallback to the first UNIQUE
+    key after DROP PRIMARY KEY, UNIQUE INDEX create/drop versioning, and
+    a non-unique index that must stay decode-neutral (no version)."""
+    reg = registry_from_ddl(_ddl_fixture_stream(spark, sf_dir, _DDL4))
+    return reg.select(
+        "table",
+        "version_ts",
+        "version_no",
+        F.concat_ws(",", "columns").alias("columns_csv"),
+        F.concat_ws(",", "pk_cols").alias("pk_csv"),
+        F.concat_ws(
+            ";", F.transform("uk_sets", lambda s: F.concat_ws(",", s))
+        ).alias("uk_csv"),
+        F.concat_ws(",", "handle_cols").alias("handle_csv"),
+    )
+
+
+# --- registry-driven handle-key dispatch: the demo payload table keyed by
+# (note, id) until a mid-stream pk swap to (id) — index-value partitioning
+# must follow the registry, not a caller-supplied column
+_DDL5 = [
+    (1, 0, "events", "create table",
+     "CREATE TABLE events (id BIGINT, balance DOUBLE, note VARCHAR, "
+     "PRIMARY KEY (note, id))"),
+    (2, 6, "events", "multi schema change",
+     "ALTER TABLE events DROP PRIMARY KEY, ADD PRIMARY KEY (id)"),
+]
+
+_HK_PRE = (
+    "coalesce(coalesce(after_note, before_note), '') || chr(1) || "
+    "coalesce(CAST(coalesce(after_id, before_id) AS VARCHAR), '')"
+)
+_HK_POST = "coalesce(CAST(coalesce(after_id, before_id) AS VARCHAR), '')"
+
+
+@register(
+    "cdc_handle_key_dispatch",
+    f"""{ENV_CTE}, b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    keyed AS (
+      SELECT
+        CASE WHEN commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 2 ELSE 1 END
+          AS version_no,
+        CASE WHEN commit_ts >= t0 + (t1 - t0) * 6 // 12
+             THEN {_HK_POST} ELSE {_HK_PRE} END AS hkey,
+        "schema", "table"
+      FROM env CROSS JOIN b
+    ),
+    disp AS (
+      SELECT version_no,
+        CAST((('0x' || substr(md5("schema" || chr(1) || "table" || chr(1)
+          || hkey), 1, 15))::BIGINT) % 16 AS INT) AS partition
+      FROM keyed)
+    SELECT version_no, partition, count(*) AS cnt
+    FROM disp GROUP BY 1, 2""",
+)
+def q_handle_key_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-value dispatch keyed by the REGISTRY's as-of handle key
+    (partition/index_value.go:27-100 hashes handle-key values;
+    HandleKeyFlag from cdc/model/sink.go): events before the mid-stream
+    pk swap partition by (note, id), after it by (id) — the key column is
+    recomputed from DDL history, not supplied by the caller."""
+    from tiflow_spark.operators.dispatchers import partition_column
+    from tiflow_spark.operators.transforms import rekey_by_handle
+    from tiflow_spark.sources.schema_registry import asof_resolve
+
+    env = _env(spark, sf_dir).withColumn("logical_table", F.lit("events"))
+    reg = registry_from_ddl(_ddl_fixture_stream(spark, sf_dir, _DDL5))
+    resolved = asof_resolve(env, reg, with_keys=True)
+    rekeyed = rekey_by_handle(resolved)
+    d = rekeyed.withColumn(
+        "partition", partition_column("index-value", 16)
+    )
+    return d.groupBy("version_no", "partition").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 @register(
     "snapshot_merge",
     f"""{ENV_CTE},
@@ -1823,7 +1973,11 @@ def _storage_dir(spark: SparkSession, sf_dir: str) -> str:
 
         base = tempfile.mkdtemp(prefix="tiflow_storage_")
         write_storage_sink(
-            _env(spark, sf_dir), base, StorageSinkConfig(max_records_per_file=50)
+            _env(spark, sf_dir),
+            base,
+            # pk from the demo DDL lineage (CREATE TABLE events ... id
+            # BIGINT PRIMARY KEY) — changefeed config, not an engine guess
+            StorageSinkConfig(max_records_per_file=50, pk_cols=("id",)),
         )
         _STORAGE_DIRS[sf_dir] = base
     return _STORAGE_DIRS[sf_dir]

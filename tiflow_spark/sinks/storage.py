@@ -49,6 +49,11 @@ class StorageSinkConfig:
     file_index_width: int = 6  # config.DefaultFileIndexWidth
     max_records_per_file: int = 100_000  # rotation knob (reference: bytes)
     csv: CsvConfig = CsvConfig()
+    # primary-key columns for schema.json ColumnIsPk/ColumnNullable —
+    # supplied by the caller from the DDL registry (pk_cols) or changefeed
+    # config; empty means unknown and no column is flagged (the reference
+    # reads this off TableInfo, table_definition.go FromTableInfo)
+    pk_cols: tuple[str, ...] = ()
 
 
 def _with_date(env: DataFrame, cfg: StorageSinkConfig) -> DataFrame:
@@ -153,8 +158,10 @@ def _write_schema_files(
         {
             "ColumnName": f.name,
             "ColumnType": _spark_to_mysql_type(f.dataType),
-            "ColumnNullable": "true" if f.nullable else "false",
-            "ColumnIsPk": "true" if f.name == "id" else "false",
+            "ColumnNullable": "false"
+            if f.name in cfg.pk_cols
+            else ("true" if f.nullable else "false"),
+            "ColumnIsPk": "true" if f.name in cfg.pk_cols else "false",
         }
         for f in side.fields  # type: ignore[union-attr]
     ]
@@ -266,23 +273,28 @@ def write_ddl_schema_versions(
     can decode data files written under ANY historical table version.
 
     Column types come from the registry's DDL-parsed ``types`` map (the
-    TableInfo analog); ``type_of`` only overrides/fills gaps. The first
-    column is reported as the PK, the handle-key convention of the envelope.
+    TableInfo analog); ``type_of`` only overrides/fills gaps. ColumnIsPk /
+    ColumnNullable derive from the registry's DDL-parsed key metadata
+    (``pk_cols`` / ``handle_cols``, cdc/model/sink.go:62-205 ColumnFlagType;
+    pkg/sink/cloudstorage/table_definition.go) — no positional or name
+    heuristics.
 
     The registry is tiny (one row per version) — the driver-side loop is
     bounded metadata work, same as the reference's DDL sink. Returns the
     written paths."""
     type_of = type_of or {}
     written = []
+    has_keys = "pk_cols" in registry.columns
     for row in registry.collect():
         row_types = dict(row["types"]) if "types" in row and row["types"] else {}
-        pk = row["columns"][0] if row["columns"] else None
+        pk = set(row["pk_cols"] or ()) if has_keys else set()
+        handle = set(row["handle_cols"] or ()) if has_keys else set()
         cols = [
             {
                 "ColumnName": c,
                 "ColumnType": type_of.get(c, row_types.get(c, "VARCHAR")),
-                "ColumnNullable": "false" if c == pk else "true",
-                "ColumnIsPk": "true" if c == pk else "false",
+                "ColumnNullable": "false" if c in pk or c in handle else "true",
+                "ColumnIsPk": "true" if c in pk else "false",
                 **(
                     {"ColumnDefault": row["defaults"][c]}
                     if row["defaults"] and c in row["defaults"]

@@ -43,6 +43,8 @@ class DDLOp:
     rename_to: str | None = None  # rename target table name
     pk_columns: tuple[str, ...] = ()  # inline + table-level PRIMARY KEY
     unique_keys: tuple[tuple[str, ...], ...] = ()  # UNIQUE KEY column sets
+    unique_key_names: tuple[str | None, ...] = ()  # aligned with unique_keys
+    key_name: str | None = None  # named index (ADD UNIQUE uq.../DROP INDEX uq)
     charset: str | None = None  # table-option DEFAULT CHARSET
     collate: str | None = None  # table-option COLLATE
     sub_ops: tuple["DDLOp", ...] = ()  # multi schema change actions, in order
@@ -111,7 +113,7 @@ _PK_CONSTRAINT = re.compile(
 )
 _UK_CONSTRAINT = re.compile(
     r"(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?UNIQUE"
-    r"(?:\s+KEY|\s+INDEX)?(?:\s+[`\"']?[\w$]+[`\"']?)?\s*\(([^)]*)\)",
+    r"(?:\s+KEY|\s+INDEX)?(?:\s+[`\"']?([\w$]+)[`\"']?)?\s*\(([^)]*)\)",
     re.I,
 )
 _CHARSET_OPT = re.compile(
@@ -213,6 +215,31 @@ def _parse_alter_action(
     a = re.match(rf"^RENAME\s+(?:TO\s+|AS\s+)?{_QUALIFIED}\s*$", action, re.I)
     if a:
         return DDLOp("rename table", schema, table, rename_to=a.group(2))
+    a = re.match(
+        r"^ADD\s+(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?"
+        r"PRIMARY\s+KEY\s*\(([^)]*)\)",
+        action,
+        re.I,
+    )
+    if a:
+        return DDLOp(
+            "add primary key", schema, table, pk_columns=_key_cols(a.group(1))
+        )
+    a = re.match(
+        rf"^ADD\s+(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?UNIQUE"
+        rf"(?:\s+KEY|\s+INDEX)?(?:\s+{_IDENT})?\s*\(([^)]*)\)",
+        action,
+        re.I,
+    )
+    if a:
+        return DDLOp(
+            "create index",
+            schema,
+            table,
+            unique_keys=(_key_cols(a.group(2)),),
+            unique_key_names=(a.group(1),),
+            key_name=a.group(1),
+        )
     a = re.match(r"^ADD\s+(PRIMARY\s+KEY|INDEX|KEY|UNIQUE)", action, re.I)
     if a:
         kind = (
@@ -223,6 +250,9 @@ def _parse_alter_action(
         return DDLOp(kind, schema, table)
     if re.match(r"^DROP\s+PRIMARY\s+KEY", action, re.I):
         return DDLOp("drop primary key", schema, table)
+    a = re.match(rf"^DROP\s+(?:INDEX|KEY)\s+{_IDENT}\s*$", action, re.I)
+    if a:
+        return DDLOp("drop index", schema, table, key_name=a.group(1))
     if re.match(r"^DROP\s+(INDEX|KEY)\s", action, re.I):
         return DDLOp("drop index", schema, table)
     return None
@@ -251,6 +281,7 @@ def parse_ddl(query: str) -> DDLOp | None:
         # reads off SHOW CREATE TABLE, dm/pkg/checker/table_structure.go)
         pk: tuple[str, ...] = tuple(c.name for c in cols if c.is_pk)
         uks: list[tuple[str, ...]] = [(c.name,) for c in cols if c.is_unique]
+        uk_names: list[str | None] = [None for _ in uks]
         for entry in entries:
             e = entry.strip()
             if not _CONSTRAINT_HEAD.match(e):
@@ -261,7 +292,8 @@ def parse_ddl(query: str) -> DDLOp | None:
                 continue
             km = _UK_CONSTRAINT.match(e)
             if km:
-                uks.append(_key_cols(km.group(1)))
+                uks.append(_key_cols(km.group(2)))
+                uk_names.append(km.group(1))
         opts = m.group(4) or ""
         cm, om = _CHARSET_OPT.search(opts), _COLLATE_OPT.search(opts)
         return DDLOp(
@@ -271,6 +303,7 @@ def parse_ddl(query: str) -> DDLOp | None:
             columns=cols,
             pk_columns=pk,
             unique_keys=tuple(uks),
+            unique_key_names=tuple(uk_names),
             charset=cm.group(1).lower() if cm else None,
             collate=om.group(1).lower() if om else None,
         )
@@ -313,6 +346,25 @@ def parse_ddl(query: str) -> DDLOp | None:
     )
     if m:
         return DDLOp("drop table", m.group(1), m.group(2))
+
+    m = re.match(
+        rf"^CREATE\s+(UNIQUE\s+)?INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}"
+        rf"\s*\(([^)]*)\)",
+        q,
+        re.I,
+    )
+    if m:
+        return DDLOp(
+            "create index",
+            m.group(3),
+            m.group(4),
+            unique_keys=(_key_cols(m.group(5)),) if m.group(1) else (),
+            unique_key_names=(m.group(2),) if m.group(1) else (),
+            key_name=m.group(2),
+        )
+    m = re.match(rf"^DROP\s+INDEX\s+{_IDENT}\s+ON\s+{_QUALIFIED}", q, re.I)
+    if m:
+        return DDLOp("drop index", m.group(2), m.group(3), key_name=m.group(1))
 
     for pat, kind in _CLASSIFY:
         if pat.match(q):

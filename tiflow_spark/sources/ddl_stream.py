@@ -177,7 +177,18 @@ def ddl_filter_predicate(cfg) -> F.Column:
 _REGISTRY_SCHEMA = (
     "table string, version_ts long, version_no int, columns array<string>, "
     "defaults map<string,string>, types map<string,string>, "
-    "_defs array<struct<key:string,value:string>>"
+    "_defs array<struct<key:string,value:string>>, "
+    "pk_cols array<string>, uk_sets array<array<string>>, "
+    "handle_cols array<string>"
+)
+
+# key-metadata DDL kinds: they don't change the column set but DO change
+# the row identity the sinks key on (ColumnFlagType PrimaryKey/UniqueKey/
+# HandleKey flags, cdc/model/sink.go:62-205) — a registry version is
+# emitted only when pk/uk state actually changes (non-unique index DDL is
+# decode-neutral and emits nothing, matching the mounter's TableInfo reads).
+_KEY_KINDS = frozenset(
+    {"add primary key", "drop primary key", "create index", "drop index"}
 )
 
 # DDL kinds that change the decode schema and therefore emit a registry
@@ -217,10 +228,35 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
         .orderBy("commit_ts", "seq")
         .collect()
     )
-    # per-table state: ordered list of (name, type, default)
+    # per-table state: ordered list of (name, type, default) + key metadata
     tables: dict[str, list[tuple[str, str, str | None]]] = {}
     version_no: dict[str, int] = {}
+    pks: dict[str, tuple[str, ...]] = {}
+    uks: dict[str, list[tuple[str | None, tuple[str, ...]]]] = {}
     out = []
+
+    def apply_key(kind: str, op, name: str) -> bool:
+        """Fold one key-metadata op; True iff pk/uk state changed."""
+        if kind == "add primary key" and op.pk_columns:
+            pks[name] = tuple(op.pk_columns)
+            return True
+        if kind == "drop primary key":
+            if pks.get(name):
+                pks[name] = ()
+                return True
+            return False
+        if kind == "create index" and op.unique_keys:
+            names = op.unique_key_names or (None,) * len(op.unique_keys)
+            uks.setdefault(name, []).extend(zip(names, op.unique_keys))
+            return True
+        if kind == "drop index" and op.key_name:
+            cur = uks.get(name, [])
+            kept = [(n, c) for n, c in cur if n != op.key_name]
+            if len(kept) != len(cur):
+                uks[name] = kept
+                return True
+        return False
+
     def apply_one(kind: str, op, name: str) -> str | None:
         """One structural op against the fold state; returns the (possibly
         renamed) lineage name, or None when the op was a no-op."""
@@ -229,6 +265,13 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 (c.name, c.col_type, c.default) for c in op.columns
             ]
             version_no[name] = 0
+            pks[name] = tuple(op.pk_columns)
+            uks[name] = list(
+                zip(
+                    op.unique_key_names or (None,) * len(op.unique_keys),
+                    op.unique_keys,
+                )
+            )
         elif name not in tables:
             return None  # untracked lineage (e.g. renamed-away)
         elif kind == "add column":
@@ -240,6 +283,14 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
             tables[name] = [
                 x for x in tables[name] if x[0] != op.drop_column
             ]
+            pks[name] = tuple(
+                c for c in pks.get(name, ()) if c != op.drop_column
+            )
+            uks[name] = [
+                (n, kept)
+                for n, cs in uks.get(name, [])
+                if (kept := tuple(c for c in cs if c != op.drop_column))
+            ]
         elif kind == "modify column":
             c = op.columns[0]
             old = op.old_column or c.name
@@ -247,40 +298,70 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 (c.name, c.col_type, c.default) if x[0] == old else x
                 for x in tables[name]
             ]
+            if old != c.name:  # CHANGE rename flows through key metadata
+                pks[name] = tuple(
+                    c.name if x == old else x for x in pks.get(name, ())
+                )
+                uks[name] = [
+                    (n, tuple(c.name if x == old else x for x in cs))
+                    for n, cs in uks.get(name, [])
+                ]
         elif kind == "rename table":
             tables[op.rename_to] = tables.pop(name)
             version_no[op.rename_to] = version_no.pop(name)
+            pks[op.rename_to] = pks.pop(name, ())
+            uks[op.rename_to] = uks.pop(name, [])
             name = op.rename_to
         return name
 
     for ev in events:
         op = parse_ddl(ev.query)
         kind = op.kind if op is not None else ev.ddl_type
-        if kind not in _SCHEMA_KINDS:
+        if kind in _KEY_KINDS:
+            name = (op.table if op is not None else None) or ev.table
+            if op is None or name not in tables or not apply_key(
+                kind, op, name
+            ):
+                continue  # decode-neutral (non-unique index / unknown key)
+        elif kind not in _SCHEMA_KINDS:
             if kind == "drop table":
                 tables.pop(ev.table, None)
+                pks.pop(ev.table, None)
+                uks.pop(ev.table, None)
             continue
-        name = (op.table if op is not None else None) or ev.table
-        if kind == "multi schema change":
-            # atomic comma-list ALTER: apply every sub-op in statement
-            # order, emit ONE registry version for the whole statement
-            applied = None
-            for sub in op.sub_ops:
-                if sub.kind not in _SCHEMA_KINDS:
-                    continue  # e.g. ADD INDEX riding in the comma list
-                nxt = apply_one(sub.kind, sub, name)
-                if nxt is not None:
-                    name, applied = nxt, True
-            if applied is None:
-                continue
         else:
-            nxt = apply_one(kind, op, name)
-            if nxt is None:
-                continue
-            name = nxt
+            name = (op.table if op is not None else None) or ev.table
+            if kind == "multi schema change":
+                # atomic comma-list ALTER: apply every sub-op in statement
+                # order, emit ONE registry version for the whole statement
+                applied = None
+                for sub in op.sub_ops:
+                    if sub.kind in _KEY_KINDS:
+                        if name in tables and apply_key(sub.kind, sub, name):
+                            applied = True
+                        continue
+                    if sub.kind not in _SCHEMA_KINDS:
+                        continue
+                    nxt = apply_one(sub.kind, sub, name)
+                    if nxt is not None:
+                        name, applied = nxt, True
+                if applied is None:
+                    continue
+            else:
+                nxt = apply_one(kind, op, name)
+                if nxt is None:
+                    continue
+                name = nxt
         version_no[name] += 1
         state = tables[name]
         defs = [(n, d) for n, _, d in state if d is not None]
+        pk = list(pks.get(name, ()))
+        uksets = [list(cs) for _, cs in uks.get(name, [])]
+        # handle key = pk when one exists, else the first unique key
+        # (HandleKeyFlag selection, cdc/model/sink.go; the not-null
+        # precondition on the UK is relaxed here — nullability isn't
+        # tracked in the fold, documented engine-wide)
+        handle = pk if pk else (uksets[0] if uksets else [])
         out.append(
             (
                 name,
@@ -290,6 +371,9 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 dict(defs),
                 {n: t for n, t, _ in state},
                 defs,
+                pk,
+                uksets,
+                handle,
             )
         )
     return spark.createDataFrame(out, _REGISTRY_SCHEMA)

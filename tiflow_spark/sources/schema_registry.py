@@ -26,6 +26,7 @@ def asof_resolve(
     registry: DataFrame,
     event_table_col: str = "logical_table",
     unique_col: str = "seq",
+    with_keys: bool = False,
 ) -> DataFrame:
     """Attach the schema version in effect at each event's commit_ts.
 
@@ -39,11 +40,15 @@ def asof_resolve(
     which at 100 TB is the dominant cost of decode. Version arrays are
     O(DDL count per table) — metadata-scale by construction.
     """
+    fields = ["version_ts", "version_no", "columns", "defaults"]
+    if with_keys:
+        # key metadata rides the same broadcast version array — as-of
+        # handle-key resolution costs nothing extra (ColumnFlagType
+        # propagation, cdc/model/sink.go:62-205)
+        fields += ["pk_cols", "handle_cols"]
     packed = registry.groupBy("table").agg(
         F.array_sort(
-            F.collect_list(
-                F.struct("version_ts", "version_no", "columns", "defaults")
-            ),
+            F.collect_list(F.struct(*fields)),
             # explicit comparator: sort_array can't order map-bearing structs
             lambda a, b: F.when(a["version_ts"] < b["version_ts"], -1)
             .when(a["version_ts"] > b["version_ts"], 1)
@@ -67,6 +72,14 @@ def asof_resolve(
             F.col("_v.version_no").alias("version_no"),
             F.col("_v.columns").alias("columns"),
             F.col("_v.defaults").alias("defaults"),
+            *(
+                [
+                    F.col("_v.pk_cols").alias("pk_cols"),
+                    F.col("_v.handle_cols").alias("handle_cols"),
+                ]
+                if with_keys
+                else []
+            ),
         )
     )
 
