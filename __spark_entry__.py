@@ -27,85 +27,59 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # recent driver-checked rows.  The remainder follows in registration order
 # as regression sentinels.
 _PRIORITY = [
-    # new in round 4 (latest additions first — never driver-checked)
-    "cdc_partition_route",
-    "cdc_charset_decode",
-    "sample_temperature",
-    "text_rarity",
-    "dedup_minhash_capped",
-    "data_epoch_shuffle",
-    "corpus_export_shards",
-    "sim_ann_recall",
-    "corpus_profile",
-    "cdc_generated_columns",
-    "corpus_chunk",
-    "cdc_force_replicate",
-    "snapshot_merge_partial",
-    "mm_decode_real",
-    "olap_disjunctive_revenue",
-    "olap_small_qty_revenue",
-    "olap_lost_customers",
-    "olap_waiting_suppliers",
-    "corpus_select_budget",
-    "olap_top_supplier",
-    "stream_delta_merge",
-    "cdc_txn_split",
-    "cdc_txn_holdout_wm",
-    "cdc_bdr_filter",
-    "codec_handle_key_only",
-    "pack_sequences",
-    "sample_stratified",
-    "mq_consumer_flush",
-    "cdc_safe_mode_window",
-    "olap_order_priority",
-    "olap_late_shipments",
-    "olap_promo_revenue",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_contamination",
-    "corpus_funnel",
-    "cdc_vector_type",
-    "join_asof",
-    "join_range",
-    "olap_user_sessions",
-    "olap_nation_volume",
-    "sink_uri_route",
-    "sim_ann_sq",
-    "olap_sliding_rate",
-    "text_normalize",
-    # no driver row in round 3 (all green in r1/r2) — rotate back in
-    "olap_pricing_summary",
-    "olap_shipping_priority",
-    "olap_daily_event_rollup",
-    "olap_top_spenders",
-    "olap_local_supplier_volume",
-    "olap_large_orders",
+    # new in round 5 (never driver-checked)
+    "ddl_key_metadata",
+    "cdc_handle_key_dispatch",
+    "ddl_default_backfill",
+    "cdc_partition_ddl",
+    "cdc_stored_generated",
+    "shardddl_optimistic_merge",
+    # last driver-checked in round 2 — the longest-unaudited 27
+    "codec_claim_check",
+    "ddl_barrier_plan",
     "ddl_filter",
     "ddl_schema_evolution",
-    "ddl_barrier_plan",
-    "schema_asof_decode",
-    "snapshot_merge",
-    "text_token_counts",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
-    "sim_topk_cosine",
+    "olap_large_orders",
+    "online_ddl_route",
+    "precheck",
+    "schema_asof_decode",
     "sim_ann_lsh",
     "sim_embedding_neardup",
-    "validate_chunk_compare",
-    "validate_row_diff",
-    "validate_repair",
-    "validate_checksum",
-    "sink_storage_roundtrip",
+    "sim_topk_cosine",
     "sink_storage_layout",
+    "sink_storage_roundtrip",
+    "snapshot_merge",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_token_counts",
+    "validate_checksum",
+    "validate_chunk_compare",
     "validate_pending",
-    "precheck",
-    "online_ddl_route",
-    "codec_claim_check",
+    "validate_repair",
+    "validate_row_diff",
+    # last driver-checked in round 3 — next-oldest, fills the 50-cap
+    "cdc_apply",
+    "cdc_compact",
+    "cdc_dispatch",
+    "cdc_envelope",
+    "cdc_filter_stack",
+    "cdc_route_split",
+    "stream_apply",
+    "cdc_causality",
+    "cdc_frontier",
+    "codec_canal_json",
+    "codec_csv",
+    "codec_debezium",
+    "sink_mysql_dml",
+    "sink_mq_roundtrip",
+    "redo_replay",
+    "shardddl_optimistic",
+    "dedup_groups",
 ]
 
 

@@ -462,8 +462,14 @@ def test_lost_customers_uses_anti_join(spark, sf_dir):
 
 def test_waiting_suppliers_semi_and_anti(spark, sf_dir):
     """Q21 shape: one LeftSemi (another supplier exists) and one LeftAnti
-    (no other late supplier) over the fact table."""
+    (no other late supplier) over the fact table — and the driving/semi/
+    anti sides share ONE (orderkey, suppkey) dedup exchange (ReusedExchange)
+    instead of three separate distinct shuffles of the fact table."""
     fn, _ = REGISTRY["olap_waiting_suppliers"]
-    plan = plan_of(fn(spark, sf_dir))
+    df = fn(spark, sf_dir)
+    plan = plan_of(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+    df.collect()  # materialize THIS plan so AQE finalizes exchange reuse
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed

@@ -312,3 +312,114 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, work_dir):
     a = applied.select("target_table", "key", "id", "balance", "note")
     assert a.exceptAll(expected).count() == 0
     assert expected.exceptAll(a).count() == 0
+
+
+# --------------------------------------------- crash-resume e2e (round 5)
+
+
+def _run_crashing_changefeed(spark, src, work_dir, crash):
+    """Drive the changefeed with per-file micro-batches and a fault
+    injection; returns normally when the stream drains, re-raises the
+    injected crash otherwise."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tiflow_spark.streaming.pipeline import (
+        StreamingTarget,
+        read_change_stream,
+    )
+
+    target = StreamingTarget(
+        target_path=os.path.join(work_dir, "target"),
+        progress_path=os.path.join(work_dir, "progress"),
+    )
+
+    def merge(batch, batch_id):
+        crash(batch_id, "pre")  # injection point A: mid-batch, pre-staging
+        target.merge_batch(batch, batch_id)
+
+    stream = transform_stream(
+        read_change_stream(spark, src, max_files=1), DEMO_CFG
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    except StreamingQueryException:
+        pass  # the injected crash killed the query mid-batch
+    return target
+
+
+@pytest.mark.parametrize("point", ["pre", "staged"])
+def test_crash_resume_reaches_oracle_state(spark, sf_dir, work_dir, point):
+    """THE reference e2e guarantee (135 integration scenarios + redo
+    design): kill a RUNNING changefeed mid-batch — either before any
+    staging ('pre') or between staged-write and the _COMMIT marker
+    ('staged') — restart from the Structured Streaming checkpoint, and the
+    final target must hash-equal the never-crashed run. recover() rolls
+    back the uncommitted staging; checkpoint replay redoes the batch;
+    idempotent MERGE makes the redo safe."""
+    import os
+
+    from tiflow_spark.sinks import bucketed
+    from tiflow_spark.sinks.bucketed import read_state
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+    for chunk in (1, 2, 0):  # several files → several micro-batches
+        env.filter(F.col("seq") % 3 == chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    crash_at = {"armed": True}
+
+    def crash(batch_id, where):
+        if point == "pre" and where == "pre" and batch_id == 1 and crash_at["armed"]:
+            crash_at["armed"] = False
+            raise RuntimeError("injected crash: mid-batch before staging")
+
+    if point == "staged":
+        # arm a one-shot crash between the staged write and _COMMIT
+        real = bucketed._atomic_write_json
+
+        def wedge(path, obj):
+            if path.endswith("_COMMIT") and crash_at["armed"]:
+                crash_at["armed"] = False
+                raise RuntimeError("injected crash: staged, no _COMMIT")
+            real(path, obj)
+
+        bucketed._atomic_write_json = wedge
+    try:
+        target = _run_crashing_changefeed(spark, src, work_dir, crash)
+    finally:
+        if point == "staged":
+            bucketed._atomic_write_json = real
+    assert not crash_at["armed"], "injection never fired"
+
+    if point == "staged":
+        # the crash left an uncommitted staging dir behind (the exact
+        # window under test)
+        staging = os.path.join(target.target_path, "_staging")
+        assert os.path.isdir(staging) and os.listdir(staging)
+
+    # restart from the SAME checkpoint — replays the failed batch + rest
+    target2 = _run_crashing_changefeed(
+        spark, src, work_dir, lambda *_: None
+    )
+    applied = read_state(spark, target2.target_path).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+
+    # never-crashed oracle: batch pipeline over the same events
+    expected = changes_to_state(
+        tfm.split_updates(tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)),
+        table_col="target_table",
+    ).select("target_table", "key", "id", "balance", "note")
+    assert applied.count() == expected.count()
+    assert applied.exceptAll(expected).count() == 0
+    assert expected.exceptAll(applied).count() == 0

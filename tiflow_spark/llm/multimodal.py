@@ -178,27 +178,40 @@ def decode_ppm(payload: bytes):
 
     if not payload.startswith(b"P6"):
         return None
-    # header: magic, width, height, maxval — whitespace/comment separated
-    parts: list[int] = []
-    i = 2
-    while len(parts) < 3 and i < len(payload):
-        while i < len(payload) and payload[i : i + 1].isspace():
-            i += 1
-        if payload[i : i + 1] == b"#":  # comment to EOL
-            while i < len(payload) and payload[i : i + 1] != b"\n":
+    # header: magic, width, height, maxval — whitespace/comment separated.
+    # Malformed payloads (truncated header, non-numeric tokens, pixel data
+    # shorter than w*h*3) must degrade to None, not raise: one bad payload
+    # in an Arrow batch would otherwise kill the whole mapInPandas task
+    # while decode_images documents null-row pass-through.
+    try:
+        parts: list[int] = []
+        i = 2
+        while len(parts) < 3 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
                 i += 1
-            continue
-        j = i
-        while j < len(payload) and not payload[j : j + 1].isspace():
-            j += 1
-        parts.append(int(payload[i:j]))
-        i = j
-    w, h, maxval = parts
-    i += 1  # single whitespace after maxval
-    if maxval != 255:
+            if payload[i : i + 1] == b"#":  # comment to EOL
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        if len(parts) < 3:
+            return None
+        w, h, maxval = parts
+        i += 1  # single whitespace after maxval
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        if len(payload) - i < w * h * 3:
+            return None  # truncated pixel data
+        data = np.frombuffer(
+            payload, dtype=np.uint8, count=w * h * 3, offset=i
+        )
+        return data.reshape(h, w, 3)
+    except (ValueError, OverflowError):
         return None
-    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return data.reshape(h, w, 3)
 
 
 def decode_images(media: DataFrame) -> DataFrame:
@@ -345,23 +358,31 @@ def decode_wav(payload: bytes):
 
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    # walk RIFF chunks: fmt then data (tolerates extra chunks between)
-    i, fmt, data = 12, None, None
-    while i + 8 <= len(payload):
-        cid = payload[i : i + 4]
-        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
-        body = payload[i + 8 : i + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data = body
-        i += 8 + size + (size & 1)
-    if fmt is None or data is None:
+    # walk RIFF chunks: fmt then data (tolerates extra chunks between).
+    # Malformed chunks (short fmt body, odd/truncated data) degrade to
+    # None instead of raising — a bad payload must not kill the whole
+    # Arrow batch (decode_audio documents null-row pass-through).
+    try:
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            body = payload[i + 8 : i + 8 + size]
+            if cid == b"fmt ":
+                if len(body) < 16:
+                    return None
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            i += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            return None
+        audio_fmt, channels, rate, _br, _ba, bits = fmt
+        if audio_fmt != 1 or channels != 1 or bits != 16 or rate <= 0:
+            return None
+        return rate, np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2")
+    except (struct.error, ValueError):
         return None
-    audio_fmt, channels, rate, _br, _ba, bits = fmt
-    if audio_fmt != 1 or channels != 1 or bits != 16:
-        return None
-    return rate, np.frombuffer(data, dtype="<i2")
 
 
 def decode_audio(media: DataFrame) -> DataFrame:

@@ -331,6 +331,8 @@ def select_within_budget(
     quality_col: str = "q",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
+    quality_decimals: int | None = None,
+    max_bands: int = 100_000,
 ) -> DataFrame:
     """Budget-constrained corpus selection: greedily take the
     highest-quality documents until the total token budget is spent — the
@@ -350,9 +352,22 @@ def select_within_budget(
 
     Output: id_col, quality_col, tokens_col, cum_before (tokens consumed
     by strictly-better-ranked docs).
+
+    PRECONDITION (enforced): the construction is metadata-scale only while
+    quality is DISCRETE. Near-unique continuous scores degenerate every
+    band to one row, making the offsets table corpus-sized and its window
+    a single-task global sort. Pass ``quality_decimals`` to round
+    continuous scores into bands here (the selection order then ties on
+    id within a rounded band), and/or rely on ``max_bands``: the offset
+    window asserts the band count stays under it and fails fast instead
+    of silently building the degenerate plan.
     """
     from pyspark.sql import Window
 
+    if quality_decimals is not None:
+        docs = docs.withColumn(
+            quality_col, F.round(F.col(quality_col), quality_decimals)
+        )
     q = F.col(quality_col)
     in_band = Window.partitionBy(quality_col).orderBy(id_col)
     banded = docs.select(id_col, quality_col, tokens_col).withColumn(
@@ -371,6 +386,24 @@ def select_within_budget(
             F.sum("_band_total").over(
                 band_order.rowsBetween(Window.unboundedPreceding, -1)
             ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        # discreteness guard: rides the same single-task window (zero cost
+        # when the precondition holds) and raises before the degenerate
+        # corpus-sized table is broadcast. Folded INTO _offset (null-on-
+        # success assert + coalesce 0) so column pruning can't drop it.
+        "_offset",
+        F.col("_offset")
+        + F.coalesce(
+            F.assert_true(
+                F.row_number().over(band_order) <= max_bands,
+                F.lit(
+                    f"select_within_budget: > {max_bands} distinct quality "
+                    "bands — quality looks continuous; pass "
+                    "quality_decimals to band it"
+                ),
+            ).cast("long"),
             F.lit(0),
         ),
     ).select(quality_col, "_offset")

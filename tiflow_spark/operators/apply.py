@@ -112,3 +112,37 @@ def merge_preserving_extra_columns(
     for c in missing:
         out[c] = F.col(c).alias(c)  # joined carries only the snapshot's copy
     return joined.filter(keep).select(*[out[c] for c in snapshot.columns])
+
+
+def recompute_stored_columns(
+    state: DataFrame, registry: DataFrame, table: str
+) -> DataFrame:
+    """Recompute STORED generated columns into an applied table image.
+
+    MySQL materializes STORED generated columns on write; replicating into
+    a target that lacks the source's generator means the sink must compute
+    them (the reference reads generated-ness off TableInfo — ColumnFlagType
+    GeneratedColumnFlag, cdc/model/sink.go:62-205 — and expr_filter.go:
+    251-382 getGenerateExpr evaluates the expression; STORED columns are
+    part of the persisted row). The registry's LATEST version for ``table``
+    supplies (gen_exprs, gen_stored); each stored column is appended as a
+    codegen'd F.expr over the state's own columns — map-only, no shuffle.
+
+    The registry read is a metadata-scale collect (one row per schema
+    version), bounded like every other registry fold.
+    """
+    rows = sorted(
+        registry.filter(F.col("table") == table)
+        .select("version_no", "gen_exprs", "gen_stored")
+        .collect(),
+        key=lambda r: r["version_no"],
+    )
+    if not rows:
+        return state
+    latest = rows[-1]
+    out = state
+    for col in latest["gen_stored"] or []:
+        expr = (latest["gen_exprs"] or {}).get(col)
+        if expr:
+            out = out.withColumn(col, F.expr(expr))
+    return out

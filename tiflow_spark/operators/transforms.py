@@ -227,12 +227,21 @@ def with_generated_columns(
     only when the image is non-null (a D event has no after, an I no
     before; same short-circuit as the reference).
 
-    Caveat: the rewrite is token-based — a field name inside a *string
-    literal* of the expression would be rewritten too. Generated-column
-    definitions are arithmetic/function expressions in practice; mirror of
-    the reference's own parser-level restriction to deterministic exprs.
+    The rewrite is token-based but QUOTE-AWARE: single-quoted string
+    literals inside the expression (e.g. ``concat(note, 'id: ')``) are
+    left untouched — only the segments outside literals have field names
+    qualified against the image struct.
     """
     import re
+
+    def _qualify(expr: str, pat: str, img: str) -> str:
+        # split into literal / non-literal segments ('' escapes inside a
+        # literal survive because consecutive quoted chunks re-join)
+        parts = re.split(r"('(?:[^']|'')*')", expr)
+        return "".join(
+            p if p.startswith("'") else re.sub(pat, rf"{img}.\1", p)
+            for p in parts
+        )
 
     out = env
     for img in images:
@@ -242,7 +251,7 @@ def with_generated_columns(
             # the rewrite scope must include fields added this loop
             fields = [f.name for f in out.schema[img].dataType.fields]
             pat = r"\b(" + "|".join(map(re.escape, sorted(fields, key=len, reverse=True))) + r")\b"
-            qualified = re.sub(pat, rf"{img}.\1", expr)
+            qualified = _qualify(expr, pat, img)
             out = out.withColumn(
                 img,
                 F.when(

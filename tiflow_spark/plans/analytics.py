@@ -653,28 +653,35 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = li.join(span, "l_orderkey").withColumn(
         "late", F.col("l_shipdate") == F.col("max_ship")
     )
-    l1 = flagged.filter(F.col("late"))
-    others = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    ).distinct()
+    # ONE deduped (orderkey, suppkey, any_late) frame serves the driving
+    # side, the semi side, AND the anti side — the naive form shuffled the
+    # fact table twice more for two separate `distinct` projections; all
+    # three branches now share a single (orderkey, suppkey) exchange
+    # (ReusedExchange in the plan, pinned by test_plan_contracts).
+    participants = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    others = participants.select(
+        F.col("l_orderkey").alias("o2"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("any_late").alias("late2"),
+    )
+    l1 = participants.filter(F.col("any_late")).drop("any_late")
     has_other = l1.join(
         others,
         (F.col("l_orderkey") == F.col("o2"))
         & (F.col("l_suppkey") != F.col("s2")),
         "left_semi",
     )
-    late_others = flagged.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    ).distinct()
     sole_late = has_other.join(
-        late_others,
-        (F.col("l_orderkey") == F.col("o3"))
-        & (F.col("l_suppkey") != F.col("s3")),
+        others.filter(F.col("late2")),
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
         "left_anti",
     )
     return (
         sole_late.groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count("l_orderkey").alias("numwait"))
         .filter(F.col("numwait") >= 2)
     )
 

@@ -1371,6 +1371,61 @@ def q_ddl_key_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- declared-default backfill incl. mid-stream DEFAULT changes
+# (mounter.go:843-853 getDefaultOrZeroValue: absent payload columns decode
+# as the version's DECLARED default; MODIFY COLUMN changes it, a MODIFY
+# without DEFAULT removes it)
+_DDL6 = [
+    (1, 0, "prefs", "create table",
+     "CREATE TABLE prefs (id BIGINT PRIMARY KEY, "
+     "theme VARCHAR DEFAULT 'light')"),
+    (2, 3, "prefs", "add column",
+     "ALTER TABLE prefs ADD COLUMN lang VARCHAR DEFAULT 'en'"),
+    (3, 6, "prefs", "modify column",
+     "ALTER TABLE prefs MODIFY COLUMN lang VARCHAR DEFAULT 'fr'"),
+    (4, 9, "prefs", "modify column",
+     "ALTER TABLE prefs MODIFY COLUMN theme VARCHAR"),
+]
+
+
+@register(
+    "ddl_default_backfill",
+    f"""{ENV_CTE}, b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    )
+    SELECT seq, commit_ts,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 9 // 12 THEN 4
+           WHEN commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 3
+           WHEN commit_ts >= t0 + (t1 - t0) * 3 // 12 THEN 2
+           ELSE 1 END AS version_no,
+      after_id AS id_resolved,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 9 // 12 THEN NULL
+           ELSE 'light' END AS theme_resolved,
+      CASE WHEN commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 'fr'
+           WHEN commit_ts >= t0 + (t1 - t0) * 3 // 12 THEN 'en'
+           END AS lang_resolved
+    FROM env CROSS JOIN b""",
+)
+def q_ddl_default_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-driven declared-default backfill: columns ABSENT from the
+    payload decode as the as-of version's declared DEFAULT — an ADD COLUMN
+    default appears, a MODIFY COLUMN re-declares it mid-stream ('en'→'fr'),
+    and a MODIFY dropping the DEFAULT makes later rows decode NULL
+    (mounter.go getDefaultOrZeroValue against TableInfo@commit_ts)."""
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        decode_with_schema,
+    )
+
+    env = _env(spark, sf_dir).withColumn("logical_table", F.lit("prefs"))
+    reg = registry_from_ddl(_ddl_fixture_stream(spark, sf_dir, _DDL6))
+    dec = decode_with_schema(asof_resolve(env, reg), reg)
+    return dec.select(
+        "seq", "commit_ts", "version_no",
+        "id_resolved", "theme_resolved", "lang_resolved",
+    )
+
+
 # --- registry-driven handle-key dispatch: the demo payload table keyed by
 # (note, id) until a mid-stream pk swap to (id) — index-value partitioning
 # must follow the registry, not a caller-supplied column
@@ -3757,6 +3812,247 @@ def q_cdc_partition_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("key").alias("n_keys"),
             F.countDistinct("partition_name").alias("n_parts"),
         )
+    )
+
+
+# ----------------------- optimistic shard-DDL lattice MERGE (round 5)
+
+# shard A adds c1 then c2; shard B adds c2 then c1 — compatible divergence:
+# the joined schema is the column UNION and BOTH shards keep replicating
+# throughout (optimism/lock.go TrySync; schemacmp.Join), unlike a true
+# type conflict which pauses the table (shardddl_optimistic/enforce).
+_DDL8A = [
+    (1, 0, "events8", "create table",
+     "CREATE TABLE events8 (id BIGINT PRIMARY KEY, balance DOUBLE)"),
+    (2, 2, "events8", "add column",
+     "ALTER TABLE events8 ADD COLUMN c1 VARCHAR DEFAULT 'x1'"),
+    (3, 5, "events8", "add column",
+     "ALTER TABLE events8 ADD COLUMN c2 VARCHAR DEFAULT 'x2'"),
+]
+_DDL8B = [
+    (1, 0, "events8", "create table",
+     "CREATE TABLE events8 (id BIGINT PRIMARY KEY, balance DOUBLE)"),
+    (2, 3, "events8", "add column",
+     "ALTER TABLE events8 ADD COLUMN c2 VARCHAR DEFAULT 'x2'"),
+    (3, 6, "events8", "add column",
+     "ALTER TABLE events8 ADD COLUMN c1 VARCHAR DEFAULT 'x1'"),
+]
+
+
+@register(
+    "shardddl_optimistic_merge",
+    f"""{ENV_CTE}, b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    )
+    SELECT seq, commit_ts, "schema" AS shard,
+      CASE WHEN "schema" = 'shard_0' THEN
+        CASE WHEN commit_ts >= t0 + (t1 - t0) * 5 // 12 THEN 3
+             WHEN commit_ts >= t0 + (t1 - t0) * 2 // 12 THEN 2 ELSE 1 END
+      ELSE
+        CASE WHEN commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 3
+             WHEN commit_ts >= t0 + (t1 - t0) * 3 // 12 THEN 2 ELSE 1 END
+      END AS version_no,
+      CASE WHEN ("schema" = 'shard_0'
+                 AND commit_ts >= t0 + (t1 - t0) * 2 // 12)
+             OR ("schema" = 'shard_1'
+                 AND commit_ts >= t0 + (t1 - t0) * 6 // 12)
+           THEN 'x1' END AS c1_resolved,
+      CASE WHEN ("schema" = 'shard_0'
+                 AND commit_ts >= t0 + (t1 - t0) * 5 // 12)
+             OR ("schema" = 'shard_1'
+                 AND commit_ts >= t0 + (t1 - t0) * 3 // 12)
+           THEN 'x2' END AS c2_resolved,
+      'balance,c1,c2,id' AS joined_csv,
+      CAST(0 AS BIGINT) AS n_conflicts
+    FROM env CROSS JOIN b
+    WHERE "schema" IN ('shard_0', 'shard_1')""",
+)
+def q_shardddl_optimistic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic shard-DDL lattice MERGE: compatible column adds in
+    DIFFERENT orders produce the union joined schema (name-sorted — order
+    independent), zero conflicts, and both shards keep decoding with their
+    own as-of schema (missing columns backfill their declared default) —
+    dm/pkg/shardddl/optimism/lock.go TrySync semantics."""
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        decode_with_schema,
+    )
+    from tiflow_spark.streaming.shardddl import lattice_join_schemas
+
+    env = _env(spark, sf_dir).withColumn("logical_table", F.lit("events8"))
+    regs = {
+        "shard_0": registry_from_ddl(
+            _ddl_fixture_stream(spark, sf_dir, _DDL8A)
+        ),
+        "shard_1": registry_from_ddl(
+            _ddl_fixture_stream(spark, sf_dir, _DDL8B)
+        ),
+    }
+    shard_regs = regs["shard_0"].withColumn(
+        "shard", F.lit("shard_0")
+    ).unionByName(regs["shard_1"].withColumn("shard", F.lit("shard_1")))
+    joined = lattice_join_schemas(shard_regs).select(
+        F.concat_ws(",", "joined_columns").alias("joined_csv"),
+        "n_conflicts",
+    )
+    parts = []
+    for shard, reg in regs.items():
+        part = env.filter(F.col("schema") == shard)
+        dec = decode_with_schema(asof_resolve(part, reg), reg)
+        parts.append(
+            dec.select(
+                "seq",
+                "commit_ts",
+                F.col("schema").alias("shard"),
+                "version_no",
+                "c1_resolved",
+                "c2_resolved",
+            )
+        )
+    merged = parts[0].unionByName(parts[1])
+    return merged.crossJoin(F.broadcast(joined))
+
+
+# --------------------------------- stored generated columns (round 5)
+
+# ledger: a STORED generated column (cents) the sink must materialize and
+# a VIRTUAL one (neg) it must NOT; a mid-stream MODIFY redefines the
+# stored generator (x100 → x1000) — the applied image carries the LATEST
+# definition (GeneratedColumnFlag, cdc/model/sink.go:62-205;
+# expr_filter.go:251-382 getGenerateExpr)
+_DDL7 = [
+    (1, 0, "ledger", "create table",
+     "CREATE TABLE ledger (id BIGINT PRIMARY KEY, balance DOUBLE, "
+     "note VARCHAR, cents BIGINT GENERATED ALWAYS AS "
+     "(CAST(round(balance * 100, 0) AS BIGINT)) STORED, "
+     "neg INT GENERATED ALWAYS AS "
+     "(CASE WHEN balance < 0 THEN 1 ELSE 0 END) VIRTUAL)"),
+    (2, 6, "ledger", "modify column",
+     "ALTER TABLE ledger MODIFY COLUMN cents BIGINT GENERATED ALWAYS AS "
+     "(CAST(round(balance * 1000, 0) AS BIGINT)) STORED"),
+]
+
+
+@register(
+    "cdc_stored_generated",
+    f"""{ENV_CTE},
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY "table", key
+          ORDER BY commit_ts DESC, seq DESC, {_OPW} DESC) AS rn
+        FROM env) WHERE rn = 1
+    )
+    SELECT "table" AS target_table, key, after_id AS id,
+           after_balance AS balance, after_note AS note,
+           CAST(round(after_balance * 1000, 0) AS BIGINT) AS cents
+    FROM last WHERE op <> 'D'""",
+)
+def q_cdc_stored_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED generated columns recomputed into the applied target from
+    the registry's parsed generator expression (latest version wins after
+    a MODIFY redefines it); VIRTUAL generated columns stay out of the
+    persisted image. The generator is a codegen'd F.expr over the applied
+    state — map-only after the apply shuffle."""
+    from tiflow_spark.operators.apply import recompute_stored_columns
+
+    env = _env(spark, sf_dir)
+    reg = registry_from_ddl(_ddl_fixture_stream(spark, sf_dir, _DDL7))
+    state = changes_to_state(env, table_col="table")
+    return recompute_stored_columns(state, reg, "ledger")
+
+
+# ------------------------------------- partition DDL directory (round 5)
+
+# orders_p is 3-way partitioned (pids 100-102); staging is a standalone
+# table (pid 900). Mid-stream: ADD p3 (fresh pid 103), EXCHANGE p2 with
+# staging (900 becomes p2, 102 detaches), DROP p0, TRUNCATE p1 (fresh pid
+# 104, 101 detaches) — tests/integration_tests/partition_table/ shapes.
+_PDDL_BASE = [
+    (100, "shard_0", "orders_p", "p0"),
+    (101, "shard_0", "orders_p", "p1"),
+    (102, "shard_0", "orders_p", "p2"),
+]
+_PDDL = [
+    (1, 2, "orders_p", "add table partition",
+     "ALTER TABLE orders_p ADD PARTITION (PARTITION p3 VALUES LESS THAN (400))"),
+    (2, 6, "orders_p", "exchange table partition",
+     "ALTER TABLE orders_p EXCHANGE PARTITION p2 WITH TABLE staging"),
+    (3, 8, "orders_p", "drop table partition",
+     "ALTER TABLE orders_p DROP PARTITION p0"),
+    (4, 10, "orders_p", "truncate table partition",
+     "ALTER TABLE orders_p TRUNCATE PARTITION p1"),
+]
+
+
+@register(
+    "cdc_partition_ddl",
+    f"""{ENV_CTE}, b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    ids AS (
+      SELECT e.*, t0, t1,
+        CASE "table"
+          WHEN 'events_0' THEN 100 + CAST(key AS BIGINT) % 3
+          WHEN 'events_1' THEN 900
+          WHEN 'events_2' THEN 103
+        END AS pid
+      FROM env e CROSS JOIN b
+    ),
+    routed AS (
+      SELECT *,
+        CASE
+          WHEN pid = 100 AND commit_ts < t0 + (t1 - t0) * 8 // 12 THEN 'p0'
+          WHEN pid = 101 AND commit_ts < t0 + (t1 - t0) * 10 // 12 THEN 'p1'
+          WHEN pid = 102 AND commit_ts < t0 + (t1 - t0) * 6 // 12 THEN 'p2'
+          WHEN pid = 103 AND commit_ts >= t0 + (t1 - t0) * 2 // 12 THEN 'p3'
+          WHEN pid = 900 AND commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 'p2'
+        END AS pname
+      FROM ids
+    )
+    SELECT
+      CASE WHEN pname IS NOT NULL THEN 'shard_0' ELSE "schema" END
+        AS "schema",
+      CASE WHEN pname IS NOT NULL THEN 'orders_p' ELSE "table" END
+        AS "table",
+      coalesce(pname, '-') AS partition_name,
+      count(*) AS cnt, count(DISTINCT key) AS n_keys
+    FROM routed GROUP BY 1, 2, 3""",
+)
+def q_cdc_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition DDL folds into a VERSIONED physical→logical directory and
+    routing resolves as-of commit_ts: events before an EXCHANGE land on
+    the original owner, after it the standalone table's id routes into the
+    partition and the detached id passes through; ADD/DROP/TRUNCATE
+    PARTITION re-id the directory mid-stream (partition_table integration
+    scenario; TiDB fresh-id semantics on ADD/TRUNCATE)."""
+    from tiflow_spark.operators.partition_table import (
+        partition_directory_from_ddl,
+        route_partitions_asof,
+    )
+
+    env = _env(spark, sf_dir).withColumn(
+        "physical_table_id",
+        F.when(F.col("table") == "events_0",
+               F.col("key").cast("bigint") % 3 + 100)
+        .when(F.col("table") == "events_1", F.lit(900))
+        .when(F.col("table") == "events_2", F.lit(103)),
+    )
+    base = spark.createDataFrame(
+        _PDDL_BASE,
+        "physical_table_id long, logical_schema string, "
+        "logical_table string, partition_name string",
+    )
+    ddl = _ddl_fixture_stream(spark, sf_dir, _PDDL)
+    pdir = partition_directory_from_ddl(base, ddl, table_ids={"staging": 900})
+    routed = route_partitions_asof(env, pdir)
+    return routed.groupBy(
+        "schema",
+        "table",
+        F.coalesce("partition_name", F.lit("-")).alias("partition_name"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("key").alias("n_keys"),
     )
 
 

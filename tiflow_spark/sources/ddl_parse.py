@@ -30,6 +30,8 @@ class ColumnDef:
     default: str | None = None
     is_pk: bool = False  # inline PRIMARY KEY on the column def
     is_unique: bool = False  # inline UNIQUE on the column def
+    generated_expr: str | None = None  # [GENERATED ALWAYS] AS (expr)
+    stored: bool = False  # STORED vs VIRTUAL generated column
 
 
 @dataclass(frozen=True)
@@ -45,6 +47,8 @@ class DDLOp:
     unique_keys: tuple[tuple[str, ...], ...] = ()  # UNIQUE KEY column sets
     unique_key_names: tuple[str | None, ...] = ()  # aligned with unique_keys
     key_name: str | None = None  # named index (ADD UNIQUE uq.../DROP INDEX uq)
+    partition_name: str | None = None  # ADD/DROP/TRUNCATE/EXCHANGE PARTITION
+    exchange_table: str | None = None  # EXCHANGE PARTITION ... WITH TABLE t
     charset: str | None = None  # table-option DEFAULT CHARSET
     collate: str | None = None  # table-option COLLATE
     sub_ops: tuple["DDLOp", ...] = ()  # multi schema change actions, in order
@@ -87,6 +91,34 @@ def _parse_default(clause: str) -> str | None:
     return None if bare.upper() == "NULL" else bare
 
 
+_GEN_HEAD = re.compile(r"\b(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", re.I)
+
+
+def _parse_generated(rest: str) -> tuple[str | None, bool]:
+    """Extract a generated-column expression: ``[GENERATED ALWAYS] AS
+    (<expr>) [STORED|VIRTUAL]`` with balanced-paren scanning (the expr may
+    itself contain calls). Returns (expr, stored); MySQL defaults to
+    VIRTUAL when neither keyword is present."""
+    m = _GEN_HEAD.search(rest)
+    if not m:
+        return None, False
+    depth, buf = 1, []
+    i = m.end()
+    for ch in rest[i:]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        buf.append(ch)
+    if depth != 0:
+        return None, False
+    expr = "".join(buf).strip()
+    tail = rest[i + len(buf) + 1 :]
+    return expr or None, re.match(r"\s*STORED\b", tail, re.I) is not None
+
+
 def _parse_column_def(entry: str) -> ColumnDef | None:
     entry = entry.strip()
     if not entry or _CONSTRAINT_HEAD.match(entry):
@@ -97,13 +129,16 @@ def _parse_column_def(entry: str) -> ColumnDef | None:
     name, rest = m.group(1), m.group(2).strip()
     stop = _TYPE_STOP.search(rest)
     col_type = (rest[: stop.start()] if stop else rest).strip()
+    gen_expr, stored = _parse_generated(rest)
     return ColumnDef(
         name,
         col_type.upper(),
-        _parse_default(rest),
+        None if gen_expr else _parse_default(rest),
         is_pk=re.search(r"\bPRIMARY\s+KEY\b", rest, re.I) is not None,
         is_unique=re.search(r"\bUNIQUE\b(?!\s+KEY\s*\()", rest, re.I)
         is not None,
+        generated_expr=gen_expr,
+        stored=stored,
     )
 
 
@@ -215,6 +250,41 @@ def _parse_alter_action(
     a = re.match(rf"^RENAME\s+(?:TO\s+|AS\s+)?{_QUALIFIED}\s*$", action, re.I)
     if a:
         return DDLOp("rename table", schema, table, rename_to=a.group(2))
+    # partition maintenance actions (TiDB partition DDL jobs; taxonomy
+    # names per ddlWhiteListMap: add/drop/truncate/exchange table partition)
+    a = re.match(
+        rf"^ADD\s+PARTITION\s*\(\s*PARTITION\s+{_IDENT}", action, re.I
+    )
+    if a:
+        return DDLOp(
+            "add table partition", schema, table, partition_name=a.group(1)
+        )
+    a = re.match(rf"^DROP\s+PARTITION\s+{_IDENT}", action, re.I)
+    if a:
+        return DDLOp(
+            "drop table partition", schema, table, partition_name=a.group(1)
+        )
+    a = re.match(rf"^TRUNCATE\s+PARTITION\s+{_IDENT}", action, re.I)
+    if a:
+        return DDLOp(
+            "truncate table partition",
+            schema,
+            table,
+            partition_name=a.group(1),
+        )
+    a = re.match(
+        rf"^EXCHANGE\s+PARTITION\s+{_IDENT}\s+WITH\s+TABLE\s+{_QUALIFIED}",
+        action,
+        re.I,
+    )
+    if a:
+        return DDLOp(
+            "exchange table partition",
+            schema,
+            table,
+            partition_name=a.group(1),
+            exchange_table=a.group(3),
+        )
     a = re.match(
         r"^ADD\s+(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?"
         r"PRIMARY\s+KEY\s*\(([^)]*)\)",

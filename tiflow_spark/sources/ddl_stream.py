@@ -179,7 +179,8 @@ _REGISTRY_SCHEMA = (
     "defaults map<string,string>, types map<string,string>, "
     "_defs array<struct<key:string,value:string>>, "
     "pk_cols array<string>, uk_sets array<array<string>>, "
-    "handle_cols array<string>"
+    "handle_cols array<string>, "
+    "gen_exprs map<string,string>, gen_stored array<string>"
 )
 
 # key-metadata DDL kinds: they don't change the column set but DO change
@@ -233,6 +234,10 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     version_no: dict[str, int] = {}
     pks: dict[str, tuple[str, ...]] = {}
     uks: dict[str, list[tuple[str | None, tuple[str, ...]]]] = {}
+    # generated columns: col -> (expr, stored) per table
+    # (expr_filter.go:251-382 getGenerateExpr reads both kinds off
+    # TableInfo; sinks recompute STORED ones into the applied image)
+    gens: dict[str, dict[str, tuple[str, bool]]] = {}
     out = []
 
     def apply_key(kind: str, op, name: str) -> bool:
@@ -272,6 +277,11 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                     op.unique_keys,
                 )
             )
+            gens[name] = {
+                c.name: (c.generated_expr, c.stored)
+                for c in op.columns
+                if c.generated_expr
+            }
         elif name not in tables:
             return None  # untracked lineage (e.g. renamed-away)
         elif kind == "add column":
@@ -279,6 +289,11 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
             state = tables[name]
             if all(x[0] != c.name for x in state):
                 state.append((c.name, c.col_type, c.default))
+                if c.generated_expr:
+                    gens.setdefault(name, {})[c.name] = (
+                        c.generated_expr,
+                        c.stored,
+                    )
         elif kind == "drop column":
             tables[name] = [
                 x for x in tables[name] if x[0] != op.drop_column
@@ -291,6 +306,7 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 for n, cs in uks.get(name, [])
                 if (kept := tuple(c for c in cs if c != op.drop_column))
             ]
+            gens.get(name, {}).pop(op.drop_column, None)
         elif kind == "modify column":
             c = op.columns[0]
             old = op.old_column or c.name
@@ -306,11 +322,20 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                     (n, tuple(c.name if x == old else x for x in cs))
                     for n, cs in uks.get(name, [])
                 ]
+            # MODIFY redefines the column: a new generated expr replaces
+            # the old one, a plain redefinition removes it
+            gens.get(name, {}).pop(old, None)
+            if c.generated_expr:
+                gens.setdefault(name, {})[c.name] = (
+                    c.generated_expr,
+                    c.stored,
+                )
         elif kind == "rename table":
             tables[op.rename_to] = tables.pop(name)
             version_no[op.rename_to] = version_no.pop(name)
             pks[op.rename_to] = pks.pop(name, ())
             uks[op.rename_to] = uks.pop(name, [])
+            gens[op.rename_to] = gens.pop(name, {})
             name = op.rename_to
         return name
 
@@ -328,6 +353,7 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 tables.pop(ev.table, None)
                 pks.pop(ev.table, None)
                 uks.pop(ev.table, None)
+                gens.pop(ev.table, None)
             continue
         else:
             name = (op.table if op is not None else None) or ev.table
@@ -362,6 +388,7 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
         # precondition on the UK is relaxed here — nullability isn't
         # tracked in the fold, documented engine-wide)
         handle = pk if pk else (uksets[0] if uksets else [])
+        g = gens.get(name, {})
         out.append(
             (
                 name,
@@ -374,6 +401,8 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 pk,
                 uksets,
                 handle,
+                {c: e for c, (e, _) in g.items()},
+                [c for c, (_, s) in g.items() if s],
             )
         )
     return spark.createDataFrame(out, _REGISTRY_SCHEMA)

@@ -77,9 +77,30 @@ def replay_broker_to_state(
     w = Window.partitionBy("schema", "table", "key").orderBy(
         F.col("es").desc(), F.col("offset").desc()
     )
+    # offsets are only comparable WITHIN one broker partition; the
+    # ms-truncated `es` tiebreak is sound only under the dispatcher's
+    # key-sticky contract (same key → same partition). Enforce it instead
+    # of assuming it: a key observed in >1 partition fails the replay
+    # loudly rather than silently picking a stale row.  collect_set rides
+    # the same window partitioning — no extra shuffle.
+    n_parts = F.size(F.collect_set("partition").over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )))
     last = (
-        rows.withColumn("_rn", F.row_number().over(w))
+        rows.withColumn(
+            "_contract",
+            F.assert_true(
+                n_parts <= 1,
+                F.concat(
+                    F.lit("replay contract violated: key observed in "
+                          "multiple broker partitions: "),
+                    F.col("schema"), F.lit("."), F.col("table"),
+                    F.lit("/"), F.col("key"),
+                ),
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "es", "partition", "offset")
+        .drop("_rn", "_contract", "es", "partition", "offset")
     )
     return last.filter(F.col("etype") != "DELETE").drop("etype")

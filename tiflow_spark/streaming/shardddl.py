@@ -155,3 +155,42 @@ def conflicted_tables_asof(shard_ddl: DataFrame, ts: int) -> set[str]:
         .distinct()
         .collect()
     }
+
+
+def lattice_join_schemas(shard_registries: DataFrame) -> DataFrame:
+    """Union lattice JOIN of per-shard schemas — the optimistic mode's
+    merge step (dm/pkg/shardddl/optimism/lock.go TrySync; tidb schemacmp
+    Join): when shards add compatible columns in different orders, the
+    joined schema is the column UNION with agreed types, and every shard
+    keeps replicating (missing columns decode as NULL/default). Only a
+    type-incompatible column makes the join undefined (conflict → pause,
+    the case optimistic_lock_status flags).
+
+    Input: registry rows (registry_from_ddl output) tagged with a
+    ``shard`` column. Output per table: ``joined_columns`` (name-sorted —
+    deterministic across shard arrival orders, exactly the lattice-join
+    property under test) and ``n_conflicts``. Metadata-scale throughout.
+    """
+    latest = shard_registries.groupBy("shard", "table").agg(
+        F.max_by(F.struct("columns", "types"), F.col("version_no")).alias(
+            "_s"
+        )
+    )
+    cols = latest.select(
+        "shard",
+        "table",
+        F.explode("_s.columns").alias("col"),
+        F.col("_s.types").alias("_types"),
+    ).select(
+        "shard",
+        "table",
+        "col",
+        F.element_at("_types", F.col("col")).alias("col_type"),
+    )
+    per_col = cols.groupBy("table", "col").agg(
+        F.count_distinct("col_type").alias("n_types")
+    )
+    return per_col.groupBy("table").agg(
+        F.array_sort(F.collect_list("col")).alias("joined_columns"),
+        F.sum((F.col("n_types") > 1).cast("long")).alias("n_conflicts"),
+    )
