@@ -34,6 +34,10 @@ _PRIORITY = [
     "cdc_partition_ddl",
     "cdc_stored_generated",
     "shardddl_optimistic_merge",
+    "olap_returned_items",
+    "olap_customer_distribution",
+    "olap_important_parts",
+    "olap_volume_shipping",
     # last driver-checked in round 2 — the longest-unaudited 27
     "codec_claim_check",
     "ddl_barrier_plan",
@@ -76,10 +80,6 @@ _PRIORITY = [
     "codec_csv",
     "codec_debezium",
     "sink_mysql_dml",
-    "sink_mq_roundtrip",
-    "redo_replay",
-    "shardddl_optimistic",
-    "dedup_groups",
 ]
 
 

@@ -473,3 +473,29 @@ def test_waiting_suppliers_semi_and_anti(spark, sf_dir):
     df.collect()  # materialize THIS plan so AQE finalizes exchange reuse
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_handle_key_dispatch_broadcast_map_only(spark, sf_dir):
+    """Registry-driven re-keying must stay a broadcast equi-join + map
+    projection: the event side never shuffles before the final rollup and
+    nothing goes cartesian (asof_resolve's scale contract extends to the
+    with_keys path)."""
+    fn, _ = REGISTRY["cdc_handle_key_dispatch"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # ≤2 hash exchanges: the final rollup + the (tiny) registry-side agg.
+    # The event stream itself must not shuffle before the rollup. (The
+    # broadcast join may constant-fold to a 1-row BNLJ when the fixture's
+    # logical_table is a literal — still map-only.)
+    assert n_exchanges(plan) <= 2, plan
+
+
+def test_partition_ddl_routing_broadcast(spark, sf_dir):
+    """As-of partition routing = broadcast of the (tiny) versioned
+    directory; the event stream is not shuffled or multiplied by versions."""
+    fn, _ = REGISTRY["cdc_partition_ddl"]
+    df = fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed

@@ -440,3 +440,63 @@ def select_within_budget_sql(
     )
     SELECT {id_col}, q, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before
     FROM ranked WHERE cum_before + n_tokens <= {token_budget}"""
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-domain document caps — the domain-balancing cut every crawl
+    curation applies (cap each source/domain at N docs, keeping the best).
+
+    Keeps the top ``cap`` docs per domain by (order_col DESC, id ASC) —
+    deterministic tie-break, exact.
+
+    Scale shape: naive per-domain row_number is one shuffle whose biggest
+    task is the biggest domain — a mega-domain (half the crawl from one
+    host) serializes. This is the classic skewed top-K, solved two-phase:
+    phase 1 ranks within (domain, salt-of-id) and pre-cuts to ``cap`` per
+    salt cell (parallel across ``n_salts`` tasks per domain), phase 2
+    ranks the ≤ cap·n_salts survivors per domain — the second shuffle's
+    per-domain volume is bounded by cap·n_salts regardless of domain size.
+    Two-phase top-K is exact: the global top-cap of a domain is contained
+    in the union of its per-cell top-caps.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    salted = docs.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+    pre = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        pre.withColumn("domain_rank", F.row_number().over(w2))
+        .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def domain_cap_sql(
+    cap: int,
+    table: str = "documents",
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the one-window form (the oracle can afford the skew)."""
+    return f"""
+    SELECT * FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {domain_col}
+        ORDER BY {order_col} DESC, {id_col} ASC) AS domain_rank
+      FROM {table}
+    ) WHERE domain_rank <= {cap}"""

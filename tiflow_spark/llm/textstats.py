@@ -521,3 +521,93 @@ def normalize_text_sql(table: str = "documents") -> str:
     SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_md5,
            length({norm}) AS norm_len
     FROM {table}"""
+
+
+# ----------------------------------------------- corpus char-trigram LM
+
+
+def _char_trigrams(sql: str) -> Column:
+    """All char trigrams of a string expression (a short string yields
+    itself) — built as one SQL transform so it stays in codegen."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({sql}) - 2, 1)), "
+        f"i -> substring({sql}, i, 3))"
+    )
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_mod: int = 5,
+    min_count: int = 3,
+) -> DataFrame:
+    """Language-model fluency proxy: score each document by how familiar
+    its character trigrams are to a model trained on a corpus SAMPLE — the
+    KenLM-perplexity-filter shape of CCNet/RefinedWeb curation, built from
+    the corpus itself (no external model ships in this sandbox; the plumb
+    — sampled train split, bounded model, broadcastable lookup, exact
+    per-doc reduction — is the real thing).
+
+    Model = trigram counts over docs with ``doc_id % sample_mod == 0``,
+    pruned to counts ≥ ``min_count`` (bounds the table to frequent
+    trigrams — charset³ worst case, far smaller in practice; the unseen
+    fallback is count 0, the +0 smoothing of a hit-rate score). Score =
+    sum(model count per trigram) / n_trigrams — all-integer until ONE
+    exact division (engine-portable, no float accumulation).
+
+    Scale shape: trigram explode is ~3 bytes/char amplification (same
+    class as the shingle stage of MinHash dedup), one tri-keyed shuffle
+    for the model, one for the join-back reduction — both with map-side
+    combine.
+    """
+    tris = docs.select(
+        "doc_id",
+        F.col("doc_id").alias("_did"),
+        F.explode(_char_trigrams(f"lower({text_col})")).alias("tri"),
+    )
+    model = (
+        tris.filter(F.col("_did") % sample_mod == 0)
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    per_doc = (
+        tris.join(model, "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tris"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("hit_mass"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tris",
+        "hit_mass",
+        F.round(F.col("hit_mass") / F.col("n_tris"), 6).alias("lm_score"),
+    )
+
+
+def trigram_lm_score_sql(
+    table: str = "documents", sample_mod: int = 5, min_count: int = 3
+) -> str:
+    tri = "substring(lower(text), i, 3)"
+    return f"""
+    WITH tris AS (
+      SELECT doc_id, {tri} AS tri
+      FROM {table},
+           LATERAL (SELECT unnest(range(1,
+             greatest(length(lower(text)) - 2, 1) + 1)) AS i)
+    ), model AS (
+      SELECT tri, count(*) AS cnt FROM tris
+      WHERE doc_id % {sample_mod} = 0
+      GROUP BY 1 HAVING count(*) >= {min_count}
+    ), per_doc AS (
+      SELECT t.doc_id,
+        count(*) AS n_tris,
+        sum(coalesce(m.cnt, 0)) AS hit_mass
+      FROM tris t LEFT JOIN model m USING (tri)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tris, CAST(hit_mass AS BIGINT) AS hit_mass,
+      round(hit_mass * 1.0 / n_tris, 6) AS lm_score
+    FROM per_doc"""

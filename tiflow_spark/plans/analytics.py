@@ -752,3 +752,172 @@ WITH rev AS (
 SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
 FROM rev JOIN supplier ON s_suppkey = l_suppkey
 WHERE total_rev = (SELECT max(total_rev) FROM rev)"""
+
+
+def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returned items per customer over
+    one quarter, top 20 by revenue.
+
+    Plan shape: ONE fact shuffle (lineitem⋈orders on orderkey, both date/
+    flag filters pushed to the parquet scans first); customer and nation
+    broadcast; top-20 via a global sort of the (small) per-customer
+    aggregate with deterministic (revenue DESC, custkey) tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "n_name",
+    ).agg(_revenue_sum().alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+  {_REVENUE_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count,
+    INCLUDING zero-order customers (the left outer join Q13 exists to
+    test).
+
+    Plan shape: one left join customer⋈orders on custkey (orders side
+    pre-aggregated to per-customer counts first, so the join carries one
+    row per customer per side, not one per order), then a tiny second
+    groupBy on the count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    j = cust.join(
+        per_cust, cust.c_custkey == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+    return j.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey,
+    (SELECT count(*) FROM orders
+     WHERE o_custkey = c_custkey AND o_orderpriority <> '5-LOW') AS c_count
+  FROM customer
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1"""
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style (partsupp-free variant over lineitem): parts whose
+    total traded value exceeds 0.05% of the global total — a per-group
+    aggregate HAVING against a global scalar.
+
+    Plan shape: ONE shuffle on partkey builds the per-part totals; the
+    global total derives from the SAME aggregate (re-aggregation of the
+    per-part frame, metadata-sized) and broadcasts back — the fact table
+    is scanned and shuffled once, not twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            _dec("l_extendedprice") * F.col("l_quantity").cast("decimal(18,2)")
+        ).alias("_val")
+    )
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    # threshold compare in DOUBLE space with the identical expression on
+    # the oracle side: both engines compute double(exact-decimal) * 0.0005
+    # from the same exact sums, so the comparison is engine-independent
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_val").cast("double")
+            > F.col("_total").cast("double") * F.lit(0.0005)
+        )
+        .select(
+            "l_partkey", F.col("_val").cast("double").alias("part_value")
+        )
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(l_quantity AS DECIMAL(18,2))) AS val
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(val AS DOUBLE)
+      > (SELECT CAST(sum(val) AS DOUBLE) FROM per_part) * 0.0005"""
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral trade volume between two nations by year
+    — supplier in one nation, customer in the other, both directions,
+    grouped by (supp_nation, cust_nation, year).
+
+    Plan shape: one lineitem⋈orders shuffle on orderkey; supplier,
+    customer and the nation pair filter all broadcast; year() is computed
+    post-join (cheap), the nation-pair predicate prunes rows at the
+    broadcast joins."""
+    n1 = ("NATION_3", "NATION_7")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*n1))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.filter(F.col("n_name").isin(*n1))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(_revenue_sum().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+
+
+VOLUME_SHIPPING_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  {_REVENUE_SQL} AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+  AND cn.n_name IN ('NATION_3', 'NATION_7')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3"""

@@ -834,6 +834,13 @@ def _install_analytics() -> None:
             an.LATE_SHIPMENT_SQL,
         ),
         "olap_promo_revenue": (an.promo_revenue, an.PROMO_REVENUE_SQL),
+        "olap_returned_items": (an.returned_items, an.RETURNED_ITEMS_SQL),
+        "olap_customer_distribution": (
+            an.customer_distribution,
+            an.CUSTOMER_DISTRIBUTION_SQL,
+        ),
+        "olap_important_parts": (an.important_parts, an.IMPORTANT_PARTS_SQL),
+        "olap_volume_shipping": (an.volume_shipping, an.VOLUME_SHIPPING_SQL),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
@@ -3731,6 +3738,54 @@ def _install_normalize_sql() -> None:
 
 
 _install_normalize_sql()
+
+
+@register("sample_domain_cap", None)  # oracle installed below
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (domain balancing): top-12 docs per source
+    by (n_chars DESC, doc_id) via exact two-phase salted top-K — the
+    mega-domain-skew-safe form (llm/sampling.domain_cap)."""
+    from tiflow_spark.llm.sampling import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), cap=12).select(
+        "doc_id", "source", "n_chars", "domain_rank"
+    )
+
+
+def _install_domain_cap_sql() -> None:
+    from tiflow_spark.llm.sampling import domain_cap_sql
+
+    REGISTRY["sample_domain_cap"] = (
+        REGISTRY["sample_domain_cap"][0],
+        "SELECT doc_id, source, n_chars, domain_rank FROM ("
+        + domain_cap_sql(12)
+        + ")",
+    )
+
+
+_install_domain_cap_sql()
+
+
+@register("text_lm_score", None)  # oracle installed below
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-trigram LM familiarity score — the perplexity-
+    filter shape of CCNet/RefinedWeb curation with exact integer math
+    (llm/textstats.trigram_lm_score)."""
+    from tiflow_spark.llm.textstats import trigram_lm_score
+
+    return trigram_lm_score(_docs(spark, sf_dir))
+
+
+def _install_lm_score_sql() -> None:
+    from tiflow_spark.llm.textstats import trigram_lm_score_sql
+
+    REGISTRY["text_lm_score"] = (
+        REGISTRY["text_lm_score"][0],
+        trigram_lm_score_sql(),
+    )
+
+
+_install_lm_score_sql()
 
 
 # -------------------------------------- partitioned-table routing (round 4)

@@ -107,3 +107,37 @@ def assign_flush_on_resolved(
     return joined.groupBy(*[F.col(c) for c in cols]).agg(
         F.min("_rts").alias("flush_wm")
     )
+
+
+def produce_file_broker_stream(
+    stream: DataFrame,
+    broker_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """CONTINUOUS produce: a dispatched change stream feeds the broker via
+    ``writeStream``/``foreachBatch`` — the live-broker path of the MQ sink
+    (mq_dml_sink.go's worker loop), not a batch replay.
+
+    Each micro-batch appends one segment with the engine's monotone
+    ``batch_id``, so consumer order (batch_id, batch_offset) extends the
+    produce order across the stream's lifetime. Delivery is AT-LEAST-ONCE:
+    a crash after the segment write but before the checkpoint commit makes
+    the replayed batch append a duplicate segment — exactly the reference
+    kafka sink's delivery guarantee (TiCDC MQ sinks are at-least-once;
+    consumers are idempotent by commit_ts/last-writer-wins, which
+    ``streaming.consumer.replay_broker_to_state`` implements).
+
+    In production the same stream goes to ``format("kafka")`` with the
+    identical topic/key/value/partition column contract; this keeps the
+    produce seam testable in-sandbox. Returns the StreamingQuery.
+    """
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, bid: produce_file_broker(batch, broker_dir, bid)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

@@ -193,7 +193,10 @@ def create_changefeed(
                 f"storage sink supports protocol=csv, got {spec.protocol!r}"
             )
         out = os.path.join(work_dir, "storage")
-        files = write_storage_sink(env, out, StorageSinkConfig())
+        # pk-cols URI param → schema.json ColumnIsPk (the reference reads
+        # this off TableInfo; the URI surface is our config equivalent)
+        pk = tuple(p for p in params.get("pk-cols", "").split(",") if p)
+        files = write_storage_sink(env, out, StorageSinkConfig(pk_cols=pk))
         return spec, files
     # blackhole: execute the pipeline, discard output
     env.write.format("noop").mode("overwrite").save()
