@@ -121,3 +121,73 @@ def test_whitespace_insensitive(ws):
     )
     assert op.kind == "add column"
     assert op.columns[0] == type(op.columns[0])("x", "BIGINT", "7")
+
+
+# ------------------------------------------- key-metadata properties (r5)
+
+
+@st.composite
+def key_table_specs(draw):
+    """A CREATE TABLE with random columns + random pk subset + named UKs."""
+    cols = draw(column_specs(min_size=2, max_size=6))
+    names = [c[0] for c in cols]
+    pk = draw(st.lists(st.sampled_from(names), unique=True, max_size=3))
+    n_uks = draw(st.integers(0, 2))
+    uks = []
+    for i in range(n_uks):
+        uk_cols = draw(
+            st.lists(st.sampled_from(names), unique=True, min_size=1, max_size=2)
+        )
+        uks.append((f"uq_{i}", uk_cols))
+    return cols, pk, uks
+
+
+@given(key_table_specs(), st.integers(0, 1))
+@settings(max_examples=60, deadline=None)
+def test_create_table_key_metadata_roundtrip(spec, style):
+    cols, pk, uks = spec
+    entries = [
+        f"{quote(n, style)} {t}"
+        + (f" DEFAULT '{d}'" if d is not None else "")
+        for n, t, d in cols
+    ]
+    if pk:
+        entries.append(
+            "PRIMARY KEY (" + ", ".join(quote(c, style) for c in pk) + ")"
+        )
+    for uk_name, uk_cols in uks:
+        entries.append(
+            f"UNIQUE KEY {quote(uk_name, style)} ("
+            + ", ".join(quote(c, style) for c in uk_cols)
+            + ")"
+        )
+    sql = "CREATE TABLE t (" + ", ".join(entries) + ")"
+    op = parse_ddl(sql)
+    assert op is not None and op.kind == "create table"
+    assert list(op.pk_columns) == pk
+    assert [list(u) for u in op.unique_keys] == [list(u) for _, u in uks]
+    assert list(op.unique_key_names) == [n for n, _ in uks]
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]), unique=True,
+                min_size=1, max_size=3),
+       st.integers(0, 1))
+@settings(max_examples=30, deadline=None)
+def test_alter_key_actions_roundtrip(pk_cols, style):
+    add = parse_ddl(
+        "ALTER TABLE t ADD PRIMARY KEY ("
+        + ", ".join(quote(c, style) for c in pk_cols)
+        + ")"
+    )
+    assert add.kind == "add primary key"
+    assert list(add.pk_columns) == pk_cols
+    uk = parse_ddl(
+        "ALTER TABLE t ADD UNIQUE KEY uq_x ("
+        + ", ".join(quote(c, style) for c in pk_cols)
+        + ")"
+    )
+    assert uk.kind == "create index"
+    assert [list(u) for u in uk.unique_keys] == [pk_cols]
+    assert uk.key_name == "uq_x"
+    drop = parse_ddl("ALTER TABLE t DROP INDEX uq_x")
+    assert (drop.kind, drop.key_name) == ("drop index", "uq_x")

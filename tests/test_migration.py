@@ -93,3 +93,73 @@ def test_full_migration_dump_load_sync_validate(spark, sf_dir, tmp_path):
     bad = diff.filter(~F.col("match")).count()
     assert bad == 0, f"sync_diff found {bad} mismatched chunks"
     assert applied.count() == expected.count()
+
+
+def test_start_task_mode_all_matches_batch(spark, sf_dir, tmp_path):
+    """dmctl start-task facade (ModeAll): load a snapshot then sync the
+    change stream in one call; final state equals the batch replay of
+    snapshot + changes (subtask.go createRealUnits composition)."""
+    from tiflow_spark.operators.apply import changes_to_state
+    from tiflow_spark.sinks.bucketed import read_state
+    from tiflow_spark.tools import start_task
+
+    snapshot = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            F.col("c_custkey").cast("string").alias("key"),
+            F.lit("I").alias("op"),
+            F.lit(0).cast("long").alias("commit_ts"),
+            F.col("c_custkey").alias("seq"),
+            F.col("c_custkey").alias("id"),
+            F.round("c_acctbal", 2).alias("balance"),
+            F.col("c_mktsegment").alias("note"),
+        )
+    )
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = str(tmp_path / "source")
+    env.repartition(2).write.mode("append").parquet(src)
+
+    status = start_task(
+        spark,
+        DEMO_CFG,
+        str(tmp_path / "work"),
+        snapshot=snapshot,
+        source_dir=src,
+        mode="all",
+    )
+    assert status["loaded_rows"] == snapshot.count()
+    assert status["batches"] >= 1 and status["target_rows"] > 0
+
+    applied = read_state(spark, str(tmp_path / "work" / "target")).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+    split = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    )
+    snap_env = snapshot.select(
+        F.lit("events_all").alias("target_table"),
+        "key", "op", "commit_ts", "seq",
+        F.lit(None)
+        .cast("struct<id:bigint,balance:double,note:string>")
+        .alias("before"),
+        F.struct("id", "balance", "note").alias("after"),
+    )
+    expected = changes_to_state(
+        snap_env.unionByName(split, allowMissingColumns=True),
+        table_col="target_table",
+    ).select("target_table", "key", "id", "balance", "note")
+    assert applied.count() == expected.count()
+    assert applied.exceptAll(expected).count() == 0
+    assert expected.exceptAll(applied).count() == 0
+
+
+def test_start_task_mode_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from tiflow_spark.tools import start_task
+
+    with _pytest.raises(ValueError):
+        start_task(spark, DEMO_CFG, str(tmp_path), mode="bogus")
+    with _pytest.raises(ValueError):
+        start_task(spark, DEMO_CFG, str(tmp_path), mode="full")  # no snapshot

@@ -499,3 +499,26 @@ def test_partition_ddl_routing_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in executed
+
+
+def test_domain_cap_two_phase_no_single_domain_sort(spark, sf_dir):
+    """domain_cap's phase-1 window partitions on (domain, salt) — the
+    mega-domain shards across n_salts tasks; phase 2 only sorts the
+    pre-cut survivors. Both windows present, no cartesian."""
+    fn, _ = REGISTRY["sample_domain_cap"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # two Window nodes proper: the salted pre-cut and the final rank
+    assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.M)) == 2
+    # and Spark's rank<=k pushdown kicked in (rows drop BEFORE the sort
+    # buffers them — the group-limit form of top-K)
+    assert "WindowGroupLimit" in plan
+
+
+def test_lm_score_shuffles_bounded(spark, sf_dir):
+    """trigram LM: model agg + join-back reduction — tri-keyed exchanges
+    with map-side combine, no cartesian, no Python in the path."""
+    fn, _ = REGISTRY["text_lm_score"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -423,3 +423,134 @@ def test_crash_resume_reaches_oracle_state(spark, sf_dir, work_dir, point):
     assert applied.count() == expected.count()
     assert applied.exceptAll(expected).count() == 0
     assert expected.exceptAll(applied).count() == 0
+
+
+def test_streaming_partition_ddl_routing_matches_batch(spark, sf_dir, work_dir):
+    """Partition DDL mid-stream (the partition_table integration scenario):
+    a standing changefeed over physical partition streams keeps applying
+    through an EXCHANGE/DROP PARTITION — events route per the directory
+    version at their commit_ts, and the final target equals the batch
+    pipeline over the same events."""
+    from tiflow_spark.config import RouteRule, TaskConfig
+    from tiflow_spark.operators.partition_table import (
+        partition_directory_from_ddl,
+        route_partitions_asof,
+    )
+    from tiflow_spark.sinks.bucketed import read_state
+    from tiflow_spark.streaming.pipeline import (
+        ENVELOPE_SCHEMA,
+        StreamingTarget,
+        read_change_stream,
+        transform_stream_partitioned,
+    )
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    mid = env.agg(
+        ((F.min("commit_ts") + F.max("commit_ts")) / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
+    env = env.withColumn(
+        "physical_table_id",
+        F.when(F.col("table") == "events_0",
+               F.col("key").cast("bigint") % 2 + 100)
+        .when(F.col("table") == "events_1", F.lit(900)),
+    )
+    base = spark.createDataFrame(
+        [(100, "shard_0", "orders_p", "p0"), (101, "shard_0", "orders_p", "p1")],
+        "physical_table_id long, logical_schema string, "
+        "logical_table string, partition_name string",
+    )
+    ddl = spark.createDataFrame(
+        [
+            ("DDL", "shard_0", "orders_p", int(mid), 1,
+             "exchange table partition",
+             "ALTER TABLE orders_p EXCHANGE PARTITION p1 WITH TABLE staging"),
+            ("DDL", "shard_0", "orders_p", int(mid), 2,
+             "drop table partition",
+             "ALTER TABLE orders_p DROP PARTITION p0"),
+        ],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    pdir = partition_directory_from_ddl(base, ddl, table_ids={"staging": 900})
+    cfg = TaskConfig(routes=(RouteRule("*", "*", "tgt", "merged"),))
+
+    src = f"{work_dir}/source"
+    for chunk in (1, 0, 2):
+        env.filter(F.col("seq") % 3 == chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        ENVELOPE_SCHEMA.fields
+        + [T.StructField("physical_table_id", T.LongType())]
+    )
+    stream = read_change_stream(spark, src, max_files=2, schema=schema)
+    transformed = transform_stream_partitioned(stream, cfg, pdir)
+    target = StreamingTarget(
+        target_path=f"{work_dir}/target",
+        progress_path=f"{work_dir}/progress",
+    )
+    q = (
+        transformed.writeStream.foreachBatch(target.merge_batch)
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    applied = read_state(spark, target.target_path).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+    routed_batch = route_partitions_asof(env, pdir).drop(
+        "partition_name", "physical_table_id"
+    )
+    expected = changes_to_state(
+        tfm.split_updates(tfm.route(flt.apply_filters(routed_batch, cfg), cfg)),
+        table_col="target_table",
+    ).select("target_table", "key", "id", "balance", "note")
+    assert applied.count() == expected.count() and expected.count() > 0
+    assert applied.exceptAll(expected).count() == 0
+    assert expected.exceptAll(applied).count() == 0
+
+
+def test_multi_source_changefeed_matches_single(spark, sf_dir, work_dir):
+    """Two upstream source dirs (DM multi-source / multi_source scenario)
+    union into one changefeed; final state equals the single-source run
+    over the same events."""
+    from tiflow_spark.sinks.bucketed import read_state
+    from tiflow_spark.streaming.pipeline import (
+        StreamingTarget,
+        read_change_streams,
+        transform_stream,
+    )
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src_a, src_b = f"{work_dir}/up_a", f"{work_dir}/up_b"
+    env.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(src_a)
+    env.filter(F.col("seq") % 2 == 1).coalesce(1).write.parquet(src_b)
+
+    stream = read_change_streams(spark, [src_a, src_b], max_files=1)
+    target = StreamingTarget(
+        target_path=f"{work_dir}/target", progress_path=f"{work_dir}/progress"
+    )
+    q = (
+        transform_stream(stream, DEMO_CFG)
+        .writeStream.foreachBatch(target.merge_batch)
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    applied = read_state(spark, target.target_path).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+    expected = changes_to_state(
+        tfm.split_updates(tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)),
+        table_col="target_table",
+    ).select("target_table", "key", "id", "balance", "note")
+    assert applied.count() == expected.count() and expected.count() > 0
+    assert applied.exceptAll(expected).count() == 0
+    assert expected.exceptAll(applied).count() == 0

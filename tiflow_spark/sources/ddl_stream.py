@@ -204,7 +204,10 @@ _SCHEMA_KINDS = frozenset(
 def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     """HandleDDLJob analog (cdc/entry/schema_storage.go:122-191): fold the
     DDL stream into versioned schema rows (table, version_ts, version_no,
-    columns, types, defaults) — the registry `asof_resolve` broadcasts.
+    columns, types, defaults, pk_cols, uk_sets, handle_cols, gen_exprs,
+    gen_stored) — the registry `asof_resolve` broadcasts. Key metadata is
+    the ColumnFlagType source (cdc/model/sink.go:62-205): handle_cols = pk
+    when one exists, else the first unique key.
 
     The fold PARSES each event's ``query`` string (ddl_parse.parse_ddl) —
     CREATE TABLE column lists, ALTER ADD/DROP/MODIFY/CHANGE COLUMN, RENAME

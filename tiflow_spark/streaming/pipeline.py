@@ -483,3 +483,52 @@ def windowed_throughput(stream: DataFrame, watermark_delay: str = "10 seconds") 
     return with_ts.groupBy(
         F.window("event_time", "1 minute").alias("w"), F.col("table")
     ).agg(F.count(F.lit(1)).alias("events"))
+
+
+def transform_stream_partitioned(
+    stream: DataFrame,
+    cfg: TaskConfig,
+    pdir_versions: DataFrame,
+    physical_col: str = "physical_table_id",
+) -> DataFrame:
+    """Physical→logical partition routing INSIDE the standing changefeed —
+    the partition_table integration scenario run as a stream: each
+    micro-batch's events resolve their physical id against the VERSIONED
+    directory as-of their commit_ts, so a repartition DDL mid-stream
+    reroutes later events while the filters/router/sink only ever see
+    logical tables (cdc/model/sink.go PhysicalTableID; event_router
+    dispatches on logical identity).
+
+    Stream-safe by construction: route_partitions_asof is a stateless
+    broadcast equi-join + map projection (no watermark, no state store),
+    composing with the standard filter→route→split chain.
+    """
+    from tiflow_spark.operators.partition_table import route_partitions_asof
+
+    routed = route_partitions_asof(stream, pdir_versions, physical_col).drop(
+        "partition_name", physical_col
+    )
+    return transform_stream(routed, cfg)
+
+
+def read_change_streams(
+    spark: SparkSession,
+    source_dirs: list[str],
+    max_files: int = 8,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Multi-upstream CDC source — DM's multi-source task / the
+    multi_source integration scenario: one file stream per upstream
+    directory, unioned into the single canonical change stream the
+    pipeline consumes. Each upstream keeps its own file-discovery cursor
+    in the shared checkpoint; per-key ordering across upstreams is by
+    (commit_ts, seq) exactly as within one stream (the apply side's
+    max-wins MERGE needs nothing else — same contract as the reference's
+    multi-capture sort)."""
+    streams = [
+        read_change_stream(spark, d, max_files, schema) for d in source_dirs
+    ]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out

@@ -240,3 +240,59 @@ def changefeed_status(spark: SparkSession, work_dir: str) -> dict:
     if sp_index:
         status["syncpoints"] = sp_index["syncpoints"]
     return status
+
+
+def start_task(
+    spark: SparkSession,
+    cfg,
+    work_dir: str,
+    snapshot: DataFrame | None = None,
+    source_dir: str | None = None,
+    mode: str = "all",
+    target_table: str = "events_all",
+    merge_mode: str = "rewrite",
+) -> dict:
+    """`dmctl start-task` analog — the DM subtask lifecycle as one call
+    (dm/worker/subtask.go:52 createRealUnits; :61-63 ModeAll =
+    Dumpling → Lightning → Syncer):
+
+    - ``mode="full"``: load only — seed the target with the snapshot
+      (the dump unit's output, rows shaped (key, op, commit_ts, seq,
+      <payload...>); chunked export belongs to the dump step, see
+      sources/jdbc_source.chunk_predicates).
+    - ``mode="incremental"``: sync only — stream the change source into
+      the target (the canonical changefeed pipeline, §3.1 == §3.2 sync).
+    - ``mode="all"``: load then sync; the MERGE applier's
+      max-(commit_ts, seq)-wins makes the snapshot/stream overlap window
+      safe (DM's safe-mode role).
+
+    Returns a status dict (stage row counts + changefeed progress) — the
+    `dmctl query-status` shape. The heavy lifting stays in the existing
+    operators; this is the config-driven composition surface.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sinks.bucketed import merge_hash_bucketed, read_state
+    from tiflow_spark.streaming.pipeline import run_changefeed
+
+    if mode not in ("all", "full", "incremental"):
+        raise ValueError(f"unknown task mode: {mode!r}")
+    status: dict = {"mode": mode, "work_dir": work_dir}
+    target = os.path.join(work_dir, "target")
+    if mode in ("all", "full"):
+        if snapshot is None:
+            raise ValueError(f"mode={mode!r} needs a snapshot frame")
+        seed = snapshot.withColumn("target_table", F.lit(target_table))
+        merge_hash_bucketed(seed, target, n_buckets=32, batch_id=0)
+        status["loaded_rows"] = read_state(spark, target).count()
+    if mode in ("all", "incremental"):
+        if source_dir is None:
+            raise ValueError(f"mode={mode!r} needs a change source_dir")
+        run_changefeed(spark, source_dir, cfg, work_dir, merge_mode=merge_mode)
+        status.update(changefeed_status(spark, work_dir))
+    status["target_rows"] = (
+        read_state(spark, target).count() if os.path.isdir(target) else 0
+    )
+    return status
