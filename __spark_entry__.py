@@ -38,6 +38,9 @@ _PRIORITY = [
     "olap_customer_distribution",
     "olap_important_parts",
     "olap_volume_shipping",
+    "sample_domain_cap",
+    "text_lm_score",
+    "dedup_incremental",
     # last driver-checked in round 2 — the longest-unaudited 27
     "codec_claim_check",
     "ddl_barrier_plan",
@@ -77,9 +80,6 @@ _PRIORITY = [
     "cdc_causality",
     "cdc_frontier",
     "codec_canal_json",
-    "codec_csv",
-    "codec_debezium",
-    "sink_mysql_dml",
 ]
 
 

@@ -42,6 +42,10 @@ def main() -> None:
         "dedup_minhash_lsh",
         # round-4: end-to-end curation funnel (quality → dedup → decontam)
         "corpus_funnel",
+        # round-5: incremental ingest dedup vs a persisted LSH index, and
+        # the trigram-LM corpus score (the explode-heavy curation path)
+        "dedup_incremental",
+        "text_lm_score",
     ]
     bench_queries = [q for q in bench_queries if q in REGISTRY]
 

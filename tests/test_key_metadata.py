@@ -246,3 +246,30 @@ def test_rekey_null_when_no_handle(spark):
     )
     out = rekey_by_handle(asof_resolve(env, reg, with_keys=True))
     assert out.select("key").first()["key"] is None
+
+
+def test_keys_survive_change_and_rename(spark):
+    """CHANGE COLUMN renames flow through pk/uk metadata and RENAME TABLE
+    carries the whole key lineage — the interaction surface of the r5
+    key fold (schema_storage lineage continuity + ColumnFlagType)."""
+    reg = registry_from_ddl(
+        _ddl(
+            spark,
+            [
+                (10, "t", "create table",
+                 "CREATE TABLE t (a BIGINT, b VARCHAR, PRIMARY KEY (b), "
+                 "UNIQUE KEY uq_a (a))"),
+                (20, "t", "modify column",
+                 "ALTER TABLE t CHANGE COLUMN b b2 VARCHAR"),
+                (30, "t", "rename table", "RENAME TABLE t TO t2"),
+                (40, "t2", "add column",
+                 "ALTER TABLE t2 ADD COLUMN c INT DEFAULT '7'"),
+            ],
+        )
+    )
+    rows = sorted(reg.collect(), key=lambda r: r["version_no"])
+    assert [r["table"] for r in rows] == ["t", "t", "t2", "t2"]
+    assert list(rows[1]["pk_cols"]) == ["b2"]  # CHANGE renamed the pk col
+    assert list(rows[3]["pk_cols"]) == ["b2"]  # lineage continues under t2
+    assert [list(u) for u in rows[3]["uk_sets"]] == [["a"]]
+    assert list(rows[3]["handle_cols"]) == ["b2"]

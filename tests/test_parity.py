@@ -18,3 +18,23 @@ def test_parity(spark, sf_dir, name):
         return
     ok, msg = compare(df, sql, sf_dir)
     assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TIFLOW_SPARK_FULL_SWEEP"),
+    reason="set TIFLOW_SPARK_FULL_SWEEP=1 for the sf0.1 scale sweep "
+    "(~25 min; run green 2026-08-14, 139/139)",
+)
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_parity_sf01_sweep(spark, name):
+    """Scale-robustness sweep: the same oracle equality at sf0.1 — 10x the
+    driver's correctness scale. Catches row-count-dependent logic the
+    small-sf gates can't."""
+    sf = "/root/testdata/sf0.1"
+    fn, sql = REGISTRY[name]
+    df = fn(spark, sf)
+    assert df.count() > 0, f"{name}: empty result"
+    if sql is None:
+        return
+    ok, msg = compare(df, sql, sf)
+    assert ok, f"{name}: {msg}"

@@ -522,3 +522,14 @@ def test_lm_score_shuffles_bounded(spark, sf_dir):
     plan = plan_of(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["sample_stratified", "sample_temperature"])
+def test_stratified_samplers_two_phase(spark, sf_dir, name):
+    """Quota samplers share domain_cap's skew story: salted pre-cut window
+    + final rank window. (No WindowGroupLimit here — Spark only pushes the
+    group-limit for LITERAL rank bounds, and these caps are per-stratum
+    expressions; the salted pre-cut is what bounds the final sort.)"""
+    fn, _ = REGISTRY[name]
+    plan = plan_of(fn(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.M)) == 2

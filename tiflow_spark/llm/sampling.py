@@ -110,12 +110,13 @@ def stratified_quota_sample(
     and stable under corpus growth UP TO the quota boundary (new docs can
     only displace the boundary ranks — hash order itself never changes).
 
-    Scale shape: one shuffle on the stratum key; the per-stratum sort is
-    spillable (sort-based window), and the shuffled projection is cut to
-    (stratum, hash, id) before ranking so a hot stratum moves minimal
-    bytes. Parallelism is bounded by the stratum count — for very few, very
-    hot strata, pre-filter with :func:`deterministic_sample` at a fraction
-    safely above quota/|stratum| to shrink the ranked set first.
+    Scale shape: two-phase exact top-K (the domain_cap construction) —
+    phase 1 pre-cuts each (stratum, salt-of-id) cell to the stratum's
+    quota, so a hot stratum parallelizes across 16 tasks and the final
+    per-stratum rank sorts at most quota·16 survivors; the shuffled
+    projection is cut to (stratum, hash, id) before ranking. For quotas so
+    large the survivor set is itself huge, pre-filter with
+    :func:`deterministic_sample` first.
 
     Output: id_col, stratum_col, pick_rank (1-based within stratum).
     """
@@ -124,18 +125,31 @@ def stratified_quota_sample(
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
-    ranked = (
-        docs.select(id_col, stratum_col, h.alias("_h"))
-        .withColumn("pick_rank", F.row_number().over(w))
-        .drop("_h")
-    )
     if quotas:
         cap: Column = F.lit(quota)
         for name, q in quotas.items():
             cap = F.when(F.col(stratum_col) == name, F.lit(q)).otherwise(cap)
-        return ranked.filter(F.col("pick_rank") <= cap)
-    return ranked.filter(F.col("pick_rank") <= quota)
+    else:
+        cap = F.lit(quota)
+    # two-phase exact top-K (the hot-stratum answer, same construction as
+    # domain_cap): phase 1 pre-cuts to the stratum's own quota within
+    # (stratum, salt-of-id) cells — a mega-stratum shards across 16 tasks;
+    # phase 2 ranks the ≤ quota·16 survivors. Global top-q ⊆ union of
+    # per-cell top-q, so the result is identical to the one-window form.
+    base = docs.select(id_col, stratum_col, h.alias("_h")).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(16))
+    )
+    w1 = Window.partitionBy(stratum_col, "_salt").orderBy("_h", id_col)
+    pre = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1", "_salt")
+    )
+    w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    ranked = (
+        pre.withColumn("pick_rank", F.row_number().over(w)).drop("_h")
+    )
+    return ranked.filter(F.col("pick_rank") <= cap)
 
 
 def stratified_quota_sample_sql(
@@ -188,10 +202,9 @@ def temperature_resample(
     the weight scale factor).
 
     Scale shape: the count agg is map-side combining on the stratum key;
-    quotas are a stratum-count-sized table (broadcast); the per-stratum
-    rank is one sort-based window — same shape as
-    :func:`stratified_quota_sample`, whose hot-stratum pre-filter note
-    applies here too.
+    quotas are a stratum-count-sized table (broadcast); the ranking is the
+    same two-phase salted top-K as :func:`stratified_quota_sample` — a hot
+    stratum pre-cuts across 16 parallel cells before the final rank.
 
     Output: id_col, stratum_col, pick_rank, quota.
     """
@@ -215,15 +228,25 @@ def temperature_resample(
     )
     from pyspark.sql import Window
 
-    rank_w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
-    ranked = (
+    # two-phase exact top-K per stratum (domain_cap construction): the
+    # broadcast quota table joins BEFORE ranking so phase 1 can pre-cut
+    # each (stratum, salt) cell to the stratum's own quota — a hot stratum
+    # shards across 16 tasks instead of serializing one sort
+    base = (
         docs.select(id_col, stratum_col, h.alias("_h"))
-        .withColumn("pick_rank", F.row_number().over(rank_w))
-        .drop("_h")
+        .join(F.broadcast(quotas), stratum_col)
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(16)))
     )
+    w1 = Window.partitionBy(stratum_col, "_salt").orderBy("_h", id_col)
+    pre = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("quota"))
+        .drop("_r1", "_salt")
+    )
+    rank_w = Window.partitionBy(stratum_col).orderBy("_h", id_col)
+    ranked = pre.withColumn("pick_rank", F.row_number().over(rank_w)).drop("_h")
     return (
-        ranked.join(F.broadcast(quotas), stratum_col)
-        .filter(F.col("pick_rank") <= F.col("quota"))
+        ranked.filter(F.col("pick_rank") <= F.col("quota"))
         # column order mirrors the SQL twin (the driver compare is
         # name-keyed, but keeping both sides identical costs nothing)
         .select(id_col, stratum_col, "pick_rank", "quota")

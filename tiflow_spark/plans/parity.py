@@ -1649,6 +1649,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_incremental", None)  # oracle installed below
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup: the base corpus (doc_id < 10000) is already
+    indexed (shingles + banded signatures persisted); the clone batch
+    (>= 10000) arrives later and dedups against the index + itself —
+    the production ingest path that never re-pairs the old corpus. Oracle:
+    the full-corpus LSH run restricted to pairs touching a new doc (the
+    incremental == full-restricted equality, per-doc deterministic
+    banding)."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        dedup_incremental,
+        minhash_index,
+    )
+
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    base = corpus.filter(F.col("doc_id") < 10000)
+    new = corpus.filter(F.col("doc_id") >= 10000)
+    idx_sh, idx_banded = minhash_index(base, 16, 4)
+    return dedup_incremental(new, idx_sh, idx_banded, 16, 4, 0.5)
+
+
 @register("dedup_groups", None)
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate grouping: MinHash+LSH pairs → connected components →
@@ -1833,6 +1855,11 @@ def _install_llm_oracles() -> None:
         "dedup_exact": dd.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dd.ngram_jaccard_sql(0.5, max_df=128),
         "dedup_minhash_lsh": dd.minhash_lsh_sql(16, 4, 0.5),
+        "dedup_incremental": (
+            "SELECT id_a, id_b, jaccard FROM ("
+            + dd.minhash_lsh_sql(16, 4, 0.5)
+            + ") WHERE id_a >= 10000 OR id_b >= 10000"
+        ),
         # connected components over the SAME pair graph via transitive
         # closure (recursive CTE); min reachable id = the component label
         "dedup_groups": f"""WITH RECURSIVE {dd.CORPUS_SQL.strip()},
