@@ -41,6 +41,7 @@ _PRIORITY = [
     "sample_domain_cap",
     "text_lm_score",
     "dedup_incremental",
+    "cdc_rekey_force_fallback",
     # last driver-checked in round 2 — the longest-unaudited 27
     "codec_claim_check",
     "ddl_barrier_plan",
@@ -79,7 +80,6 @@ _PRIORITY = [
     "stream_apply",
     "cdc_causality",
     "cdc_frontier",
-    "codec_canal_json",
 ]
 
 

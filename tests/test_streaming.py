@@ -317,7 +317,7 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, work_dir):
 # --------------------------------------------- crash-resume e2e (round 5)
 
 
-def _run_crashing_changefeed(spark, src, work_dir, crash):
+def _run_crashing_changefeed(spark, src, work_dir, crash, merge_mode="rewrite"):
     """Drive the changefeed with per-file micro-batches and a fault
     injection; returns normally when the stream drains, re-raises the
     injected crash otherwise."""
@@ -333,6 +333,7 @@ def _run_crashing_changefeed(spark, src, work_dir, crash):
     target = StreamingTarget(
         target_path=os.path.join(work_dir, "target"),
         progress_path=os.path.join(work_dir, "progress"),
+        merge_mode=merge_mode,
     )
 
     def merge(batch, batch_id):
@@ -355,8 +356,11 @@ def _run_crashing_changefeed(spark, src, work_dir, crash):
     return target
 
 
-@pytest.mark.parametrize("point", ["pre", "staged"])
-def test_crash_resume_reaches_oracle_state(spark, sf_dir, work_dir, point):
+@pytest.mark.parametrize(
+    "point,mode",
+    [("pre", "rewrite"), ("staged", "rewrite"), ("pre", "delta")],
+)
+def test_crash_resume_reaches_oracle_state(spark, sf_dir, work_dir, point, mode):
     """THE reference e2e guarantee (135 integration scenarios + redo
     design): kill a RUNNING changefeed mid-batch — either before any
     staging ('pre') or between staged-write and the _COMMIT marker
@@ -395,7 +399,7 @@ def test_crash_resume_reaches_oracle_state(spark, sf_dir, work_dir, point):
 
         bucketed._atomic_write_json = wedge
     try:
-        target = _run_crashing_changefeed(spark, src, work_dir, crash)
+        target = _run_crashing_changefeed(spark, src, work_dir, crash, mode)
     finally:
         if point == "staged":
             bucketed._atomic_write_json = real
@@ -409,7 +413,7 @@ def test_crash_resume_reaches_oracle_state(spark, sf_dir, work_dir, point):
 
     # restart from the SAME checkpoint — replays the failed batch + rest
     target2 = _run_crashing_changefeed(
-        spark, src, work_dir, lambda *_: None
+        spark, src, work_dir, lambda *_: None, mode
     )
     applied = read_state(spark, target2.target_path).select(
         "target_table", "key", "id", "balance", "note"

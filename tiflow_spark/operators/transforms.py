@@ -370,3 +370,25 @@ def rekey_by_handle(resolved: DataFrame) -> DataFrame:
         ),
     )
     return resolved.withColumn("key", key)
+
+
+def rekey_by_handle_or_force(resolved: DataFrame) -> DataFrame:
+    """Registry-driven keying with force-replicate fallback — the
+    reference's actual per-row decision (cdc/model/sink.go HandleKey
+    selection; force-replicate applies ONLY to tables without a usable
+    handle key, others keep key-based routing even in a force-replicate
+    changefeed): rows whose as-of schema carries a handle key are keyed by
+    it; rows without one fall back to full-row-image identity with U
+    split into D+I (:func:`force_replicate_key`).
+
+    Sequence numbering: the force path doubles seq to make split room, so
+    the handle path doubles too — both sides stay in one total order per
+    key (split_updates' convention). Map-only on each branch; the branch
+    split is a filter, not a shuffle.
+    """
+    keyed = rekey_by_handle(resolved)
+    with_h = keyed.filter(F.col("key").isNotNull()).withColumn(
+        "seq", F.col("seq") * 2
+    )
+    no_h = keyed.filter(F.col("key").isNull())
+    return with_h.unionByName(force_replicate_key(no_h))

@@ -1290,6 +1290,78 @@ def q_ddl_multi_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-row keying decision: handle key while the schema has one, full
+# row image (force-replicate, U split D+I) after DROP PRIMARY KEY leaves
+# the table keyless — the reference applies force-replicate per table,
+# NOT per changefeed (sink.go handle-key selection; force_replicate_table)
+_DDL9 = [
+    (1, 0, "events9", "create table",
+     "CREATE TABLE events9 (id BIGINT, balance DOUBLE, note VARCHAR, "
+     "PRIMARY KEY (id))"),
+    (2, 6, "events9", "drop primary key",
+     "ALTER TABLE events9 DROP PRIMARY KEY"),
+]
+
+_RF_CANON_B = (
+    "coalesce(CAST(before_id AS VARCHAR), '') || ',' || "
+    "coalesce(CAST(before_balance AS VARCHAR), '') || ',' || "
+    "coalesce(before_note, '') || ',' || "
+    "(CASE WHEN before_id IS NULL THEN '1' ELSE '0' END) || ',' || "
+    "(CASE WHEN before_balance IS NULL THEN '1' ELSE '0' END) || ',' || "
+    "(CASE WHEN before_note IS NULL THEN '1' ELSE '0' END)"
+)
+_RF_CANON_A = _RF_CANON_B.replace("before_", "after_")
+
+
+@register(
+    "cdc_rekey_force_fallback",
+    f"""{ENV_CTE}, b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    pa AS (
+      SELECT op, 1 AS version_no,
+        CAST(coalesce(after_id, before_id) AS VARCHAR) AS k
+      FROM env CROSS JOIN b
+      WHERE commit_ts < t0 + (t1 - t0) * 6 // 12
+    ),
+    pb_src AS (
+      SELECT * FROM env CROSS JOIN b
+      WHERE commit_ts >= t0 + (t1 - t0) * 6 // 12
+    ),
+    pb AS (
+      SELECT 'D' AS op, 2 AS version_no, {_RF_CANON_B} AS k
+      FROM pb_src WHERE op = 'U'
+      UNION ALL
+      SELECT 'I', 2, {_RF_CANON_A} FROM pb_src WHERE op = 'U'
+      UNION ALL
+      SELECT op, 2,
+        CASE WHEN op = 'D' THEN {_RF_CANON_B} ELSE {_RF_CANON_A} END
+      FROM pb_src WHERE op <> 'U'
+    ),
+    u AS (SELECT * FROM pa UNION ALL SELECT * FROM pb)
+    SELECT version_no, op, count(*) AS n_events,
+           count(DISTINCT k) AS n_keys
+    FROM u GROUP BY 1, 2""",
+)
+def q_rekey_force_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed keying through a mid-stream DROP PRIMARY KEY: rows decode
+    with the handle key while one exists, then fall back to force-
+    replicate full-row identity (U split into D+I) once the schema is
+    keyless — per-row, registry-driven, exactly the reference's
+    handle-key-or-all-columns decision."""
+    from tiflow_spark.operators.transforms import rekey_by_handle_or_force
+    from tiflow_spark.sources.schema_registry import asof_resolve
+
+    env = _env(spark, sf_dir).withColumn("logical_table", F.lit("events9"))
+    reg = registry_from_ddl(_ddl_fixture_stream(spark, sf_dir, _DDL9))
+    resolved = asof_resolve(env, reg, with_keys=True)
+    out = rekey_by_handle_or_force(resolved)
+    return out.groupBy("version_no", "op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+
+
 # --- key-metadata lineage: pk is neither first nor named `id`; DROP/ADD
 # PRIMARY KEY and UNIQUE INDEX DDL move the handle key mid-history
 # (ColumnFlagType, cdc/model/sink.go:62-205; handle-key selection pk→first
