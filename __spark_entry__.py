@@ -42,6 +42,7 @@ _PRIORITY = [
     "text_lm_score",
     "dedup_incremental",
     "cdc_rekey_force_fallback",
+    "ddl_lossy_report",
     # last driver-checked in round 2 — the longest-unaudited 27
     "codec_claim_check",
     "ddl_barrier_plan",
@@ -79,7 +80,6 @@ _PRIORITY = [
     "cdc_route_split",
     "stream_apply",
     "cdc_causality",
-    "cdc_frontier",
 ]
 
 

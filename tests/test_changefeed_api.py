@@ -112,3 +112,29 @@ def test_changefeed_to_blackhole(spark, source_dir, tmp_path):
         spark, source_dir, DEMO_CFG, "blackhole://", str(tmp_path / "wd")
     )
     assert spec.kind == "blackhole" and result is None
+
+
+def test_synced_status_verdict(spark, sf_dir, tmp_path):
+    """api_v2 /synced analog: synced iff the applied frontier is within
+    the threshold of the caller's clock (synced_status scenario)."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.plans.parity import DEMO_CFG
+    from tiflow_spark.streaming.pipeline import run_changefeed
+    from tiflow_spark.tools import changefeed_status
+
+    work_dir = str(tmp_path / "cf")
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+    env.coalesce(1).write.parquet(src)
+    run_changefeed(spark, src, DEMO_CFG, work_dir)
+
+    hwm = changefeed_status(spark, work_dir)["resolved_ts"]
+    caught_up = changefeed_status(spark, work_dir, now_us=hwm + 1_000)
+    assert caught_up["synced"] is True
+    assert caught_up["checkpoint_lag_us"] <= 300_000_000
+    lagging = changefeed_status(
+        spark, work_dir, now_us=hwm + 400_000_000
+    )
+    assert lagging["synced"] is False

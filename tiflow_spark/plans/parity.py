@@ -1290,6 +1290,55 @@ def q_ddl_multi_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- lossy-DDL taxonomy: retypes that can truncate row images must be
+# flagged (tests/integration_tests/lossy_ddl; the storage/simple protocol
+# surfaces schema changes so consumers can react)
+_DDL10 = [
+    (1, 0, "lt", "create table",
+     "CREATE TABLE lt (a BIGINT, b VARCHAR(64), c DECIMAL(12,4), "
+     "d DOUBLE, e INT)"),
+    (2, 2, "lt", "modify column", "ALTER TABLE lt MODIFY COLUMN a INT"),
+    (3, 4, "lt", "modify column",
+     "ALTER TABLE lt MODIFY COLUMN b VARCHAR(128)"),
+    (4, 6, "lt", "modify column",
+     "ALTER TABLE lt MODIFY COLUMN c DECIMAL(10,4)"),
+    (5, 8, "lt", "modify column", "ALTER TABLE lt MODIFY COLUMN d BIGINT"),
+    (6, 9, "lt", "modify column",
+     "ALTER TABLE lt MODIFY COLUMN b VARCHAR(16)"),
+    (7, 10, "lt", "modify column",
+     "ALTER TABLE lt CHANGE COLUMN e e2 BIGINT"),
+]
+
+
+@register(
+    "ddl_lossy_report",
+    """WITH b AS (
+      SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+    ),
+    expected AS (SELECT * FROM (VALUES
+      (2, 'a', 'BIGINT', 'INT', true, 'integer rank reduced'),
+      (4, 'b', 'VARCHAR(64)', 'VARCHAR(128)', false, CAST(NULL AS VARCHAR)),
+      (6, 'c', 'DECIMAL(12,4)', 'DECIMAL(10,4)', true,
+       'length or precision reduced'),
+      (8, 'd', 'DOUBLE', 'BIGINT', true, 'fractional part dropped'),
+      (9, 'b', 'VARCHAR(128)', 'VARCHAR(16)', true,
+       'length or precision reduced'),
+      (10, 'e2', 'INT', 'BIGINT', false, CAST(NULL AS VARCHAR)))
+      v(pos12, "column", old_type, new_type, lossy, reason))
+    SELECT 'lt' AS "table", t0 + (t1 - t0) * pos12 // 12 AS commit_ts,
+           "column", old_type, new_type, lossy, reason
+    FROM expected CROSS JOIN b""",
+)
+def q_ddl_lossy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-DDL detection: MODIFY/CHANGE retypes classified by data-loss
+    risk (integer rank down, length/precision down, float→int fraction
+    drop) vs lossless widenings — the lossy_ddl scenario's warning
+    surface, computed from the same parsed DDL stream as the registry."""
+    from tiflow_spark.sources.ddl_stream import lossy_ddl_report
+
+    return lossy_ddl_report(_ddl_fixture_stream(spark, sf_dir, _DDL10))
+
+
 # --- per-row keying decision: handle key while the schema has one, full
 # row image (force-replicate, U split D+I) after DROP PRIMARY KEY leaves
 # the table keyless — the reference applies force-replicate per table,

@@ -500,3 +500,108 @@ opt_ddl AS (
     {_opt_values_sql()}
   ) AS v(shard, pos12, ddl_type, table_name, col_name, col_type)
 )"""
+
+
+_INT_RANK = {"TINYINT": 1, "SMALLINT": 2, "MEDIUMINT": 3, "INT": 4,
+             "INTEGER": 4, "BIGINT": 5}
+
+
+def _type_head(t: str) -> str:
+    return t.split("(")[0].strip().upper()
+
+
+def _type_args(t: str) -> tuple[int, ...]:
+    import re as _re
+
+    m = _re.search(r"\(([^)]*)\)", t)
+    if not m:
+        return ()
+    out = []
+    for p in m.group(1).split(","):
+        p = p.strip()
+        if p.isdigit():
+            out.append(int(p))
+    return tuple(out)
+
+
+def is_lossy_modify(old_type: str, new_type: str) -> str | None:
+    """Classify a MODIFY/CHANGE retype as lossy, returning the reason or
+    None — the data-loss taxonomy the reference's lossy-DDL handling
+    surfaces to sinks (tests/integration_tests/lossy_ddl; storage/simple
+    protocols mark schema changes that can truncate row images):
+
+    - integer rank down (BIGINT→INT…), length down (VARCHAR(64)→VARCHAR(8),
+      CHAR/BINARY/VARBINARY alike), DECIMAL precision/scale down,
+      cross-family moves out of string (VARCHAR→INT), float→integer.
+    Widening and same-shape retypes are lossless (None).
+    """
+    oh, nh = _type_head(old_type), _type_head(new_type)
+    if oh == nh:
+        oa, na = _type_args(old_type), _type_args(new_type)
+        if oa and na and any(n < o for o, n in zip(oa, na)):
+            return "length or precision reduced"
+        return None
+    if oh in _INT_RANK and nh in _INT_RANK:
+        return "integer rank reduced" if _INT_RANK[nh] < _INT_RANK[oh] else None
+    string_like = {"VARCHAR", "CHAR", "TEXT", "TINYTEXT", "MEDIUMTEXT",
+                   "LONGTEXT"}
+    float_like = {"DOUBLE", "FLOAT", "REAL"}
+    if oh in string_like and nh not in string_like:
+        return "string to non-string"
+    if oh in float_like and nh in _INT_RANK:
+        return "fractional part dropped"
+    if oh in ("DECIMAL", "NUMERIC") and nh in _INT_RANK:
+        return "fractional part dropped"
+    return None
+
+
+def lossy_ddl_report(ddl: DataFrame) -> DataFrame:
+    """Per MODIFY/CHANGE COLUMN event: is the retype lossy, and why —
+    the warning surface of the lossy_ddl scenario. Folds the same parsed
+    stream as the registry (metadata-scale collect), comparing each
+    column's declared type before and after the statement."""
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+
+    spark = ddl.sparkSession
+    events = (
+        ddl.filter(ddl_allowlist_predicate())
+        .select("table", "commit_ts", "seq", "ddl_type", "query")
+        .orderBy("commit_ts", "seq")
+        .collect()
+    )
+    types: dict[str, dict[str, str]] = {}
+    out = []
+
+    def check(op, name: str, ts: int):
+        cur = types.setdefault(name, {})
+        for sub in (op,) if not op.sub_ops else op.sub_ops:
+            if sub.kind == "create table":
+                types[name] = {c.name: c.col_type for c in sub.columns}
+            elif sub.kind == "add column" and sub.columns:
+                cur[sub.columns[0].name] = sub.columns[0].col_type
+            elif sub.kind == "drop column":
+                cur.pop(sub.drop_column, None)
+            elif sub.kind == "modify column" and sub.columns:
+                c = sub.columns[0]
+                old = sub.old_column or c.name
+                old_t = cur.pop(old, None)
+                cur[c.name] = c.col_type
+                if old_t is not None:
+                    reason = is_lossy_modify(old_t, c.col_type)
+                    out.append(
+                        (name, ts, c.name, old_t, c.col_type,
+                         reason is not None, reason)
+                    )
+            elif sub.kind == "rename table":
+                types[sub.rename_to] = types.pop(name, {})
+
+    for ev in events:
+        op = parse_ddl(ev.query)
+        if op is None:
+            continue
+        check(op, (op.table or ev.table), ev.commit_ts)
+    return spark.createDataFrame(
+        out,
+        "table string, commit_ts long, column string, old_type string, "
+        "new_type string, lossy boolean, reason string",
+    )

@@ -203,10 +203,21 @@ def create_changefeed(
     return spec, None
 
 
-def changefeed_status(spark: SparkSession, work_dir: str) -> dict:
+def changefeed_status(
+    spark: SparkSession,
+    work_dir: str,
+    now_us: int | None = None,
+    synced_threshold_us: int = 300_000_000,
+) -> dict:
     """`cdc cli changefeed query` analog: one status dict for a changefeed
     work dir — applied-batch progress (checkpoint-ts role), target
-    inventory, recorded syncpoints. All metadata-scale reads."""
+    inventory, recorded syncpoints. All metadata-scale reads.
+
+    Pass ``now_us`` (caller's clock, microseconds) to also get the
+    synced-status verdict (api_v2 /synced; tests/integration_tests/
+    synced_status): ``synced`` is true when the applied frontier is within
+    ``synced_threshold_us`` of now — the reference's checkpoint-lag rule
+    with its 5-minute default."""
     import os
 
     from tiflow_spark.sinks.bucketed import _read_json
@@ -231,6 +242,10 @@ def changefeed_status(spark: SparkSession, work_dir: str) -> dict:
                 "last_batch_id": row["last_batch_id"],
             }
         )
+        if now_us is not None and row["resolved_ts"] is not None:
+            lag = now_us - int(row["resolved_ts"])
+            status["checkpoint_lag_us"] = lag
+            status["synced"] = lag <= synced_threshold_us
     target = os.path.join(work_dir, "target")
     if os.path.isdir(target):
         status["target"] = target_maintenance(spark, target, "status")
