@@ -273,3 +273,44 @@ def test_keys_survive_change_and_rename(spark):
     assert list(rows[3]["pk_cols"]) == ["b2"]  # lineage continues under t2
     assert [list(u) for u in rows[3]["uk_sets"]] == [["a"]]
     assert list(rows[3]["handle_cols"]) == ["b2"]
+
+
+def test_current_timestamp_default_backfill(spark):
+    """DEFAULT CURRENT_TIMESTAMP backfills pre-existing rows with the
+    ADD COLUMN DDL's own commit time — the deterministic stand-in for the
+    reference's evaluate-at-decode clock (ddl_default_current_timestamp
+    scenario); a plain literal default still backfills verbatim."""
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        decode_with_schema,
+    )
+
+    reg = registry_from_ddl(
+        _ddl(
+            spark,
+            [
+                (1_000_000, "t", "create table",
+                 "CREATE TABLE t (a BIGINT PRIMARY KEY)"),
+                (2_000_000, "t", "add column",
+                 "ALTER TABLE t ADD COLUMN created_at DATETIME "
+                 "DEFAULT CURRENT_TIMESTAMP"),
+            ],
+        )
+    )
+    env = spark.createDataFrame(
+        [(1_500_000, 1), (2_500_000, 2)], "commit_ts long, seq long"
+    ).select(
+        "commit_ts",
+        "seq",
+        F.lit("t").alias("logical_table"),
+        F.struct(F.col("seq").alias("a")).alias("after"),
+    )
+    dec = decode_with_schema(asof_resolve(env, reg), reg)
+    rows = {r["seq"]: r for r in dec.collect()}
+    # pre-DDL row: version 1, created_at not yet defined -> NULL
+    assert rows[1]["created_at_resolved"] is None
+    # post-DDL row: column absent from payload -> DDL commit time
+    got = rows[2]["created_at_resolved"]
+    import datetime
+
+    assert got == datetime.datetime.fromtimestamp(2.0)  # 2_000_000 us

@@ -23,7 +23,7 @@ def test_parity(spark, sf_dir, name):
 @pytest.mark.skipif(
     not __import__("os").environ.get("TIFLOW_SPARK_FULL_SWEEP"),
     reason="set TIFLOW_SPARK_FULL_SWEEP=1 for the sf0.1 scale sweep "
-    "(~25 min; run green 2026-08-14, 139/139)",
+    "(~25 min; full sweep green 2026-08-14)",
 )
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_parity_sf01_sweep(spark, name):

@@ -76,9 +76,18 @@ def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
     )
 
 
-def bootstrap_messages(env: DataFrame, schema_version: int = 1) -> DataFrame:
+def bootstrap_messages(
+    env: DataFrame,
+    schema_version: int = 1,
+    pk_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """One BOOTSTRAP message per (schema, table) carrying the TableSchema
-    (message.go newBootstrapMessage / TableSchema :275-282)."""
+    (message.go newBootstrapMessage / TableSchema :275-282).
+
+    ``pk_cols`` supplies the primary-index columns (from the DDL
+    registry's ``pk_cols`` or changefeed config — the reference reads
+    TableInfo); empty means no primary index is declared and every column
+    is nullable. No engine-side name heuristics."""
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
     columns = F.array(
         *[
@@ -88,18 +97,25 @@ def bootstrap_messages(env: DataFrame, schema_version: int = 1) -> DataFrame:
                     F.lit(_MYSQL_TYPES[f.dataType]).alias("mysqlType"),
                     F.lit("utf8mb4").alias("charset"),
                 ).alias("dataType"),
-                F.lit(f.name != "id").alias("nullable"),
+                F.lit(f.name not in pk_cols).alias("nullable"),
             )
             for f in fields
         ]
     )
-    indexes = F.array(
-        F.struct(
-            F.lit("primary").alias("name"),
-            F.lit(True).alias("unique"),
-            F.lit(True).alias("primary"),
-            F.lit(False).alias("nullable"),
-            F.array(F.lit("id")).alias("columns"),
+    indexes = (
+        F.array(
+            F.struct(
+                F.lit("primary").alias("name"),
+                F.lit(True).alias("unique"),
+                F.lit(True).alias("primary"),
+                F.lit(False).alias("nullable"),
+                F.array(*[F.lit(c) for c in pk_cols]).alias("columns"),
+            )
+        )
+        if pk_cols
+        else F.array().cast(
+            "array<struct<name:string,unique:boolean,primary:boolean,"
+            "nullable:boolean,columns:array<string>>>"
         )
     )
     msg = F.struct(

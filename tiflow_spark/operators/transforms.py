@@ -53,14 +53,21 @@ def route(env: DataFrame, cfg: TaskConfig) -> DataFrame:
     return out
 
 
-def select_columns(env: DataFrame, keep: list[str]) -> DataFrame:
+def select_columns(
+    env: DataFrame, keep: list[str], handle_cols: tuple[str, ...] = ("id",)
+) -> DataFrame:
     """Column selector: retain only `keep` fields inside before/after structs.
 
-    The reference verifies no index column is dropped (column_selector.go:150);
-    we enforce the same: 'id' (the handle key) must stay.
+    The reference verifies no index column is dropped
+    (column_selector.go:150); we enforce the same for ``handle_cols`` —
+    supplied from the DDL registry's handle key or changefeed config (the
+    default matches the demo envelope's declared pk).
     """
-    if "id" not in keep:
-        raise ValueError("column selector must retain the handle key 'id'")
+    missing = [c for c in handle_cols if c not in keep]
+    if missing:
+        raise ValueError(
+            f"column selector must retain the handle key column(s) {missing}"
+        )
 
     def prune(side: str) -> Column:
         return F.when(

@@ -2716,7 +2716,9 @@ def q_codec_simple_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the schema side-channel consumers decode DML against."""
     from tiflow_spark.codecs.simple import bootstrap_messages
 
-    return bootstrap_messages(_env(spark, sf_dir))
+    # pk from the demo DDL lineage (CREATE TABLE events ... id BIGINT
+    # PRIMARY KEY) — changefeed config, not an engine guess
+    return bootstrap_messages(_env(spark, sf_dir), pk_cols=("id",))
 
 
 _Q = (

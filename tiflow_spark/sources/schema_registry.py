@@ -41,6 +41,8 @@ def asof_resolve(
     O(DDL count per table) — metadata-scale by construction.
     """
     fields = ["version_ts", "version_no", "columns", "defaults"]
+    # version_ts always rides along: decode needs it for the
+    # CURRENT_TIMESTAMP default stand-in (see decode_with_schema)
     if with_keys:
         # key metadata rides the same broadcast version array — as-of
         # handle-key resolution costs nothing extra (ColumnFlagType
@@ -70,6 +72,7 @@ def asof_resolve(
         .select(
             *events.columns,
             F.col("_v.version_no").alias("version_no"),
+            F.col("_v.version_ts").alias("version_ts"),
             F.col("_v.columns").alias("columns"),
             F.col("_v.defaults").alias("defaults"),
             *(
@@ -136,6 +139,13 @@ def decode_with_schema(
     - the payload field (cast to the declared type) when present,
     - else the version's declared DEFAULT (mounter.go:843-853
       getDefaultOrZeroValue).
+
+    ``DEFAULT CURRENT_TIMESTAMP`` (the ddl_default_current_timestamp
+    scenario) backfills with the resolved version's OWN commit time
+    (timestamp_micros(version_ts)) — the deterministic stand-in for the
+    reference's evaluate-at-decode clock read, which would make replays
+    non-idempotent; the DDL's commit time is the latest instant the
+    missing value could have been written.
     """
     payload_fields = {
         f.name for f in resolved.schema[payload_col].dataType.fields
@@ -148,10 +158,18 @@ def decode_with_schema(
             if c in payload_fields
             else F.lit(None).cast(t)
         )
+        dflt = F.element_at("defaults", F.lit(c))
+        if t in ("timestamp_ntz", "timestamp"):
+            dflt_val = F.when(
+                F.upper(dflt).isin("CURRENT_TIMESTAMP", "NOW()"),
+                F.timestamp_micros(F.col("version_ts")).cast(t),
+            ).otherwise(dflt.cast(t))
+        else:
+            dflt_val = dflt.cast(t)
         out.append(
             F.when(
                 F.array_contains(F.col("columns"), c),
-                F.coalesce(src, F.element_at("defaults", F.lit(c)).cast(t)),
+                F.coalesce(src, dflt_val),
             ).alias(f"{c}_resolved")
         )
     return resolved.select(*out)
