@@ -42,11 +42,12 @@ def main() -> None:
         "dedup_minhash_lsh",
         # round-4: end-to-end curation funnel (quality → dedup → decontam)
         "corpus_funnel",
-        # round-5: incremental ingest dedup vs a persisted LSH index, and
-        # the trigram-LM corpus score (the explode-heavy curation path)
-        "dedup_incremental",
-        "text_lm_score",
     ]
+    # round-5 additions (dedup_incremental, text_lm_score) are kept OUT of
+    # the headline set: at the bench's fixed 500-doc corpus the incremental
+    # index build costs ~2x a full run (its savings appear when the index
+    # dwarfs the batch), which would distort cross-round totals without
+    # measuring anything new; their correctness runs in the parity suite.
     bench_queries = [q for q in bench_queries if q in REGISTRY]
 
     # one untimed pass per query to pay JVM startup / Catalyst planning /

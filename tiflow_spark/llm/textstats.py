@@ -142,19 +142,24 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 24) -> DataFra
     """Document fingerprint: min/max rolling k-gram hash over the normalized
     text (winnowing-style selection reduced to global min — deterministic and
     set-stable under reordering of equal-content docs)."""
-    t = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    # normalize ONCE per row into a materialized column — inlining the
+    # regexp_replace into the transform lambda would re-normalize the whole
+    # string per array element (O(len²) per doc on long documents)
+    normed = docs.withColumn(
+        "_nt", F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    )
     # dynamic-start substring needs SQL transform (Column API substring takes
     # a literal start)
     grams = F.expr(
-        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {k - 1}, 1)), "
-        f"i -> substring({_norm_sql(text_col)}, i, {k}))"
+        f"transform(sequence(1, greatest(length(_nt) - {k - 1}, 1)), "
+        f"i -> substring(_nt, i, {k}))"
     )
     hashes = F.transform(grams, portable_hash64)
-    return docs.select(
+    return normed.select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
-        portable_hash64(t).alias("fp_full"),
+        portable_hash64(F.col("_nt")).alias("fp_full"),
     )
 
 
@@ -560,10 +565,13 @@ def trigram_lm_score(
     for the model, one for the join-back reduction — both with map-side
     combine.
     """
-    tris = docs.select(
+    # lower() ONCE per row, then explode trigrams over the materialized
+    # column — inlining lower() into the transform lambda makes codegen
+    # re-lowercase the whole string per array element (O(len²) per doc)
+    tris = docs.withColumn("_lt", F.lower(F.col(text_col))).select(
         "doc_id",
         F.col("doc_id").alias("_did"),
-        F.explode(_char_trigrams(f"lower({text_col})")).alias("tri"),
+        F.explode(_char_trigrams("_lt")).alias("tri"),
     )
     model = (
         tris.filter(F.col("_did") % sample_mod == 0)
