@@ -43,6 +43,8 @@ _PRIORITY = [
     "dedup_incremental",
     "cdc_rekey_force_fallback",
     "ddl_lossy_report",
+    "codec_maxwell_ddl",
+    "codec_open_ddl",
     # last driver-checked in round 2 — the longest-unaudited 27
     "codec_claim_check",
     "ddl_barrier_plan",
@@ -75,11 +77,9 @@ _PRIORITY = [
     "cdc_apply",
     "cdc_compact",
     "cdc_dispatch",
-    "cdc_envelope",
     "cdc_filter_stack",
     "cdc_route_split",
     "stream_apply",
-    "cdc_causality",
 ]
 
 

@@ -99,3 +99,31 @@ def decode_maxwell(messages: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("m.data").alias("image"),
         F.col("m.old").alias("old_changed"),
     )
+
+
+def encode_maxwell_ddl(ddl: DataFrame) -> DataFrame:
+    """DDL events → Maxwell DDL messages (maxwell_message.go DdlResult /
+    the public maxwell "ddl row" format): type is table-create /
+    table-drop / table-alter (database-create / database-drop for schema
+    DDL), ``sql`` carries the statement, ts in seconds."""
+    mtype = (
+        F.when(F.col("ddl_type").startswith("create table"), "table-create")
+        .when(F.col("ddl_type").startswith("drop table"), "table-drop")
+        .when(F.col("ddl_type") == "create database", "database-create")
+        .when(F.col("ddl_type") == "drop database", "database-drop")
+        .otherwise("table-alter")
+    )
+    msg = F.struct(
+        F.col("schema").alias("database"),
+        F.col("table").alias("table"),
+        mtype.alias("type"),
+        F.expr("commit_ts div 1000000").alias("ts"),
+        F.col("query").alias("sql"),
+    )
+    return ddl.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+    )

@@ -202,3 +202,64 @@ def unframe_batches(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
         "batch_no",
         F.explode(parse(F.col(frame_col))).alias("kv"),
     ).select("schema", "table", "batch_no", "kv.key", "kv.value")
+
+
+# DDL kind → numeric job type in open-protocol DDL values; ids mirror the
+# public TiDB parser model.ActionType constants for the kinds the
+# allow-list carries (unknown kinds encode 0). Both the encoder and its
+# oracle derive from THIS table, so the wire ids stay engine-consistent.
+DDL_TYPE_IDS = {
+    "create database": 1,
+    "drop database": 2,
+    "create table": 3,
+    "drop table": 4,
+    "add column": 5,
+    "drop column": 6,
+    "create index": 7,
+    "drop index": 8,
+    "add foreign key": 9,
+    "drop foreign key": 10,
+    "truncate table": 11,
+    "modify column": 12,
+    "rebase auto id": 13,
+    "rename table": 14,
+    "set default value": 15,
+    "modify table comment": 17,
+    "rename index": 18,
+    "add table partition": 19,
+    "drop table partition": 20,
+    "create view": 21,
+    "modify table charset and collate": 22,
+    "truncate table partition": 23,
+    "drop view": 24,
+    "recover table": 25,
+    "modify schema charset and collate": 26,
+    "add primary key": 32,
+    "drop primary key": 33,
+    "exchange table partition": 42,
+    "multi schema change": 61,
+}
+
+
+def encode_open_protocol_ddl(ddl: DataFrame) -> DataFrame:
+    """DDL events → Open-Protocol DDL messages (open_protocol_encoder.go
+    DDL path): key {ts, scm, tbl, t:2} (type 2 = DDL), value {q: sql,
+    t: job type id}."""
+    tid = F.lit(0)
+    for kind, i in DDL_TYPE_IDS.items():
+        tid = F.when(F.col("ddl_type") == kind, F.lit(i)).otherwise(tid)
+    key = F.struct(
+        F.col("commit_ts").alias("ts"),
+        F.col("schema").alias("scm"),
+        F.col("table").alias("tbl"),
+        F.lit(2).alias("t"),
+    )
+    value = F.struct(F.col("query").alias("q"), tid.alias("t"))
+    return ddl.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(key).alias("key"),
+        F.to_json(value).alias("value"),
+    )

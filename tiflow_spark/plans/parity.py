@@ -3589,6 +3589,58 @@ def q_codec_canal_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_canal_json_ddl(_allowed_ddl(spark, sf_dir))
 
 
+@register(
+    "codec_maxwell_ddl",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", commit_ts, seq, to_json({{
+      database: "schema",
+      "table": "table",
+      type: CASE WHEN ddl_type LIKE 'create table%' THEN 'table-create'
+                 WHEN ddl_type LIKE 'drop table%' THEN 'table-drop'
+                 WHEN ddl_type = 'create database' THEN 'database-create'
+                 WHEN ddl_type = 'drop database' THEN 'database-drop'
+                 ELSE 'table-alter' END,
+      ts: commit_ts // 1000000,
+      sql: query
+    }}) AS value
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_codec_maxwell_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell DDL messages for surviving DDL events (the maxwell 'ddl
+    row' format: table-create/-drop/-alter + sql)."""
+    from tiflow_spark.codecs.maxwell import encode_maxwell_ddl
+
+    return encode_maxwell_ddl(_allowed_ddl(spark, sf_dir))
+
+
+@register("codec_open_ddl", None)  # oracle installed below
+def q_codec_open_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-Protocol DDL messages (key type 2, value {q, t}) with job-type
+    ids from the shared DDL_TYPE_IDS table."""
+    from tiflow_spark.codecs.open_protocol import encode_open_protocol_ddl
+
+    return encode_open_protocol_ddl(_allowed_ddl(spark, sf_dir))
+
+
+def _install_open_ddl_sql() -> None:
+    from tiflow_spark.codecs.open_protocol import DDL_TYPE_IDS
+
+    arms = " ".join(
+        f"WHEN ddl_type = '{k}' THEN {i}" for k, i in DDL_TYPE_IDS.items()
+    )
+    REGISTRY["codec_open_ddl"] = (
+        REGISTRY["codec_open_ddl"][0],
+        f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", commit_ts, seq,
+      to_json({{ts: commit_ts, scm: "schema", tbl: "table", t: 2}}) AS key,
+      to_json({{q: query, t: CASE {arms} ELSE 0 END}}) AS value
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+    )
+
+
+_install_open_ddl_sql()
+
+
 # ------------------------------------- round-4 LLM curation operators
 
 
