@@ -533,3 +533,40 @@ def test_stratified_samplers_two_phase(spark, sf_dir, name):
     fn, _ = REGISTRY[name]
     plan = plan_of(fn(spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Window$", plan, flags=re.M)) == 2
+
+
+def test_returned_items_filters_push_to_parquet(spark, sf_dir):
+    """Q10 shape: the returnflag equality and the orderdate range must
+    reach their parquet scans (row-group pruning on both fact inputs);
+    customer/nation broadcast."""
+    fn, _ = REGISTRY["olap_returned_items"]
+    plan = plan_of(fn(spark, sf_dir))
+    pushed = "\n".join(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_volume_shipping_broadcasts_dims(spark, sf_dir):
+    """Q7 shape: supplier/customer/nation sides broadcast; the only fact
+    shuffle is lineitem⋈orders on orderkey; no cartesian."""
+    fn, _ = REGISTRY["olap_volume_shipping"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_important_parts_single_fact_shuffle(spark, sf_dir):
+    """Q11 shape: per-part totals built with ONE partkey shuffle; the
+    global threshold re-aggregates the per-part frame (metadata-sized)
+    and broadcasts back — the fact table is never shuffled twice."""
+    fn, _ = REGISTRY["olap_important_parts"]
+    df = fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan  # broadcast scalar, not cartesian
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # the per-part aggregate's exchange is REUSED by the threshold branch
+    assert "ReusedExchange" in executed
