@@ -267,3 +267,38 @@ def test_recover_table_clears_watermark_until_purge(spark, tmp_path):
     purge_tombstones(spark, path, safepoint_ts=0)  # physical reclamation
     recover_table(path, "a")  # post-purge: nothing to restore
     assert {r.key for r in read_state(spark, path).collect()} == {"k2"}
+
+
+def test_fully_purged_target_stays_readable(spark, tmp_path):
+    """A target whose EVERY row is tombstoned and then GC'd past the
+    safepoint has no parquet files left — reads must fall back to the
+    creation schema recorded in the target metadata instead of failing
+    schema inference (minimal counterexample found by the
+    snapshot-immutability property test: delete-rewrite then purge)."""
+    from tiflow_spark.sinks.bucketed import (
+        merge_hash_bucketed,
+        purge_tombstones,
+        read_state,
+    )
+
+    target = str(tmp_path / "t")
+    merge_hash_bucketed(
+        _chg(spark, [("t", "1", "I", 10, 1, 1, 1.0, "x")]),
+        target, n_buckets=2, batch_id=0,
+    )
+    merge_hash_bucketed(
+        _chg(spark, [("t", "1", "D", 20, 2, 1, None, None)]),
+        target, n_buckets=2, batch_id=1,
+    )
+    purge_tombstones(spark, target, safepoint_ts=20)
+    state = read_state(spark, target)
+    assert state.count() == 0
+    assert "balance" in state.columns  # creation schema survives
+    # and the empty target still accepts new merges + purges
+    merge_hash_bucketed(
+        _chg(spark, [("t", "2", "I", 30, 3, 2, 2.0, "y")]),
+        target, n_buckets=2, batch_id=2,
+    )
+    assert read_state(spark, target).count() == 1
+    purge_tombstones(spark, target, safepoint_ts=25)
+    assert read_state(spark, target).count() == 1

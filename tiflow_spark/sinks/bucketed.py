@@ -110,14 +110,48 @@ def read_target_meta(path: str) -> dict | None:
 
 
 def _write_target_meta(
-    path: str, n_buckets: int, key_cols, base: dict | None = None
+    path: str,
+    n_buckets: int,
+    key_cols,
+    base: dict | None = None,
+    schema_json: str | None = None,
 ) -> None:
     """Write sizing metadata, preserving any other keys already present (or
     passed via ``base`` when the caller captured them before a destructive
-    write) — e.g. truncate watermarks recorded before first data."""
+    write) — e.g. truncate watermarks recorded before first data.
+    ``schema_json`` records the creation schema so a fully-GC'd (empty)
+    target stays readable — parquet inference has no footers to work with
+    when every row has been reclaimed."""
     meta = dict(base or read_target_meta(path) or {})
     meta.update({"n_buckets": n_buckets, "key_cols": list(key_cols)})
+    if schema_json is not None:
+        meta["schema"] = schema_json
     _atomic_write_json(os.path.join(path, _META), meta)
+
+
+def _read_base(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-safe full read of a target's bucket data: a target whose
+    every row was purged (all-deletes workload + GC safepoint past them)
+    has no parquet files left, so schema inference fails — fall back to an
+    empty frame with the creation schema recorded in the target metadata.
+    Found by the snapshot-immutability property test (rewrite-delete then
+    purge minimal counterexample)."""
+    import pyspark.sql.types as T
+
+    has_files = any(
+        f.endswith(".parquet")
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+        and os.path.isdir(os.path.join(path, d))
+        for f in os.listdir(os.path.join(path, d))
+    )
+    if not has_files:
+        sj = (read_target_meta(path) or {}).get("schema")
+        if sj is not None:
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(sj))
+            )
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def truncate_table(path: str, table: str, truncate_ts: int) -> None:
@@ -301,8 +335,15 @@ def merge_hash_bucketed(
                 "overwrite"
             ).partitionBy("bucket").parquet(path)
             # base=meta0: Spark's overwrite wiped the dir — restore any
-            # pre-creation metadata (truncate watermarks) alongside sizing
-            _write_target_meta(path, n_buckets, key_cols, base=meta0)
+            # pre-creation metadata (truncate watermarks) alongside sizing;
+            # record the creation schema for the empty-target read fallback
+            _write_target_meta(
+                path,
+                n_buckets,
+                key_cols,
+                base=meta0,
+                schema_json=result.schema.json(),
+            )
             return
         if mode == "delta":
             _append_delta(chg, path, table_col, batch_id)
@@ -451,7 +492,7 @@ def read_state(spark: SparkSession, path: str) -> DataFrame:
     any pushed key predicate). A compacted target skips the resolve
     entirely."""
     recover(path)
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = _read_base(spark, path)
     meta = read_target_meta(path)
     deltas = list_deltas(path)
     if deltas:
@@ -484,7 +525,7 @@ def purge_tombstones(
     would have picked."""
     compact_deltas(spark, path)  # deltas must fold before a full rewrite
     recover(path)
-    df = spark.read.option("mergeSchema", "true").parquet(path)
+    df = _read_base(spark, path)
     kept = df.filter(
         ~((F.col("op") == "D") & (F.col("commit_ts") <= F.lit(safepoint_ts)))
     )
