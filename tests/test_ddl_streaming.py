@@ -213,3 +213,137 @@ def test_ddl_blocks_only_related_table(spark, tmp_path, chunks):
     assert rows[("unrelated", 600)]["version_no"] is None
     # the related table sees its own post-DDL version
     assert rows[("evolving", 600)]["version_no"] == 2
+
+
+def test_partition_routing_composes_with_live_ddl(spark, sf_dir, tmp_path):
+    """Kitchen-sink interaction e2e: a stream of PHYSICAL partition events
+    routes to its logical table (with a DROP PARTITION mid-stream), the
+    table filter keeps only that logical table, AND the logical table's
+    schema evolves mid-stream (ADD COLUMN with default) — partition
+    directory, binlog filter and DDL registry all drive the same standing
+    changefeed."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.config import RouteRule, TableRule, TaskConfig
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators import filters as flt
+    from tiflow_spark.operators import transforms as tfm
+    from tiflow_spark.operators.compactor import last_state_per_key
+    from tiflow_spark.operators.partition_table import (
+        partition_directory_from_ddl,
+        route_partitions_asof,
+    )
+    from tiflow_spark.sinks.bucketed import read_state
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.streaming.pipeline import (
+        ENVELOPE_SCHEMA,
+        DDLStreamingTarget,
+        read_change_stream,
+        transform_stream,
+    )
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    mid = env.agg(
+        ((F.min("commit_ts") + F.max("commit_ts")) / 2).cast("long").alias("m")
+    ).collect()[0]["m"]
+    env = env.withColumn(
+        "physical_table_id",
+        F.when(F.col("table") == "events_0",
+               F.col("key").cast("bigint") % 2 + 100),
+    )
+    base = spark.createDataFrame(
+        [(100, "tgt", "orders_p", "p0"), (101, "tgt", "orders_p", "p1")],
+        "physical_table_id long, logical_schema string, "
+        "logical_table string, partition_name string",
+    )
+    ddl_rows = [
+        ("DDL", "tgt", "orders_p", int(mid), 1, "drop table partition",
+         "ALTER TABLE orders_p DROP PARTITION p1"),
+        ("DDL", "tgt", "orders_p", 0, 2, "create table",
+         "CREATE TABLE orders_p (id BIGINT PRIMARY KEY, balance DOUBLE, "
+         "note VARCHAR)"),
+        ("DDL", "tgt", "orders_p", int(mid), 3, "add column",
+         "ALTER TABLE orders_p ADD COLUMN note2 VARCHAR DEFAULT 'n2'"),
+    ]
+    ddl = spark.createDataFrame(
+        ddl_rows,
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    pdir = partition_directory_from_ddl(base, ddl)
+    registry = registry_from_ddl(ddl).filter(F.col("table") == "orders_p")
+    cfg = TaskConfig(
+        do_tables=(TableRule("tgt", "orders_p"),),
+        routes=(RouteRule("tgt", "orders_p", "sink", "merged"),),
+    )
+
+    src = str(tmp_path / "source")
+    for chunk in (2, 0, 1):
+        env.filter(F.col("seq") % 3 == chunk).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        ENVELOPE_SCHEMA.fields
+        + [T.StructField("physical_table_id", T.LongType())]
+    )
+    stream = read_change_stream(spark, src, max_files=2, schema=schema)
+    routed = route_partitions_asof(stream, pdir).drop(
+        "partition_name", "physical_table_id"
+    )
+    transformed = transform_stream(routed, cfg)
+    target = DDLStreamingTarget(
+        target_path=str(tmp_path / "target"),
+        progress_path=str(tmp_path / "progress"),
+        registry=registry,
+        logical_table="orders_p",
+    )
+    q = (
+        transformed.writeStream.foreachBatch(target.merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    applied = read_state(spark, target.target_path)
+
+    # batch oracle for row membership + base payload: same routing +
+    # filter + route + split, last-writer-wins
+    routed_b = route_partitions_asof(env, pdir).drop(
+        "partition_name", "physical_table_id"
+    )
+    split = tfm.split_updates(
+        tfm.route(flt.apply_filters(routed_b, cfg), cfg)
+    )
+    expected = (
+        last_state_per_key(split, "target_table")
+        .filter(F.col("op") != "D")
+        .select(
+            "target_table", "key",
+            F.col("after.id").alias("id"),
+            F.col("after.balance").alias("balance"),
+            F.col("commit_ts").alias("_win_ts"),
+        )
+    )
+    a = applied.select("target_table", "key", "id", "balance")
+    e = expected.select("target_table", "key", "id", "balance")
+    assert a.count() == e.count() and e.count() > 0
+    assert a.exceptAll(e).count() == 0 and e.exceptAll(a).count() == 0
+
+    # post-DDL winners carry the ADD COLUMN default; pre-DDL winners null
+    j = applied.join(expected.select("key", "_win_ts"), "key")
+    assert (
+        j.filter((F.col("_win_ts") >= mid) & (F.col("note2") != "n2")).count()
+        == 0
+    )
+    assert (
+        j.filter((F.col("_win_ts") < mid) & F.col("note2").isNotNull()).count()
+        == 0
+    )
+    assert j.filter(F.col("_win_ts") >= mid).count() > 0
+    # every surviving p1 row's winner predates the DROP PARTITION
+    p1_keys = j.filter(F.col("key").cast("bigint") % 2 == 1)
+    assert p1_keys.filter(F.col("_win_ts") >= mid).count() == 0
