@@ -45,6 +45,7 @@ _PRIORITY = [
     "ddl_lossy_report",
     "codec_maxwell_ddl",
     "codec_open_ddl",
+    "olap_market_share",
     # last driver-checked in round 2 — the longest-unaudited 27
     "codec_claim_check",
     "ddl_barrier_plan",
@@ -76,7 +77,6 @@ _PRIORITY = [
     # last driver-checked in round 3 — next-oldest, fills the 50-cap
     "cdc_apply",
     "cdc_compact",
-    "cdc_dispatch",
     "cdc_filter_stack",
     "cdc_route_split",
     "stream_apply",

@@ -921,3 +921,72 @@ WHERE sn.n_name IN ('NATION_3', 'NATION_7')
   AND cn.n_name IN ('NATION_3', 'NATION_7')
   AND sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of a region's yearly revenue —
+    supplier-side nation attribution, customers restricted to the region.
+
+    Share = nation revenue / region revenue per year: both sides are
+    exact-decimal sums; ONE final double division (identical IEEE op on
+    identical inputs in both engines — the engine-portable ratio recipe).
+
+    Plan shape: one lineitem⋈orders shuffle on orderkey; supplier and the
+    region-restricted customer side broadcast; the share divides two
+    columns of the SAME per-year aggregate row (conditional aggregation —
+    no second pass, no self-join)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region_nations = nation.filter(F.col("n_regionkey") == 2)
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(region_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    per_year = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_11", rev)).alias("_n"),
+        F.sum(rev).alias("_d"),
+    )
+    return per_year.select(
+        "o_year",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("double").alias("nation_rev"),
+        F.col("_d").cast("double").alias("region_rev"),
+        (
+            F.coalesce(F.col("_n"), F.lit(0)).cast("double")
+            / F.col("_d").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+MARKET_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2))
+      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+    sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_regionkey = 2
+)
+SELECT o_year,
+  CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_11' THEN rev END), 0)
+       AS DOUBLE) AS nation_rev,
+  CAST(sum(rev) AS DOUBLE) AS region_rev,
+  CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_11' THEN rev END), 0)
+       AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS mkt_share
+FROM j GROUP BY 1"""

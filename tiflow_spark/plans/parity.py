@@ -841,6 +841,7 @@ def _install_analytics() -> None:
         ),
         "olap_important_parts": (an.important_parts, an.IMPORTANT_PARTS_SQL),
         "olap_volume_shipping": (an.volume_shipping, an.VOLUME_SHIPPING_SQL),
+        "olap_market_share": (an.market_share, an.MARKET_SHARE_SQL),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
