@@ -558,3 +558,61 @@ def test_multi_source_changefeed_matches_single(spark, sf_dir, work_dir):
     assert applied.count() == expected.count() and expected.count() > 0
     assert applied.exceptAll(expected).count() == 0
     assert expected.exceptAll(applied).count() == 0
+
+
+def test_live_changefeed_pause_resume(spark, sf_dir, work_dir):
+    """changefeed_pause_resume scenario with a LIVE trigger: a standing
+    (processing-time) changefeed tails files as they appear, is stopped
+    gracefully mid-stream (pause), and a later availableNow run on the
+    same checkpoint drains the rest (resume) — final state equals the
+    batch pipeline."""
+    import time
+
+    from tiflow_spark.sinks.bucketed import read_state
+    from tiflow_spark.streaming.pipeline import run_changefeed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+    first = env.filter(F.col("seq") % 2 == 0)
+    first.coalesce(1).write.parquet(src)
+
+    q, target = run_changefeed(
+        spark, src, DEMO_CFG, work_dir, processing_time="200 milliseconds"
+    )
+    try:
+        # wait until the live query has applied the first half
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] == 0 and (
+                spark.read.parquet(f"{work_dir}/progress").count() >= 1
+                if __import__("os").path.isdir(f"{work_dir}/progress")
+                else False
+            ):
+                break
+            time.sleep(0.5)
+        # feed more files WHILE the changefeed is live
+        env.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] == 0 and p["batchId"] >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()  # pause
+
+    # resume: drain anything left on the same checkpoint
+    run_changefeed(spark, src, DEMO_CFG, work_dir)
+
+    applied = read_state(spark, target.target_path).select(
+        "target_table", "key", "id", "balance", "note"
+    )
+    expected = changes_to_state(
+        tfm.split_updates(tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)),
+        table_col="target_table",
+    ).select("target_table", "key", "id", "balance", "note")
+    assert applied.count() == expected.count() and expected.count() > 0
+    assert applied.exceptAll(expected).count() == 0
+    assert expected.exceptAll(applied).count() == 0

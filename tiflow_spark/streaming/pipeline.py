@@ -209,9 +209,18 @@ def run_changefeed(
     await_termination: bool = True,
     merge_mode: str = "rewrite",
     syncpoint_every: int = 0,
+    processing_time: str | None = None,
 ):
-    """End-to-end streaming changefeed with availableNow trigger (drains the
-    source then stops — the batch-boundary semantics integration tests use)."""
+    """End-to-end streaming changefeed.
+
+    Default trigger is availableNow (drain the source then stop — the
+    batch-boundary semantics most integration tests use). Pass
+    ``processing_time`` (e.g. ``"500 milliseconds"``) for a STANDING
+    changefeed that tails the source live — the reference's normal
+    changefeed lifecycle; stop it with ``q.stop()`` (graceful: the
+    in-flight micro-batch completes or replays on restart, same
+    crash-resume contract) and resume later from the same checkpoint in
+    either trigger mode (the pause→resume scenario)."""
     target = StreamingTarget(
         target_path=os.path.join(work_dir, "target"),
         progress_path=os.path.join(work_dir, "progress"),
@@ -220,13 +229,16 @@ def run_changefeed(
     )
     stream = read_change_stream(spark, source_dir)
     transformed = transform_stream(stream, cfg)
-    q = (
+    writer = (
         transformed.writeStream.foreachBatch(target.merge_batch)
         .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
-        .trigger(availableNow=True)
-        .start()
     )
-    if await_termination:
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if await_termination and processing_time is None:
         q.awaitTermination()
     return q, target
 
