@@ -570,3 +570,49 @@ def test_important_parts_single_fact_shuffle(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # the per-part aggregate's exchange is REUSED by the threshold branch
     assert "ReusedExchange" in executed
+
+
+def test_incremental_capped_no_cartesian(spark, sf_dir):
+    """The capped incremental-dedup path stays bucket-local: equi-joins
+    only, no cartesian/BNLJ anywhere in nvo (batch×index) or nvn
+    (batch×batch)."""
+    fn, _ = REGISTRY["dedup_incremental_capped"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_index_cap_bounds_candidates(spark):
+    """A hot (band, sig) bucket must expand linearly, not quadratically:
+    with max_bucket=1, a batch of d near-identical docs against an index
+    holding k more of the same doc yields O(d) candidate pairs (star
+    edges through representatives), never the O((d+k)²) all-pairs set."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.llm.dedup import dedup_incremental, minhash_index
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        [(i, text) for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, text) for i in range(30)], "doc_id long, text string"
+    )
+    idx_sh, idx_banded = minhash_index(base, 16, 4, max_bucket=1)
+    # index cap: every over-cap bucket collapsed to its representative row
+    sizes = idx_banded.groupBy("band", "sig").count().collect()
+    assert all(r["count"] == 1 for r in sizes)
+    pairs = dedup_incremental(
+        batch, idx_sh, idx_banded, 16, 4, 0.5, max_bucket=1
+    )
+    n = pairs.count()
+    # linear bound: per band, ≤ d nvo edges (each batch doc × 1 rep) and
+    # d-1 nvn star edges — far under the ~1225 all-pairs count of d=50
+    d = 30
+    assert 0 < n <= 4 * (2 * d)
+    # connectivity preserved: every doc reachable from the index rep
+    ids = set()
+    for r in pairs.collect():
+        ids.add(r["id_a"])
+        ids.add(r["id_b"])
+    assert ids >= {100 + i for i in range(30)}

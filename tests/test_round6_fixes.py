@@ -1,0 +1,123 @@
+"""Round-6 ADVICE regressions: maxwell partition-DDL classification,
+lossy-modify cross-family shrinks, partition-id minting vs standalone ids,
+unnamed-unique-key default names."""
+
+import json
+
+import pyspark.sql.functions as F
+
+
+def _ddl_frame(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+
+
+def test_maxwell_partition_ddl_is_table_alter(spark):
+    """'drop table partition' must encode as table-alter, not table-drop —
+    the reference maps ALL partition DDL into table-alter
+    (maxwell_message.go ddlToMaxwellType, ActionAddColumn..
+    ActionDropTablePartition); a prefix match on 'drop table' would tell a
+    Maxwell consumer to drop the whole table on a partition drop."""
+    from tiflow_spark.codecs.maxwell import encode_maxwell_ddl
+
+    ddl = _ddl_frame(
+        spark,
+        [
+            ("DDL", "s", "t", 1_000_000, 1, "drop table partition",
+             "ALTER TABLE t DROP PARTITION p0"),
+            ("DDL", "s", "t", 2_000_000, 2, "add table partition",
+             "ALTER TABLE t ADD PARTITION (PARTITION p9 VALUES LESS THAN (9))"),
+            ("DDL", "s", "t", 3_000_000, 3, "truncate table partition",
+             "ALTER TABLE t TRUNCATE PARTITION p1"),
+            ("DDL", "s", "t", 4_000_000, 4, "drop table", "DROP TABLE t"),
+            ("DDL", "s", "t2", 5_000_000, 5, "create table",
+             "CREATE TABLE t2 (id BIGINT)"),
+        ],
+    )
+    rows = encode_maxwell_ddl(ddl).orderBy("seq").collect()
+    types = [json.loads(r["value"])["type"] for r in rows]
+    assert types == [
+        "table-alter", "table-alter", "table-alter",
+        "table-drop", "table-create",
+    ]
+
+
+def test_lossy_modify_cross_family_shrinks():
+    from tiflow_spark.sources.ddl_stream import is_lossy_modify
+
+    assert is_lossy_modify("VARCHAR(64)", "CHAR(8)") == \
+        "length or precision reduced"
+    assert is_lossy_modify("TEXT", "VARCHAR(8)") == \
+        "length or precision reduced"
+    assert is_lossy_modify("CHAR(4)", "VARCHAR(64)") is None
+    assert is_lossy_modify("VARCHAR(100)", "TEXT") is None
+    assert is_lossy_modify("BIGINT", "VARCHAR(2)") == \
+        "string too short for numeric range"
+    assert is_lossy_modify("BIGINT", "VARCHAR(20)") is None
+    assert is_lossy_modify("DECIMAL(12,4)", "VARCHAR(8)") == \
+        "string too short for numeric range"
+    assert is_lossy_modify("DECIMAL(12,4)", "VARCHAR(14)") is None
+
+
+def test_partition_mint_skips_standalone_ids(spark):
+    """ADD/TRUNCATE PARTITION mint fresh physical ids ABOVE both the base
+    partition ids and any standalone-table ids: with base max 101 and
+    staging=900, a minted pid of 102 would collide with nothing today but
+    900 is live in the same directory namespace — mint 901."""
+    from tiflow_spark.operators.partition_table import (
+        partition_directory_from_ddl,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "s", "t", "p0"), (101, "s", "t", "p1")],
+        "physical_table_id long, logical_schema string, "
+        "logical_table string, partition_name string",
+    )
+    ddl = _ddl_frame(
+        spark,
+        [
+            ("DDL", "s", "t", 1_000_000, 1, "add table partition",
+             "ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (9))"),
+            ("DDL", "s", "t", 2_000_000, 2, "truncate table partition",
+             "ALTER TABLE t TRUNCATE PARTITION p0"),
+        ],
+    )
+    pdir = partition_directory_from_ddl(base, ddl, table_ids={"staging": 900})
+    live = {
+        r["partition_name"]: r["physical_table_id"]
+        for r in pdir.collect()
+        if r["logical_table"] is not None and r["version_ts"] > -(2**62)
+    }
+    assert live["p2"] == 901
+    assert live["p0"] == 902
+    assert 900 not in live.values()
+
+
+def test_unnamed_unique_key_droppable_by_default_name(spark):
+    """Inline `col UNIQUE` / unnamed UNIQUE(...) keys get MySQL default
+    index names (first column, numeric suffix on collision), so DROP INDEX
+    by that name removes them instead of leaving stale uk state driving
+    the handle key."""
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+    ddl = _ddl_frame(
+        spark,
+        [
+            ("DDL", "s", "t", 1_000_000, 1, "create table",
+             "CREATE TABLE t (a BIGINT, b BIGINT UNIQUE, c BIGINT)"),
+            ("DDL", "s", "t", 2_000_000, 2, "create index",
+             "CREATE UNIQUE INDEX c_idx ON t (c)"),
+            ("DDL", "s", "t", 3_000_000, 3, "drop index",
+             "DROP INDEX b ON t"),
+        ],
+    )
+    reg = registry_from_ddl(ddl).orderBy("version_ts").collect()
+    # after create table: uk over b drives the handle key
+    assert reg[0]["uk_sets"] == [["b"]]
+    assert reg[0]["handle_cols"] == ["b"]
+    # after DROP INDEX b (the synthesized default name): only c_idx remains
+    assert reg[-1]["uk_sets"] == [["c"]]
+    assert reg[-1]["handle_cols"] == ["c"]

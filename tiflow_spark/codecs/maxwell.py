@@ -107,8 +107,13 @@ def encode_maxwell_ddl(ddl: DataFrame) -> DataFrame:
     table-drop / table-alter (database-create / database-drop for schema
     DDL), ``sql`` carries the statement, ts in seconds."""
     mtype = (
-        F.when(F.col("ddl_type").startswith("create table"), "table-create")
-        .when(F.col("ddl_type").startswith("drop table"), "table-drop")
+        # Exact equality, NOT prefix match: partition DDL ("drop table
+        # partition", "add table partition", ...) maps to table-alter in the
+        # reference (maxwell_message.go ddlToMaxwellType covers
+        # ActionAddColumn..ActionDropTablePartition) — a prefix match would
+        # tell a Maxwell consumer to drop the whole table on a partition drop.
+        F.when(F.col("ddl_type") == "create table", "table-create")
+        .when(F.col("ddl_type") == "drop table", "table-drop")
         .when(F.col("ddl_type") == "create database", "database-create")
         .when(F.col("ddl_type") == "drop database", "database-drop")
         .otherwise("table-alter")

@@ -458,6 +458,101 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {threshold}"""
 
 
+def dedup_incremental_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_bucket: int | None = None,
+    new_min: int = 10000,
+) -> str:
+    """DuckDB mirror of :func:`dedup_incremental` over the corpus_with_dups
+    fixture split at ``new_min``: base docs (< new_min) form the persisted
+    index (capped at build time when ``max_bucket`` is set, over-cap
+    buckets keep only the min-doc representative row), new docs join it
+    plus themselves (in-batch over-cap buckets star-link through the rep).
+    Verification is the same exact-Jaccard expression as the full run."""
+    rows_per_band = num_hashes // bands
+    mh = ", ".join(
+        f"list_min(list_transform(hv, h -> "
+        f"({a} * (h % 1073741824) + {c} * (h // 1073741824) + {b})"
+        f" % 2305843009213693951)) AS mh_{i}"
+        for i, (a, c, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = ", ".join(
+        "({b}, {sig})".format(
+            b=b,
+            sig="concat_ws('|', "
+            + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+            + ")",
+        )
+        for b in range(bands)
+    )
+    if max_bucket is None:
+        idx = f"idx AS (SELECT * FROM banded WHERE doc_id < {new_min})"
+        nvn = """nvn AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM new_banded a JOIN new_banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+    else:
+        idx = f"""idx_stats AS (
+  SELECT band, sig, count(*) AS bsz, min(doc_id) AS rep
+  FROM banded WHERE doc_id < {new_min} GROUP BY 1, 2
+),
+idx AS (
+  SELECT b.doc_id, b.band, b.sig
+  FROM banded b JOIN idx_stats s ON b.band = s.band AND b.sig = s.sig
+  WHERE b.doc_id < {new_min}
+    AND (s.bsz <= {max_bucket} OR b.doc_id = s.rep)
+)"""
+        nvn = f"""new_stats AS (
+  SELECT band, sig, count(*) AS bsz, min(doc_id) AS rep
+  FROM new_banded GROUP BY 1, 2
+),
+nb AS (
+  SELECT b.doc_id, b.band, b.sig, s.bsz, s.rep
+  FROM new_banded b JOIN new_stats s ON b.band = s.band AND b.sig = s.sig
+),
+nvn AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nb a JOIN nb b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+   AND a.bsz <= {max_bucket}
+  UNION
+  SELECT DISTINCT rep AS id_a, doc_id AS id_b
+  FROM nb WHERE bsz > {max_bucket} AND doc_id <> rep
+)"""
+    return f"""WITH {CORPUS_SQL.strip()},
+sh AS (SELECT doc_id, {_shingles_sql("text", n)} AS sh FROM corpus),
+hs AS (SELECT doc_id,
+       list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hv
+       FROM sh),
+sigs AS (SELECT doc_id, {mh} FROM hs),
+banded AS (
+  SELECT doc_id, b.* FROM sigs,
+  LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+new_banded AS (SELECT * FROM banded WHERE doc_id >= {new_min}),
+{idx},
+nvo AS (
+  SELECT DISTINCT least(n.doc_id, i.doc_id) AS id_a,
+                  greatest(n.doc_id, i.doc_id) AS id_b
+  FROM new_banded n JOIN idx i ON n.band = i.band AND n.sig = i.sig
+  WHERE n.doc_id <> i.doc_id
+),
+{nvn},
+cands AS (SELECT * FROM nvo UNION SELECT * FROM nvn)
+SELECT id_a, id_b,
+  round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cands
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+            len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {threshold}"""
+
+
 # ------------------------------------------------------------------- SimHash
 
 
@@ -694,20 +789,51 @@ def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 
 def minhash_index(
-    corpus: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Persistable LSH index of a corpus: ``(shingles, banded)`` frames —
     (doc_id, sh array) for verification and (doc_id, band, sig) for
     candidate lookup. Write both as parquet partitioned however the lake
     likes; an ingest batch joins against them without touching the raw
-    corpus text (the index IS the dedup state at 100 TB)."""
+    corpus text (the index IS the dedup state at 100 TB).
+
+    ``max_bucket`` caps hot (band, sig) buckets AT BUILD TIME: a bucket
+    with more members than the cap keeps only its representative (min
+    doc_id) row, so a later :func:`dedup_incremental` join against the
+    index pairs new docs with the representative instead of every member
+    — the same star-link/recall trade-off as
+    :func:`minhash_lsh_pairs`'s knob (over-cap buckets are near-identical
+    boilerplate whose members were already pairwise-linked through the
+    rep when THEY were ingested). Without it, one hot bucket in a 100 TB
+    index makes every ingest batch's candidate set quadratic in that
+    bucket. Buckets can re-grow past the cap as batch index rows are
+    appended; re-apply the cap at index-compaction cadence (the same
+    maintenance slot as bucketed-sink compaction).
+    """
     sh_arr = corpus.select(
         "doc_id", word_shingles(F.col("text"), n).alias("sh")
     )
     sigs = _signatures_from_shingles(
         sh_arr.select("doc_id", F.explode("sh").alias("s")), num_hashes
     )
-    return sh_arr, _band_rows(sigs, num_hashes, bands)
+    banded = _band_rows(sigs, num_hashes, bands)
+    if max_bucket is not None:
+        stats = banded.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
+        )
+        banded = (
+            banded.join(stats, ["band", "sig"])
+            .filter(
+                (F.col("_bsz") <= max_bucket)
+                | (F.col("doc_id") == F.col("_rep"))
+            )
+            .drop("_bsz", "_rep")
+        )
+    return sh_arr, banded
 
 
 def dedup_incremental(
@@ -718,6 +844,7 @@ def dedup_incremental(
     bands: int = 4,
     threshold: float = 0.5,
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup detection — the production ingest shape: a new
     batch of documents is deduped against the EXISTING corpus via its LSH
@@ -736,6 +863,13 @@ def dedup_incremental(
     batch actually hits; verification joins shingle arrays for candidate
     ids only. Append the returned batch index frames to keep the index
     current.
+
+    ``max_bucket`` star-links hot (band, sig) buckets WITHIN the batch
+    (same knob and trade-off as :func:`minhash_lsh_pairs`): over-cap
+    in-batch buckets emit O(d) rep edges instead of O(d²) pairs. The
+    index side must be capped at build time (:func:`minhash_index`
+    ``max_bucket``) — re-scanning the whole index per batch to cap it
+    here would defeat the touch-only-hit-keys shape.
     """
     new_sh, new_banded = minhash_index(new_docs, num_hashes, bands, n)
     # new-vs-index candidates (either orientation, canonical id order)
@@ -750,8 +884,22 @@ def dedup_incremental(
         )
         .filter(F.col("id_a") != F.col("id_b"))
     )
-    # new-vs-new candidates
-    a, b = new_banded.alias("a"), new_banded.alias("b")
+    # new-vs-new candidates (star-linked past the cap, like the
+    # full-corpus path)
+    if max_bucket is not None:
+        nstats = new_banded.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
+        )
+        nb = new_banded.join(nstats, ["band", "sig"])
+        small = nb.filter(F.col("_bsz") <= max_bucket).drop("_bsz", "_rep")
+        star = nb.filter(
+            (F.col("_bsz") > max_bucket) & (F.col("doc_id") != F.col("_rep"))
+        ).select(
+            F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+    else:
+        small, star = new_banded, None
+    a, b = small.alias("a"), small.alias("b")
     nvn = (
         a.join(b, ["band", "sig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -759,6 +907,8 @@ def dedup_incremental(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
     )
+    if star is not None:
+        nvn = nvn.unionByName(star)
     cands = nvo.unionByName(nvn).distinct()
     all_sh = index_shingles.unionByName(new_sh)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -101,7 +101,17 @@ def partition_directory_from_ddl(
     # live state: pname -> pid per (schema, table); pid -> mapping
     state: dict[tuple[str, str, str], int] = {}
     out: list[tuple] = []
-    next_id = max((r["physical_table_id"] for r in base), default=0) + 1
+    # Seed past BOTH partition ids and standalone-table ids: an
+    # ADD/TRUNCATE PARTITION must never mint a pid that collides with a
+    # table passed via table_ids (e.g. the EXCHANGE counterpart), or one
+    # physical id would own two conflicting directory mappings.
+    next_id = (
+        max(
+            max((r["physical_table_id"] for r in base), default=0),
+            max(table_ids.values(), default=0),
+        )
+        + 1
+    )
     for r in base:
         state[(r["logical_schema"], r["logical_table"], r["partition_name"])] = (
             r["physical_table_id"]

@@ -54,15 +54,35 @@ def route(env: DataFrame, cfg: TaskConfig) -> DataFrame:
 
 
 def select_columns(
-    env: DataFrame, keep: list[str], handle_cols: tuple[str, ...] = ("id",)
+    env: DataFrame,
+    keep: list[str],
+    handle_cols: tuple[str, ...] | None = None,
+    registry: DataFrame | None = None,
 ) -> DataFrame:
     """Column selector: retain only `keep` fields inside before/after structs.
 
-    The reference verifies no index column is dropped
-    (column_selector.go:150); we enforce the same for ``handle_cols`` —
-    supplied from the DDL registry's handle key or changefeed config (the
-    default matches the demo envelope's declared pk).
+    The reference verifies no index column is dropped against real table
+    info (column_selector.go:150 VerifyTables / columnselector.go:59); we
+    enforce the same for the handle key: pass ``handle_cols`` explicitly
+    (changefeed config), or a DDL ``registry`` whose latest per-table
+    handle_cols are all checked (registry-driven, no hardcoded pk guess).
     """
+    if handle_cols is None:
+        if registry is None:
+            raise ValueError(
+                "column selector needs handle_cols or a schema registry "
+                "to verify no index column is dropped"
+            )
+        # latest version per table — metadata-scale fold, mirrors the
+        # reference's per-table VerifyColumn loop over table info
+        latest = (
+            registry.groupBy("table")
+            .agg(F.max_by("handle_cols", "version_ts").alias("handle_cols"))
+            .collect()
+        )
+        handle_cols = tuple(
+            dict.fromkeys(c for r in latest for c in (r["handle_cols"] or []))
+        )
     missing = [c for c in handle_cols if c not in keep]
     if missing:
         raise ValueError(

@@ -711,7 +711,17 @@ def q_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     env = _env(spark, sf_dir)
-    selected = tfm.select_columns(env, ["id", "balance", "note"])
+    # handle-key guard is registry-driven (columnselector.go:59 verifies
+    # against real table info): the envelope tables declare PRIMARY KEY (id)
+    reg = registry_from_ddl(
+        _ddl_fixture_stream(
+            spark, sf_dir,
+            [(1, 0, "events_all", "create table",
+              "CREATE TABLE events_all (id BIGINT PRIMARY KEY, "
+              "balance DOUBLE, note VARCHAR)")],
+        )
+    )
+    selected = tfm.select_columns(env, ["id", "balance", "note"], registry=reg)
     mapped = tfm.apply_column_mappings(selected, cfg)
     return mapped.select(
         "seq",
@@ -1308,6 +1318,10 @@ _DDL10 = [
      "ALTER TABLE lt MODIFY COLUMN b VARCHAR(16)"),
     (7, 10, "lt", "modify column",
      "ALTER TABLE lt CHANGE COLUMN e e2 BIGINT"),
+    (8, 11, "lt", "modify column",
+     "ALTER TABLE lt MODIFY COLUMN b CHAR(8)"),
+    (9, 12, "lt", "modify column",
+     "ALTER TABLE lt MODIFY COLUMN a VARCHAR(2)"),
 ]
 
 
@@ -1324,7 +1338,11 @@ _DDL10 = [
       (8, 'd', 'DOUBLE', 'BIGINT', true, 'fractional part dropped'),
       (9, 'b', 'VARCHAR(128)', 'VARCHAR(16)', true,
        'length or precision reduced'),
-      (10, 'e2', 'INT', 'BIGINT', false, CAST(NULL AS VARCHAR)))
+      (10, 'e2', 'INT', 'BIGINT', false, CAST(NULL AS VARCHAR)),
+      (11, 'b', 'VARCHAR(16)', 'CHAR(8)', true,
+       'length or precision reduced'),
+      (12, 'a', 'INT', 'VARCHAR(2)', true,
+       'string too short for numeric range'))
       v(pos12, "column", old_type, new_type, lossy, reason))
     SELECT 'lt' AS "table", t0 + (t1 - t0) * pos12 // 12 AS commit_ts,
            "column", old_type, new_type, lossy, reason
@@ -1793,6 +1811,29 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(new, idx_sh, idx_banded, 16, 4, 0.5)
 
 
+@register("dedup_incremental_capped", None)  # oracle installed below
+def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup with the 100 TB hot-bucket knob active on BOTH
+    joins: the persisted index is capped at build time (over-cap (band,
+    sig) buckets keep only their min-doc representative row) and the
+    in-batch self-join star-links over-cap buckets through the rep —
+    O(d) edges where the uncapped path is O(d²) in a hot bucket. Oracle
+    mirrors the identical cap semantics in DuckDB."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        dedup_incremental,
+        minhash_index,
+    )
+
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    base = corpus.filter(F.col("doc_id") < 10000)
+    new = corpus.filter(F.col("doc_id") >= 10000)
+    idx_sh, idx_banded = minhash_index(base, 16, 4, max_bucket=2)
+    return dedup_incremental(
+        new, idx_sh, idx_banded, 16, 4, 0.5, max_bucket=2
+    )
+
+
 @register("dedup_groups", None)
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate grouping: MinHash+LSH pairs → connected components →
@@ -1981,6 +2022,9 @@ def _install_llm_oracles() -> None:
             "SELECT id_a, id_b, jaccard FROM ("
             + dd.minhash_lsh_sql(16, 4, 0.5)
             + ") WHERE id_a >= 10000 OR id_b >= 10000"
+        ),
+        "dedup_incremental_capped": dd.dedup_incremental_sql(
+            16, 4, 0.5, max_bucket=2
         ),
         # connected components over the SAME pair graph via transitive
         # closure (recursive CTE); min reachable id = the component label
@@ -3596,8 +3640,8 @@ def q_codec_canal_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT "schema", "table", commit_ts, seq, to_json({{
       database: "schema",
       "table": "table",
-      type: CASE WHEN ddl_type LIKE 'create table%' THEN 'table-create'
-                 WHEN ddl_type LIKE 'drop table%' THEN 'table-drop'
+      type: CASE WHEN ddl_type = 'create table' THEN 'table-create'
+                 WHEN ddl_type = 'drop table' THEN 'table-drop'
                  WHEN ddl_type = 'create database' THEN 'database-create'
                  WHEN ddl_type = 'drop database' THEN 'database-drop'
                  ELSE 'table-alter' END,
@@ -4223,9 +4267,10 @@ def q_cdc_stored_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- partition DDL directory (round 5)
 
 # orders_p is 3-way partitioned (pids 100-102); staging is a standalone
-# table (pid 900). Mid-stream: ADD p3 (fresh pid 103), EXCHANGE p2 with
-# staging (900 becomes p2, 102 detaches), DROP p0, TRUNCATE p1 (fresh pid
-# 104, 101 detaches) — tests/integration_tests/partition_table/ shapes.
+# table (pid 900). Mid-stream: ADD p3 (fresh pid 901 — minted ABOVE the
+# standalone id so directory ids never collide), EXCHANGE p2 with staging
+# (900 becomes p2, 102 detaches), DROP p0, TRUNCATE p1 (fresh pid 902,
+# 101 detaches) — tests/integration_tests/partition_table/ shapes.
 _PDDL_BASE = [
     (100, "shard_0", "orders_p", "p0"),
     (101, "shard_0", "orders_p", "p1"),
@@ -4253,7 +4298,7 @@ _PDDL = [
         CASE "table"
           WHEN 'events_0' THEN 100 + CAST(key AS BIGINT) % 3
           WHEN 'events_1' THEN 900
-          WHEN 'events_2' THEN 103
+          WHEN 'events_2' THEN 901
         END AS pid
       FROM env e CROSS JOIN b
     ),
@@ -4263,7 +4308,7 @@ _PDDL = [
           WHEN pid = 100 AND commit_ts < t0 + (t1 - t0) * 8 // 12 THEN 'p0'
           WHEN pid = 101 AND commit_ts < t0 + (t1 - t0) * 10 // 12 THEN 'p1'
           WHEN pid = 102 AND commit_ts < t0 + (t1 - t0) * 6 // 12 THEN 'p2'
-          WHEN pid = 103 AND commit_ts >= t0 + (t1 - t0) * 2 // 12 THEN 'p3'
+          WHEN pid = 901 AND commit_ts >= t0 + (t1 - t0) * 2 // 12 THEN 'p3'
           WHEN pid = 900 AND commit_ts >= t0 + (t1 - t0) * 6 // 12 THEN 'p2'
         END AS pname
       FROM ids
@@ -4294,7 +4339,7 @@ def q_cdc_partition_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("table") == "events_0",
                F.col("key").cast("bigint") % 3 + 100)
         .when(F.col("table") == "events_1", F.lit(900))
-        .when(F.col("table") == "events_2", F.lit(103)),
+        .when(F.col("table") == "events_2", F.lit(901)),
     )
     base = spark.createDataFrame(
         _PDDL_BASE,

@@ -243,6 +243,22 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     gens: dict[str, dict[str, tuple[str, bool]]] = {}
     out = []
 
+    def uk_name(name: str, given: str | None, cols: tuple[str, ...]) -> str:
+        """MySQL default index naming: an unnamed unique key is named after
+        its first column, with a numeric suffix on collision — so a later
+        DROP INDEX <first_col> can remove inline `col UNIQUE` / unnamed
+        table-level UNIQUE(...) keys instead of leaving stale uk state."""
+        if given is not None:
+            return given
+        taken = {n for n, _ in uks.get(name, []) if n}
+        base = cols[0] if cols else "uk"
+        if base not in taken:
+            return base
+        i = 2
+        while f"{base}_{i}" in taken:
+            i += 1
+        return f"{base}_{i}"
+
     def apply_key(kind: str, op, name: str) -> bool:
         """Fold one key-metadata op; True iff pk/uk state changed."""
         if kind == "add primary key" and op.pk_columns:
@@ -255,7 +271,8 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
             return False
         if kind == "create index" and op.unique_keys:
             names = op.unique_key_names or (None,) * len(op.unique_keys)
-            uks.setdefault(name, []).extend(zip(names, op.unique_keys))
+            for n, cs in zip(names, op.unique_keys):
+                uks.setdefault(name, []).append((uk_name(name, n, cs), cs))
             return True
         if kind == "drop index" and op.key_name:
             cur = uks.get(name, [])
@@ -274,12 +291,12 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
             ]
             version_no[name] = 0
             pks[name] = tuple(op.pk_columns)
-            uks[name] = list(
-                zip(
-                    op.unique_key_names or (None,) * len(op.unique_keys),
-                    op.unique_keys,
-                )
-            )
+            uks[name] = []
+            for n, cs in zip(
+                op.unique_key_names or (None,) * len(op.unique_keys),
+                op.unique_keys,
+            ):
+                uks[name].append((uk_name(name, n, cs), cs))
             gens[name] = {
                 c.name: (c.generated_expr, c.stored)
                 for c in op.columns
@@ -524,6 +541,21 @@ def _type_args(t: str) -> tuple[int, ...]:
     return tuple(out)
 
 
+# MySQL rendered widths (sign included) for int families, and implicit
+# capacities for the TEXT family — used to detect shrinking retypes that
+# cross type-family lines.
+_INT_WIDTH = {"TINYINT": 4, "SMALLINT": 6, "MEDIUMINT": 8, "INT": 11,
+              "INTEGER": 11, "BIGINT": 20}
+_TEXT_CAPACITY = {"TINYTEXT": 255, "TEXT": 65535,
+                  "MEDIUMTEXT": (1 << 24) - 1, "LONGTEXT": (1 << 32) - 1}
+
+
+def _string_capacity(head: str, args: tuple[int, ...]) -> int | None:
+    if args:
+        return args[0]
+    return _TEXT_CAPACITY.get(head)
+
+
 def is_lossy_modify(old_type: str, new_type: str) -> str | None:
     """Classify a MODIFY/CHANGE retype as lossy, returning the reason or
     None — the data-loss taxonomy the reference's lossy-DDL handling
@@ -546,8 +578,26 @@ def is_lossy_modify(old_type: str, new_type: str) -> str | None:
     string_like = {"VARCHAR", "CHAR", "TEXT", "TINYTEXT", "MEDIUMTEXT",
                    "LONGTEXT"}
     float_like = {"DOUBLE", "FLOAT", "REAL"}
+    if oh in string_like and nh in string_like:
+        # Cross-family string shrink (VARCHAR(64)->CHAR(8),
+        # TEXT->VARCHAR(8)): heads differ but declared/implicit capacity
+        # still shrinks — compare lengths across the family.
+        ol = _string_capacity(oh, _type_args(old_type))
+        nl = _string_capacity(nh, _type_args(new_type))
+        if ol is not None and nl is not None and nl < ol:
+            return "length or precision reduced"
+        return None
     if oh in string_like and nh not in string_like:
         return "string to non-string"
+    if (oh in _INT_RANK or oh in ("DECIMAL", "NUMERIC")) and nh in string_like:
+        # int->string is only lossless when the string can hold the full
+        # rendered range (sign included): BIGINT->VARCHAR(2) truncates.
+        need = (_INT_WIDTH[oh] if oh in _INT_RANK
+                else (_type_args(old_type) or (10,))[0] + 2)  # sign + point
+        nl = _string_capacity(nh, _type_args(new_type))
+        if nl is not None and nl < need:
+            return "string too short for numeric range"
+        return None
     if oh in float_like and nh in _INT_RANK:
         return "fractional part dropped"
     if oh in ("DECIMAL", "NUMERIC") and nh in _INT_RANK:
