@@ -616,3 +616,40 @@ def test_incremental_index_cap_bounds_candidates(spark):
         ids.add(r["id_a"])
         ids.add(r["id_b"])
     assert ids >= {100 + i for i in range(30)}
+
+
+def test_mincost_supplier_shape(spark, sf_dir):
+    """Q2 shape: ONE lineitem shuffle builds the partsupp analog; part and
+    the region→nation→supplier chain broadcast; the correlated min is a
+    window over the reduced candidate frame — 2 shuffle exchanges total,
+    every dim join a broadcast-hash, no cartesian."""
+    fn, _ = REGISTRY["olap_mincost_supplier"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 5
+    assert n_exchanges(plan) <= 2
+
+
+def test_supplier_part_counts_shape(spark, sf_dir):
+    """Q16 shape: ps aggregate + broadcast part filter + broadcast LEFT
+    ANTI for the excluded suppliers; the distinct count adds the group-key
+    shuffle — no plan-side NOT IN nested loop."""
+    fn, _ = REGISTRY["olap_supplier_part_counts"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 3
+    assert n_exchanges(plan) <= 3
+
+
+def test_excess_suppliers_shape(spark, sf_dir):
+    """Q20 shape: per-pair totals and the 1997 conditional sum in ONE
+    lineitem aggregate (no second scan); qualifying suppliers broadcast
+    back as a LEFT SEMI — supplier itself never shuffles."""
+    fn, _ = REGISTRY["olap_excess_suppliers"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 4
+    assert n_exchanges(plan) <= 2

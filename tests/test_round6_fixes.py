@@ -121,3 +121,80 @@ def test_unnamed_unique_key_droppable_by_default_name(spark):
     # after DROP INDEX b (the synthesized default name): only c_idx remains
     assert reg[-1]["uk_sets"] == [["c"]]
     assert reg[-1]["handle_cols"] == ["c"]
+
+
+def test_debezium_ddl_roundtrip_and_edges(spark):
+    """Debezium schema-change encode→decode round-trip (decoder.go:97: a
+    value payload without "op" is DDL; NextDDLEvent reads databaseName /
+    table / ddl / commit_ts), plus the reference's edge cases: TRUNCATE
+    emits an empty tableChanges array, DROP TABLE emits table=null,
+    partition DDL is ALTER (never DROP)."""
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.codecs.debezium import (
+        decode_debezium_ddl,
+        encode_debezium_ddl,
+    )
+
+    ddl = _ddl_frame(
+        spark,
+        [
+            ("DDL", "s", "t", 1_000_000, 1, "truncate table",
+             "TRUNCATE TABLE t"),
+            ("DDL", "s", "t", 2_000_000, 2, "drop table", "DROP TABLE t"),
+            ("DDL", "s", "t", 3_000_000, 3, "drop table partition",
+             "ALTER TABLE t DROP PARTITION p0"),
+            ("DDL", "s", "t", 4_000_000, 4, "add column",
+             "ALTER TABLE t ADD COLUMN x INT"),
+        ],
+    )
+    enc = encode_debezium_ddl(ddl)
+    rows = {r["seq"]: json.loads(r["value"]) for r in enc.collect()}
+    assert rows[1]["payload"]["tableChanges"] == []
+    assert rows[2]["payload"]["tableChanges"][0]["type"] == "DROP"
+    assert rows[2]["payload"]["tableChanges"][0]["table"] is None
+    assert rows[3]["payload"]["tableChanges"][0]["type"] == "ALTER"
+    assert rows[4]["payload"]["source"]["commit_ts"] == 4_000_000
+    # no "op" key anywhere in the payload → consumers route it as DDL
+    assert "op" not in rows[4]["payload"]
+    dec = decode_debezium_ddl(enc).orderBy("commit_ts").collect()
+    assert [r["query"] for r in dec] == [
+        "TRUNCATE TABLE t", "DROP TABLE t",
+        "ALTER TABLE t DROP PARTITION p0",
+        "ALTER TABLE t ADD COLUMN x INT",
+    ]
+    assert all(r["schema"] == "s" for r in dec)
+
+
+def test_simple_ddl_roundtrip(spark):
+    """Simple-protocol DDL: pre/post TableSchema track the registry fold
+    (create → null pre; add column → pre has one fewer column), and the
+    decoder recovers sql/commitTs/schema/columns."""
+    from tiflow_spark.codecs.simple import decode_simple_ddl, encode_simple_ddl
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+    ddl = _ddl_frame(
+        spark,
+        [
+            ("DDL", "s", "t", 1_000_000, 1, "create table",
+             "CREATE TABLE t (id BIGINT PRIMARY KEY, v DOUBLE)"),
+            ("DDL", "s", "t", 2_000_000, 2, "add column",
+             "ALTER TABLE t ADD COLUMN note VARCHAR"),
+        ],
+    )
+    reg = registry_from_ddl(ddl)
+    enc = encode_simple_ddl(ddl, reg)
+    rows = {r["seq"]: json.loads(r["value"]) for r in enc.collect()}
+    assert rows[1]["type"] == "CREATE"
+    assert rows[1]["preTableSchema"] is None
+    assert [c["name"] for c in rows[1]["tableSchema"]["columns"]] == ["id", "v"]
+    assert rows[1]["tableSchema"]["indexes"][0]["columns"] == ["id"]
+    assert rows[2]["type"] == "ALTER"
+    assert [c["name"] for c in rows[2]["tableSchema"]["columns"]] == [
+        "id", "v", "note"]
+    assert [c["name"] for c in rows[2]["preTableSchema"]["columns"]] == [
+        "id", "v"]
+    dec = decode_simple_ddl(enc).orderBy("commit_ts").collect()
+    assert dec[0]["columns"] == ["id", "v"]
+    assert dec[1]["columns"] == ["id", "v", "note"]
+    assert dec[1]["query"] == "ALTER TABLE t ADD COLUMN note VARCHAR"

@@ -616,3 +616,76 @@ def test_live_changefeed_pause_resume(spark, sf_dir, work_dir):
     assert applied.count() == expected.count() and expected.count() > 0
     assert applied.exceptAll(expected).count() == 0
     assert expected.exceptAll(applied).count() == 0
+
+
+def test_live_mq_produce_pause_resume_consumer_roundtrip(
+    spark, sf_dir, work_dir
+):
+    """The composed MQ e2e the reference guarantees (cmd/kafka-consumer +
+    tests/mq_protocol_tests): a STANDING (processing-time) changefeed
+    produces canal-json to the broker while source files keep arriving,
+    is paused mid-produce (q.stop()), resumed on the same checkpoint to
+    drain, and a consumer replays the broker into applied state — which
+    must equal the direct batch apply of the full change stream."""
+    import time
+
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.operators.dispatchers import dispatch
+    from tiflow_spark.sinks.mq import produce_file_broker_stream
+    from tiflow_spark.streaming.consumer import replay_broker_to_state
+    from tiflow_spark.streaming.pipeline import read_change_stream
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+    env.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(src)
+
+    def to_msgs(stream):
+        e = tfm.split_updates(
+            tfm.route(flt.apply_filters(stream, DEMO_CFG), DEMO_CFG)
+        )
+        d = dispatch(e, DEMO_CFG, num_partitions=8)
+        # join-free streaming composition: dispatch cols ride through the
+        # encoder via extra_cols (stream-stream self-joins are illegal)
+        return encode_canal_json(
+            d, extra_cols=("topic", "partition", "key")
+        ).select("topic", "partition", "key", "value", "commit_ts", "seq")
+
+    broker, ckpt = f"{work_dir}/broker", f"{work_dir}/ckpt"
+    stream = read_change_stream(spark, src, max_files=1)
+    q = produce_file_broker_stream(
+        to_msgs(stream), broker, ckpt, processing_time="200 milliseconds"
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] == 0 and p["batchId"] >= 1:
+                break
+            time.sleep(0.5)
+        # feed the second half WHILE the producer is live
+        env.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.0)
+    finally:
+        q.stop()  # pause mid-produce
+
+    # resume on the SAME checkpoint: drain whatever the pause cut off
+    q2 = produce_file_broker_stream(
+        to_msgs(read_change_stream(spark, src, max_files=1)), broker, ckpt
+    )
+    q2.awaitTermination()
+
+    replayed = replay_broker_to_state(
+        spark, broker,
+        {"id": "bigint", "balance": "double", "note": "string"},
+    ).select("table", "key", "id", "balance", "note")
+    transformed = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    )
+    expected = changes_to_state(transformed, table_col="table").select(
+        F.col("target_table").alias("table"), "key", "id", "balance", "note"
+    )
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0

@@ -205,13 +205,34 @@ def encode_canal_json_ddl(ddl: DataFrame) -> DataFrame:
     isDdl=true, sql = the DDL query, type mapped from the kind taxonomy
     (CREATE/ALTER/ERASE/TRUNCATE/RENAME/CINDEX/DINDEX per canal's
     EventType), empty data/old."""
+    # exact-kind mapping per canal_entry.go convertDdlEventType: partition
+    # DDL is ALTER (never CREATE/ERASE via prefix match); schema-level and
+    # view DDL is QUERY; pk/fk index changes count as CINDEX/DINDEX
     event_type = (
-        F.when(F.col("ddl_type").startswith("create table"), "CREATE")
-        .when(F.col("ddl_type").startswith("drop table"), "ERASE")
+        F.when(F.col("ddl_type") == "create table", "CREATE")
+        .when(F.col("ddl_type") == "drop table", "ERASE")
         .when(F.col("ddl_type") == "truncate table", "TRUNCATE")
         .when(F.col("ddl_type") == "rename table", "RENAME")
-        .when(F.col("ddl_type") == "create index", "CINDEX")
-        .when(F.col("ddl_type") == "drop index", "DINDEX")
+        .when(
+            F.col("ddl_type").isin(
+                "create index", "add primary key", "add foreign key"
+            ),
+            "CINDEX",
+        )
+        .when(
+            F.col("ddl_type").isin(
+                "drop index", "drop primary key", "drop foreign key"
+            ),
+            "DINDEX",
+        )
+        .when(
+            F.col("ddl_type").isin(
+                "create database", "drop database",
+                "modify schema charset and collate",
+                "create view", "drop view", "recover table",
+            ),
+            "QUERY",
+        )
         .otherwise("ALTER")
     )
     msg = F.struct(

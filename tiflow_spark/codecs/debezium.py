@@ -85,3 +85,141 @@ def decode_debezium(messages: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("m.payload.before").alias("before"),
         F.col("m.payload.after").alias("after"),
     )
+
+
+def encode_debezium_ddl(
+    ddl: DataFrame,
+    registry: DataFrame | None = None,
+    cluster_id: str = "tiflow-spark",
+) -> DataFrame:
+    """DDL events → Debezium schema-change messages
+    (pkg/sink/codec/debezium/codec.go:1154-1205 EncodeDDLEvent).
+
+    Key = {"payload": {"databaseName": <db>}} (SchemaChangeKey; schema
+    block config-gated off, like the DML path). Value payload carries the
+    source struct (connector/version/cluster + TiDB commit_ts extension),
+    databaseName / schemaName / ddl, and tableChanges: CREATE for
+    create database/table/view, DROP for drop database/table/index/view +
+    truncate table, ALTER for column/partition/index/rename changes — the
+    reference's changeType switch, exact kinds. tableChanges is empty for
+    TRUNCATE (reference returns early), carries table=null for DROP
+    TABLE, and for a rename the id concatenates "old","new" qualified
+    names. When a schema ``registry`` is supplied, the table block is
+    filled as-of each DDL's commit_ts (primaryKeyColumnNames + column
+    names) via the broadcast version-array lookup — no shuffle on the
+    (metadata-scale) DDL side either. Wall-clock ts_ms pinned to 0 for
+    determinism (DML-path precedent)."""
+    if registry is not None:
+        from tiflow_spark.sources.schema_registry import asof_resolve
+
+        ddl = asof_resolve(
+            ddl, registry, event_table_col="table", with_keys=True
+        ).drop("version_no", "version_ts", "defaults", "handle_cols")
+    else:
+        ddl = ddl.withColumn(
+            "columns", F.lit(None).cast("array<string>")
+        ).withColumn("pk_cols", F.lit(None).cast("array<string>"))
+
+    change_type = (
+        F.when(
+            F.col("ddl_type").isin(
+                "create database", "create table", "create view"
+            ),
+            "CREATE",
+        )
+        .when(
+            F.col("ddl_type").isin(
+                "drop database", "drop table", "drop index", "drop view",
+                "truncate table",
+            ),
+            "DROP",
+        )
+        .otherwise("ALTER")
+    )
+    quoted = F.concat(
+        F.lit('"'), F.col("schema"), F.lit('"."'), F.col("table"), F.lit('"')
+    )
+    rename_to = F.regexp_extract(F.col("query"), r"(?i)\bTO\s+`?(\w+)`?", 1)
+    tbl_id = F.when(
+        F.col("ddl_type") == "rename table",
+        F.concat(
+            quoted, F.lit(','),
+            F.lit('"'), F.col("schema"), F.lit('"."'), rename_to, F.lit('"'),
+        ),
+    ).otherwise(quoted)
+    table_obj = F.when(
+        (F.col("ddl_type") != "drop table") & F.col("columns").isNotNull(),
+        F.struct(
+            F.lit("utf8mb4").alias("defaultCharsetName"),
+            F.col("pk_cols").alias("primaryKeyColumnNames"),
+            F.transform(
+                "columns", lambda c: F.struct(c.alias("name"))
+            ).alias("columns"),
+        ),
+    )
+    change = F.struct(
+        change_type.alias("type"),
+        tbl_id.alias("id"),
+        table_obj.alias("table"),
+    )
+    # typed empty array vs one-element array must unify: build via slice
+    table_changes = F.when(
+        (F.col("table") == "") | (F.col("ddl_type") == "truncate table"),
+        F.slice(F.array(change), 1, 0),
+    ).otherwise(F.array(change))
+    source = F.struct(
+        F.lit("2.4.0.Final").alias("version"),
+        F.lit("TiCDC").alias("connector"),
+        F.lit(cluster_id).alias("name"),
+        F.expr("commit_ts div 1000").alias("ts_ms"),
+        F.lit("false").alias("snapshot"),
+        F.col("schema").alias("db"),
+        F.col("table").alias("table"),
+        F.lit(0).cast("long").alias("server_id"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.lit("").alias("file"),
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("row"),
+        F.lit(0).cast("long").alias("thread"),
+        F.lit(None).cast("string").alias("query"),
+        F.col("commit_ts").alias("commit_ts"),
+        F.lit(cluster_id).alias("cluster_id"),
+    )
+    payload = F.struct(
+        source.alias("source"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.col("schema").alias("databaseName"),
+        F.lit(None).cast("string").alias("schemaName"),
+        F.col("query").alias("ddl"),
+        table_changes.alias("tableChanges"),
+    )
+    key = F.struct(
+        F.struct(F.col("schema").alias("databaseName")).alias("payload")
+    )
+    return ddl.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(key, {"ignoreNullFields": "false"}).alias("key"),
+        F.to_json(
+            F.struct(payload.alias("payload")), {"ignoreNullFields": "false"}
+        ).alias("value"),
+    )
+
+
+def decode_debezium_ddl(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Debezium schema-change JSON → DDL rows (decoder.go:97
+    checkKeyAndValue: a value payload WITHOUT "op" is a DDL message;
+    :119 NextDDLEvent reads databaseName/table/ddl/commit_ts)."""
+    schema = (
+        "payload STRUCT<source STRUCT<db: STRING, table: STRING, "
+        "commit_ts: BIGINT>, databaseName: STRING, ddl: STRING>"
+    )
+    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    return m.select(
+        F.col("m.payload.databaseName").alias("schema"),
+        F.col("m.payload.source.table").alias("table"),
+        F.col("m.payload.source.commit_ts").alias("commit_ts"),
+        F.col("m.payload.ddl").alias("query"),
+    )

@@ -189,3 +189,154 @@ def simple_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
       data: CASE WHEN op <> 'D' THEN {img_map("after")} END,
       old: CASE WHEN op <> 'I' THEN {img_map("before")} END
     }}) AS value FROM env"""
+
+
+def encode_simple_ddl(ddl: DataFrame, registry: DataFrame) -> DataFrame:
+    """DDL events → simple-protocol DDL messages (encoder.go:137
+    EncodeDDLEvent / message.go:527-546 newDDLMessage): version, type from
+    getDDLType (message.go:78-101 — CREATE only for create table, RENAME /
+    CINDEX / DINDEX / ERASE / TRUNCATE / ALTER per exact kind, QUERY for
+    everything else incl. schema/view DDL), commitTs, sql, and the post-
+    and pre-DDL TableSchema blocks resolved as-of from the registry
+    (tableSchema = state AT commit_ts, preTableSchema = state just before
+    it; either is null when the lineage is unknown — the reference's nil
+    TableInfo / PreTableInfo cases). buildTs pinned to 0 (wall clock in
+    the reference)."""
+    from tiflow_spark.sources.schema_registry import asof_resolve
+
+    ddl_type = (
+        F.when(F.col("ddl_type") == "create table", "CREATE")
+        .when(F.col("ddl_type") == "rename table", "RENAME")
+        .when(
+            F.col("ddl_type").isin(
+                "create index", "add primary key", "add foreign key"
+            ),
+            "CINDEX",
+        )
+        .when(
+            F.col("ddl_type").isin(
+                "drop index", "drop primary key", "drop foreign key"
+            ),
+            "DINDEX",
+        )
+        .when(F.col("ddl_type") == "drop table", "ERASE")
+        .when(F.col("ddl_type") == "truncate table", "TRUNCATE")
+        .when(
+            F.col("ddl_type").isin(
+                "add column", "drop column", "modify column",
+                "rebase auto id", "set default value",
+                "modify table comment", "rename index",
+                "add table partition", "drop table partition",
+                "truncate table partition", "exchange table partition",
+                "reorganize table partition", "alter table partitioning",
+                "remove table partitioning",
+                "modify table charset and collate",
+                "alter index visibility", "multi schema change",
+            ),
+            "ALTER",
+        )
+        .otherwise("QUERY")
+    )
+
+    base_cols = ddl.columns
+    post = asof_resolve(
+        ddl, registry, event_table_col="table",
+        with_keys=True, with_types=True,
+    ).select(
+        *base_cols,
+        F.col("version_no").alias("_post_v"),
+        F.col("columns").alias("_post_cols"),
+        F.col("pk_cols").alias("_post_pk"),
+        F.col("types").alias("_post_types"),
+    )
+    pre = asof_resolve(
+        ddl.withColumn("commit_ts", F.col("commit_ts") - 1),
+        registry, event_table_col="table",
+        with_keys=True, with_types=True,
+    ).select(
+        F.col("seq").alias("_pre_seq"),
+        F.col("version_no").alias("_pre_v"),
+        F.col("columns").alias("_pre_cols"),
+        F.col("pk_cols").alias("_pre_pk"),
+        F.col("types").alias("_pre_types"),
+    )
+    both = post.join(F.broadcast(pre), post["seq"] == pre["_pre_seq"])
+
+    def table_schema(cols, pk, types, version):
+        col_arr = F.transform(
+            F.col(cols),
+            lambda c: F.struct(
+                c.alias("name"),
+                F.struct(
+                    F.lower(F.element_at(F.col(types), c)).alias("mysqlType"),
+                    F.lit("utf8mb4").alias("charset"),
+                ).alias("dataType"),
+                (~F.array_contains(F.col(pk), c)).alias("nullable"),
+            ),
+        )
+        idx = F.struct(
+            F.lit("primary").alias("name"),
+            F.lit(True).alias("unique"),
+            F.lit(True).alias("primary"),
+            F.lit(False).alias("nullable"),
+            F.col(pk).alias("columns"),
+        )
+        indexes = F.when(F.size(pk) > 0, F.array(idx)).otherwise(
+            F.slice(F.array(idx), 1, 0)
+        )
+        return F.when(
+            F.col(cols).isNotNull(),
+            F.struct(
+                F.col("schema").alias("schema"),
+                F.col("table").alias("table"),
+                F.lit(0).cast("long").alias("tableID"),
+                F.col(version).cast("long").alias("version"),
+                col_arr.alias("columns"),
+                indexes.alias("indexes"),
+            ),
+        )
+
+    msg = F.struct(
+        F.lit(1).alias("version"),
+        ddl_type.alias("type"),
+        F.col("commit_ts").cast("long").alias("commitTs"),
+        F.lit(0).cast("long").alias("buildTs"),
+        F.col("query").alias("sql"),
+        table_schema("_post_cols", "_post_pk", "_post_types", "_post_v").alias(
+            "tableSchema"
+        ),
+        table_schema("_pre_cols", "_pre_pk", "_pre_types", "_pre_v").alias(
+            "preTableSchema"
+        ),
+    )
+    return both.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+    )
+
+
+def decode_simple_ddl(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Simple-protocol DDL JSON → DDL rows (decoder.go MessageTypeDDL
+    path: sql + commitTs + the post-DDL tableSchema drive the consumer's
+    schema registry)."""
+    schema = (
+        "version INT, type STRING, commitTs BIGINT, buildTs BIGINT, "
+        "sql STRING, tableSchema STRUCT<schema: STRING, table: STRING, "
+        "tableID: BIGINT, version: BIGINT, columns: ARRAY<STRUCT<"
+        "name: STRING, dataType: STRUCT<mysqlType: STRING, charset: STRING>, "
+        "nullable: BOOLEAN>>, indexes: ARRAY<STRUCT<name: STRING, "
+        "unique: BOOLEAN, primary: BOOLEAN, nullable: BOOLEAN, "
+        "columns: ARRAY<STRING>>>>"
+    )
+    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    return m.select(
+        F.col("m.type").alias("ddl_kind"),
+        F.col("m.commitTs").alias("commit_ts"),
+        F.col("m.sql").alias("query"),
+        F.col("m.tableSchema.schema").alias("schema"),
+        F.col("m.tableSchema.table").alias("table"),
+        F.col("m.tableSchema.columns.name").alias("columns"),
+    )

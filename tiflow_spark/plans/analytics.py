@@ -990,3 +990,211 @@ SELECT o_year,
   CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_11' THEN rev END), 0)
        AS DOUBLE) / CAST(sum(rev) AS DOUBLE) AS mkt_share
 FROM j GROUP BY 1"""
+
+
+# ------------------------- partsupp-analog suite (Q2 / Q16 / Q20 shapes)
+#
+# /root/testdata has no partsupp table; the analog is derived IDENTICALLY
+# in Spark and the DuckDB oracle from lineitem: one (l_partkey, l_suppkey)
+# aggregate with exact-decimal min cost / total quantity. That unblocks the
+# three TPC-H plan shapes the olap set lacked: min-cost-per-group
+# correlated lookup (Q2), distinct-count with exclusion anti-join (Q16),
+# and semi-join on a per-pair aggregate threshold (Q20).
+
+_PS_SQL = """ps AS (
+  SELECT l_partkey, l_suppkey,
+    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("ps_supplycost"),
+        F.sum(_dec("l_quantity")).alias("ps_availqty"),
+    )
+
+
+def mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each mid-size ECONOMY part, the EUROPE
+    supplier(s) achieving the minimum supply cost — the correlated
+    min-subquery shape, expressed as a window min over the derived
+    partsupp frame.
+
+    Plan shape: lineitem shuffles ONCE on (partkey, suppkey) to build ps;
+    part filter and the region→nation→supplier chain broadcast into it;
+    the per-part min is a window over the already-reduced candidate frame
+    (one partkey shuffle of candidates, not of lineitem). Min-cost
+    equality compares in exact decimal."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        _partsupp(li)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mc", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_mc"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+MINCOST_SUPPLIER_SQL = f"""
+WITH {_PS_SQL},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_supplycost,
+         min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mc
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+   AND p_size BETWEEN 10 AND 20 AND p_type = 'ECONOMY'
+  JOIN eu ON l_suppkey = s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM cand WHERE ps_supplycost = mc"""
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style: how many distinct suppliers can provide each
+    (brand, type, size) bucket, excluding one brand, one type, and
+    low-balance ("customer complaints") suppliers.
+
+    Plan shape: ps (one lineitem shuffle) ⋈ broadcast part filter;
+    the excluded-supplier set broadcasts as a LEFT ANTI join (the NOT IN
+    subquery); countDistinct adds the one group-key shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 500
+    ).select("s_suppkey")
+    return (
+        _partsupp(li)
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == excluded.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_COUNTS_SQL = f"""
+WITH {_PS_SQL}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY 1, 2, 3"""
+
+
+def excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers holding excess stock of widget parts —
+    pairs whose all-time quantity exceeds twice what they shipped in 1997
+    (the semi-join-on-aggregate shape; exact-decimal threshold compare,
+    2*qty stays integer-exact).
+
+    Plan shape: one lineitem shuffle builds per-pair totals WITH the
+    conditional 1997 sum in the same aggregate (no second scan); part
+    filter broadcasts; the qualifying-supplier set is distinct-reduced
+    (tiny) and broadcasts as a LEFT SEMI join into supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget")
+    ).select("p_partkey")
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("total_qty"),
+        F.sum(
+            F.when(
+                F.year("l_shipdate") == 1997, _dec("l_quantity")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("qty_1997"),
+    )
+    qualifying = (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .filter(
+            (F.col("qty_1997") > 0)
+            & (F.col("total_qty") > F.lit(2) * F.col("qty_1997"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(qualifying),
+            supplier.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+EXCESS_SUPPLIERS_SQL = """
+WITH flt AS (
+  SELECT l_partkey, l_suppkey,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+    sum(CASE WHEN year(l_shipdate) = 1997
+             THEN CAST(l_quantity AS DECIMAL(18,2))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1997
+  FROM lineitem GROUP BY 1, 2
+),
+q AS (
+  SELECT DISTINCT l_suppkey FROM flt
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget'
+  WHERE qty_1997 > 0 AND total_qty > 2 * qty_1997
+)
+SELECT s_suppkey, s_name, s_acctbal, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM q)"""

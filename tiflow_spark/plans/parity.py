@@ -852,6 +852,18 @@ def _install_analytics() -> None:
         "olap_important_parts": (an.important_parts, an.IMPORTANT_PARTS_SQL),
         "olap_volume_shipping": (an.volume_shipping, an.VOLUME_SHIPPING_SQL),
         "olap_market_share": (an.market_share, an.MARKET_SHARE_SQL),
+        "olap_mincost_supplier": (
+            an.mincost_supplier,
+            an.MINCOST_SUPPLIER_SQL,
+        ),
+        "olap_supplier_part_counts": (
+            an.supplier_part_counts,
+            an.SUPPLIER_PART_COUNTS_SQL,
+        ),
+        "olap_excess_suppliers": (
+            an.excess_suppliers,
+            an.EXCESS_SUPPLIERS_SQL,
+        ),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
@@ -3608,12 +3620,18 @@ def q_typed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       "table": "table",
       pkNames: CAST(NULL AS VARCHAR[]),
       isDdl: true,
-      type: CASE WHEN ddl_type LIKE 'create table%' THEN 'CREATE'
-                 WHEN ddl_type LIKE 'drop table%' THEN 'ERASE'
+      type: CASE WHEN ddl_type = 'create table' THEN 'CREATE'
+                 WHEN ddl_type = 'drop table' THEN 'ERASE'
                  WHEN ddl_type = 'truncate table' THEN 'TRUNCATE'
                  WHEN ddl_type = 'rename table' THEN 'RENAME'
-                 WHEN ddl_type = 'create index' THEN 'CINDEX'
-                 WHEN ddl_type = 'drop index' THEN 'DINDEX'
+                 WHEN ddl_type IN ('create index', 'add primary key',
+                                   'add foreign key') THEN 'CINDEX'
+                 WHEN ddl_type IN ('drop index', 'drop primary key',
+                                   'drop foreign key') THEN 'DINDEX'
+                 WHEN ddl_type IN ('create database', 'drop database',
+                                   'modify schema charset and collate',
+                                   'create view', 'drop view',
+                                   'recover table') THEN 'QUERY'
                  ELSE 'ALTER' END,
       es: commit_ts // 1000,
       ts: 0::BIGINT,
@@ -3656,6 +3674,158 @@ def q_codec_maxwell_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.codecs.maxwell import encode_maxwell_ddl
 
     return encode_maxwell_ddl(_allowed_ddl(spark, sf_dir))
+
+
+def _sdl_ts(table: str, version: int, cols, pk) -> str:
+    """DuckDB TableSchema struct literal for the simple-DDL oracle —
+    the hand-enumerated registry state per fixture event (same fold
+    ddl_key_metadata oracles)."""
+    col_lits = ", ".join(
+        "{name: '%s', dataType: {mysqlType: '%s', charset: 'utf8mb4'}, "
+        "nullable: %s}" % (n, t, "false" if n in pk else "true")
+        for n, t in cols
+    )
+    if pk:
+        pk_lits = ", ".join(f"'{c}'" for c in pk)
+        idx = ("[{name: 'primary', \"unique\": true, \"primary\": true, "
+               f"nullable: false, \"columns\": [{pk_lits}]}}]")
+    else:
+        idx = "[]"
+    return ("{schema: \"schema\", \"table\": \"table\", tableID: 0::BIGINT, "
+            f"version: {version}::BIGINT, \"columns\": [{col_lits}], "
+            f"indexes: {idx}}}")
+
+
+_SDL_EV1 = _sdl_ts("events", 1, [("id", "bigint"), ("balance", "double")],
+                   ("id",))
+_SDL_EV2 = _sdl_ts("events", 2, [("id", "bigint"), ("balance", "double"),
+                                 ("note", "varchar")], ("id",))
+_SDL_EV3 = _sdl_ts("events", 3, [("id", "bigint"), ("balance", "double"),
+                                 ("note", "varchar"), ("tier", "varchar")],
+                   ("id",))
+_SDL_SC1 = _sdl_ts("scratch", 1, [("id", "bigint")], ())
+
+_SDL_POST = f"""CASE WHEN seq = 1 THEN {_SDL_EV1}
+      WHEN seq = 2 THEN {_SDL_SC1}
+      WHEN seq = 3 THEN {_SDL_EV1}
+      WHEN seq IN (5, 8) THEN {_SDL_EV2}
+      WHEN seq IN (9, 10) THEN {_SDL_EV3}
+      END"""
+_SDL_PRE = f"""CASE WHEN seq IN (3, 5) THEN {_SDL_EV1}
+      WHEN seq IN (8, 9) THEN {_SDL_EV2}
+      WHEN seq = 10 THEN {_SDL_EV3}
+      END"""
+
+
+@register(
+    "codec_simple_ddl",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", commit_ts, seq, to_json({{
+      version: 1,
+      type: CASE WHEN ddl_type = 'create table' THEN 'CREATE'
+                 WHEN ddl_type = 'rename table' THEN 'RENAME'
+                 WHEN ddl_type IN ('create index', 'add primary key',
+                                   'add foreign key') THEN 'CINDEX'
+                 WHEN ddl_type IN ('drop index', 'drop primary key',
+                                   'drop foreign key') THEN 'DINDEX'
+                 WHEN ddl_type = 'drop table' THEN 'ERASE'
+                 WHEN ddl_type = 'truncate table' THEN 'TRUNCATE'
+                 WHEN ddl_type IN ('add column', 'drop column',
+                      'modify column', 'rebase auto id',
+                      'set default value', 'modify table comment',
+                      'rename index', 'add table partition',
+                      'drop table partition', 'truncate table partition',
+                      'exchange table partition',
+                      'reorganize table partition',
+                      'alter table partitioning',
+                      'remove table partitioning',
+                      'modify table charset and collate',
+                      'alter index visibility', 'multi schema change')
+                   THEN 'ALTER'
+                 ELSE 'QUERY' END,
+      commitTs: commit_ts,
+      buildTs: 0::BIGINT,
+      sql: query,
+      tableSchema: {_SDL_POST},
+      preTableSchema: {_SDL_PRE}
+    }}) AS value
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_codec_simple_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-protocol DDL messages (simple/encoder.go:137 EncodeDDLEvent,
+    message.go:527-546): getDDLType taxonomy + post/pre TableSchema blocks
+    resolved as-of from the registry fold — the schema side-channel a
+    simple-protocol consumer tracks evolution with mid-stream."""
+    from tiflow_spark.codecs.simple import encode_simple_ddl
+
+    ddl = _allowed_ddl(spark, sf_dir)
+    reg = registry_from_ddl(ddl)
+    return encode_simple_ddl(ddl, reg)
+
+
+_DBZ_SOURCE = """{version: '2.4.0.Final', connector: 'TiCDC',
+        name: 'tiflow-spark', ts_ms: commit_ts // 1000, snapshot: 'false',
+        db: "schema", "table": "table", server_id: 0::BIGINT,
+        gtid: CAST(NULL AS VARCHAR), file: '', pos: 0::BIGINT,
+        "row": 0::BIGINT, thread: 0::BIGINT, query: CAST(NULL AS VARCHAR),
+        commit_ts: commit_ts, cluster_id: 'tiflow-spark'}"""
+
+# registry state as-of each surviving fixture DDL (the same fold
+# ddl_key_metadata oracles): columns/pk per seq, hand-enumerated
+_DBZ_TBL = """CASE WHEN ddl_type = 'rename table'
+  THEN CAST(NULL AS STRUCT(defaultCharsetName VARCHAR,
+       primaryKeyColumnNames VARCHAR[], "columns" STRUCT(name VARCHAR)[]))
+  ELSE {defaultCharsetName: 'utf8mb4',
+        primaryKeyColumnNames:
+          CASE WHEN "table" = 'scratch' THEN [] ELSE ['id'] END,
+        "columns": CASE
+          WHEN "table" = 'scratch' THEN [{name: 'id'}]
+          WHEN seq <= 3 THEN [{name: 'id'}, {name: 'balance'}]
+          WHEN seq <= 8 THEN [{name: 'id'}, {name: 'balance'},
+                              {name: 'note'}]
+          ELSE [{name: 'id'}, {name: 'balance'}, {name: 'note'},
+                {name: 'tier'}] END}
+  END"""
+
+
+@register(
+    "codec_debezium_ddl",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", commit_ts, seq,
+      to_json({{payload: {{databaseName: "schema"}}}}) AS key,
+      to_json({{payload: {{
+        source: {_DBZ_SOURCE},
+        ts_ms: 0::BIGINT,
+        databaseName: "schema",
+        schemaName: CAST(NULL AS VARCHAR),
+        ddl: query,
+        tableChanges: [{{
+          type: CASE WHEN ddl_type IN ('create database', 'create table',
+                                       'create view') THEN 'CREATE'
+                     WHEN ddl_type IN ('drop database', 'drop table',
+                                       'drop index', 'drop view',
+                                       'truncate table') THEN 'DROP'
+                     ELSE 'ALTER' END,
+          id: CASE WHEN ddl_type = 'rename table'
+                THEN '"' || "schema" || '"."' || "table" || '","'
+                     || "schema" || '"."'
+                     || regexp_extract(query, 'TO\\s+`?(\\w+)`?', 1) || '"'
+                ELSE '"' || "schema" || '"."' || "table" || '"' END,
+          "table": {_DBZ_TBL}
+        }}]
+      }}}}) AS value
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_codec_debezium_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium schema-change messages for surviving DDL events
+    (debezium/codec.go:1154-1205 EncodeDDLEvent): SchemaChangeKey +
+    source/ddl/tableChanges payload, with the table block resolved
+    as-of from the registry fold (primaryKeyColumnNames + columns)."""
+    from tiflow_spark.codecs.debezium import encode_debezium_ddl
+
+    ddl = _allowed_ddl(spark, sf_dir)
+    reg = registry_from_ddl(ddl)
+    return encode_debezium_ddl(ddl, registry=reg)
 
 
 @register("codec_open_ddl", None)  # oracle installed below

@@ -114,6 +114,7 @@ def produce_file_broker_stream(
     broker_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    processing_time: str | None = None,
 ):
     """CONTINUOUS produce: a dispatched change stream feeds the broker via
     ``writeStream``/``foreachBatch`` — the live-broker path of the MQ sink
@@ -138,6 +139,11 @@ def produce_file_broker_stream(
         )
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
+    if processing_time is not None:
+        # STANDING producer: tail the source live (the reference's normal
+        # MQ changefeed lifecycle); stop with q.stop() and resume on the
+        # same checkpoint in either trigger mode
+        q = q.trigger(processingTime=processing_time)
+    elif available_now:
         q = q.trigger(availableNow=True)
     return q.start()

@@ -27,6 +27,7 @@ def asof_resolve(
     event_table_col: str = "logical_table",
     unique_col: str = "seq",
     with_keys: bool = False,
+    with_types: bool = False,
 ) -> DataFrame:
     """Attach the schema version in effect at each event's commit_ts.
 
@@ -48,6 +49,8 @@ def asof_resolve(
         # handle-key resolution costs nothing extra (ColumnFlagType
         # propagation, cdc/model/sink.go:62-205)
         fields += ["pk_cols", "handle_cols"]
+    if with_types:
+        fields += ["types"]
     packed = registry.groupBy("table").agg(
         F.array_sort(
             F.collect_list(F.struct(*fields)),
@@ -83,6 +86,7 @@ def asof_resolve(
                 if with_keys
                 else []
             ),
+            *([F.col("_v.types").alias("types")] if with_types else []),
         )
     )
 
