@@ -78,6 +78,33 @@ def main() -> None:
     )
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
+    # ---- round-5/6 ops section (separate totals: the legacy headline set
+    # stays untouched for cross-round trend) — per-domain salted top-K,
+    # corpus LM scoring, the two heaviest olap analogs, and the capped
+    # incremental-dedup parity path
+    r5_queries = [
+        "sample_domain_cap",
+        "text_lm_score",
+        "olap_volume_shipping",
+        "olap_market_share",
+        "dedup_incremental_capped",
+    ]
+    r5_queries = [q for q in r5_queries if q in REGISTRY]
+    for name in r5_queries:
+        REGISTRY[name][0](spark, sf_dir).count()
+    r5_timings: dict[str, float] = {}
+    for name in r5_queries:
+        fn, _ = REGISTRY[name]
+        best, n = None, 0
+        for _rep in range(5):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        r5_timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {r5_timings[name]}s", file=sys.stderr)
+    r5_total = round(sum(r5_timings.values()), 3)
+
     # steady-state streaming apply: seed the hash-bucket target with the full
     # state once, then time small incremental merges — per-batch cost must be
     # O(batch + touched buckets), flat as the target grows (the 100-TB
@@ -133,6 +160,84 @@ def main() -> None:
         f"delta batches {delta_secs}; compact {compact_sec}s",
         file=sys.stderr,
     )
+
+    # ---- incremental dedup at a realistic batch:index ratio (~1:10): the
+    # full sf corpus is the PERSISTED (capped) index on parquet — its build
+    # is amortized across the ingest lifetime — and the timed path is the
+    # per-batch cost: shingle the batch + band-keyed join against the index
+    # (the production ingest shape; registry fixture is ~1:3 and rebuilds
+    # the index per run, so it measures something else)
+    from tiflow_spark.llm.dedup import dedup_incremental, minhash_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    idx_work = tempfile.mkdtemp(prefix="tiflow_bench_lshidx_")
+    idx_sh_f, idx_banded_f = minhash_index(docs, 16, 4, max_bucket=8)
+    idx_sh_f.write.parquet(f"{idx_work}/sh")
+    idx_banded_f.write.parquet(f"{idx_work}/banded")
+    idx_sh = spark.read.parquet(f"{idx_work}/sh")
+    idx_banded = spark.read.parquet(f"{idx_work}/banded")
+    dedup_incremental(batch, idx_sh, idx_banded, 16, 4, 0.5,
+                      max_bucket=8).count()  # warm
+    inc_best = None
+    for _rep in range(5):
+        t0 = time.perf_counter()
+        n_pairs = dedup_incremental(
+            batch, idx_sh, idx_banded, 16, 4, 0.5, max_bucket=8
+        ).count()
+        el = time.perf_counter() - t0
+        inc_best = el if inc_best is None or el < inc_best else inc_best
+    inc_sec = round(inc_best, 3)
+    n_batch = batch.count()
+    shutil.rmtree(idx_work, ignore_errors=True)
+    print(
+        f"# incremental dedup 1:10 ({n_batch} new vs {docs.count()} indexed):"
+        f" {n_pairs} pairs in {inc_sec}s",
+        file=sys.stderr,
+    )
+
+    # ---- live-trigger steady state: a STANDING processing-time changefeed
+    # tails the source; report per-micro-batch trigger latencies for the
+    # batches that actually carried rows (the standing-changefeed cost the
+    # availableNow harness above can't see)
+    from tiflow_spark.plans.parity import DEMO_CFG
+    from tiflow_spark.streaming.pipeline import run_changefeed
+
+    live_work = tempfile.mkdtemp(prefix="tiflow_bench_live_")
+    live_src = f"{live_work}/source"
+    env.filter(F.col("seq") % 50 == 0).coalesce(1).write.parquet(live_src)
+    q, _tgt = run_changefeed(
+        spark, live_src, DEMO_CFG, live_work,
+        processing_time="200 milliseconds",
+    )
+    try:
+        import time as _t
+
+        for i in (1, 2, 3):
+            env.filter(F.col("seq") % 50 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(live_src)
+            _t.sleep(2.5)
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] == 0:
+                break
+            _t.sleep(0.5)
+        live_batch_ms = [
+            p["durationMs"].get("triggerExecution")
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    shutil.rmtree(live_work, ignore_errors=True)
+    print(f"# live-trigger batch latencies (ms): {live_batch_ms}",
+          file=sys.stderr)
     print(
         json.dumps(
             {
@@ -148,6 +253,10 @@ def main() -> None:
                 "stream_batch_secs": batch_secs,
                 "stream_delta_batch_secs": delta_secs,
                 "stream_compact_sec": compact_sec,
+                "r5_queries": r5_timings,
+                "r5_total_sec": r5_total,
+                "incremental_dedup_1to10_sec": inc_sec,
+                "live_batch_ms": live_batch_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
