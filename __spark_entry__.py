@@ -20,66 +20,66 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
-# With more than 50 registered, we rotate coverage across rounds: every
-# query in this list was EITHER added this round OR had no CORRECTNESS_r03
-# row (r3's window covered the round-2/3 additions; these are the r1/r2
-# stalwarts rotating back in), so each registered query keeps accumulating
-# recent driver-checked rows.  The remainder follows in registration order
-# as regression sentinels.
+# With more than 50 registered, we rotate coverage across rounds so no query
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 8 queries
+# added this round (never driver-checked) + 42 of the 45 whose latest check
+# was round 3 — the longest-unaudited set. The three r3-checked deferrals to
+# round 7 (cdc_envelope, cdc_metrics, filter_helper) are each exercised
+# continuously by the bench harness / unit paths meanwhile. The remainder
+# follows in registration order as regression sentinels.
 _PRIORITY = [
-    # new in round 5 (never driver-checked)
-    "ddl_key_metadata",
-    "cdc_handle_key_dispatch",
-    "ddl_default_backfill",
-    "cdc_partition_ddl",
-    "cdc_stored_generated",
-    "shardddl_optimistic_merge",
-    "olap_returned_items",
-    "olap_customer_distribution",
-    "olap_important_parts",
-    "olap_volume_shipping",
-    "sample_domain_cap",
-    "text_lm_score",
-    "dedup_incremental",
-    "cdc_rekey_force_fallback",
-    "ddl_lossy_report",
-    "codec_maxwell_ddl",
-    "codec_open_ddl",
-    "olap_market_share",
-    # last driver-checked in round 2 — the longest-unaudited 27
-    "codec_claim_check",
-    "ddl_barrier_plan",
-    "ddl_filter",
-    "ddl_schema_evolution",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "olap_large_orders",
-    "online_ddl_route",
-    "precheck",
-    "schema_asof_decode",
-    "sim_ann_lsh",
-    "sim_embedding_neardup",
-    "sim_topk_cosine",
-    "sink_storage_layout",
-    "sink_storage_roundtrip",
-    "snapshot_merge",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_token_counts",
-    "validate_checksum",
-    "validate_chunk_compare",
-    "validate_pending",
-    "validate_repair",
-    "validate_row_diff",
-    # last driver-checked in round 3 — next-oldest, fills the 50-cap
-    "cdc_apply",
-    "cdc_compact",
-    "cdc_filter_stack",
-    "cdc_route_split",
-    "stream_apply",
+    # new in round 6 (never driver-checked): the capped incremental dedup,
+    # the two new codec DDL surfaces, the partsupp-analog olap trio, PQ-ANN
+    "dedup_incremental_capped",
+    "codec_debezium_ddl",
+    "codec_simple_ddl",
+    "olap_mincost_supplier",
+    "olap_supplier_part_counts",
+    "olap_excess_suppliers",
+    "sim_ann_pq",
+    "sim_ann_pq_recall",
+    "cdc_filter_summary",
+    "cdc_frontier",
+    "cdc_dispatch",
+    "codec_csv",
+    "codec_canal_json",
+    "codec_debezium",
+    "codec_maxwell",
+    "codec_open_protocol",
+    "ddl_truncate",
+    "cdc_column_ops",
+    "cdc_safe_mode",
+    "cdc_causality",
+    "cdc_topic_template",
+    "ddl_drop_column",
+    "ddl_rename_table",
+    "ddl_multi_schema_change",
+    "dedup_groups",
+    "data_split",
+    "precheck_structure",
+    "sink_mq_roundtrip",
+    "shardddl_barrier",
+    "codec_simple",
+    "codec_simple_bootstrap",
+    "sink_mysql_dml",
+    "codec_avro_roundtrip",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "redo_replay",
+    "handle_error_dlq",
+    "validate_binsearch",
+    "cdc_checkpoint",
+    "codec_open_batched",
+    "cdc_row_checksum",
+    "sim_ann_ivf",
+    "cdc_type_fidelity",
+    "cdc_causality_fk",
+    "codec_craft_roundtrip",
+    "snapshot_chunks",
+    "shardddl_optimistic",
+    "shardddl_enforce",
+    "cdc_typed_apply",
+    "codec_canal_json_ddl",
 ]
 
 

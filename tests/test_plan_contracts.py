@@ -653,3 +653,17 @@ def test_excess_suppliers_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 4
     assert n_exchanges(plan) <= 2
+
+
+def test_pq_ann_map_only_encode(spark, sf_dir):
+    """PQ corpus encoding must be a pure map stage (codebook inlined as a
+    literal — no join, no shuffle to assign codes); the deliberate
+    broadcast of the tiny query set is the only nested-loop, same as the
+    other ANN paths; the per-query top-R window is the only exchange
+    beyond it."""
+    fn, _ = REGISTRY["sim_ann_pq"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # corpus side never equi-joins for encoding: scans = 2 (corpus + query)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2
+    assert n_exchanges(plan) <= 2

@@ -4135,6 +4135,82 @@ def _install_sq_sql() -> None:
 _install_sq_sql()
 
 
+@register("sim_ann_pq", None)  # oracle installed below
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ANN: m-subspace product quantization (deterministic
+    sample-as-centroids codebook, k-means init without Lloyd), integer
+    asymmetric-distance top-R against reconstructed codes, exact-cosine
+    re-rank — the last common production ANN family beside LSH/IVF/SQ8
+    (llm/quantized.pq_ann_topk)."""
+    from tiflow_spark.llm.quantized import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(emb, list(range(8)), k=5, rerank=20)
+
+
+def _install_pq_sql() -> None:
+    from tiflow_spark.llm.quantized import pq_ann_topk_sql
+
+    REGISTRY["sim_ann_pq"] = (
+        REGISTRY["sim_ann_pq"][0],
+        pq_ann_topk_sql(list(range(8)), 5, 20),
+    )
+
+
+_install_pq_sql()
+
+
+@register("sim_ann_pq_recall", None)  # oracle installed below
+def q_sim_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ-ANN against the exact brute-force ranking —
+    the same deterministic quality gauge the LSH index has
+    (llm/similarity.ann_recall pattern over pq_ann_topk)."""
+    from tiflow_spark.llm.quantized import pq_ann_topk
+    from tiflow_spark.llm.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = topk_cosine(emb, qids, 5).select("query_id", "vec_id")
+    approx = pq_ann_topk(emb, qids, k=5, rerank=20).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("vec_id") == F.col("a_vid")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("a_vid").alias("n_hits"),
+        F.round(F.count("a_vid") / F.count(F.lit(1)), 6).alias("recall"),
+    )
+
+
+def _install_pq_recall_sql() -> None:
+    from tiflow_spark.llm.quantized import pq_ann_topk_sql
+    from tiflow_spark.llm.similarity import topk_cosine_sql
+
+    REGISTRY["sim_ann_pq_recall"] = (
+        REGISTRY["sim_ann_pq_recall"][0],
+        f"""WITH exact AS (
+  SELECT * FROM ({topk_cosine_sql(list(range(8)), 5)})
+), approx AS (
+  SELECT * FROM ({pq_ann_topk_sql(list(range(8)), 5, 20)})
+)
+SELECT e.query_id AS query_id,
+  count(*) AS n_exact,
+  count(a.vec_id) AS n_hits,
+  round(count(a.vec_id) * 1.0 / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY 1""",
+    )
+
+
+_install_pq_recall_sql()
+
+
 @register("text_normalize", None)  # oracle installed below
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation text normalization: control-char strip, whitespace
