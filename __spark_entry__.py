@@ -21,12 +21,14 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 8 queries
-# added this round (never driver-checked) + 42 of the 45 whose latest check
-# was round 3 — the longest-unaudited set. The three r3-checked deferrals to
-# round 7 (cdc_envelope, cdc_metrics, filter_helper) are each exercised
-# continuously by the bench harness / unit paths meanwhile. The remainder
-# follows in registration order as regression sentinels.
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 11 queries
+# added this round (never driver-checked) + 39 of the 45 whose latest check
+# was round 3 — the longest-unaudited set. The six r3-checked deferrals to
+# round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
+# data_split, precheck_structure)
+# are each exercised continuously by the bench harness / unit paths (the
+# filter stack itself is r5-green via cdc_filter_stack) meanwhile. The
+# remainder follows in registration order as regression sentinels.
 _PRIORITY = [
     # new in round 6 (never driver-checked): the capped incremental dedup,
     # the two new codec DDL surfaces, the partsupp-analog olap trio, PQ-ANN
@@ -38,7 +40,9 @@ _PRIORITY = [
     "olap_excess_suppliers",
     "sim_ann_pq",
     "sim_ann_pq_recall",
-    "cdc_filter_summary",
+    "codec_checkpoint_messages",
+    "codec_avro_watermark",
+    "codec_craft_events",
     "cdc_frontier",
     "cdc_dispatch",
     "codec_csv",
@@ -55,8 +59,6 @@ _PRIORITY = [
     "ddl_rename_table",
     "ddl_multi_schema_change",
     "dedup_groups",
-    "data_split",
-    "precheck_structure",
     "sink_mq_roundtrip",
     "shardddl_barrier",
     "codec_simple",

@@ -207,16 +207,17 @@ def test_partition_directory_fold(spark):
     rows = {(r["version_ts"], r["physical_table_id"]): r for r in pdir.collect()}
     # base
     assert rows[(LONG_MIN, 100)]["partition_name"] == "p0"
-    # add: fresh id 102
-    assert rows[(10, 102)]["partition_name"] == "p2"
-    # truncate p0: 100 tombstoned, fresh id 103
+    # add: fresh id minted ABOVE the standalone ext id too (901, not 102 —
+    # a 102 mint could collide with ids passed via table_ids)
+    assert rows[(10, 901)]["partition_name"] == "p2"
+    # truncate p0: 100 tombstoned, fresh id 902
     assert rows[(20, 100)]["logical_table"] is None
-    assert rows[(20, 103)]["partition_name"] == "p0"
+    assert rows[(20, 902)]["partition_name"] == "p0"
     # exchange p1<->ext: 101 tombstoned, 900 becomes p1
     assert rows[(30, 101)]["logical_table"] is None
     assert rows[(30, 900)]["partition_name"] == "p1"
-    # drop p2: 102 tombstoned
-    assert rows[(40, 102)]["logical_table"] is None
+    # drop p2: 901 tombstoned
+    assert rows[(40, 901)]["logical_table"] is None
 
 
 # --------------------------------------------------- handle-key fallback

@@ -198,3 +198,75 @@ def test_simple_ddl_roundtrip(spark):
     assert dec[0]["columns"] == ["id", "v"]
     assert dec[1]["columns"] == ["id", "v", "note"]
     assert dec[1]["query"] == "ALTER TABLE t ADD COLUMN note VARCHAR"
+
+
+def test_checkpoint_messages_consumer_routing(spark):
+    """Every protocol's resolved-ts message must be classifiable by its
+    consumer and round-trip the exact ts: canal-json type TIDB_WATERMARK
+    + _tidb.watermarkTs, open-protocol key t=3 with an EMPTY value,
+    simple type WATERMARK + commitTs, Debezium op='m' +
+    source.commit_ts."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json_checkpoint
+    from tiflow_spark.codecs.debezium import encode_debezium_checkpoint
+    from tiflow_spark.codecs.open_protocol import (
+        encode_open_protocol_checkpoint,
+    )
+    from tiflow_spark.codecs.simple import encode_simple_checkpoint
+
+    f = spark.createDataFrame(
+        [(1_700_000_123_456_789,), (1_700_000_999_999_999,)],
+        "resolved_ts long",
+    )
+    want = {1_700_000_123_456_789, 1_700_000_999_999_999}
+
+    canal = {
+        (json.loads(r["value"])["type"],
+         json.loads(r["value"])["_tidb"]["watermarkTs"])
+        for r in encode_canal_json_checkpoint(f).collect()
+    }
+    assert canal == {("TIDB_WATERMARK", ts) for ts in want}
+
+    op = encode_open_protocol_checkpoint(f).collect()
+    assert {json.loads(r["key"])["t"] for r in op} == {3}
+    assert {json.loads(r["key"])["ts"] for r in op} == want
+    assert all(r["value"] == "" for r in op)
+
+    simple = {
+        (json.loads(r["value"])["type"], json.loads(r["value"])["commitTs"])
+        for r in encode_simple_checkpoint(f).collect()
+    }
+    assert simple == {("WATERMARK", ts) for ts in want}
+
+    dbz = encode_debezium_checkpoint(f).collect()
+    payloads = [json.loads(r["value"])["payload"] for r in dbz]
+    # op 'm' is what decoder.go:99-104 routes to MessageTypeResolved
+    assert {p["op"] for p in payloads} == {"m"}
+    assert {p["source"]["commit_ts"] for p in payloads} == want
+    assert all(json.loads(r["key"]) == {"payload": {}} for r in dbz)
+
+
+def test_avro_watermark_envelope_roundtrip(spark):
+    """Avro watermark-mode envelope: 0x01+json DDL frames and 0x02+BE-ts
+    resolved frames decode back to the exact inputs (avro.go:256-303)."""
+    from tiflow_spark.codecs.avro import (
+        decode_avro_watermark_events,
+        encode_avro_watermark_events,
+    )
+
+    ddl = _ddl_frame(
+        spark,
+        [("DDL", "s", "t", 1_700_000_123_456_789, 1, "add column",
+          "ALTER TABLE t ADD COLUMN x INT")],
+    )
+    resolved = spark.createDataFrame(
+        [(1_700_000_999_999_999,)], "resolved_ts long"
+    )
+    enc = encode_avro_watermark_events(ddl=ddl, resolved=resolved)
+    dec = decode_avro_watermark_events(enc).collect()
+    by_kind = {r["kind"]: r for r in dec}
+    assert by_kind["resolved"]["resolved_ts"] == 1_700_000_999_999_999
+    d = by_kind["ddl"]["ddl"]
+    assert d["query"] == "ALTER TABLE t ADD COLUMN x INT"
+    assert d["commitTs"] == 1_700_000_123_456_789
+    assert d["schema"] == "s" and d["table"] == "t"
+    assert d["type"] == 5  # ActionAddColumn

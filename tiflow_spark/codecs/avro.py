@@ -278,3 +278,85 @@ class LocalSchemaRegistry:
         state = self._load()
         sid = state["subjects"][subject][-1]
         return sid, state["by_id"][str(sid)]
+
+
+def encode_avro_watermark_events(
+    ddl: DataFrame | None = None,
+    resolved: DataFrame | None = None,
+    ts_col: str = "resolved_ts",
+) -> DataFrame:
+    """Avro-protocol watermark-mode side messages (avro.go:256-303, gated
+    by enable-tidb-extension + avro-enable-watermark): DDL events are
+    framed as [ddlByte=0x01][json {query, type, schema, table, commitTs}]
+    and resolved-ts as [checkpointByte=0x02][8-byte big-endian ts] — the
+    non-Avro envelope the consumer peels before the Confluent-wire DML
+    frames. Output carries hex(value) so both engines compare the exact
+    wire bytes. DDL job-type ids come from the shared DDL_TYPE_IDS table
+    (the TiDB ActionType codes, same source as open-protocol)."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.codecs.open_protocol import DDL_TYPE_IDS
+
+    outs = []
+    if ddl is not None:
+        arms = F.lit(0)
+        for k, i in DDL_TYPE_IDS.items():
+            arms = F.when(F.col("ddl_type") == k, i).otherwise(arms)
+        body = F.to_json(
+            F.struct(
+                F.col("query").alias("query"),
+                arms.alias("type"),
+                F.col("schema").alias("schema"),
+                F.col("table").alias("table"),
+                F.col("commit_ts").alias("commitTs"),
+            )
+        )
+        outs.append(
+            ddl.select(
+                F.lit("ddl").alias("kind"),
+                F.col("commit_ts").alias("ts"),
+                F.col("seq").cast("long").alias("seq"),
+                F.concat(
+                    F.lit("01"), F.hex(body.cast("binary"))
+                ).alias("value_hex"),
+            )
+        )
+    if resolved is not None:
+        outs.append(
+            resolved.select(
+                F.lit("resolved").alias("kind"),
+                F.col(ts_col).alias("ts"),
+                F.lit(0).cast("long").alias("seq"),
+                F.concat(
+                    F.lit("02"),
+                    F.lpad(F.hex(F.col(ts_col)), 16, "0"),
+                ).alias("value_hex"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def decode_avro_watermark_events(
+    messages: DataFrame, hex_col: str = "value_hex"
+) -> DataFrame:
+    """Peel the watermark-mode envelope: 0x01 → DDL json, 0x02 → 8-byte BE
+    resolved ts (the consumer-side switch before Avro decode)."""
+    from pyspark.sql import functions as F
+
+    tag = F.substring(F.col(hex_col), 1, 2)
+    rest = F.expr(f"substring({hex_col}, 3)")
+    ddl_schema = (
+        "query STRING, type INT, schema STRING, table STRING, "
+        "commitTs BIGINT"
+    )
+    ddl = F.from_json(F.decode(F.unhex(rest), "UTF-8"), ddl_schema)
+    return messages.select(
+        F.when(tag == "01", "ddl").when(tag == "02", "resolved").alias("kind"),
+        F.when(tag == "02", F.conv(rest, 16, 10).cast("long")).alias(
+            "resolved_ts"
+        ),
+        F.when(tag == "01", ddl).alias("ddl"),
+    )

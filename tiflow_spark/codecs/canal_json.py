@@ -257,3 +257,37 @@ def encode_canal_json_ddl(ddl: DataFrame) -> DataFrame:
         "seq",
         F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
     )
+
+
+def encode_canal_json_checkpoint(
+    resolved: DataFrame,
+    ts_col: str = "resolved_ts",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Resolved-ts → canal-json WATERMARK messages (canal_json_row_event_
+    encoder.go:338-372 newJSONMessage4CheckpointEvent, TiDB-extension
+    gated): the standard JSONMessage envelope with type TIDB_WATERMARK,
+    zero-valued row fields, and the `_tidb.watermarkTs` extension carrying
+    the exact resolved ts. BuildTime (wall clock) pinned to 0."""
+    ts = F.col(ts_col)
+    msg = F.struct(
+        F.lit(0).cast("long").alias("id"),
+        F.lit("").alias("database"),
+        F.lit("").alias("table"),
+        F.lit(None).cast("array<string>").alias("pkNames"),
+        F.lit(False).alias("isDdl"),
+        F.lit("TIDB_WATERMARK").alias("type"),
+        F.expr(f"{ts_col} div 1000").alias("es"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit("").alias("sql"),
+        F.lit(None).cast("map<string,int>").alias("sqlType"),
+        F.lit(None).cast("map<string,string>").alias("mysqlType"),
+        F.lit(None).cast("array<map<string,string>>").alias("data"),
+        F.lit(None).cast("array<map<string,string>>").alias("old"),
+        F.struct(ts.alias("watermarkTs")).alias("_tidb"),
+    )
+    return resolved.select(
+        *extra_cols,
+        ts.alias("resolved_ts"),
+        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+    )

@@ -251,3 +251,102 @@ def decode_craft(messages: DataFrame, value_col: str = "value") -> DataFrame:
         return pd.DataFrame(rows)
 
     return messages.select(dec(F.col(value_col)).alias("r")).select("r.*")
+
+
+# --------- DDL + resolved-ts events (message_encoder.go:295-326)
+
+_CODE_RESOLVED = 4  # beside I/U/D 0-2 and DDL 3 in the simplified op table
+
+
+def encode_craft_ddl(ddl: DataFrame) -> DataFrame:
+    """DDL events → craft frames (message_encoder.go:308-326
+    NewDDLEventEncoder): row header (commit-ts, DDL type code, schema,
+    table) followed by uvarint(job-type id) + string(query). Job-type ids
+    from the shared DDL_TYPE_IDS table (TiDB ActionType codes)."""
+    from tiflow_spark.codecs.open_protocol import DDL_TYPE_IDS
+
+    @pandas_udf(T.BinaryType())
+    def enc(
+        schema: pd.Series, table: pd.Series, commit_ts: pd.Series,
+        ddl_type: pd.Series, query: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for s, t, ts, dt, q in zip(schema, table, commit_ts, ddl_type, query):
+            header = (
+                _uvarint(int(ts))
+                + _uvarint(_OP_CODE["DDL"])
+                + _enc_string(s)
+                + _enc_string(t)
+            )
+            body = header + _uvarint(DDL_TYPE_IDS.get(dt, 0)) + _enc_string(q)
+            out.append(_uvarint(VERSION) + _uvarint(len(body)) + body)
+        return pd.Series(out)
+
+    return ddl.select(
+        "schema", "table", "commit_ts", "seq",
+        enc("schema", "table", "commit_ts", "ddl_type", "query").alias(
+            "value"
+        ),
+    )
+
+
+def encode_craft_resolved(
+    resolved: DataFrame, ts_col: str = "resolved_ts"
+) -> DataFrame:
+    """Resolved-ts → craft frames (message_encoder.go:295-305
+    NewResolvedEventEncoder): header only — ts, resolved type code, NULL
+    schema/table — and an empty body."""
+
+    @pandas_udf(T.BinaryType())
+    def enc(ts: pd.Series) -> pd.Series:
+        out = []
+        for t in ts:
+            body = (
+                _uvarint(int(t))
+                + _uvarint(_CODE_RESOLVED)
+                + _enc_string(None)
+                + _enc_string(None)
+            )
+            out.append(_uvarint(VERSION) + _uvarint(len(body)) + body)
+        return pd.Series(out)
+
+    return resolved.select(
+        F.col(ts_col).alias("resolved_ts"), enc(ts_col).alias("value")
+    )
+
+
+def decode_craft_events(messages: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode craft DDL/resolved frames back to
+    (kind, schema, table, commit_ts, ddl_type_id, query)."""
+
+    @pandas_udf(
+        "kind string, schema string, table string, commit_ts long, "
+        "ddl_type_id int, query string"
+    )
+    def dec(value: pd.Series) -> pd.DataFrame:
+        rows = []
+        for raw in value:
+            buf = io.BytesIO(bytes(raw))
+            version = _read_uvarint(buf)
+            assert version == VERSION
+            body_len = _read_uvarint(buf)
+            body = io.BytesIO(buf.read(body_len))
+            ts = _read_uvarint(body)
+            code = _read_uvarint(body)
+            s = _dec_string(body)
+            t = _dec_string(body)
+            if code == _CODE_RESOLVED:
+                rows.append(("resolved", s, t, ts, None, None))
+            else:
+                tid = _read_uvarint(body)
+                q = _dec_string(body)
+                rows.append(("ddl", s, t, ts, tid, q))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "kind", "schema", "table", "commit_ts", "ddl_type_id",
+                "query",
+            ],
+        )
+
+    return messages.select(dec(value_col).alias("m")).select("m.*")

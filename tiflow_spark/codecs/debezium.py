@@ -223,3 +223,49 @@ def decode_debezium_ddl(messages: DataFrame, value_col: str = "value") -> DataFr
         F.col("m.payload.source.commit_ts").alias("commit_ts"),
         F.col("m.payload.ddl").alias("query"),
     )
+
+
+def encode_debezium_checkpoint(
+    resolved: DataFrame,
+    ts_col: str = "resolved_ts",
+    cluster_id: str = "tiflow-spark",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Resolved-ts → Debezium watermark messages (debezium/codec.go:
+    1576-1650 EncodeCheckpointEvent): key = {"payload": {}}, value payload
+    = the pinned source block (empty db/table, commit_ts + cluster_id
+    TiDB extensions) with op "m" — the marker decoder.go routes to
+    MessageTypeResolved. Wall-clock ts_ms pinned to 0."""
+    ts = F.col(ts_col)
+    source = F.struct(
+        F.lit("2.4.0.Final").alias("version"),
+        F.lit("TiCDC").alias("connector"),
+        F.lit(cluster_id).alias("name"),
+        F.expr(f"{ts_col} div 1000").alias("ts_ms"),
+        F.lit("false").alias("snapshot"),
+        F.lit("").alias("db"),
+        F.lit("").alias("table"),
+        F.lit(0).cast("long").alias("server_id"),
+        F.lit(None).cast("string").alias("gtid"),
+        F.lit("").alias("file"),
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("row"),
+        F.lit(0).cast("long").alias("thread"),
+        F.lit(None).cast("string").alias("query"),
+        ts.alias("commit_ts"),
+        F.lit(cluster_id).alias("cluster_id"),
+    )
+    payload = F.struct(
+        source.alias("source"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.lit(None).cast("string").alias("transaction"),
+        F.lit("m").alias("op"),
+    )
+    return resolved.select(
+        *extra_cols,
+        ts.alias("resolved_ts"),
+        F.lit('{"payload":{}}').alias("key"),
+        F.to_json(
+            F.struct(payload.alias("payload")), {"ignoreNullFields": "false"}
+        ).alias("value"),
+    )

@@ -263,3 +263,24 @@ def encode_open_protocol_ddl(ddl: DataFrame) -> DataFrame:
         F.to_json(key).alias("key"),
         F.to_json(value).alias("value"),
     )
+
+
+def encode_open_protocol_checkpoint(
+    resolved: DataFrame,
+    ts_col: str = "resolved_ts",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Resolved-ts → Open-Protocol resolved messages (open_protocol_
+    encoder.go:242-258 EncodeCheckpointEvent): key = {ts, t: 3}
+    (MessageTypeResolved; scm/tbl omitted — omitempty zero values),
+    value = EMPTY (the wire frames a zero-length value)."""
+    msg = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.lit(3).alias("t"),
+    )
+    return resolved.select(
+        *extra_cols,
+        F.col(ts_col).alias("resolved_ts"),
+        F.to_json(msg).alias("key"),
+        F.lit("").alias("value"),
+    )

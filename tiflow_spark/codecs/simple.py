@@ -340,3 +340,26 @@ def decode_simple_ddl(messages: DataFrame, value_col: str = "value") -> DataFram
         F.col("m.tableSchema.table").alias("table"),
         F.col("m.tableSchema.columns.name").alias("columns"),
     )
+
+
+def encode_simple_checkpoint(
+    resolved: DataFrame,
+    ts_col: str = "resolved_ts",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Resolved-ts → simple-protocol WATERMARK messages (marshaller.go:
+    68-73 MarshalCheckpoint / message.go:504-511 newResolvedMessage):
+    {version, type: WATERMARK, commitTs, buildTs} — buildTs (wall clock)
+    pinned to 0; omitempty zero fields absent, like the reference's
+    marshal of the sparse message struct."""
+    msg = F.struct(
+        F.lit(1).alias("version"),
+        F.lit("WATERMARK").alias("type"),
+        F.col(ts_col).cast("long").alias("commitTs"),
+        F.lit(0).cast("long").alias("buildTs"),
+    )
+    return resolved.select(
+        *extra_cols,
+        F.col(ts_col).alias("resolved_ts"),
+        F.to_json(msg).alias("value"),
+    )

@@ -3676,6 +3676,162 @@ def q_codec_maxwell_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_maxwell_ddl(_allowed_ddl(spark, sf_dir))
 
 
+def q_codec_craft_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Craft DDL + resolved frames round-tripped through the binary wire
+    format (message_encoder.go:295-326): headers carry ts/type/schema/
+    table, DDL bodies carry uvarint job-type id + query; resolved frames
+    are header-only. Compared post-decode (binary equality via the exact
+    field round-trip, the codec_craft_roundtrip pattern)."""
+    from tiflow_spark.codecs.craft import (
+        decode_craft_events,
+        encode_craft_ddl,
+        encode_craft_resolved,
+    )
+
+    ddl = _allowed_ddl(spark, sf_dir)
+    f = table_resolved_ts(_env(spark, sf_dir)).select("table", "resolved_ts")
+    enc = encode_craft_ddl(ddl).select("value").unionByName(
+        encode_craft_resolved(f).select("value")
+    )
+    return decode_craft_events(enc)
+
+
+def _install_craft_events_sql() -> None:
+    from tiflow_spark.codecs.open_protocol import DDL_TYPE_IDS
+
+    arms = " ".join(
+        f"WHEN ddl_type = '{k}' THEN {i}" for k, i in DDL_TYPE_IDS.items()
+    )
+    REGISTRY["codec_craft_events"] = (
+        q_codec_craft_events,
+        f"""{ENV_CTE},
+    {DDL_SQL_DUCKDB.lstrip()}
+    SELECT 'ddl' AS kind, "schema", "table", commit_ts,
+      CAST(CASE {arms} ELSE 0 END AS INT) AS ddl_type_id, query
+    FROM ddl WHERE {_DDL_KEEP_SQL}
+    UNION ALL
+    SELECT 'resolved', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      max(commit_ts), CAST(NULL AS INT), CAST(NULL AS VARCHAR)
+    FROM env GROUP BY env."table" """,
+    )
+
+
+_install_craft_events_sql()
+
+
+def q_codec_avro_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro watermark-mode side messages (avro.go:256-303): DDL events as
+    [0x01][json], per-table resolved-ts as [0x02][8-byte BE ts] — the
+    envelope an avro consumer peels before Confluent-wire DML decode.
+    Values compared as exact wire-byte hex."""
+    from tiflow_spark.codecs.avro import encode_avro_watermark_events
+
+    ddl = _allowed_ddl(spark, sf_dir)
+    f = table_resolved_ts(_env(spark, sf_dir)).select("table", "resolved_ts")
+    return encode_avro_watermark_events(ddl=ddl, resolved=f)
+
+
+def _install_avro_watermark_sql() -> None:
+    from tiflow_spark.codecs.open_protocol import DDL_TYPE_IDS
+
+    arms = " ".join(
+        f"WHEN ddl_type = '{k}' THEN {i}" for k, i in DDL_TYPE_IDS.items()
+    )
+    REGISTRY["codec_avro_watermark"] = (
+        q_codec_avro_watermark,
+        f"""{ENV_CTE},
+    {DDL_SQL_DUCKDB.lstrip()},
+    f AS (SELECT "table", max(commit_ts) AS rts FROM env GROUP BY 1)
+    SELECT 'ddl' AS kind, commit_ts AS ts, seq,
+      '01' || hex(to_json({{query: query, type: CASE {arms} ELSE 0 END,
+        "schema": "schema", "table": "table",
+        commitTs: commit_ts}})::VARCHAR) AS value_hex
+    FROM ddl WHERE {_DDL_KEEP_SQL}
+    UNION ALL
+    SELECT 'resolved', rts, 0::BIGINT,
+      '02' || lpad(hex(rts), 16, '0')
+    FROM f""",
+    )
+
+
+_install_avro_watermark_sql()
+
+
+@register(
+    "codec_checkpoint_messages",
+    f"""{ENV_CTE},
+    f AS (SELECT "table", max(commit_ts) AS ts FROM env GROUP BY 1)
+    SELECT 'canal-json' AS protocol, "table", ts AS resolved_ts,
+      CAST(NULL AS VARCHAR) AS key,
+      to_json({{id: 0::BIGINT, database: '', "table": '',
+        pkNames: CAST(NULL AS VARCHAR[]), isDdl: false,
+        type: 'TIDB_WATERMARK', es: ts // 1000, ts: 0::BIGINT, sql: '',
+        sqlType: CAST(NULL AS MAP(VARCHAR, INT)),
+        mysqlType: CAST(NULL AS MAP(VARCHAR, VARCHAR)),
+        data: CAST(NULL AS MAP(VARCHAR, VARCHAR)[]),
+        old: CAST(NULL AS MAP(VARCHAR, VARCHAR)[]),
+        _tidb: {{watermarkTs: ts}}}})::VARCHAR AS value
+    FROM f
+    UNION ALL
+    SELECT 'open-protocol', "table", ts,
+      to_json({{ts: ts, t: 3}})::VARCHAR, ''
+    FROM f
+    UNION ALL
+    SELECT 'simple', "table", ts,
+      CAST(NULL AS VARCHAR),
+      to_json({{version: 1, type: 'WATERMARK', commitTs: ts,
+                buildTs: 0::BIGINT}})::VARCHAR
+    FROM f
+    UNION ALL
+    SELECT 'debezium', "table", ts,
+      '{{"payload":{{}}}}',
+      to_json({{payload: {{
+        source: {{version: '2.4.0.Final', connector: 'TiCDC',
+          name: 'tiflow-spark', ts_ms: ts // 1000, snapshot: 'false',
+          db: '', "table": '', server_id: 0::BIGINT,
+          gtid: CAST(NULL AS VARCHAR), file: '', pos: 0::BIGINT,
+          "row": 0::BIGINT, thread: 0::BIGINT,
+          query: CAST(NULL AS VARCHAR), commit_ts: ts,
+          cluster_id: 'tiflow-spark'}},
+        ts_ms: 0::BIGINT, transaction: CAST(NULL AS VARCHAR), op: 'm'
+      }}}})::VARCHAR
+    FROM f""",
+)
+def q_codec_checkpoint_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint / resolved-ts (watermark) messages in all four MQ
+    protocols from the per-table frontier — the EncodeCheckpointEvent
+    surface consumers use to advance their own watermarks: canal-json
+    TIDB_WATERMARK (+_tidb extension), open-protocol type-3 resolved key
+    with an empty value, simple-protocol WATERMARK, and Debezium op='m'."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json_checkpoint
+    from tiflow_spark.codecs.debezium import encode_debezium_checkpoint
+    from tiflow_spark.codecs.open_protocol import (
+        encode_open_protocol_checkpoint,
+    )
+    from tiflow_spark.codecs.simple import encode_simple_checkpoint
+
+    f = table_resolved_ts(_env(spark, sf_dir)).select("table", "resolved_ts")
+    canal = encode_canal_json_checkpoint(f, extra_cols=("table",)).select(
+        F.lit("canal-json").alias("protocol"), "table", "resolved_ts",
+        F.lit(None).cast("string").alias("key"), "value",
+    )
+    open_p = encode_open_protocol_checkpoint(
+        f, extra_cols=("table",)
+    ).select(
+        F.lit("open-protocol").alias("protocol"), "table", "resolved_ts",
+        "key", "value",
+    )
+    simple = encode_simple_checkpoint(f, extra_cols=("table",)).select(
+        F.lit("simple").alias("protocol"), "table", "resolved_ts",
+        F.lit(None).cast("string").alias("key"), "value",
+    )
+    dbz = encode_debezium_checkpoint(f, extra_cols=("table",)).select(
+        F.lit("debezium").alias("protocol"), "table", "resolved_ts",
+        "key", "value",
+    )
+    return canal.unionByName(open_p).unionByName(simple).unionByName(dbz)
+
+
 def _sdl_ts(table: str, version: int, cols, pk) -> str:
     """DuckDB TableSchema struct literal for the simple-DDL oracle —
     the hand-enumerated registry state per fixture event (same fold
