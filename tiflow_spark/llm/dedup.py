@@ -872,6 +872,13 @@ def dedup_incremental(
     here would defeat the touch-only-hit-keys shape.
     """
     new_sh, new_banded = minhash_index(new_docs, num_hashes, bands, n)
+    # the BATCH frames feed three branches (nvo join, nvn self-join,
+    # verification) — persist them so shingling+minhash runs once per
+    # batch, not once per branch. Batch-sized by definition; the INDEX
+    # frames are deliberately NOT persisted (at production scale they are
+    # parquet-backed and touched only on hit keys).
+    new_sh = new_sh.persist()
+    new_banded = new_banded.persist()
     # new-vs-index candidates (either orientation, canonical id order)
     old_side = index_banded.select(
         "band", "sig", F.col("doc_id").alias("_old_id")
