@@ -116,3 +116,76 @@ def test_storage_consumer_replay_to_state(spark, sf_dir, work_dir):
     assert replayed.count() == expected.count()
     assert replayed.exceptAll(expected).count() == 0
     assert expected.exceptAll(replayed).count() == 0
+
+
+def test_simple_replay_with_mid_stream_ddl(spark, work_dir):
+    """Simple-protocol consumer tracks schema evolution FROM THE TOPIC
+    ITSELF: DDL messages fold into a consumer-side registry, DML images
+    decode as-of their commitTs (typed casts + declared-DEFAULT backfill
+    for pre-ADD-COLUMN rows; explicit NULL values stay NULL), keys come
+    from the registry handle key — no out-of-band schema channel."""
+    from tiflow_spark.codecs.simple import encode_simple_ddl
+    from tiflow_spark.sinks.mq import produce_file_broker
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.streaming.consumer import replay_simple_broker_with_ddl
+
+    ddl = spark.createDataFrame(
+        [
+            ("DDL", "s0", "acct", 1000, 1, "create table",
+             "CREATE TABLE acct (id BIGINT PRIMARY KEY, bal DOUBLE)"),
+            ("DDL", "s0", "acct", 3000, 2, "add column",
+             "ALTER TABLE acct ADD COLUMN tier VARCHAR DEFAULT 'std'"),
+        ],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    ddl_values = [
+        r["value"]
+        for r in encode_simple_ddl(ddl, registry_from_ddl(ddl))
+        .orderBy("seq").collect()
+    ]
+
+    def dml(ts, typ, data, old=None):
+        import json as _json
+
+        return _json.dumps(
+            {
+                "version": 1, "database": "s0", "table": "acct",
+                "tableID": 0, "type": typ, "commitTs": ts, "buildTs": 0,
+                "schemaVersion": 1, "data": data, "old": old,
+            }
+        )
+
+    values = [
+        (1000, ddl_values[0]),
+        (2000, dml(2000, "INSERT", {"id": "1", "bal": "10.5"})),
+        (2000, dml(2000, "INSERT", {"id": "2", "bal": "20.0"})),
+        (2500, dml(2500, "INSERT", {"id": "4", "bal": "40.0"})),
+        (3000, ddl_values[1]),
+        (4000, dml(4000, "UPDATE",
+                   {"id": "1", "bal": "15.0", "tier": "gold"},
+                   {"id": "1", "bal": "10.5", "tier": "std"})),
+        (4500, dml(4500, "DELETE", None,
+                   {"id": "2", "bal": "20.0", "tier": "std"})),
+        (5000, dml(5000, "INSERT",
+                   {"id": "3", "bal": "30.0", "tier": None})),
+    ]
+    msgs = spark.createDataFrame(
+        [("cdc", 0, "acct", v, ts, i) for i, (ts, v) in enumerate(values)],
+        "topic string, partition int, key string, value string, "
+        "commit_ts long, seq long",
+    )
+    broker = f"{work_dir}/broker"
+    produce_file_broker(msgs, broker, batch_id=0)
+
+    state = replay_simple_broker_with_ddl(spark, broker)
+    rows = {r["key"]: r for r in state.collect()}
+    assert set(rows) == {"1", "3", "4"}
+    assert rows["1"]["bal"] == 15.0 and rows["1"]["tier"] == "gold"
+    # pre-ADD-COLUMN row: tier ABSENT from image → declared default
+    assert rows["4"]["bal"] == 40.0 and rows["4"]["tier"] == "std"
+    # explicit NULL stays NULL (no default stomp)
+    assert rows["3"]["bal"] == 30.0 and rows["3"]["tier"] is None
+    # typed decode: bal is a real double, id a bigint
+    assert isinstance(rows["1"]["bal"], float)
+    assert isinstance(rows["1"]["id"], int)

@@ -142,20 +142,29 @@ def bootstrap_messages(
     )
 
 
-def decode_simple(messages: DataFrame, value_col: str = "value") -> DataFrame:
-    """Simple messages → change rows (decoder.go consumer path)."""
+def decode_simple(
+    messages: DataFrame,
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Simple messages → change rows (decoder.go consumer path).
+    ``extra_cols`` ride through untouched (e.g. the broker offset a
+    consumer folds on)."""
     schema = (
         "version INT, database STRING, table STRING, tableID BIGINT, "
         "type STRING, commitTs BIGINT, buildTs BIGINT, schemaVersion BIGINT, "
         "data MAP<STRING,STRING>, old MAP<STRING,STRING>"
     )
-    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    m = messages.select(
+        *extra_cols, F.from_json(F.col(value_col), schema).alias("m")
+    )
     op = (
         F.when(F.col("m.type") == "INSERT", "I")
         .when(F.col("m.type") == "UPDATE", "U")
         .when(F.col("m.type") == "DELETE", "D")
     )
     return m.select(
+        *extra_cols,
         op.alias("op"),
         F.col("m.database").alias("schema"),
         F.col("m.table").alias("table"),

@@ -104,3 +104,131 @@ def replay_broker_to_state(
         .drop("_rn", "_contract", "es", "partition", "offset")
     )
     return last.filter(F.col("etype") != "DELETE").drop("etype")
+
+
+def replay_simple_broker_with_ddl(
+    spark: SparkSession,
+    broker_dir: str,
+    topic: str | None = None,
+) -> DataFrame:
+    """Simple-protocol consumer WITH mid-stream schema evolution — the
+    capability the protocol's DDL messages exist for (simple/decoder.go
+    MessageTypeDDL path feeding the consumer's schema tracker):
+
+    1. split broker messages by the `type` discriminator (DML kinds vs
+       DDL kinds vs WATERMARK/BOOTSTRAP);
+    2. fold the (metadata-scale) DDL messages into the SAME versioned
+       registry the producer uses (registry_from_ddl over the decoded
+       `sql` statements — parse-derived kinds, consumer needs no side
+       channel);
+    3. decode each DML image against the schema AS-OF its commitTs —
+       broadcast version-array lookup, typed casts + declared-DEFAULT
+       backfill for rows written before an ADD COLUMN;
+    4. key rows by the registry's as-of handle key and fold to
+       last-writer state ordered by (commitTs, offset).
+
+    Output: (schema, table, key, <typed column universe...>) live rows.
+    Scale shape: the DML side is one from_json map stage + the broadcast
+    as-of join + one keyed fold shuffle; only DDL messages (bounded like
+    the owner's schema storage) are collected.
+    """
+    from tiflow_spark.codecs.simple import decode_simple, decode_simple_ddl
+    from tiflow_spark.sinks.mq import consume_file_broker
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.sources.schema_registry import (
+        asof_resolve,
+        registry_column_plan,
+        _spark_cast,
+    )
+
+    msgs = consume_file_broker(spark, broker_dir, topic)
+    kind = F.get_json_object("value", "$.type")
+    ddl_msgs = msgs.filter(
+        ~kind.isin("INSERT", "UPDATE", "DELETE", "WATERMARK", "BOOTSTRAP")
+    )
+    dml_msgs = msgs.filter(kind.isin("INSERT", "UPDATE", "DELETE"))
+
+    # DDL side: metadata-scale by the same bound as the reference owner's
+    # schema storage; kinds re-derived by parsing the statement itself
+    ddl_rows = decode_simple_ddl(ddl_msgs).collect()
+    parsed = []
+    for i, r in enumerate(sorted(ddl_rows, key=lambda r: r["commit_ts"])):
+        op = parse_ddl(r["query"])
+        if op is None:
+            continue
+        parsed.append(
+            (
+                "DDL",
+                r["schema"] or "",
+                r["table"] or (op.table or ""),
+                int(r["commit_ts"]),
+                i,
+                op.kind,
+                r["query"],
+            )
+        )
+    ddl_frame = spark.createDataFrame(
+        parsed,
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    registry = registry_from_ddl(ddl_frame)
+    plan = registry_column_plan(registry)
+
+    dml = decode_simple(
+        dml_msgs.select("offset", "value"), extra_cols=("offset",)
+    )
+    resolved = asof_resolve(
+        dml, registry, event_table_col="table", with_keys=True
+    )
+    img = F.when(F.col("op") == "D", F.col("old_image")).otherwise(
+        F.col("image")
+    )
+    # latest declared default per column (driver-side, metadata-scale like
+    # registry_column_plan): applying to a downstream table means an ADD
+    # COLUMN ... DEFAULT backfills existing rows with that default — the
+    # MySQL-side behavior the reference consumer relies on. (Caveat shared
+    # with any apply-time backfill: a later MODIFY changing only the
+    # default does not rewrite already-applied rows downstream; this
+    # engine-wide stand-in uses the latest declared default.)
+    latest_defaults: dict[str, str] = {}
+    for r in sorted(
+        registry.select("table", "version_no", "defaults").collect(),
+        key=lambda r: (r.table, r.version_no),
+    ):
+        for c, d in (r.defaults or {}).items():
+            latest_defaults[c] = d
+    typed = []
+    for c, sql_type in plan:
+        t = _spark_cast(sql_type)
+        # default backfill ONLY for keys ABSENT from the image (row written
+        # before the ADD COLUMN) — an explicit NULL value stays NULL
+        # (mounter.go getDefaultOrZeroValue applies to missing columns)
+        typed.append(
+            F.when(
+                F.map_contains_key(img, F.lit(c)),
+                F.element_at(img, F.lit(c)).cast(t),
+            )
+            .otherwise(F.lit(latest_defaults.get(c)).cast(t))
+            .alias(c)
+        )
+    key = F.array_join(
+        F.transform(
+            F.col("handle_cols"), lambda h: F.element_at(img, h)
+        ),
+        "|",
+    )
+    rows = resolved.select(
+        "schema", "table", key.alias("key"), "op", "commit_ts", "offset",
+        *typed,
+    )
+    w = Window.partitionBy("schema", "table", "key").orderBy(
+        F.col("commit_ts").desc(), F.col("offset").desc()
+    )
+    last = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "commit_ts", "offset")
+    )
+    return last.filter(F.col("op") != "D").drop("op")
