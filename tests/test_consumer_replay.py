@@ -189,3 +189,39 @@ def test_simple_replay_with_mid_stream_ddl(spark, work_dir):
     # typed decode: bal is a real double, id a bigint
     assert isinstance(rows["1"]["bal"], float)
     assert isinstance(rows["1"]["id"], int)
+
+
+def test_open_protocol_replay_matches_direct_apply(spark, sf_dir, work_dir):
+    """Open-protocol topic round trip: the fold key comes from the h
+    (handle) flags in the column objects — protocol-native keying — and
+    the replayed state equals direct apply."""
+    from tiflow_spark.codecs.open_protocol import encode_open_protocol
+    from tiflow_spark.operators.dispatchers import dispatch
+    from tiflow_spark.sinks.mq import produce_file_broker
+    from tiflow_spark.streaming.consumer import replay_open_broker_to_state
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    transformed = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    )
+    d = dispatch(transformed, DEMO_CFG, num_partitions=8)
+    # the protocol key (encoder output) IS the message key; only the
+    # dispatch columns ride in from the dispatched frame
+    msgs = encode_open_protocol(d).join(
+        d.select("commit_ts", "seq", "topic", "partition"),
+        ["commit_ts", "seq"],
+    )
+    produce_file_broker(msgs, f"{work_dir}/broker", batch_id=0)
+
+    replayed = replay_open_broker_to_state(
+        spark, f"{work_dir}/broker",
+        {"id": "bigint", "balance": "double", "note": "string"},
+    ).select("table", "key", "id", "balance", "note")
+    expected = changes_to_state(transformed, table_col="table").select(
+        F.col("target_table").alias("table"),
+        F.col("id").cast("string").alias("key"),
+        "id", "balance", "note",
+    )
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0

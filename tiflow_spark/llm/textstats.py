@@ -580,7 +580,12 @@ def trigram_lm_score(
         .filter(F.col("cnt") >= min_count)
     )
     per_doc = (
-        tris.join(model, "tri", "left")
+        # the pruned model is bounded (frequent trigrams only) — broadcast
+        # it so the CORPUS-scale trigram stream never shuffles on tri; the
+        # only full-corpus shuffle left is the doc_id reduction (map-side
+        # combined). Without this the join repartitions every trigram of
+        # every document — the dominant cost at 100 TB.
+        tris.join(F.broadcast(model), "tri", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tris"),

@@ -232,3 +232,66 @@ def replay_simple_broker_with_ddl(
         .drop("_rn", "commit_ts", "offset")
     )
     return last.filter(F.col("op") != "D").drop("op")
+
+
+def replay_open_broker_to_state(
+    spark: SparkSession,
+    broker_dir: str,
+    payload_types: dict[str, str],
+    topic: str | None = None,
+) -> DataFrame:
+    """Open-protocol consumer replay (cmd/kafka-consumer's open decoder):
+    key JSON carries (ts, scm, tbl, type), value carries u/d column-object
+    maps whose ``h`` flag marks HANDLE columns — so the fold key comes
+    from the protocol itself (no pkNames side channel, unlike canal-json).
+    Resolved (t=3) keys are dropped. Last-writer fold on (commit_ts,
+    offset); full-precision ts makes the fold total per key without the
+    canal ms-truncation caveat.
+
+    Scale shape: one from_json map stage, one (schema, table, key) fold
+    shuffle; broker scan prunes by topic."""
+    from tiflow_spark.sinks.mq import consume_file_broker
+
+    msgs = consume_file_broker(spark, broker_dir, topic)
+    key_schema = "ts BIGINT, scm STRING, tbl STRING, t INT"
+    col_obj = "STRUCT<t: INT, h: BOOLEAN, v: STRING>"
+    val_schema = f"u MAP<STRING, {col_obj}>, d MAP<STRING, {col_obj}>"
+    k = F.from_json(F.col("key"), key_schema)
+    v = F.from_json(F.col("value"), val_schema)
+    rows = msgs.select(
+        "partition",
+        "offset",
+        k.alias("k"),
+        v.alias("m"),
+    ).filter(F.col("k.t") == 1)
+    img = F.coalesce(F.col("m.u"), F.col("m.d"))
+    handle_keys = F.array_sort(
+        F.map_keys(F.map_filter(img, lambda _c, o: o["h"]))
+    )
+    key = F.array_join(
+        F.transform(handle_keys, lambda c: F.element_at(img, c)["v"]), "|"
+    )
+    typed = [
+        F.element_at(img, F.lit(name))["v"].cast(t).alias(name)
+        for name, t in payload_types.items()
+    ]
+    flat = rows.select(
+        F.col("k.scm").alias("schema"),
+        F.col("k.tbl").alias("table"),
+        key.alias("key"),
+        F.when(F.col("m.d").isNotNull(), "D").otherwise("U").alias(
+            "op_class"
+        ),
+        F.col("k.ts").alias("commit_ts"),
+        "offset",
+        *typed,
+    )
+    w = Window.partitionBy("schema", "table", "key").orderBy(
+        F.col("commit_ts").desc(), F.col("offset").desc()
+    )
+    last = (
+        flat.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "commit_ts", "offset")
+    )
+    return last.filter(F.col("op_class") != "D").drop("op_class")
