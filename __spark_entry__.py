@@ -21,11 +21,11 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 11 queries
-# added this round (never driver-checked) + 39 of the 45 whose latest check
-# was round 3 — the longest-unaudited set. The six r3-checked deferrals to
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 12 queries
+# added this round (never driver-checked) + 38 of the 45 whose latest check
+# was round 3 — the longest-unaudited set. The seven r3-checked deferrals to
 # round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
-# data_split, precheck_structure)
+# data_split, precheck_structure, dedup_groups)
 # are each exercised continuously by the bench harness / unit paths (the
 # filter stack itself is r5-green via cdc_filter_stack) meanwhile. The
 # remainder follows in registration order as regression sentinels.
@@ -43,6 +43,7 @@ _PRIORITY = [
     "codec_checkpoint_messages",
     "codec_avro_watermark",
     "codec_craft_events",
+    "sink_storage_canal_roundtrip",
     "cdc_frontier",
     "cdc_dispatch",
     "codec_csv",
@@ -58,7 +59,6 @@ _PRIORITY = [
     "ddl_drop_column",
     "ddl_rename_table",
     "ddl_multi_schema_change",
-    "dedup_groups",
     "sink_mq_roundtrip",
     "shardddl_barrier",
     "codec_simple",

@@ -155,3 +155,36 @@ def test_file_broker_multi_batch_offsets(spark, tmp_path):
     assert t10 == [(0, "k2"), (1, "k1"), (2, "k4")]
     only_t2 = consume_file_broker(spark, broker, topic="t2").collect()
     assert [(r.topic, r.offset, r.key) for r in only_t2] == [("t2", 0, "k3")]
+
+
+def test_storage_sink_canal_json_layout(spark, sf_dir, tmp_path):
+    """protocol=canal-json storage sink writes CDC{n}.json files (one
+    message per line) in the same layout, with meta/CDC.index and
+    schema_*.json — and the changefeed facade routes the URI protocol."""
+    import glob
+    import json as _json
+    import os
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.plans.parity import DEMO_CFG
+    from tiflow_spark.tools import create_changefeed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = str(tmp_path / "src")
+    env.coalesce(1).write.parquet(src)
+    spec, files = create_changefeed(
+        spark, src, DEMO_CFG,
+        "file:///out?protocol=canal-json&pk-cols=id", str(tmp_path),
+    )
+    assert spec.kind == "storage"
+    assert files and all(f.endswith(".json") for f in files)
+    base = str(tmp_path / "storage")
+    idx = glob.glob(f"{base}/*/*/1/*/meta/CDC.index")
+    assert idx, "CDC.index written"
+    with open(sorted(glob.glob(f"{base}/*/*/1/*/CDC*.json"))[0]) as fh:
+        first = _json.loads(fh.readline())
+    assert first["type"] in ("INSERT", "UPDATE", "DELETE")
+    assert first["pkNames"] == ["id"]
+    assert os.path.exists(
+        sorted(glob.glob(f"{base}/*/*/meta/schema_1_*.json"))[0]
+    )

@@ -140,22 +140,29 @@ def encode_canal_json(
 
 
 def decode_canal_json(
-    messages: DataFrame, value_col: str = "value"
+    messages: DataFrame,
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Canal-JSON → change rows (consumer-side, cmd/kafka-consumer parity)."""
+    """Canal-JSON → change rows (consumer-side, cmd/kafka-consumer parity).
+    ``extra_cols`` ride through untouched (e.g. storage-consumer path
+    identity columns)."""
     schema = (
         "id BIGINT, database STRING, table STRING, pkNames ARRAY<STRING>, "
         "isDdl BOOLEAN, type STRING, es BIGINT, ts BIGINT, sql STRING, "
         "sqlType MAP<STRING,INT>, mysqlType MAP<STRING,STRING>, "
         "data ARRAY<MAP<STRING,STRING>>, old ARRAY<MAP<STRING,STRING>>"
     )
-    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    m = messages.select(
+        *extra_cols, F.from_json(F.col(value_col), schema).alias("m")
+    )
     op = (
         F.when(F.col("m.type") == "INSERT", "I")
         .when(F.col("m.type") == "UPDATE", "U")
         .otherwise("D")
     )
     return m.select(
+        *extra_cols,
         op.alias("op"),
         F.col("m.database").alias("schema"),
         F.col("m.table").alias("table"),

@@ -2287,6 +2287,51 @@ def q_storage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_storage_canal_roundtrip",
+    f"""{ENV_CTE}
+    SELECT op, "table", "schema",
+      (commit_ts // 1000) * 1000 AS commit_ts_ms_scaled,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note
+    FROM env""",
+)
+def q_storage_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage sink with PROTOCOL=CANAL-JSON (the reference's second data
+    format, cloud_storage_dml_sink.go): CDC{n}.json files — one canal-json
+    message per line — in the same {schema}/{table}/{version}/{date}
+    layout, decoded back by the storage-consumer path. Canal es is
+    ms-truncated, so the round trip compares at ms precision."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        read_storage_sink,
+        write_storage_sink,
+    )
+
+    cfg = StorageSinkConfig(
+        max_records_per_file=50, pk_cols=("id",), protocol="canal-json"
+    )
+    base = tempfile.mkdtemp(prefix="tiflow_storage_canal_")
+    write_storage_sink(_env(spark, sf_dir), base, cfg)
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    decoded = read_storage_sink(spark, base, payload, cfg)
+    return decoded.select(
+        "op", "table", "schema", "commit_ts_ms_scaled", "id", "balance",
+        "note",
+    )
+
+
+@register(
     "sink_storage_layout",
     f"""{ENV_CTE}
     SELECT "schema", "table",

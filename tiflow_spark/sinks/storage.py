@@ -49,6 +49,10 @@ class StorageSinkConfig:
     file_index_width: int = 6  # config.DefaultFileIndexWidth
     max_records_per_file: int = 100_000  # rotation knob (reference: bytes)
     csv: CsvConfig = CsvConfig()
+    # data-file encoding: "csv" or "canal-json" (the two formats the
+    # reference storage sink ships, cloud_storage_dml_sink.go; canal-json
+    # files carry one message per line, extension .json)
+    protocol: str = "csv"
     # primary-key columns for schema.json ColumnIsPk/ColumnNullable —
     # supplied by the caller from the DDL registry (pk_cols) or changefeed
     # config; empty means unknown and no column is flagged (the reference
@@ -76,15 +80,23 @@ def write_storage_sink(
 
     Returns the relative paths of the data files written (sorted).
     """
-    encoded = _with_date(
-        encode_csv(
-            env.withColumnRenamed(schema_col, "schema").withColumnRenamed(
-                table_col, "table"
-            ),
-            cfg.csv,
-        ),
-        cfg,
+    renamed = env.withColumnRenamed(schema_col, "schema").withColumnRenamed(
+        table_col, "table"
     )
+    if cfg.protocol == "canal-json":
+        from tiflow_spark.codecs.canal_json import encode_canal_json
+
+        enc = encode_canal_json(
+            renamed, pk_names=cfg.pk_cols or ("id",)
+        ).withColumnRenamed("value", "line")
+    elif cfg.protocol == "csv":
+        enc = encode_csv(renamed, cfg.csv)
+    else:
+        raise ValueError(
+            f"storage sink protocol {cfg.protocol!r} not supported "
+            "(csv | canal-json)"
+        )
+    encoded = _with_date(enc, cfg)
     staging = os.path.join(base_dir, "_staging")
     (
         encoded.repartition("schema", "table", "date")
@@ -96,7 +108,7 @@ def write_storage_sink(
         .text(staging)
     )
     written: list[str] = []
-    ext = "csv"
+    ext = "json" if cfg.protocol == "canal-json" else "csv"
     for part_dir in sorted(glob.glob(f"{staging}/schema=*/table=*/date=*")):
         rel = {
             k: v
@@ -205,7 +217,8 @@ def read_storage_sink(
     path; the scan is a plain distributed text read with a pushed glob.
     """
     ver = cfg.table_version
-    pat = f"{base_dir}/*/*/{ver}/*/CDC*.csv"
+    ext = "json" if cfg.protocol == "canal-json" else "csv"
+    pat = f"{base_dir}/*/*/{ver}/*/CDC*.{ext}"
     lines = (
         spark.read.text(pat)
         .withColumn("_path", F.input_file_name())
@@ -220,9 +233,28 @@ def read_storage_sink(
             F.regexp_extract(F.col("_path"), rf"/{ver}/([^/]+)/CDC", 1).alias(
                 "dir_date"
             ),
-            F.regexp_extract(F.col("_path"), r"/(CDC\d+\.csv)$", 1).alias("file"),
+            F.regexp_extract(
+                F.col("_path"), rf"/(CDC\d+\.{ext})$", 1
+            ).alias("file"),
         )
     )
+    if cfg.protocol == "canal-json":
+        from tiflow_spark.codecs.canal_json import decode_canal_json
+
+        dec = decode_canal_json(
+            lines.withColumnRenamed("line", "value"),
+            extra_cols=("dir_schema", "dir_table", "dir_date", "file"),
+        )
+        typed = [
+            F.element_at(F.col("image"), f.name)
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in payload_schema.fields
+        ]
+        return dec.select(
+            "op", "schema", "table", "commit_ts_ms_scaled", *typed,
+            "dir_schema", "dir_table", "dir_date", "file",
+        )
     return decode_csv(
         lines,
         payload_schema,

@@ -188,15 +188,22 @@ def create_changefeed(
             write_storage_sink,
         )
 
-        if spec.protocol not in (None, "csv"):
+        if spec.protocol not in (None, "csv", "canal-json"):
             raise ValueError(
-                f"storage sink supports protocol=csv, got {spec.protocol!r}"
+                "storage sink supports protocol=csv or canal-json, "
+                f"got {spec.protocol!r}"
             )
         out = os.path.join(work_dir, "storage")
         # pk-cols URI param → schema.json ColumnIsPk (the reference reads
         # this off TableInfo; the URI surface is our config equivalent)
         pk = tuple(p for p in params.get("pk-cols", "").split(",") if p)
-        files = write_storage_sink(env, out, StorageSinkConfig(pk_cols=pk))
+        files = write_storage_sink(
+            env,
+            out,
+            StorageSinkConfig(
+                pk_cols=pk, protocol=spec.protocol or "csv"
+            ),
+        )
         return spec, files
     # blackhole: execute the pipeline, discard output
     env.write.format("noop").mode("overwrite").save()
