@@ -79,3 +79,79 @@ def test_unnamed_uk_names_never_collide(first_cols):
         uks.append((uk_name(None, (c,)), (c,)))
     names = [n for n, _ in uks]
     assert len(names) == len(set(names))
+
+
+_TEXTY = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _TEXTY,  # schema
+            _TEXTY,  # table
+            st.integers(min_value=0, max_value=2**62),  # commit_ts
+            st.sampled_from(
+                ["create table", "drop table partition", "add column",
+                 "rename table", "weird unknown kind"]
+            ),
+            _TEXTY,  # query (arbitrary content incl quotes/newlines)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_craft_ddl_frames_roundtrip_arbitrary_strings(rows):
+    """Craft DDL frames survive adversarial schema/table/query strings
+    (quotes, newlines, unicode, empty) — varint string framing is
+    length-prefixed, not delimiter-based."""
+    from tiflow_spark.codecs.craft import decode_craft_events, encode_craft_ddl
+    from tiflow_spark.codecs.open_protocol import DDL_TYPE_IDS
+
+    spark = _spark()
+    ddl = spark.createDataFrame(
+        [("DDL", s, t, ts, i, k, q)
+         for i, (s, t, ts, k, q) in enumerate(rows)],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    dec = decode_craft_events(encode_craft_ddl(ddl)).collect()
+    got = {(r["schema"], r["table"], r["commit_ts"], r["ddl_type_id"],
+            r["query"]) for r in dec}
+    want = {(s, t, ts, DDL_TYPE_IDS.get(k, 0), q)
+            for s, t, ts, k, q in rows}
+    assert got == want
+
+
+@given(_TEXTY, st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=15, deadline=None)
+def test_debezium_ddl_value_roundtrips_query(q, ts):
+    """Debezium schema-change values carry arbitrary ddl text verbatim
+    through to_json/from_json (escaping handled by the JSON layer)."""
+    from tiflow_spark.codecs.debezium import (
+        decode_debezium_ddl,
+        encode_debezium_ddl,
+    )
+
+    spark = _spark()
+    ddl = spark.createDataFrame(
+        [("DDL", "s", "t", ts, 1, "add column", q)],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    out = decode_debezium_ddl(encode_debezium_ddl(ddl)).collect()[0]
+    assert out["query"] == q and out["commit_ts"] == ts
