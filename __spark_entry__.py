@@ -21,11 +21,11 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 12 queries
-# added this round (never driver-checked) + 38 of the 45 whose latest check
-# was round 3 — the longest-unaudited set. The seven r3-checked deferrals to
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 13 queries
+# added this round (never driver-checked) + 37 of the 45 whose latest check
+# was round 3 — the longest-unaudited set. The eight r3-checked deferrals to
 # round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
-# data_split, precheck_structure, dedup_groups)
+# data_split, precheck_structure, dedup_groups, handle_error_dlq)
 # are each exercised continuously by the bench harness / unit paths (the
 # filter stack itself is r5-green via cdc_filter_stack) meanwhile. The
 # remainder follows in registration order as regression sentinels.
@@ -44,6 +44,7 @@ _PRIORITY = [
     "codec_avro_watermark",
     "codec_craft_events",
     "sink_storage_canal_roundtrip",
+    "olap_product_profit",
     "cdc_frontier",
     "cdc_dispatch",
     "codec_csv",
@@ -68,7 +69,6 @@ _PRIORITY = [
     "mm_frame_sample",
     "mm_feature_extract",
     "redo_replay",
-    "handle_error_dlq",
     "validate_binsearch",
     "cdc_checkpoint",
     "codec_open_batched",

@@ -667,3 +667,15 @@ def test_pq_ann_map_only_encode(spark, sf_dir):
     # corpus side never equi-joins for encoding: scans = 2 (corpus + query)
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 2
     assert n_exchanges(plan) <= 2
+
+
+def test_product_profit_shape(spark, sf_dir):
+    """Q9 shape: the derived partsupp joins back to lineitem on its own
+    aggregate keys; part/supplier/nation broadcast; no cartesian. The
+    fact table is scanned twice by design (ps derivation + fact side) —
+    the reference reads partsupp as a separate table."""
+    fn, _ = REGISTRY["olap_product_profit"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 6

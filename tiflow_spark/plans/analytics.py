@@ -1198,3 +1198,73 @@ SELECT s_suppkey, s_name, s_acctbal, n_name
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM q)"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: per-nation yearly profit on widget parts — revenue
+    minus supply cost, the cost taken from the derived partsupp analog.
+
+    Plan shape: ps derives from lineitem with ONE (partkey, suppkey)
+    shuffle and joins back on the same keys; orders joins on orderkey
+    (the second fact shuffle); part / supplier / nation broadcast. The
+    whole profit expression stays exact decimal until the final double
+    cast — sum order cannot flap the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(_dec("l_extendedprice")).alias("ps_supplycost"))
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    ) - F.col("ps_supplycost") * _dec("l_quantity")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(
+        F.sum(amount).cast("double").alias("sum_profit"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+PRODUCT_PROFIT_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+    AS sum_profit,
+  count(*) AS n_items
+FROM lineitem
+JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2"""

@@ -864,6 +864,7 @@ def _install_analytics() -> None:
             an.excess_suppliers,
             an.EXCESS_SUPPLIERS_SQL,
         ),
+        "olap_product_profit": (an.product_profit, an.PRODUCT_PROFIT_SQL),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
