@@ -21,11 +21,12 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 13 queries
-# added this round (never driver-checked) + 37 of the 45 whose latest check
-# was round 3 — the longest-unaudited set. The eight r3-checked deferrals to
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 14 queries
+# added this round (never driver-checked) + 36 of the 45 whose latest check
+# was round 3 — the longest-unaudited set. The nine r3-checked deferrals to
 # round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
-# data_split, precheck_structure, dedup_groups, handle_error_dlq)
+# data_split, precheck_structure, dedup_groups, handle_error_dlq,
+# validate_binsearch)
 # are each exercised continuously by the bench harness / unit paths (the
 # filter stack itself is r5-green via cdc_filter_stack) meanwhile. The
 # remainder follows in registration order as regression sentinels.
@@ -45,6 +46,7 @@ _PRIORITY = [
     "codec_craft_events",
     "sink_storage_canal_roundtrip",
     "olap_product_profit",
+    "olap_forecast_revenue",
     "cdc_frontier",
     "cdc_dispatch",
     "codec_csv",
@@ -69,7 +71,6 @@ _PRIORITY = [
     "mm_frame_sample",
     "mm_feature_extract",
     "redo_replay",
-    "validate_binsearch",
     "cdc_checkpoint",
     "codec_open_batched",
     "cdc_row_checksum",

@@ -679,3 +679,17 @@ def test_product_profit_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 6
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """Q6 shape: every predicate — including the shipdate range, which a
+    timestamp-LTZ literal would silently kill — reaches the parquet scan."""
+    fn, _ = REGISTRY["olap_forecast_revenue"]
+    plan = plan_of(fn(spark, sf_dir))
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m, "no PushedFilters section"
+    pushed = m.group(1)
+    for frag in ("l_shipdate,1997", "l_shipdate,1998",
+                 "l_discount,0.05", "l_discount,0.07", "l_quantity,24"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    assert n_exchanges(plan) <= 1  # scalar agg: partial + final only

@@ -865,6 +865,10 @@ def _install_analytics() -> None:
             an.EXCESS_SUPPLIERS_SQL,
         ),
         "olap_product_profit": (an.product_profit, an.PRODUCT_PROFIT_SQL),
+        "olap_forecast_revenue": (
+            an.forecast_revenue,
+            an.FORECAST_REVENUE_SQL,
+        ),
     }
     for name, (fn, sql) in entries.items():
         REGISTRY[name] = (fn, sql)
