@@ -87,6 +87,7 @@ def main() -> None:
         "text_lm_score",
         "olap_volume_shipping",
         "olap_market_share",
+        "olap_product_profit",
         "dedup_incremental_capped",
     ]
     r5_queries = [q for q in r5_queries if q in REGISTRY]
