@@ -138,3 +138,101 @@ def test_synced_status_verdict(spark, sf_dir, tmp_path):
         spark, work_dir, now_us=hwm + 400_000_000
     )
     assert lagging["synced"] is False
+
+
+def test_mq_changefeed_with_ddl_and_checkpoint_full_topic(
+    spark, sf_dir, tmp_path
+):
+    work_dir = str(tmp_path / "cf")
+    """A simple-protocol MQ changefeed with a DDL side-channel and
+    emit-checkpoint produces a COMPLETE topic — DML + DDL + watermark —
+    and the schema-evolving consumer replays it to the exact applied
+    state using only the topic (the mq_protocol_tests guarantee)."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators import filters as flt
+    from tiflow_spark.operators import transforms as tfm
+    from tiflow_spark.operators.apply import changes_to_state
+    from tiflow_spark.sinks.mq import consume_file_broker
+    from tiflow_spark.streaming.consumer import replay_simple_broker_with_ddl
+    from tiflow_spark.tools import create_changefeed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+    env.repartition(2).write.parquet(src)
+
+    # DDL side-channel: one CREATE TABLE per routed source table (declares
+    # the pk the consumer keys on), timestamped before the stream
+    t0 = env.agg(F.min("commit_ts")).collect()[0][0]
+    tables = [
+        r["table"]
+        for r in tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+        .select("table").distinct().collect()
+    ]
+    ddl = spark.createDataFrame(
+        [
+            ("DDL", "shard_0", t, int(t0) - 10 + i, i, "create table",
+             f"CREATE TABLE {t} (id BIGINT PRIMARY KEY, balance DOUBLE, "
+             "note VARCHAR)")
+            for i, t in enumerate(sorted(tables))
+        ],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+
+    spec, broker = create_changefeed(
+        spark, src, DEMO_CFG,
+        "kafka://broker:9092/cdc-demo?protocol=simple&partition-num=8"
+        "&emit-checkpoint=true",
+        work_dir,
+        ddl_events=ddl,
+    )
+    assert spec.kind == "mq"
+
+    # the topic carries all three message kinds
+    kinds = {
+        _json.loads(r["value"]).get("type")
+        for r in consume_file_broker(spark, broker).collect()
+    }
+    assert "WATERMARK" in kinds and "CREATE" in kinds
+    assert kinds & {"INSERT", "UPDATE", "DELETE"}
+
+    replayed = replay_simple_broker_with_ddl(spark, broker).select(
+        "table", "key", "id", "balance", "note"
+    )
+    transformed = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    )
+    expected = changes_to_state(transformed, table_col="table").select(
+        F.col("target_table").alias("table"),
+        F.col("id").cast("string").alias("key"),
+        "id", "balance", "note",
+    )
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0
+
+
+def test_mq_ddl_messages_every_protocol(spark):
+    """_mq_encode_ddl covers every DDL-capable protocol with the broker
+    message shape (topic=schema.table, partition 0)."""
+    from tiflow_spark.tools import _mq_encode_ddl
+
+    ddl = spark.createDataFrame(
+        [("DDL", "s", "t", 1_000_000, 1, "create table",
+          "CREATE TABLE t (id BIGINT PRIMARY KEY)")],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    for proto in (
+        "canal-json", "maxwell", "open-protocol", "simple", "debezium"
+    ):
+        rows = _mq_encode_ddl(ddl, proto).collect()
+        assert len(rows) == 1, proto
+        assert rows[0]["topic"] == "s.t" and rows[0]["partition"] == 0
+        assert rows[0]["value"]
+    with pytest.raises(ValueError):
+        _mq_encode_ddl(ddl, "csv")

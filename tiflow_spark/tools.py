@@ -125,6 +125,7 @@ def create_changefeed(
     cfg: TaskConfig,
     sink_uri: str,
     work_dir: str,
+    ddl_events: DataFrame | None = None,
 ):
     """`cdc cli changefeed create --sink-uri=...` analog: parse the sink
     URI, route to the matching sink family, run the pipeline end-to-end.
@@ -181,6 +182,32 @@ def create_changefeed(
         ).join(value, ["commit_ts", "seq"])
         broker = os.path.join(work_dir, "broker")
         produce_file_broker(msgs, broker, batch_id=0)
+        # DDL side-channel → the topic itself (ddlsink/mq: table topic,
+        # partition 0) for protocols with DDL messages
+        if ddl_events is not None:
+            from tiflow_spark.sources.ddl_stream import (
+                ddl_allowlist_predicate,
+                ddl_filter_predicate,
+            )
+
+            ddl = ddl_events.filter(
+                ddl_allowlist_predicate() & ddl_filter_predicate(cfg)
+            )
+            produce_file_broker(
+                _mq_encode_ddl(ddl, protocol), broker, batch_id=1
+            )
+        # final resolved-ts broadcast to every produced (topic, partition)
+        # — the watermark flush consumers advance on
+        if params.get("emit-checkpoint") in ("true", "1", "yes"):
+            from pyspark.sql import functions as F
+
+            resolved = env.agg(F.max("commit_ts").alias("resolved_ts"))
+            tp = d.select("topic", "partition").distinct()
+            produce_file_broker(
+                _mq_encode_checkpoint(resolved, protocol, tp),
+                broker,
+                batch_id=2,
+            )
         return spec, broker
     if spec.kind == "storage":
         from tiflow_spark.sinks.storage import (
@@ -318,3 +345,97 @@ def start_task(
         read_state(spark, target).count() if os.path.isdir(target) else 0
     )
     return status
+
+
+def _mq_encode_ddl(ddl: DataFrame, protocol: str) -> DataFrame:
+    """DDL events → broker messages for the protocol's DDL surface
+    (cdc/sink/ddlsink/mq: DDL goes to the table's topic, partition 0).
+    Message shape: (topic, partition, key, value, commit_ts, seq)."""
+    from pyspark.sql import functions as F
+
+    if protocol == "canal-json":
+        from tiflow_spark.codecs.canal_json import encode_canal_json_ddl
+
+        enc = encode_canal_json_ddl(ddl).withColumn(
+            "key", F.lit(None).cast("string")
+        )
+    elif protocol == "maxwell":
+        from tiflow_spark.codecs.maxwell import encode_maxwell_ddl
+
+        enc = encode_maxwell_ddl(ddl).withColumn(
+            "key", F.lit(None).cast("string")
+        )
+    elif protocol == "open-protocol":
+        from tiflow_spark.codecs.open_protocol import (
+            encode_open_protocol_ddl,
+        )
+
+        enc = encode_open_protocol_ddl(ddl)
+    elif protocol == "simple":
+        from tiflow_spark.codecs.simple import encode_simple_ddl
+        from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+        enc = encode_simple_ddl(ddl, registry_from_ddl(ddl)).withColumn(
+            "key", F.lit(None).cast("string")
+        )
+    elif protocol == "debezium":
+        from tiflow_spark.codecs.debezium import encode_debezium_ddl
+        from tiflow_spark.sources.ddl_stream import registry_from_ddl
+
+        enc = encode_debezium_ddl(ddl, registry=registry_from_ddl(ddl))
+    else:
+        raise ValueError(f"no DDL messages for MQ protocol {protocol!r}")
+    return enc.select(
+        F.concat_ws(".", F.col("schema"), F.col("table")).alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("key"),
+        F.col("value"),
+        F.col("commit_ts"),
+        F.col("seq"),
+    )
+
+
+def _mq_encode_checkpoint(
+    resolved: DataFrame, protocol: str, topic_partitions: DataFrame
+) -> DataFrame:
+    """Resolved-ts → checkpoint messages BROADCAST to every (topic,
+    partition) the changefeed produced to — the reference MQ sink flushes
+    watermark events to all partitions so every consumer can advance."""
+    from pyspark.sql import functions as F
+
+    if protocol == "canal-json":
+        from tiflow_spark.codecs.canal_json import (
+            encode_canal_json_checkpoint,
+        )
+
+        enc = encode_canal_json_checkpoint(resolved).withColumn(
+            "key", F.lit(None).cast("string")
+        )
+    elif protocol == "open-protocol":
+        from tiflow_spark.codecs.open_protocol import (
+            encode_open_protocol_checkpoint,
+        )
+
+        enc = encode_open_protocol_checkpoint(resolved)
+    elif protocol == "simple":
+        from tiflow_spark.codecs.simple import encode_simple_checkpoint
+
+        enc = encode_simple_checkpoint(resolved).withColumn(
+            "key", F.lit(None).cast("string")
+        )
+    elif protocol == "debezium":
+        from tiflow_spark.codecs.debezium import encode_debezium_checkpoint
+
+        enc = encode_debezium_checkpoint(resolved)
+    else:
+        raise ValueError(
+            f"no checkpoint messages for MQ protocol {protocol!r}"
+        )
+    return enc.crossJoin(F.broadcast(topic_partitions)).select(
+        "topic",
+        "partition",
+        F.col("key"),
+        F.col("value"),
+        F.col("resolved_ts").alias("commit_ts"),
+        F.lit(0).cast("long").alias("seq"),
+    )
