@@ -831,28 +831,35 @@ SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY 1"""
 
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-style (partsupp-free variant over lineitem): parts whose
-    total traded value exceeds 0.05% of the global total — a per-group
-    aggregate HAVING against a global scalar.
+    total traded value exceeds 1.25x the MEAN part value — a per-group
+    aggregate HAVING against a global scalar. TPC-H scales Q11's fraction
+    by 1/SF for exactly this reason: a fixed share-of-total threshold
+    empties as the part count grows (at sf0.1, ~30 uniform lineitems per
+    part concentrate every part within ~1.7x the mean, so the old
+    0.05%-of-total bar exceeded the maximum). Mean-relative is the
+    scale-stable form of the same shape.
 
     Plan shape: ONE shuffle on partkey builds the per-part totals; the
-    global total derives from the SAME aggregate (re-aggregation of the
-    per-part frame, metadata-sized) and broadcasts back — the fact table
-    is scanned and shuffled once, not twice."""
+    global total AND part count derive from the SAME aggregate
+    (re-aggregation of the per-part frame, metadata-sized) and broadcast
+    back — the fact table is scanned and shuffled once, not twice."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(
             _dec("l_extendedprice") * F.col("l_quantity").cast("decimal(18,2)")
         ).alias("_val")
     )
-    total = per_part.agg(F.sum("_val").alias("_total"))
+    total = per_part.agg(
+        F.sum("_val").alias("_total"), F.count(F.lit(1)).alias("_n")
+    )
     # threshold compare in DOUBLE space with the identical expression on
-    # the oracle side: both engines compute double(exact-decimal) * 0.0005
-    # from the same exact sums, so the comparison is engine-independent
+    # the oracle side: both engines compute the same double ops on the
+    # same exact-decimal sums, so the comparison is engine-independent
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
             F.col("_val").cast("double")
-            > F.col("_total").cast("double") * F.lit(0.0005)
+            > F.lit(1.25) * F.col("_total").cast("double") / F.col("_n")
         )
         .select(
             "l_partkey", F.col("_val").cast("double").alias("part_value")
@@ -870,7 +877,8 @@ WITH per_part AS (
 SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
 FROM per_part
 WHERE CAST(val AS DOUBLE)
-      > (SELECT CAST(sum(val) AS DOUBLE) FROM per_part) * 0.0005"""
+      > 1.25 * (SELECT CAST(sum(val) AS DOUBLE) FROM per_part)
+             / (SELECT count(*) FROM per_part)"""
 
 
 def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
