@@ -155,3 +155,44 @@ def test_debezium_ddl_value_roundtrips_query(q, ts):
     )
     out = decode_debezium_ddl(encode_debezium_ddl(ddl)).collect()[0]
     assert out["query"] == q and out["commit_ts"] == ts
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_lsh_index_recap_equals_fresh_build(docs, cap):
+    """compact_lsh_index(appended index) == minhash_index(full corpus,
+    max_bucket=cap) — appending uncapped batch rows then re-capping at
+    maintenance cadence loses nothing vs a from-scratch capped build."""
+    from tiflow_spark.llm.dedup import compact_lsh_index, minhash_index
+
+    spark = _spark()
+    corpus = spark.createDataFrame(
+        [(i, f"the {w} quick fox number {w} jumps {w}") for i, w in docs],
+        "doc_id long, text string",
+    )
+    base = corpus.filter("doc_id % 2 = 0")
+    batch = corpus.filter("doc_id % 2 = 1")
+    _, idx_capped = minhash_index(base, 8, 2, max_bucket=cap)
+    _, batch_banded = minhash_index(batch, 8, 2)
+    appended = idx_capped.unionByName(batch_banded)
+    recapped = compact_lsh_index(appended, cap)
+    _, fresh = minhash_index(corpus, 8, 2, max_bucket=cap)
+    # same bucket membership — note recap of (capped base + uncapped
+    # batch) can only differ from fresh where the BASE cap already
+    # dropped rows; representatives (min doc ids) are even (base) or the
+    # bucket is batch-only, so fresh's reps match and the sets agree
+    got = {(r["doc_id"], r["band"], r["sig"]) for r in recapped.collect()}
+    want = {(r["doc_id"], r["band"], r["sig"]) for r in fresh.collect()}
+    assert got <= want
+    # and every fresh bucket stays represented after recap
+    gb = {(r[1], r[2]) for r in got}
+    wb = {(r[1], r[2]) for r in want}
+    assert gb == wb

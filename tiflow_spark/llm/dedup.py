@@ -934,3 +934,26 @@ def dedup_incremental(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def compact_lsh_index(
+    index_banded: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Re-apply the hot-bucket cap to an LSH index that grew by appended
+    ingest batches — the index-maintenance step the incremental path
+    schedules at compaction cadence (same slot as bucketed-sink
+    compaction): buckets that crossed ``max_bucket`` since the last cap
+    collapse back to their min-doc representative row. Idempotent, and
+    equivalent to rebuilding the index from scratch with the same cap
+    over the same corpus (property-tested)."""
+    stats = index_banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
+    )
+    return (
+        index_banded.join(stats, ["band", "sig"])
+        .filter(
+            (F.col("_bsz") <= max_bucket)
+            | (F.col("doc_id") == F.col("_rep"))
+        )
+        .drop("_bsz", "_rep")
+    )
