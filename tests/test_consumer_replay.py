@@ -225,3 +225,44 @@ def test_open_protocol_replay_matches_direct_apply(spark, sf_dir, work_dir):
     assert replayed.count() == expected.count() and expected.count() > 0
     assert replayed.exceptAll(expected).count() == 0
     assert expected.exceptAll(replayed).count() == 0
+
+
+def test_replay_idempotent_under_duplicate_delivery(spark, sf_dir, work_dir):
+    """At-least-once delivery: a crash between segment write and
+    checkpoint commit makes the producer re-append the same batch
+    (produce_file_broker_stream's documented guarantee). The consumer
+    fold must be idempotent — replaying a broker with a DUPLICATED batch
+    yields the same applied state."""
+    from tiflow_spark.streaming.consumer import replay_broker_to_state
+    from tiflow_spark.tools import create_changefeed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    src = f"{work_dir}/source"
+    env.repartition(2).write.parquet(src)
+    _, broker = create_changefeed(
+        spark, src, DEMO_CFG,
+        "kafka://broker:9092/cdc-demo?protocol=canal-json&partition-num=8",
+        work_dir,
+    )
+    # duplicate the whole produced batch under a later batch_id — the
+    # exact artifact of a produce crash after write, before checkpoint
+    import pyspark.sql.functions as F2
+
+    msgs = spark.read.parquet(broker).drop("batch_id", "batch_offset")
+    from tiflow_spark.sinks.mq import produce_file_broker
+
+    produce_file_broker(msgs, broker, batch_id=99)
+
+    types = {"id": "bigint", "balance": "double", "note": "string"}
+    replayed = replay_broker_to_state(spark, broker, types).select(
+        "table", "key", "id", "balance", "note"
+    )
+    transformed = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    )
+    expected = changes_to_state(transformed, table_col="table").select(
+        F.col("target_table").alias("table"), "key", "id", "balance", "note"
+    )
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0
