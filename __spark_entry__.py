@@ -21,15 +21,21 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 14 queries
-# added this round (never driver-checked) + 36 of the 45 whose latest check
-# was round 3 — the longest-unaudited set. The nine r3-checked deferrals to
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 17 queries
+# added this round (never driver-checked) + olap_important_parts (changed
+# this round: scale-stable Q11 threshold, needs a fresh hard-signal row)
+# + 32 of the 45 whose latest check was round 3 — the longest-unaudited
+# set. The thirteen r3-checked deferrals to
 # round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
 # data_split, precheck_structure, dedup_groups, handle_error_dlq,
-# validate_binsearch)
+# validate_binsearch, mm_frame_sample, codec_canal_json_ddl, cdc_typed_apply,
+# shardddl_enforce)
 # are each exercised continuously by the bench harness / unit paths (the
-# filter stack itself is r5-green via cdc_filter_stack) meanwhile. The
-# remainder follows in registration order as regression sentinels.
+# filter stack itself is r5-green via cdc_filter_stack; canal-json DDL
+# encoding is in-cap via sink_storage_canal_roundtrip; the type matrix via
+# cdc_type_fidelity; shardddl enforcement via test_shardddl_enforce.py)
+# meanwhile. The remainder follows in registration order as regression
+# sentinels.
 _PRIORITY = [
     # new in round 6 (never driver-checked): the capped incremental dedup,
     # the two new codec DDL surfaces, the partsupp-analog olap trio, PQ-ANN
@@ -47,6 +53,10 @@ _PRIORITY = [
     "sink_storage_canal_roundtrip",
     "olap_product_profit",
     "olap_forecast_revenue",
+    "cluster_kmeans_lloyd",
+    "dedup_semdedup",
+    "validate_summary_report",
+    "olap_important_parts",
     "cdc_frontier",
     "cdc_dispatch",
     "codec_csv",
@@ -68,7 +78,6 @@ _PRIORITY = [
     "codec_simple_bootstrap",
     "sink_mysql_dml",
     "codec_avro_roundtrip",
-    "mm_frame_sample",
     "mm_feature_extract",
     "redo_replay",
     "cdc_checkpoint",
@@ -80,9 +89,6 @@ _PRIORITY = [
     "codec_craft_roundtrip",
     "snapshot_chunks",
     "shardddl_optimistic",
-    "shardddl_enforce",
-    "cdc_typed_apply",
-    "codec_canal_json_ddl",
 ]
 
 

@@ -1,0 +1,292 @@
+"""Deterministic k-means clustering + semantic dedup (SemDeDup-style).
+
+Beyond-parity training-data operators: cluster the embedding corpus with
+one exact seeded assignment plus one Lloyd refinement step, and use the
+cluster blocks to find semantic near-duplicates (cosine >= threshold
+within a cluster) — the cluster-then-pair shape of SemDeDup (Abbas et
+al. 2023, arXiv:2303.09540) re-expressed as DataFrame ops.
+
+Scale shapes (the 100 TB story):
+- assignment is MAP-ONLY: the k centroids are collected once
+  (metadata-scale, exactly like the IVF codebook in similarity.py) and
+  embedded as literal arrays, so scoring every corpus vector against all
+  k centroids is a single codegen'd projection — no join, no shuffle.
+- the Lloyd update is ONE shuffle: posexplode the quantized components
+  and groupBy(cluster, component) with map-side combine — 64*n rows
+  hashed into k*64 groups; the sums are BIGINT so they are exact under
+  any partition order.
+- semdedup is a self-join keyed by cluster id (the same plan as the LSH
+  bucket join in dedup.py). A hot cluster would make candidate pairs
+  quadratic in its size, so clusters over `max_cluster` are star-linked
+  to their min-id representative (d^2 -> d), the identical guard the
+  MinHash/LSH family carries (llm/dedup.py max_bucket).
+
+Exactness contract with the DuckDB oracle:
+- components quantize to integers (round(x * 10^6) as BIGINT); seed
+  distances and Lloyd sums stay in exact integer space, so they are
+  partition-order-free and engine-identical.
+- cluster means take ONE double division (CAST(sum AS DOUBLE)/count —
+  both engines divide the same exact integers), and refined distances
+  are computed with identical element-order fold expressions on both
+  sides (the established sim_*/cosine contract in similarity.py).
+- argmin uses first-min tiebreak (lowest centroid id). On this corpus
+  the min margin between best and second-best refined distance is ~10^7
+  distance units vs ~10^4 worst-case accumulated double rounding, so a
+  last-ulp divergence cannot flip an assignment (probed empirically at
+  all three scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from tiflow_spark.llm.similarity import cosine
+
+QUANT = 1_000_000
+
+
+def quantize_vec(emb: Column) -> Column:
+    """Component-wise integer quantization: round(x * 10^6) as BIGINT."""
+    return F.transform(
+        emb, lambda x: F.round(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def _int_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 (max |q| ~ 10^6*range, 64 dims -> << 2^63)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dbl_l2(a: Column, b: Column) -> Column:
+    """Double squared L2, left-fold in element order (matches list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_cluster(qv: Column, cents: list[list], int_space: bool) -> Column:
+    """First-min argmin over centroid literals; returns the 0-based BIGINT
+    cluster id (= seed vec_id, since seeds are vec_id 0..k-1 in order)."""
+    if int_space:
+        dists = F.array(
+            *[
+                _int_l2(qv, F.array(*[F.lit(int(v)) for v in c]))
+                for c in cents
+            ]
+        )
+    else:
+        dists = F.array(
+            *[
+                _dbl_l2(qv, F.array(*[F.lit(float(v)) for v in c]))
+                for c in cents
+            ]
+        )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+
+
+def seed_centroids(q: DataFrame, k: int) -> list[list[int]]:
+    """The k seed centroids = the quantized vectors with vec_id 0..k-1.
+    Deterministic (no RNG) and replicable in plain SQL. Metadata-scale
+    collect: k rows, like the IVF codebook."""
+    rows = (
+        q.filter(F.col("vec_id") < k)
+        .select("vec_id", "qv")
+        .collect()
+    )
+    by_id = {r["vec_id"]: list(r["qv"]) for r in rows}
+    return [by_id[i] for i in range(k)]
+
+
+def assign_seeded(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """vec_id, embedding, qv, cluster — exact-integer nearest-seed assign."""
+    q = embeddings.select(
+        "vec_id", "embedding", quantize_vec(F.col("embedding")).alias("qv")
+    )
+    cents = seed_centroids(q, k)
+    return q.withColumn("cluster", _argmin_cluster(F.col("qv"), cents, True))
+
+
+def kmeans_lloyd(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """One seeded exact assignment + one Lloyd refinement step.
+
+    Returns (vec_id, cluster_init, cluster_refined). The refinement
+    recomputes centroids as per-cluster component means (exact BIGINT
+    sums -> one double division) and reassigns; at scale each extra
+    Lloyd round costs one more 64*n-row shuffle + metadata collect."""
+    a1 = assign_seeded(embeddings, k).withColumnRenamed(
+        "cluster", "cluster_init"
+    )
+    sums = (
+        a1.select("cluster_init", F.posexplode("qv").alias("i", "qc"))
+        .groupBy("cluster_init", "i")
+        .agg(F.sum("qc").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    # Metadata-scale (k*dims rows). Python float division == engine
+    # CAST(BIGINT AS DOUBLE)/BIGINT: same IEEE op on the same exact ints.
+    means: dict[int, dict[int, float]] = {}
+    for r in sums:
+        means.setdefault(r["cluster_init"], {})[r["i"]] = (
+            float(r["s"]) / r["cnt"]
+        )
+    dims = len(means[0])
+    cents = [
+        [means[c][i] for i in range(dims)] for c in sorted(means)
+    ]
+    return a1.select(
+        "vec_id",
+        "cluster_init",
+        _argmin_cluster(
+            F.transform(F.col("qv"), lambda x: x.cast("double")),
+            cents,
+            False,
+        ).alias("cluster_refined"),
+    )
+
+
+def kmeans_lloyd_sql(k: int = 8, dims: int = 64) -> str:
+    """DuckDB oracle for kmeans_lloyd — same math, same tiebreaks."""
+    return f"""WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q WHERE vec_id < {k}),
+d1 AS (
+  SELECT q.vec_id, c0.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+           i -> (q.qv[i] - c0.cvec[i]) * (q.qv[i] - c0.cvec[i]))) AS dist
+  FROM q CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster_init FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d1
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT a1.cluster_init AS cid, t.i, sum(q.qv[t.i]) AS s, count(*) AS cnt
+  FROM q JOIN a1 USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS i) t
+  GROUP BY 1, 2
+),
+means AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS mvec
+  FROM sums GROUP BY cid
+),
+d2 AS (
+  SELECT q.vec_id, m.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+           i -> (CAST(q.qv[i] AS DOUBLE) - m.mvec[i])
+              * (CAST(q.qv[i] AS DOUBLE) - m.mvec[i]))) AS dist
+  FROM q CROSS JOIN means m
+),
+a2 AS (
+  SELECT vec_id, cid AS cluster_refined FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d2
+  ) WHERE rn = 1
+)
+SELECT a1.vec_id, a1.cluster_init, a2.cluster_refined
+FROM a1 JOIN a2 USING (vec_id)"""
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    max_cluster: int = 64,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine >= threshold within seeded-kmeans
+    cluster blocks; clusters over max_cluster are star-linked to their
+    min-id representative (candidates d^2 -> d, the LSH max_bucket
+    guard). Returns (id_a, id_b, cluster, cos)."""
+    w = Window.partitionBy("cluster")
+    sized = (
+        assign_seeded(embeddings, k)
+        .drop("qv")
+        .withColumn("csz", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("vec_id").over(w))
+    )
+    a = sized.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        "cluster",
+        "csz",
+        "rep",
+    )
+    b = sized.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        "cluster",
+    )
+    pairs = a.join(b, "cluster").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & ((F.col("csz") <= max_cluster) | (F.col("id_a") == F.col("rep")))
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cluster",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+
+
+def semdedup_sql(
+    threshold: float = 0.35,
+    k: int = 8,
+    max_cluster: int = 64,
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle for semdedup_pairs."""
+    cos = (
+        f"round(list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) / sqrt("
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> ea[i]::DOUBLE * ea[i]::DOUBLE)) * "
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> eb[i]::DOUBLE * eb[i]::DOUBLE))), 6)"
+    )
+    return f"""WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q WHERE vec_id < {k}),
+d1 AS (
+  SELECT q.vec_id, q.embedding, c0.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+           i -> (q.qv[i] - c0.cvec[i]) * (q.qv[i] - c0.cvec[i]))) AS dist
+  FROM q CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, embedding, cid AS cluster FROM (
+    SELECT vec_id, embedding, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d1
+  ) WHERE rn = 1
+),
+sized AS (
+  SELECT a1.*, count(*) OVER (PARTITION BY cluster) AS csz,
+         min(vec_id) OVER (PARTITION BY cluster) AS rep
+  FROM a1
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+         a.embedding AS ea, b.embedding AS eb
+  FROM sized a JOIN sized b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+   AND (a.csz <= {max_cluster} OR a.vec_id = a.rep)
+)
+SELECT id_a, id_b, cluster, {cos} AS cos
+FROM cand
+WHERE {cos} >= {threshold}"""

@@ -5408,3 +5408,119 @@ def _install_q15_sql() -> None:
 
 
 _install_q15_sql()
+
+
+# ------------------------- round 6 (late): clustering / semdedup / report
+
+
+@register("cluster_kmeans_lloyd", None)  # oracle installed below
+def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (seeded exact-int assignment + one Lloyd
+    refinement) over the embedding corpus — the clustering stage of
+    cluster-then-dedup curation (SemDeDup). Map-only assignment against
+    literal centroids (IVF-codebook pattern), one 64*n-row shuffle for
+    the Lloyd update; sums stay BIGINT-exact so partition order is free
+    (llm/clustering.kmeans_lloyd)."""
+    from tiflow_spark.llm.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+@register("dedup_semdedup", None)  # oracle installed below
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs within k-means cluster blocks (SemDeDup,
+    arXiv:2303.09540): cosine >= 0.35 (the random-embedding top tail,
+    same threshold as sim_embedding_neardup) inside each cluster, with
+    clusters over max_cluster=64 star-linked to their min-id
+    representative — the LSH max_bucket guard, so one mega-cluster can't
+    go quadratic. At sf0.01 cluster sizes straddle 64, so BOTH branches
+    (all-pairs and star-link) are oracle-exercised
+    (llm/clustering.semdedup_pairs)."""
+    from tiflow_spark.llm.clustering import semdedup_pairs
+
+    return semdedup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        k=8,
+        max_cluster=64,
+    )
+
+
+def _install_clustering_sql() -> None:
+    from tiflow_spark.llm import clustering as cl
+
+    REGISTRY["cluster_kmeans_lloyd"] = (
+        REGISTRY["cluster_kmeans_lloyd"][0],
+        cl.kmeans_lloyd_sql(k=8),
+    )
+    REGISTRY["dedup_semdedup"] = (
+        REGISTRY["dedup_semdedup"][0],
+        cl.semdedup_sql(threshold=0.35, k=8, max_cluster=64),
+    )
+
+
+_install_clustering_sql()
+
+
+@register(
+    "validate_summary_report",
+    f"""WITH {CORRUPT_SQL.strip().lstrip()},
+    s AS (SELECT c_custkey // 64 AS chunk_id, count(*) AS cnt,
+                 bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
+          FROM customer GROUP BY 1),
+    d AS (SELECT c_custkey // 64 AS chunk_id, count(*) AS cnt,
+                 bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
+          FROM corrupt GROUP BY 1),
+    cc AS (SELECT coalesce(s.chunk_id, d.chunk_id) AS chunk_id,
+                  coalesce(s.cnt, 0) AS src_cnt, coalesce(d.cnt, 0) AS dst_cnt,
+                  (s.cnt IS NOT DISTINCT FROM d.cnt
+                   AND s.checksum IS NOT DISTINCT FROM d.checksum) AS match
+           FROM s FULL OUTER JOIN d ON s.chunk_id = d.chunk_id),
+    ca AS (SELECT CAST(count(*) AS BIGINT) AS chunk_total,
+                  CAST(sum(CASE WHEN NOT match THEN 1 ELSE 0 END) AS BIGINT)
+                    AS chunk_failed,
+                  CAST(sum(src_cnt) AS BIGINT) AS up_count,
+                  CAST(sum(dst_cnt) AS BIGINT) AS down_count
+           FROM cc),
+    diff AS (SELECT CASE WHEN d.c_custkey IS NULL THEN 'missing'
+                         WHEN s.c_custkey IS NULL THEN 'extra'
+                         WHEN s.c_acctbal IS DISTINCT FROM d.c_acctbal
+                           OR s.c_name IS DISTINCT FROM d.c_name
+                           OR s.c_nationkey IS DISTINCT FROM d.c_nationkey
+                           OR s.c_mktsegment IS DISTINCT FROM d.c_mktsegment
+                         THEN 'different' END AS kind
+             FROM customer s FULL OUTER JOIN corrupt d
+               ON s.c_custkey = d.c_custkey),
+    ka AS (SELECT
+             CAST(sum(CASE WHEN kind = 'missing' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+             CAST(sum(CASE WHEN kind = 'extra' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_extra,
+             CAST(sum(CASE WHEN kind = 'different' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_different
+           FROM diff)
+    SELECT 'test' AS schema_name, 'customer' AS table_name,
+           TRUE AS struct_equal, chunk_failed = 0 AS data_equal,
+           up_count, down_count, chunk_total, chunk_failed,
+           n_missing, n_extra, n_different,
+           n_missing + n_different AS rows_add,
+           n_extra + n_different AS rows_delete
+    FROM ca CROSS JOIN ka""",
+)
+def q_validate_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sync_diff final per-table report (report/report.go:58-76
+    TableResult + ChunkResult; rows-add/rows-delete semantics from
+    diff.go:740-768) — the §3.3 lifecycle composed end-to-end: chunk
+    checksums → row-diff over mismatched chunks only → one summary row
+    (validation/syncdiff.summary_report)."""
+    from tiflow_spark.validation.syncdiff import summary_report
+
+    return summary_report(
+        load_table(spark, sf_dir, "customer"),
+        _corrupt_customer(spark, sf_dir),
+        "c_custkey",
+        CUSTOMER_COLS,
+        64,
+        schema="test",
+        table="customer",
+    )

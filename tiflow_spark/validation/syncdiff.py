@@ -149,6 +149,66 @@ def repair_sql(
     return diff.select(F.col(pk), F.col("kind"), stmt.alias("sql"))
 
 
+def summary_report(
+    src: DataFrame,
+    dst: DataFrame,
+    pk: str,
+    cols: list[str],
+    width: int,
+    schema: str = "test",
+    table: str = "t",
+) -> DataFrame:
+    """Per-table check summary — the reference's final report
+    (report/report.go:58-76 TableResult: StructEqual/DataEqual/UpCount/
+    DownCount; ChunkResult rows-add/rows-delete aggregated per table,
+    report.go:147-152; counter semantics from diff.go:740-768: missing →
+    rows-add, extra → rows-delete, different → both).
+
+    One row out. Composition of the full §3.3 lifecycle: chunk checksum
+    compare → row-diff over mismatched chunks ONLY (targeted_row_diff's
+    pushed-down chunk predicate is what makes this 100 TB-safe) → two
+    scalar aggregates cross-joined (broadcast of 1-row frames).
+    """
+    struct_equal = src.select(*cols).schema == dst.select(*cols).schema
+    cc = compare_checksums(src, dst, pk, cols, width)
+    chunk_agg = cc.agg(
+        F.count(F.lit(1)).alias("chunk_total"),
+        F.sum(F.when(~F.col("match"), 1).otherwise(0)).alias("chunk_failed"),
+        F.sum("src_cnt").alias("up_count"),
+        F.sum("dst_cnt").alias("down_count"),
+    )
+    # coalesce: on equal tables the targeted diff is EMPTY and sum() over
+    # zero rows is NULL, but the report must say 0
+    kinds = targeted_row_diff(src, dst, pk, cols, width).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "missing", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_missing"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "extra", 1).otherwise(0)), F.lit(0)
+        ).alias("n_extra"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "different", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_different"),
+    )
+    return chunk_agg.crossJoin(F.broadcast(kinds)).select(
+        F.lit(schema).alias("schema_name"),
+        F.lit(table).alias("table_name"),
+        F.lit(struct_equal).alias("struct_equal"),
+        (F.col("chunk_failed") == 0).alias("data_equal"),
+        "up_count",
+        "down_count",
+        "chunk_total",
+        "chunk_failed",
+        "n_missing",
+        "n_extra",
+        "n_different",
+        (F.col("n_missing") + F.col("n_different")).alias("rows_add"),
+        (F.col("n_extra") + F.col("n_different")).alias("rows_delete"),
+    )
+
+
 def bin_search_diff(
     src: DataFrame,
     dst: DataFrame,
