@@ -21,19 +21,23 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 17 queries
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 21 queries
 # added this round (never driver-checked) + olap_important_parts (changed
 # this round: scale-stable Q11 threshold, needs a fresh hard-signal row)
-# + 32 of the 45 whose latest check was round 3 — the longest-unaudited
-# set. The thirteen r3-checked deferrals to
+# + 28 of the 45 whose latest check was round 3 — the longest-unaudited
+# set. The seventeen r3-checked deferrals to
 # round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
 # data_split, precheck_structure, dedup_groups, handle_error_dlq,
 # validate_binsearch, mm_frame_sample, codec_canal_json_ddl, cdc_typed_apply,
-# shardddl_enforce)
+# shardddl_enforce, codec_csv, codec_simple, cdc_topic_template,
+# cdc_row_checksum)
 # are each exercised continuously by the bench harness / unit paths (the
 # filter stack itself is r5-green via cdc_filter_stack; canal-json DDL
 # encoding is in-cap via sink_storage_canal_roundtrip; the type matrix via
-# cdc_type_fidelity; shardddl enforcement via test_shardddl_enforce.py)
+# cdc_type_fidelity; shardddl enforcement via test_shardddl_enforce.py;
+# csv/simple codecs via tests/test_codecs.py + the in-cap bootstrap and
+# consumer-replay rows; topic templates via the in-cap cdc_dispatch;
+# row checksums via the r5-green validate_checksum on the same hashing)
 # meanwhile. The remainder follows in registration order as regression
 # sentinels.
 _PRIORITY = [
@@ -56,10 +60,13 @@ _PRIORITY = [
     "cluster_kmeans_lloyd",
     "dedup_semdedup",
     "validate_summary_report",
+    "sched_rebalance",
+    "sched_drain_capture",
+    "dedup_span_coverage",
+    "dedup_semdedup_prune",
     "olap_important_parts",
     "cdc_frontier",
     "cdc_dispatch",
-    "codec_csv",
     "codec_canal_json",
     "codec_debezium",
     "codec_maxwell",
@@ -68,13 +75,11 @@ _PRIORITY = [
     "cdc_column_ops",
     "cdc_safe_mode",
     "cdc_causality",
-    "cdc_topic_template",
     "ddl_drop_column",
     "ddl_rename_table",
     "ddl_multi_schema_change",
     "sink_mq_roundtrip",
     "shardddl_barrier",
-    "codec_simple",
     "codec_simple_bootstrap",
     "sink_mysql_dml",
     "codec_avro_roundtrip",
@@ -82,7 +87,6 @@ _PRIORITY = [
     "redo_replay",
     "cdc_checkpoint",
     "codec_open_batched",
-    "cdc_row_checksum",
     "sim_ann_ivf",
     "cdc_type_fidelity",
     "cdc_causality_fk",

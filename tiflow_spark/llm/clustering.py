@@ -290,3 +290,62 @@ cand AS (
 SELECT id_a, id_b, cluster, {cos} AS cos
 FROM cand
 WHERE {cos} >= {threshold}"""
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    max_cluster: int = 64,
+) -> DataFrame:
+    """SemDeDup keep-list: a vector is PRUNED iff some lower-id vector in
+    its cluster is a semantic near-dup of it (appears as id_b in a pair)
+    — the paper's keep-one-representative rule with min-id preference.
+    Returns (vec_id, cluster, kept). Left-anti-shaped: assignment frame
+    LEFT JOIN the pair frame's id_b side, kept = no match."""
+    pruned = (
+        semdedup_pairs(embeddings, threshold, k, max_cluster)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign_seeded(embeddings, k)
+        .select("vec_id", "cluster")
+        .join(pruned.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "cluster", F.col("hit").isNull().alias("kept")
+        )
+    )
+
+
+def semdedup_prune_sql(
+    threshold: float = 0.35,
+    k: int = 8,
+    max_cluster: int = 64,
+    dims: int = 64,
+) -> str:
+    """DuckDB oracle for semdedup_prune (pair SQL reused as a CTE)."""
+    pairs = semdedup_sql(threshold, k, max_cluster, dims)
+    return f"""WITH pairs AS ({pairs}),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * {QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cvec FROM q WHERE vec_id < {k}),
+d1 AS (
+  SELECT q.vec_id, c0.cid,
+         list_sum(list_transform(range(1, {dims + 1}),
+           i -> (q.qv[i] - c0.cvec[i]) * (q.qv[i] - c0.cvec[i]))) AS dist
+  FROM q CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn FROM d1
+  ) WHERE rn = 1
+)
+SELECT a1.vec_id, a1.cluster,
+       a1.vec_id NOT IN (SELECT id_b FROM pairs) AS kept
+FROM a1"""

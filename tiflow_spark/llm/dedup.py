@@ -957,3 +957,150 @@ def compact_lsh_index(
         )
         .drop("_bsz", "_rep")
     )
+
+
+# ------------------------------------------------- span-level dup coverage
+
+
+def positional_kgrams(text: Column, k: int) -> Column:
+    """Word k-grams in POSITION order (duplicates kept) — the rolling
+    window of substring-level dedup. Same shifted-array zip_with build as
+    word_shingles (the O(words) form), minus the distinct."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    joined = toks
+    for j in range(1, k):
+        joined = F.zip_with(
+            joined,
+            F.slice(toks, j + 1, 2_000_000_000),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.slice(joined, 1, F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+
+
+def span_coverage(corpus: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document duplicated-span coverage — the substring-dedup signal
+    of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed without suffix arrays: a k-gram is
+    duplicated iff it occurs in >= 2 distinct documents, and a doc's
+    coverage is the fraction of its token positions lying under at least
+    one duplicated k-gram window.
+
+    Returns (doc_id, n_tokens, dup_grams, covered_tokens, coverage).
+
+    Scale shape — everything stays LINEAR in corpus size (unlike the
+    pair-producing dedup family, no candidate pairs ever materialize):
+    - one shuffle keyed by md5(k-gram) for the distinct-doc count
+      (map-side partial agg; a boilerplate gram occurring in millions of
+      docs is still one group);
+    - one equi-join of occurrences against the duplicated-gram set (each
+      occurrence matches exactly ONE group row — no blow-up on hot
+      grams);
+    - covered positions are counted with a per-doc distinct over at most
+      n_tokens rows.
+    Exactness: counts are BIGINT; the single division is round(int/int, 6)
+    (the token_rarity-proven pattern)."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    stats = corpus.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    occ = (
+        corpus.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.posexplode(positional_kgrams(F.col("text"), k)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .filter(F.col("gram") != "")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.md5(F.col("gram")).alias("h"),
+        )
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_occ = occ.join(dup, "h")
+    cov = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + (k - 1), F.col("n_tokens")),
+                )
+            ).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cp").alias("covered_tokens"))
+    )
+    cnt = dup_occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_grams")
+    )
+    return (
+        stats.join(cov, "doc_id", "left")
+        .join(cnt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_grams"), F.lit(0)).cast("long").alias(
+                "dup_grams"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def span_coverage_sql(k: int = 8) -> str:
+    """DuckDB oracle for span_coverage over the augmented corpus."""
+    return f"""WITH {CORPUS_SQL.strip()},
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+posn AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+         unnest(range(1, greatest(len(toks) - {k - 1}, 1) + 1)) AS pos
+  FROM tok
+),
+occ AS (
+  SELECT doc_id, n_tokens, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ')) AS h
+  FROM posn
+  WHERE array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ') <> ''
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM occ GROUP BY 1
+  ) WHERE nd >= 2
+),
+dup_occ AS (SELECT o.* FROM occ o JOIN dup USING (h)),
+covp AS (
+  SELECT doc_id,
+         unnest(range(pos, least(pos + {k - 1}, n_tokens) + 1)) AS cp
+  FROM dup_occ
+),
+cov AS (SELECT doc_id, count(DISTINCT cp) AS covered FROM covp GROUP BY 1),
+cnt AS (SELECT doc_id, count(*) AS dup_grams FROM dup_occ GROUP BY 1),
+stats AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+SELECT s.doc_id, s.n_tokens,
+       CAST(coalesce(c.dup_grams, 0) AS BIGINT) AS dup_grams,
+       CAST(coalesce(v.covered, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(v.covered, 0) / greatest(s.n_tokens, 1), 6)
+         AS coverage
+FROM stats s
+LEFT JOIN cov v USING (doc_id)
+LEFT JOIN cnt c USING (doc_id)"""

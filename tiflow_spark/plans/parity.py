@@ -5524,3 +5524,125 @@ def q_validate_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="test",
         table="customer",
     )
+
+
+# ----------------------------- round 6 (late): scheduler move planning
+
+
+_SCHED_TABLES_CTE = """tables AS (
+  SELECT 't' || CAST(user_id % 40 AS VARCHAR) AS table_name,
+         count(*) AS weight
+  FROM events GROUP BY 1
+)"""
+
+
+def _sched_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table workloads derived from the fact table (the data-scale
+    part: one map-side-combined shuffle); 40 logical tables."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(F.lit("t"), (F.col("user_id") % 40).cast("string")).alias(
+                "table_name"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+@register("sched_rebalance", None)  # oracle installed below
+def q_sched_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler rebalance move plan (scheduler_rebalance.go:110-199
+    newBalanceMoveTables): victims = tables beyond ceil(N/C) per capture
+    in sorted order; greedy min-workload placement re-expressed as
+    window-ranked water-fill slots — no driver loop
+    (operators/scheduler.py)."""
+    from tiflow_spark.operators.scheduler import hash_placement, rebalance_moves
+
+    return rebalance_moves(
+        hash_placement(_sched_tables(spark, sf_dir), 4), 4
+    )
+
+
+@register("sched_drain_capture", None)  # oracle installed below
+def q_sched_drain_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-capture move plan (scheduler_drain_capture.go:73-190): every
+    table on the stopping capture moves to the min-workload survivor —
+    same water-fill slot machinery (operators/scheduler.py)."""
+    from tiflow_spark.operators.scheduler import drain_moves, hash_placement
+
+    return drain_moves(
+        hash_placement(_sched_tables(spark, sf_dir), 4), 4, drain=0
+    )
+
+
+def _install_scheduler_sql() -> None:
+    from tiflow_spark.operators import scheduler as sched
+
+    REGISTRY["sched_rebalance"] = (
+        REGISTRY["sched_rebalance"][0],
+        sched.rebalance_sql(_SCHED_TABLES_CTE, 4),
+    )
+    REGISTRY["sched_drain_capture"] = (
+        REGISTRY["sched_drain_capture"][0],
+        sched.drain_sql(_SCHED_TABLES_CTE, 4, drain=0),
+    )
+
+
+_install_scheduler_sql()
+
+
+# -------------------------- round 6 (late): span-level duplicate coverage
+
+
+@register("dedup_span_coverage", None)  # oracle installed below
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dup coverage (Lee et al. 2021 suffix-array dedup,
+    re-expressed as rolling k-gram windows): fraction of each doc's token
+    positions under a cross-doc duplicated 8-gram. Linear plan — no
+    candidate pairs, one gram-keyed shuffle + one group-row equi-join
+    (llm/dedup.span_coverage)."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, span_coverage
+
+    return span_coverage(
+        corpus_with_dups(load_table(spark, sf_dir, "documents")), k=8
+    )
+
+
+def _install_span_coverage_sql() -> None:
+    from tiflow_spark.llm import dedup as dd
+
+    REGISTRY["dedup_span_coverage"] = (
+        REGISTRY["dedup_span_coverage"][0],
+        dd.span_coverage_sql(k=8),
+    )
+
+
+_install_span_coverage_sql()
+
+
+@register("dedup_semdedup_prune", None)  # oracle installed below
+def q_dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-list: prune every vector semantically dominated by a
+    lower-id cluster-mate (arXiv:2303.09540 keep-one rule); left-anti
+    shape over the pair frame (llm/clustering.semdedup_prune)."""
+    from tiflow_spark.llm.clustering import semdedup_prune
+
+    return semdedup_prune(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        k=8,
+        max_cluster=64,
+    )
+
+
+def _install_semdedup_prune_sql() -> None:
+    from tiflow_spark.llm import clustering as cl
+
+    REGISTRY["dedup_semdedup_prune"] = (
+        REGISTRY["dedup_semdedup_prune"][0],
+        cl.semdedup_prune_sql(threshold=0.35, k=8, max_cluster=64),
+    )
+
+
+_install_semdedup_prune_sql()
