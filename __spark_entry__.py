@@ -21,23 +21,24 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~2 rounds without a hard-signal row. Round 6: the 21 queries
+# goes more than ~2 rounds without a hard-signal row. Round 6: the 22 queries
 # added this round (never driver-checked) + olap_important_parts (changed
 # this round: scale-stable Q11 threshold, needs a fresh hard-signal row)
-# + 28 of the 45 whose latest check was round 3 — the longest-unaudited
-# set. The seventeen r3-checked deferrals to
+# + 27 of the 45 whose latest check was round 3 — the longest-unaudited
+# set. The eighteen r3-checked deferrals to
 # round 7 (cdc_envelope, cdc_metrics, filter_helper, cdc_filter_summary,
 # data_split, precheck_structure, dedup_groups, handle_error_dlq,
 # validate_binsearch, mm_frame_sample, codec_canal_json_ddl, cdc_typed_apply,
 # shardddl_enforce, codec_csv, codec_simple, cdc_topic_template,
-# cdc_row_checksum)
+# cdc_row_checksum, codec_maxwell)
 # are each exercised continuously by the bench harness / unit paths (the
 # filter stack itself is r5-green via cdc_filter_stack; canal-json DDL
 # encoding is in-cap via sink_storage_canal_roundtrip; the type matrix via
 # cdc_type_fidelity; shardddl enforcement via test_shardddl_enforce.py;
 # csv/simple codecs via tests/test_codecs.py + the in-cap bootstrap and
 # consumer-replay rows; topic templates via the in-cap cdc_dispatch;
-# row checksums via the r5-green validate_checksum on the same hashing)
+# row checksums via the r5-green validate_checksum on the same hashing;
+# maxwell DML via tests/test_codecs.py + the r5-green codec_maxwell_ddl)
 # meanwhile. The remainder follows in registration order as regression
 # sentinels.
 _PRIORITY = [
@@ -64,12 +65,12 @@ _PRIORITY = [
     "sched_drain_capture",
     "dedup_span_coverage",
     "dedup_semdedup_prune",
+    "sched_split_spans",
     "olap_important_parts",
     "cdc_frontier",
     "cdc_dispatch",
     "codec_canal_json",
     "codec_debezium",
-    "codec_maxwell",
     "codec_open_protocol",
     "ddl_truncate",
     "cdc_column_ops",

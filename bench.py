@@ -91,20 +91,39 @@ def main() -> None:
         "dedup_incremental_capped",
     ]
     r5_queries = [q for q in r5_queries if q in REGISTRY]
-    for name in r5_queries:
-        REGISTRY[name][0](spark, sf_dir).count()
-    r5_timings: dict[str, float] = {}
-    for name in r5_queries:
-        fn, _ = REGISTRY[name]
-        best, n = None, 0
-        for _rep in range(5):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
-        r5_timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {r5_timings[name]}s", file=sys.stderr)
+
+    def _time_set(names: list[str]) -> dict[str, float]:
+        for name in names:  # untimed warm pass (plan compile)
+            REGISTRY[name][0](spark, sf_dir).count()
+        out: dict[str, float] = {}
+        for name in names:
+            fn, _ = REGISTRY[name]
+            best, n = None, 0
+            for _rep in range(5):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            out[name] = round(best, 3)
+            print(f"# {name}: {n} rows in {out[name]}s", file=sys.stderr)
+        return out
+
+    r5_timings = _time_set(r5_queries)
     r5_total = round(sum(r5_timings.values()), 3)
+
+    # ---- round-6-late ops: clustering/semantic dedup, span-level dup
+    # coverage (the linear no-pairs plan), scheduler move planning /
+    # keyspan splitting, sync_diff summary report
+    r6_queries = [
+        "cluster_kmeans_lloyd",
+        "dedup_semdedup",
+        "dedup_span_coverage",
+        "sched_rebalance",
+        "sched_split_spans",
+        "validate_summary_report",
+    ]
+    r6_timings = _time_set([q for q in r6_queries if q in REGISTRY])
+    r6_total = round(sum(r6_timings.values()), 3)
 
     # steady-state streaming apply: seed the hash-bucket target with the full
     # state once, then time small incremental merges — per-batch cost must be
@@ -256,6 +275,8 @@ def main() -> None:
                 "stream_compact_sec": compact_sec,
                 "r5_queries": r5_timings,
                 "r5_total_sec": r5_total,
+                "r6_queries": r6_timings,
+                "r6_total_sec": r6_total,
                 "incremental_dedup_1to10_sec": inc_sec,
                 "live_batch_ms": live_batch_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

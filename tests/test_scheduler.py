@@ -101,3 +101,49 @@ def test_plans_have_no_cartesian_blowup(spark, sf_dir):
     with redirect_stdout(buf):
         rebalance_moves(placed, 4).explain("formatted")
     assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_split_spans_invariants(spark, sf_dir):
+    """Write-splitter invariants (splitter_write.go): spans cover every
+    region exactly once in contiguous key order; each span's weight is
+    within one max-region-weight of total/S; at most S spans."""
+    from tiflow_spark.operators.scheduler import split_spans
+    from tiflow_spark.plans.parity import _regions
+
+    regions = _regions(spark, sf_dir).cache()
+    S = 8
+    spans = sorted(
+        split_spans(regions, S).collect(), key=lambda r: r["span_id"]
+    )
+    assert len(spans) <= S
+    total = sum(r["weight"] for r in regions.collect())
+    n_regions = regions.count()
+    max_w = max(r["weight"] for r in regions.collect())
+    assert sum(s["n_regions"] for s in spans) == n_regions
+    assert sum(s["weight"] for s in spans) == total
+    # contiguity: consecutive spans' key ranges are ordered and disjoint
+    for a, b in zip(spans, spans[1:]):
+        assert a["end_key"] < b["start_key"]
+    # balance: every span within limit + one region of the ideal share
+    limit = total / S
+    for s in spans:
+        assert s["weight"] <= limit + max_w
+    regions.unpersist()
+
+
+def test_split_spans_unit_weight_is_count_splitter(spark):
+    """weight=1 degenerates to the region-count splitter: S spans of
+    equal region counts (N divisible by S here)."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.operators.scheduler import split_spans
+
+    regions = spark.range(64).select(
+        F.col("id").alias("region_id"),
+        (F.col("id") * 10).alias("start_key"),
+        (F.col("id") * 10 + 9).alias("end_key"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    spans = split_spans(regions, 8).collect()
+    assert len(spans) == 8
+    assert all(s["n_regions"] == 8 for s in spans)

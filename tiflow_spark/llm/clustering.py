@@ -38,7 +38,7 @@ Exactness contract with the DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -124,6 +124,10 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8) -> DataFrame:
     a1 = assign_seeded(embeddings, k).withColumnRenamed(
         "cluster", "cluster_init"
     )
+    # No cluster is ever empty: seed i is distance-0 from centroid i, so
+    # cluster i always holds at least its own seed — which is what lets
+    # `cents` index by position == cluster id below (an empty cluster
+    # would shift positions and desync from the oracle's cid keying).
     sums = (
         a1.select("cluster_init", F.posexplode("qv").alias("i", "qc"))
         .groupBy("cluster_init", "i")
@@ -210,13 +214,14 @@ def semdedup_pairs(
     cluster blocks; clusters over max_cluster are star-linked to their
     min-id representative (candidates d^2 -> d, the LSH max_bucket
     guard). Returns (id_a, id_b, cluster, cos)."""
-    w = Window.partitionBy("cluster")
-    sized = (
-        assign_seeded(embeddings, k)
-        .drop("qv")
-        .withColumn("csz", F.count(F.lit(1)).over(w))
-        .withColumn("rep", F.min("vec_id").over(w))
+    # cluster size + representative via agg-then-broadcast-join, NOT a
+    # partitionBy(cluster) window: a window would gather a mega-cluster
+    # into one task, while the k-row aggregate broadcasts for free
+    assigned = assign_seeded(embeddings, k).drop("qv")
+    csizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("csz"), F.min("vec_id").alias("rep")
     )
+    sized = assigned.join(F.broadcast(csizes), "cluster")
     a = sized.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),

@@ -5646,3 +5646,50 @@ def _install_semdedup_prune_sql() -> None:
 
 
 _install_semdedup_prune_sql()
+
+
+_REGIONS_CTE = """regions AS (
+  SELECT l_orderkey // 512 AS region_id,
+         min(l_orderkey) AS start_key, max(l_orderkey) AS end_key,
+         count(*) AS weight
+  FROM lineitem GROUP BY 1
+)"""
+
+
+def _regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region metadata derived from the fact table: contiguous key ranges
+    with write weights (the data-scale part: one distributed agg)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.expr("l_orderkey div 512").alias("region_id")
+        )
+        .agg(
+            F.min("l_orderkey").alias("start_key"),
+            F.max("l_orderkey").alias("end_key"),
+            F.count(F.lit(1)).alias("weight"),
+        )
+    )
+
+
+@register("sched_split_spans", None)  # oracle installed below
+def q_sched_split_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyspan write splitter (keyspan/splitter_write.go:115-210): pack
+    consecutive regions into <= 8 spans of ~equal write weight via the
+    closed-form proportional cut-point prefix sum
+    (operators/scheduler.split_spans)."""
+    from tiflow_spark.operators.scheduler import split_spans
+
+    return split_spans(_regions(spark, sf_dir), 8)
+
+
+def _install_split_spans_sql() -> None:
+    from tiflow_spark.operators import scheduler as sched
+
+    REGISTRY["sched_split_spans"] = (
+        REGISTRY["sched_split_spans"][0],
+        sched.split_spans_sql(_REGIONS_CTE, 8),
+    )
+
+
+_install_split_spans_sql()
