@@ -5,28 +5,65 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 to BASELINE.md is end-to-end change-pipeline throughput: the reference's
 envelope is 40–290k rows/s applied; ours is measured by `cdc_apply` over the
 sf0.1 events table (600k lineitem-scale stream).
+
+SECTION ISOLATION (round 7): each section runs in its OWN subprocess with a
+fresh JVM — round 6 showed that appending sections to one long-lived JVM
+moved the *earlier* sections' numbers (+24% on dedup_minhash_lsh, +26% on
+the stream seed) with byte-identical plans, i.e. the harness was measuring
+accumulated process state (GC pressure, codegen cache, shuffle dirs), not
+the plans. `python bench.py` orchestrates; `python bench.py --section X`
+runs one section and prints its JSON fragment. Adding a new section can
+never again perturb the cross-round trend lines of the existing ones.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+SECTIONS = ["headline", "r5ops", "r6ops", "stream", "incdedup", "live"]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+def _spark():
     from tiflow_spark.session import get_spark
 
     spark = get_spark("tiflow-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
+
+def _time_registry_set(spark, sf_dir: str, names: list[str]) -> dict:
+    """min-of-5 per query after one untimed warm pass (JVM startup /
+    Catalyst planning / whole-stage-codegen compile — these pipelines are
+    *standing* in production, so steady-state is the meaningful number).
+    min-of-5 because this box carries a variable background load; the min
+    is the plan's cost, the spread is the co-tenant's."""
     from tiflow_spark.plans.parity import REGISTRY
 
+    names = [q for q in names if q in REGISTRY]
+    for name in names:
+        REGISTRY[name][0](spark, sf_dir).count()
+    out: dict[str, float] = {}
+    for name in names:
+        fn, _ = REGISTRY[name]
+        best, n = None, 0
+        for _rep in range(5):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            best = el if best is None or el < best else best
+        out[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {out[name]}s", file=sys.stderr)
+    return out
+
+
+def section_headline(sf_dir: str) -> dict:
+    spark = _spark()
     bench_queries = [
         "cdc_envelope",
         "cdc_filter_stack",
@@ -43,92 +80,69 @@ def main() -> None:
         # round-4: end-to-end curation funnel (quality → dedup → decontam)
         "corpus_funnel",
     ]
-    # round-5 additions (dedup_incremental, text_lm_score) are kept OUT of
-    # the headline set: at the bench's fixed 500-doc corpus the incremental
-    # index build costs ~2x a full run (its savings appear when the index
-    # dwarfs the batch), which would distort cross-round totals without
-    # measuring anything new; their correctness runs in the parity suite.
-    bench_queries = [q for q in bench_queries if q in REGISTRY]
-
-    # one untimed pass per query to pay JVM startup / Catalyst planning /
-    # whole-stage-codegen compilation. These pipelines are *standing* in
-    # production (micro-batch reuses the compiled plan), so steady-state
-    # execution is the meaningful throughput number at any scale factor.
-    for name in bench_queries:
-        REGISTRY[name][0](spark, sf_dir).count()
-
-    timings: dict[str, float] = {}
-    for name in bench_queries:
-        fn, _ = REGISTRY[name]
-        best, n = None, 0
-        # min-of-5: this box carries a variable ~2-core background load;
-        # the min is the plan's cost, the spread is the co-tenant's
-        for _rep in range(5):
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            el = time.perf_counter() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-
+    timings = _time_registry_set(spark, sf_dir, bench_queries)
     total = round(sum(timings.values()), 3)
-    # cross-round comparable core (the r1/r2 headline set, pre-breadth)
     core7 = round(
         sum(v for k, v in timings.items() if k in bench_queries[:7]), 3
     )
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    return {
+        "value": total,
+        "core7_sec": core7,
+        "queries": timings,
+        "apply_rows_per_sec": round(n_events / timings["cdc_apply"])
+        if timings.get("cdc_apply")
+        else None,
+    }
 
-    # ---- round-5/6 ops section (separate totals: the legacy headline set
-    # stays untouched for cross-round trend) — per-domain salted top-K,
-    # corpus LM scoring, the two heaviest olap analogs, and the capped
-    # incremental-dedup parity path
-    r5_queries = [
-        "sample_domain_cap",
-        "text_lm_score",
-        "olap_volume_shipping",
-        "olap_market_share",
-        "olap_product_profit",
-        "dedup_incremental_capped",
-    ]
-    r5_queries = [q for q in r5_queries if q in REGISTRY]
 
-    def _time_set(names: list[str]) -> dict[str, float]:
-        for name in names:  # untimed warm pass (plan compile)
-            REGISTRY[name][0](spark, sf_dir).count()
-        out: dict[str, float] = {}
-        for name in names:
-            fn, _ = REGISTRY[name]
-            best, n = None, 0
-            for _rep in range(5):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                el = time.perf_counter() - t0
-                best = el if best is None or el < best else best
-            out[name] = round(best, 3)
-            print(f"# {name}: {n} rows in {out[name]}s", file=sys.stderr)
-        return out
+def section_r5ops(sf_dir: str) -> dict:
+    # round-5/6 ops (separate totals: the legacy headline set stays
+    # untouched for cross-round trend) — per-domain salted top-K, corpus
+    # LM scoring, the two heaviest olap analogs, and the capped
+    # incremental-dedup parity path (now against a PREBUILT parquet index
+    # fixture, so its number is per-batch ingest, not fixture rebuild)
+    spark = _spark()
+    timings = _time_registry_set(
+        spark,
+        sf_dir,
+        [
+            "sample_domain_cap",
+            "text_lm_score",
+            "olap_volume_shipping",
+            "olap_market_share",
+            "olap_product_profit",
+            "dedup_incremental_capped",
+        ],
+    )
+    return {"r5_queries": timings, "r5_total_sec": round(sum(timings.values()), 3)}
 
-    r5_timings = _time_set(r5_queries)
-    r5_total = round(sum(r5_timings.values()), 3)
 
-    # ---- round-6-late ops: clustering/semantic dedup, span-level dup
-    # coverage (the linear no-pairs plan), scheduler move planning /
-    # keyspan splitting, sync_diff summary report
-    r6_queries = [
-        "cluster_kmeans_lloyd",
-        "dedup_semdedup",
-        "dedup_span_coverage",
-        "sched_rebalance",
-        "sched_split_spans",
-        "validate_summary_report",
-    ]
-    r6_timings = _time_set([q for q in r6_queries if q in REGISTRY])
-    r6_total = round(sum(r6_timings.values()), 3)
+def section_r6ops(sf_dir: str) -> dict:
+    # clustering/semantic dedup, span-level dup coverage (the linear
+    # no-pairs plan), scheduler move planning / keyspan splitting,
+    # sync_diff summary report + resumable-diff replay cost
+    spark = _spark()
+    timings = _time_registry_set(
+        spark,
+        sf_dir,
+        [
+            "cluster_kmeans_lloyd",
+            "dedup_semdedup",
+            "dedup_span_coverage",
+            "sched_rebalance",
+            "sched_split_spans",
+            "validate_summary_report",
+        ],
+    )
+    return {"r6_queries": timings, "r6_total_sec": round(sum(timings.values()), 3)}
 
-    # steady-state streaming apply: seed the hash-bucket target with the full
-    # state once, then time small incremental merges — per-batch cost must be
-    # O(batch + touched buckets), flat as the target grows (the 100-TB
-    # property of sinks/bucketed.merge_hash_bucketed)
+
+def section_stream(sf_dir: str) -> dict:
+    # steady-state streaming apply: seed the hash-bucket target with the
+    # full state once, then time small incremental merges — per-batch cost
+    # must be O(batch + touched buckets), flat as the target grows (the
+    # 100-TB property of sinks/bucketed.merge_hash_bucketed)
     import shutil
     import tempfile
 
@@ -137,6 +151,7 @@ def main() -> None:
     from tiflow_spark.envelope import events_to_changes, load_table
     from tiflow_spark.sinks.bucketed import compact_deltas, merge_hash_bucketed
 
+    spark = _spark()
     env = events_to_changes(load_table(spark, sf_dir, "events"))
     changes = env.select(
         "op",
@@ -180,15 +195,27 @@ def main() -> None:
         f"delta batches {delta_secs}; compact {compact_sec}s",
         file=sys.stderr,
     )
+    return {
+        "stream_seed_sec": seed_sec,
+        "stream_batch_secs": batch_secs,
+        "stream_delta_batch_secs": delta_secs,
+        "stream_compact_sec": compact_sec,
+    }
 
-    # ---- incremental dedup at a realistic batch:index ratio (~1:10): the
-    # full sf corpus is the PERSISTED (capped) index on parquet — its build
-    # is amortized across the ingest lifetime — and the timed path is the
+
+def section_incdedup(sf_dir: str) -> dict:
+    # incremental dedup at a realistic batch:index ratio (~1:10): the full
+    # sf corpus is the PERSISTED (capped) index on parquet — its build is
+    # amortized across the ingest lifetime — and the timed path is the
     # per-batch cost: shingle the batch + band-keyed join against the index
-    # (the production ingest shape; registry fixture is ~1:3 and rebuilds
-    # the index per run, so it measures something else)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     from tiflow_spark.llm.dedup import dedup_incremental, minhash_index
 
+    spark = _spark()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
@@ -203,7 +230,7 @@ def main() -> None:
     idx_banded = spark.read.parquet(f"{idx_work}/banded")
     dedup_incremental(batch, idx_sh, idx_banded, 16, 4, 0.5,
                       max_bucket=8).count()  # warm
-    inc_best = None
+    inc_best, n_pairs = None, 0
     for _rep in range(5):
         t0 = time.perf_counter()
         n_pairs = dedup_incremental(
@@ -219,14 +246,26 @@ def main() -> None:
         f" {n_pairs} pairs in {inc_sec}s",
         file=sys.stderr,
     )
+    return {"incremental_dedup_1to10_sec": inc_sec}
 
-    # ---- live-trigger steady state: a STANDING processing-time changefeed
+
+def section_live(sf_dir: str) -> dict:
+    # live-trigger steady state: a STANDING processing-time changefeed
     # tails the source; report per-micro-batch trigger latencies for the
     # batches that actually carried rows (the standing-changefeed cost the
     # availableNow harness above can't see)
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.envelope import events_to_changes, load_table
     from tiflow_spark.plans.parity import DEMO_CFG
     from tiflow_spark.streaming.pipeline import run_changefeed
 
+    spark = _spark()
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
     live_work = tempfile.mkdtemp(prefix="tiflow_bench_live_")
     live_src = f"{live_work}/source"
     env.filter(F.col("seq") % 50 == 0).coalesce(1).write.parquet(live_src)
@@ -235,8 +274,6 @@ def main() -> None:
         processing_time="200 milliseconds",
     )
     try:
-        import time as _t
-
         for i in (1, 2, 3):
             env.filter(F.col("seq") % 50 == i).coalesce(1).write.mode(
                 "append"
@@ -258,31 +295,46 @@ def main() -> None:
     shutil.rmtree(live_work, ignore_errors=True)
     print(f"# live-trigger batch latencies (ms): {live_batch_ms}",
           file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "core7_sec": core7,
-                "queries": timings,
-                "apply_rows_per_sec": round(n_events / timings["cdc_apply"])
-                if timings.get("cdc_apply")
-                else None,
-                "stream_seed_sec": seed_sec,
-                "stream_batch_secs": batch_secs,
-                "stream_delta_batch_secs": delta_secs,
-                "stream_compact_sec": compact_sec,
-                "r5_queries": r5_timings,
-                "r5_total_sec": r5_total,
-                "r6_queries": r6_timings,
-                "r6_total_sec": r6_total,
-                "incremental_dedup_1to10_sec": inc_sec,
-                "live_batch_ms": live_batch_ms,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    return {"live_batch_ms": live_batch_ms}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        frag = globals()[f"section_{sys.argv[2]}"](sf_dir)
+        print(json.dumps(frag))
+        return
+
+    merged: dict = {}
+    for sec in SECTIONS:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", sec],
+            capture_output=True,
+            text=True,
+            env=os.environ,
         )
-    )
+        sys.stderr.write(r.stderr)
+        if r.returncode != 0:
+            print(f"# section {sec} FAILED rc={r.returncode}",
+                  file=sys.stderr)
+            continue
+        # the fragment is the last stdout line that parses as JSON
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                merged.update(json.loads(line))
+                break
+            except (json.JSONDecodeError, ValueError):
+                continue
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": merged.pop("value", None),
+        "unit": "sec",
+        **merged,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -191,6 +191,75 @@ def test_simple_replay_with_mid_stream_ddl(spark, work_dir):
     assert isinstance(rows["1"]["id"], int)
 
 
+def test_simple_replay_defaults_keyed_per_table(spark, work_dir):
+    """Declared-default backfill is keyed by (table, column), not bare
+    column name: two tables share column `tier` with DIFFERENT defaults,
+    and a column that never existed in a row's table stays NULL instead
+    of inheriting the other table's default (round-6 advice regression)."""
+    import json as _json
+
+    from tiflow_spark.codecs.simple import encode_simple_ddl
+    from tiflow_spark.sinks.mq import produce_file_broker
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.streaming.consumer import replay_simple_broker_with_ddl
+
+    ddl = spark.createDataFrame(
+        [
+            ("DDL", "s0", "acct", 1000, 1, "create table",
+             "CREATE TABLE acct (id BIGINT PRIMARY KEY, bal DOUBLE)"),
+            ("DDL", "s0", "card", 1000, 2, "create table",
+             "CREATE TABLE card (id BIGINT PRIMARY KEY, limitv DOUBLE)"),
+            ("DDL", "s0", "acct", 3000, 3, "add column",
+             "ALTER TABLE acct ADD COLUMN tier VARCHAR DEFAULT 'std'"),
+            ("DDL", "s0", "card", 3000, 4, "add column",
+             "ALTER TABLE card ADD COLUMN tier VARCHAR DEFAULT 'platinum'"),
+        ],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    ddl_values = [
+        r["value"]
+        for r in encode_simple_ddl(ddl, registry_from_ddl(ddl))
+        .orderBy("seq").collect()
+    ]
+
+    def dml(ts, table, data):
+        return _json.dumps(
+            {
+                "version": 1, "database": "s0", "table": table,
+                "tableID": 0, "type": "INSERT", "commitTs": ts,
+                "buildTs": 0, "schemaVersion": 1, "data": data, "old": None,
+            }
+        )
+
+    values = [
+        (1000, ddl_values[0]),
+        (1000, ddl_values[1]),
+        # both rows written BEFORE their table's ADD COLUMN tier
+        (2000, dml(2000, "acct", {"id": "1", "bal": "10.5"})),
+        (2000, dml(2000, "card", {"id": "7", "limitv": "900.0"})),
+        (3000, ddl_values[2]),
+        (3000, ddl_values[3]),
+    ]
+    msgs = spark.createDataFrame(
+        [("cdc", 0, "k", v, ts, i) for i, (ts, v) in enumerate(values)],
+        "topic string, partition int, key string, value string, "
+        "commit_ts long, seq long",
+    )
+    broker = f"{work_dir}/broker"
+    produce_file_broker(msgs, broker, batch_id=0)
+
+    state = replay_simple_broker_with_ddl(spark, broker)
+    rows = {(r["table"], r["key"]): r for r in state.collect()}
+    acct, card = rows[("acct", "1")], rows[("card", "7")]
+    # each table backfills ITS OWN declared default for the shared name
+    assert acct["tier"] == "std"
+    assert card["tier"] == "platinum"
+    # a column that never existed in the row's table stays NULL
+    assert acct["limitv"] is None
+    assert card["bal"] is None
+
+
 def test_open_protocol_replay_matches_direct_apply(spark, sf_dir, work_dir):
     """Open-protocol topic round trip: the fold key comes from the h
     (handle) flags in the column objects — protocol-native keying — and

@@ -3,6 +3,7 @@ unnamed-unique-key default naming."""
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from tiflow_spark.sources.ddl_stream import is_lossy_modify
 
@@ -168,10 +169,20 @@ def test_debezium_ddl_value_roundtrips_query(q, ts):
 )
 @settings(max_examples=10, deadline=None)
 def test_lsh_index_recap_equals_fresh_build(docs, cap):
-    """compact_lsh_index(appended index) == minhash_index(full corpus,
-    max_bucket=cap) — appending uncapped batch rows then re-capping at
-    maintenance cadence loses nothing vs a from-scratch capped build."""
-    from tiflow_spark.llm.dedup import compact_lsh_index, minhash_index
+    """compact_lsh_index with the true-count stats sidecar == a
+    from-scratch capped build over the same corpus, EXACTLY: the sidecar
+    carries bucket populations the capped index itself cannot recover
+    (dropped rows), and merge_lsh_stats folds batch stats so the merged
+    sidecar equals what a full rebuild would compute. Without the
+    sidecar, the weaker invariants (bucket bound, rep preservation,
+    idempotence) are checked instead — observed counts undercount after
+    a prior cap dropped rows, so fresh-build equivalence does NOT hold
+    in that mode (see the pinned counterexample test below)."""
+    from tiflow_spark.llm.dedup import (
+        compact_lsh_index,
+        merge_lsh_stats,
+        minhash_index,
+    )
 
     spark = _spark()
     corpus = spark.createDataFrame(
@@ -180,19 +191,75 @@ def test_lsh_index_recap_equals_fresh_build(docs, cap):
     )
     base = corpus.filter("doc_id % 2 = 0")
     batch = corpus.filter("doc_id % 2 = 1")
-    _, idx_capped = minhash_index(base, 8, 2, max_bucket=cap)
-    _, batch_banded = minhash_index(batch, 8, 2)
+    _, idx_capped, base_stats = minhash_index(
+        base, 8, 2, max_bucket=cap, with_stats=True
+    )
+    _, batch_banded, batch_stats = minhash_index(
+        batch, 8, 2, with_stats=True
+    )
     appended = idx_capped.unionByName(batch_banded)
-    recapped = compact_lsh_index(appended, cap)
+    merged = merge_lsh_stats(base_stats, batch_stats)
+    recapped = compact_lsh_index(appended, cap, stats=merged)
     _, fresh = minhash_index(corpus, 8, 2, max_bucket=cap)
-    # same bucket membership — note recap of (capped base + uncapped
-    # batch) can only differ from fresh where the BASE cap already
-    # dropped rows; representatives (min doc ids) are even (base) or the
-    # bucket is batch-only, so fresh's reps match and the sets agree
     got = {(r["doc_id"], r["band"], r["sig"]) for r in recapped.collect()}
     want = {(r["doc_id"], r["band"], r["sig"]) for r in fresh.collect()}
-    assert got <= want
-    # and every fresh bucket stays represented after recap
-    gb = {(r[1], r[2]) for r in got}
-    wb = {(r[1], r[2]) for r in want}
-    assert gb == wb
+    assert got == want
+    # the stats-less mode keeps its weaker, honest invariants: every
+    # post-recap bucket is bounded and keeps its current representative,
+    # and re-capping is idempotent
+    blind = compact_lsh_index(appended, cap)
+    rows = blind.collect()
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault((r["band"], r["sig"]), []).append(r["doc_id"])
+    app_reps = {
+        (r["band"], r["sig"]): r["rep"]
+        for r in appended.groupBy("band", "sig")
+        .agg(F.min("doc_id").alias("rep"))
+        .collect()
+    }
+    for bkt, members in by_bucket.items():
+        assert len(members) <= cap, (bkt, members)
+        assert app_reps[bkt] in members
+    assert set(by_bucket) == set(app_reps)
+    again = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in compact_lsh_index(blind, cap).collect()
+    }
+    assert again == {(r["doc_id"], r["band"], r["sig"]) for r in rows}
+
+
+def test_lsh_recap_pinned_counterexample():
+    """Pinned regression (round-6 hypothesis counterexample): docs
+    [(3,'a'),(4,'a'),(2,'a'),(0,'a')] cap=2 — base bucket {0,2,4} caps
+    to {0}; appending doc 3 makes the OBSERVED bucket size 2 ≤ cap, so a
+    stats-less recap keeps doc 3 where a fresh build over the true
+    population 4 drops it. With the true-count sidecar the recap must
+    match the fresh build exactly."""
+    from tiflow_spark.llm.dedup import (
+        compact_lsh_index,
+        merge_lsh_stats,
+        minhash_index,
+    )
+
+    spark = _spark()
+    docs = [(3, "a"), (4, "a"), (2, "a"), (0, "a")]
+    corpus = spark.createDataFrame(
+        [(i, f"the {w} quick fox number {w} jumps {w}") for i, w in docs],
+        "doc_id long, text string",
+    )
+    base = corpus.filter("doc_id % 2 = 0")
+    batch = corpus.filter("doc_id % 2 = 1")
+    _, idx_capped, base_stats = minhash_index(
+        base, 8, 2, max_bucket=2, with_stats=True
+    )
+    _, batch_banded, batch_stats = minhash_index(batch, 8, 2, with_stats=True)
+    appended = idx_capped.unionByName(batch_banded)
+    recapped = compact_lsh_index(
+        appended, 2, stats=merge_lsh_stats(base_stats, batch_stats)
+    )
+    _, fresh = minhash_index(corpus, 8, 2, max_bucket=2)
+    got = {(r["doc_id"], r["band"], r["sig"]) for r in recapped.collect()}
+    want = {(r["doc_id"], r["band"], r["sig"]) for r in fresh.collect()}
+    assert got == want
+    assert {d for d, _, _ in got} == {0}

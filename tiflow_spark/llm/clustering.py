@@ -141,6 +141,17 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8) -> DataFrame:
         means.setdefault(r["cluster_init"], {})[r["i"]] = (
             float(r["s"]) / r["cnt"]
         )
+    # Fail loudly on duplicate-quantized seeds: if seeds i and j<i
+    # quantize identically, first-min tiebreak sends seed i to cluster j,
+    # cluster i is empty, and positional `cents` would silently desync
+    # cluster_refined ids from the oracle's cid keying.
+    if len(means) != k:
+        missing = sorted(set(range(k)) - set(means))
+        raise ValueError(
+            f"kmeans_lloyd: clusters {missing} are empty — seeds quantized "
+            f"identically to an earlier seed; pick distinct seed vectors "
+            f"(got {len(means)} non-empty clusters, need k={k})"
+        )
     dims = len(means[0])
     cents = [
         [means[c][i] for i in range(dims)] for c in sorted(means)

@@ -794,7 +794,8 @@ def minhash_index(
     bands: int = 4,
     n: int = 3,
     max_bucket: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    with_stats: bool = False,
+):
     """Persistable LSH index of a corpus: ``(shingles, banded)`` frames —
     (doc_id, sh array) for verification and (doc_id, band, sig) for
     candidate lookup. Write both as parquet partitioned however the lake
@@ -813,6 +814,15 @@ def minhash_index(
     bucket. Buckets can re-grow past the cap as batch index rows are
     appended; re-apply the cap at index-compaction cadence (the same
     maintenance slot as bucketed-sink compaction).
+
+    ``with_stats=True`` additionally returns a ``(band, sig, total_seen,
+    rep)`` stats sidecar computed over the UNCAPPED banded rows — one row
+    per bucket, tiny next to the index. Persist it alongside the index
+    and fold batch stats in with :func:`merge_lsh_stats`: true bucket
+    populations survive cap-dropped rows, which is what lets
+    :func:`compact_lsh_index` re-cap a grown index EXACTLY as a fresh
+    capped build would (the observed row count in a capped index
+    undercounts once the cap has dropped members).
     """
     sh_arr = corpus.select(
         "doc_id", word_shingles(F.col("text"), n).alias("sh")
@@ -821,19 +831,41 @@ def minhash_index(
         sh_arr.select("doc_id", F.explode("sh").alias("s")), num_hashes
     )
     banded = _band_rows(sigs, num_hashes, bands)
+    stats = banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("total_seen"), F.min("doc_id").alias("rep")
+    )
     if max_bucket is not None:
-        stats = banded.groupBy("band", "sig").agg(
-            F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
-        )
         banded = (
             banded.join(stats, ["band", "sig"])
             .filter(
-                (F.col("_bsz") <= max_bucket)
-                | (F.col("doc_id") == F.col("_rep"))
+                (F.col("total_seen") <= max_bucket)
+                | (F.col("doc_id") == F.col("rep"))
             )
-            .drop("_bsz", "_rep")
+            .drop("total_seen", "rep")
         )
+    if with_stats:
+        return sh_arr, banded, stats
     return sh_arr, banded
+
+
+def merge_lsh_stats(
+    base_stats: DataFrame, batch_stats: DataFrame
+) -> DataFrame:
+    """Fold an ingest batch's bucket stats into the persisted index stats:
+    per (band, sig), true populations add and the representative is the
+    min doc_id ever seen. Banding is per-doc deterministic, so the merged
+    sidecar equals the stats a from-scratch build over (old ∪ new) would
+    compute — the invariant :func:`compact_lsh_index`'s exact re-cap
+    relies on. One groupBy over two bucket-sized (not corpus-sized)
+    frames."""
+    return (
+        base_stats.unionByName(batch_stats)
+        .groupBy("band", "sig")
+        .agg(
+            F.sum("total_seen").alias("total_seen"),
+            F.min("rep").alias("rep"),
+        )
+    )
 
 
 def dedup_incremental(
@@ -845,7 +877,8 @@ def dedup_incremental(
     threshold: float = 0.5,
     n: int = 3,
     max_bucket: int | None = None,
-) -> DataFrame:
+    return_index: bool = False,
+):
     """INCREMENTAL near-dup detection — the production ingest shape: a new
     batch of documents is deduped against the EXISTING corpus via its LSH
     index plus against itself, without re-shingling or re-pairing the old
@@ -870,6 +903,14 @@ def dedup_incremental(
     index side must be capped at build time (:func:`minhash_index`
     ``max_bucket``) — re-scanning the whole index per batch to cap it
     here would defeat the touch-only-hit-keys shape.
+
+    The batch shingle/banded frames are ``persist()``-ed (they feed three
+    branches). ``return_index=True`` returns ``(verified, new_sh,
+    new_banded)`` so a long-lived ingest session can append them to the
+    persisted index AND ``unpersist()`` both after materializing —
+    otherwise per-batch cached partitions accumulate until executor
+    storage eviction. One-shot callers that stop the session per batch
+    can ignore this.
     """
     new_sh, new_banded = minhash_index(new_docs, num_hashes, bands, n)
     # the BATCH frames feed three branches (nvo join, nvn self-join,
@@ -933,29 +974,58 @@ def dedup_incremental(
             ).alias("jaccard"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    verified = verified.filter(F.col("jaccard") >= threshold)
+    if return_index:
+        return verified, new_sh, new_banded
+    return verified
 
 
 def compact_lsh_index(
-    index_banded: DataFrame, max_bucket: int
+    index_banded: DataFrame,
+    max_bucket: int,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Re-apply the hot-bucket cap to an LSH index that grew by appended
     ingest batches — the index-maintenance step the incremental path
     schedules at compaction cadence (same slot as bucketed-sink
     compaction): buckets that crossed ``max_bucket`` since the last cap
-    collapse back to their min-doc representative row. Idempotent, and
-    equivalent to rebuilding the index from scratch with the same cap
-    over the same corpus (property-tested)."""
-    stats = index_banded.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("_bsz"), F.min("doc_id").alias("_rep")
-    )
-    return (
-        index_banded.join(stats, ["band", "sig"])
-        .filter(
-            (F.col("_bsz") <= max_bucket)
-            | (F.col("doc_id") == F.col("_rep"))
+    collapse back to their min-doc representative row.
+
+    With ``stats`` (the true-count sidecar from
+    ``minhash_index(with_stats=True)`` folded forward with
+    :func:`merge_lsh_stats`), the re-cap is EXACTLY equivalent to
+    rebuilding the index from scratch with the same cap over the same
+    corpus (property-tested): a bucket whose TRUE population ≤ cap never
+    had a row dropped, so all its rows are present and kept; a bucket
+    whose true population > cap keeps only the true representative,
+    which is always present because caps never drop the min-doc row and
+    the merged rep is min(base rep, batch reps).
+
+    Without ``stats``, only the OBSERVED row count is available, which
+    undercounts once an earlier cap dropped members (hypothesis
+    counterexample: base bucket {0,2,4} capped at 2 keeps {0}; appending
+    doc 3 shows observed size 2 ≤ cap, so doc 3 survives re-cap where a
+    fresh build over the true population 4 would drop it). The
+    invariants that DO hold in that mode: every post-recap bucket has
+    ≤ max(cap, 1) rows, the recapped set is idempotent under further
+    recaps, and every bucket keeps its current representative — but NOT
+    fresh-build equivalence. Pass the sidecar when exact interchange
+    with fresh indexes matters."""
+    if stats is None:
+        stats = index_banded.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("total_seen"),
+            F.min("doc_id").alias("rep"),
         )
-        .drop("_bsz", "_rep")
+    return (
+        index_banded.join(
+            stats.select("band", "sig", "total_seen", "rep"),
+            ["band", "sig"],
+        )
+        .filter(
+            (F.col("total_seen") <= max_bucket)
+            | (F.col("doc_id") == F.col("rep"))
+        )
+        .drop("total_seen", "rep")
     )
 
 

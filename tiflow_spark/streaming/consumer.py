@@ -185,34 +185,42 @@ def replay_simple_broker_with_ddl(
     img = F.when(F.col("op") == "D", F.col("old_image")).otherwise(
         F.col("image")
     )
-    # latest declared default per column (driver-side, metadata-scale like
-    # registry_column_plan): applying to a downstream table means an ADD
-    # COLUMN ... DEFAULT backfills existing rows with that default — the
-    # MySQL-side behavior the reference consumer relies on. (Caveat shared
-    # with any apply-time backfill: a later MODIFY changing only the
-    # default does not rewrite already-applied rows downstream; this
-    # engine-wide stand-in uses the latest declared default.)
-    latest_defaults: dict[str, str] = {}
+    # Declared-default backfill for image-ABSENT keys, keyed per
+    # (table, column) from the row's OWN table's latest version — a bare
+    # column name is NOT a key: two tables can share a name with
+    # different declared defaults, and a column that never existed in
+    # the row's table must stay NULL, not inherit another table's
+    # default. Latest-version defaults model the downstream DDL apply
+    # (ADD COLUMN ... DEFAULT backfills pre-ADD rows — the MySQL-side
+    # behavior the reference consumer relies on; caveat shared with any
+    # apply-time backfill: a later MODIFY changing only the default does
+    # not rewrite already-applied rows downstream). Driver-side collect
+    # is metadata-scale like registry_column_plan.
+    latest_ver: dict[str, tuple[list, dict]] = {}
     for r in sorted(
-        registry.select("table", "version_no", "defaults").collect(),
+        registry.select(
+            "table", "version_no", "columns", "defaults"
+        ).collect(),
         key=lambda r: (r.table, r.version_no),
     ):
-        for c, d in (r.defaults or {}).items():
-            latest_defaults[c] = d
+        latest_ver[r.table] = (list(r.columns or []), dict(r.defaults or {}))
     typed = []
     for c, sql_type in plan:
         t = _spark_cast(sql_type)
-        # default backfill ONLY for keys ABSENT from the image (row written
-        # before the ADD COLUMN) — an explicit NULL value stays NULL
-        # (mounter.go getDefaultOrZeroValue applies to missing columns)
-        typed.append(
-            F.when(
-                F.map_contains_key(img, F.lit(c)),
-                F.element_at(img, F.lit(c)).cast(t),
-            )
-            .otherwise(F.lit(latest_defaults.get(c)).cast(t))
-            .alias(c)
+        # explicit NULL values stay NULL — backfill only when the key is
+        # absent from the image (mounter.go getDefaultOrZeroValue applies
+        # to missing columns)
+        expr = F.when(
+            F.map_contains_key(img, F.lit(c)),
+            F.element_at(img, F.lit(c)).cast(t),
         )
+        for tbl, (cols, defaults) in latest_ver.items():
+            if c in cols:
+                expr = expr.when(
+                    F.col("table") == tbl,
+                    F.lit(defaults.get(c)).cast(t),
+                )
+        typed.append(expr.otherwise(F.lit(None).cast(t)).alias(c))
     key = F.array_join(
         F.transform(
             F.col("handle_cols"), lambda h: F.element_at(img, h)

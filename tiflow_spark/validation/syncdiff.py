@@ -209,6 +209,184 @@ def summary_report(
     )
 
 
+def resumable_chunk_compare(
+    spark,
+    src: DataFrame,
+    dst: DataFrame,
+    pk: str,
+    cols: list[str],
+    width: int,
+    checkpoint_dir: str,
+    chunks_per_batch: int | None = None,
+    fail_after_batches: int | None = None,
+    computed_batches: list[int] | None = None,
+) -> DataFrame:
+    """Checkpointed chunk-checksum compare — sync_diff's resume capability
+    (sync_diff_inspector/checkpoints/checkpoints.go: per-chunk success/
+    failed Nodes persisted so an interrupted diff skips completed chunks;
+    wired into diff.go's worker loop). A 100 TB table diff is a multi-hour
+    job; a crash at 90% must not restart from zero.
+
+    Spark shape: chunks are grouped into BATCHES of ``chunks_per_batch``
+    contiguous chunk ids; each batch is ONE job whose scan carries a
+    pushed-down pk range predicate (parquet reads only that range — the
+    same pruning the reference gets from its chunk WHERE clauses). After
+    each batch, its per-chunk results (bounded: ≤ chunks_per_batch rows)
+    are written atomically (tmp+rename) to ``checkpoint_dir`` — the Spark
+    analog of SaveChunk's minimum-continuous-checkpoint, coarsened to
+    batch granularity so driver round-trips stay O(chunks/batch), not
+    O(chunks). On resume, completed batch files are simply not re-run: a
+    crash loses at most one batch of work.
+
+    ``fail_after_batches`` injects a crash after N newly computed batches
+    (fault-injection hook for the resume e2e test). ``computed_batches``
+    (if given) collects the batch ids actually computed THIS run — the
+    test's proof that resume re-checksums only unfinished chunks.
+
+    Returns the full per-chunk frame (chunk_id, src_cnt, dst_cnt, match),
+    equal to :func:`compare_checksums` over the same inputs.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    bounds_path = _os.path.join(checkpoint_dir, "_chunks.json")
+    if _os.path.exists(bounds_path):
+        with open(bounds_path) as f:
+            meta = _json.load(f)
+        # batching geometry is part of the checkpoint: a resumed run must
+        # slice the worklist identically or batch files would misalign
+        worklist, chunks_per_batch = meta["chunks"], meta["chunks_per_batch"]
+    else:
+        # one distinct-agg job over both sides builds the OCCUPIED chunk
+        # worklist — the analog of the reference's in-memory chunk list
+        # (checkpoints.go keeps one Node per produced chunk). Batching
+        # over a dense [min,max] chunk range instead would explode under
+        # sparse keys (one stray key at +10^9 → millions of empty
+        # batches); the worklist is O(occupied chunks), driver-bounded
+        # exactly like the reference's.
+        both = src.select(F.col(pk).alias("k")).unionByName(
+            dst.select(F.col(pk).alias("k"))
+        )
+        worklist = sorted(
+            r["c"]
+            for r in both.select(
+                F.floor(F.col("k") / width).cast("long").alias("c")
+            )
+            .distinct()
+            .collect()
+        )
+        if chunks_per_batch is None:
+            # auto: ~5 batches whatever the scale — each batch is one
+            # pk-range job, so batch count (not chunk count) is the knob
+            # that trades crash-loss granularity against job overhead
+            chunks_per_batch = max(1, -(-len(worklist) // 5))
+        tmp = bounds_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "chunks": worklist,
+                    "width": width,
+                    "chunks_per_batch": chunks_per_batch,
+                },
+                f,
+            )
+        _os.replace(tmp, bounds_path)
+    n_batches = max(1, (len(worklist) + chunks_per_batch - 1) // chunks_per_batch)
+
+    done_this_run = 0
+    for b in range(n_batches):
+        out_path = _os.path.join(checkpoint_dir, f"batch_{b:06d}.json")
+        if _os.path.exists(out_path):
+            continue  # resume: completed batch, skip re-checksumming
+        chunk_slice = worklist[
+            b * chunks_per_batch : (b + 1) * chunks_per_batch
+        ]
+        if not chunk_slice:
+            payload: list = []
+            tmp = out_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(payload, f)
+            _os.replace(tmp, out_path)
+            continue
+        # the slice is contiguous in sorted order, so ONE pk range
+        # predicate prunes the scan; interior gaps hold no rows on either
+        # side by construction of the worklist
+        pred = (F.col(pk) >= chunk_slice[0] * width) & (
+            F.col(pk) < (chunk_slice[-1] + 1) * width
+        )
+        rows = compare_checksums(
+            src.filter(pred), dst.filter(pred), pk, cols, width
+        ).collect()
+        payload = [
+            {
+                "chunk_id": r["chunk_id"],
+                "src_cnt": r["src_cnt"],
+                "dst_cnt": r["dst_cnt"],
+                "match": r["match"],
+            }
+            for r in rows
+        ]
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(payload, f)
+        _os.replace(tmp, out_path)  # atomic: a crash mid-write leaves .tmp
+        if computed_batches is not None:
+            computed_batches.append(b)
+        done_this_run += 1
+        if (
+            fail_after_batches is not None
+            and done_this_run >= fail_after_batches
+            and b < n_batches - 1
+        ):
+            raise RuntimeError(
+                f"injected crash after batch {b} ({done_this_run} this run)"
+            )
+
+    all_rows = []
+    for b in range(n_batches):
+        with open(_os.path.join(checkpoint_dir, f"batch_{b:06d}.json")) as f:
+            all_rows.extend(_json.load(f))
+    return spark.createDataFrame(
+        [
+            (r["chunk_id"], r["src_cnt"], r["dst_cnt"], r["match"])
+            for r in all_rows
+        ],
+        "chunk_id long, src_cnt long, dst_cnt long, match boolean",
+    )
+
+
+def resume_row_diff(
+    spark,
+    src: DataFrame,
+    dst: DataFrame,
+    pk: str,
+    cols: list[str],
+    width: int,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Row-diff phase over the checkpointed chunk results: reads the
+    mismatched chunk ids from ``checkpoint_dir`` (no re-checksum pass at
+    all — the reference's resume reuses its chunk report the same way)
+    and row-joins ONLY those chunks, with the chunk predicate pushed to
+    the scan like :func:`targeted_row_diff`."""
+    import json as _json
+    import os as _os
+
+    bad: list[int] = []
+    for name in sorted(_os.listdir(checkpoint_dir)):
+        if not (name.startswith("batch_") and name.endswith(".json")):
+            continue
+        with open(_os.path.join(checkpoint_dir, name)) as f:
+            for r in _json.load(f):
+                if not r["match"]:
+                    bad.append(r["chunk_id"])
+    if not bad:
+        return row_diff(src.limit(0), dst.limit(0), pk, cols)
+    pred = chunk_id_col(pk, width).isin(*bad)
+    return row_diff(src.filter(pred), dst.filter(pred), pk, cols)
+
+
 def bin_search_diff(
     src: DataFrame,
     dst: DataFrame,
