@@ -52,3 +52,55 @@ def test_local_schema_registry_roundtrip(tmp_path):
     assert v2 > v1
     assert reg.get_by_id(v1) == schema_json("value")
     assert reg.latest("envelope-value") == (v2, evolved)
+
+
+def test_glue_header_wire_bytes():
+    """Glue framing (glue_schema_registry.go:330-352): byte 0 is the fixed
+    header version 3, byte 1 the no-compression marker 0, bytes 2..17 the
+    schema-version UUID, body from 18."""
+    from tiflow_spark.codecs.avro import (
+        glue_header,
+        glue_schema_version_uuid,
+        split_glue_header,
+    )
+
+    vid = glue_schema_version_uuid("cdc-value", "{}")
+    hdr = glue_header(vid)
+    assert len(hdr) == 18
+    assert hdr[0] == 3 and hdr[1] == 0
+    assert hdr[2:18] == vid
+    uid, body = split_glue_header(hdr + b"\x0a")
+    assert uid == vid.hex() and body == b"\x0a"
+    # deterministic + distinct per (subject, schema)
+    assert glue_schema_version_uuid("cdc-value", "{}") == vid
+    assert glue_schema_version_uuid("other", "{}") != vid
+
+
+def test_glue_header_rejects():
+    """Decoder rejects mirror decoder.go:405-415: short header, wrong
+    version byte, non-zero compression byte."""
+    import pytest
+
+    from tiflow_spark.codecs.avro import split_glue_header
+
+    with pytest.raises(ValueError, match="too short"):
+        split_glue_header(b"\x03\x00\x01")
+    with pytest.raises(ValueError, match="version"):
+        split_glue_header(b"\x04\x00" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="compression"):
+        split_glue_header(b"\x03\x01" + b"\x00" * 16)
+
+
+def test_glue_registry_emulation_roundtrip(tmp_path):
+    from tiflow_spark.codecs.avro import (
+        GlueSchemaRegistryEmulation,
+        schema_json,
+    )
+
+    reg = GlueSchemaRegistryEmulation(str(tmp_path / "glue.json"))
+    v1 = reg.register("cdc-value", schema_json("value"))
+    assert reg.register("cdc-value", schema_json("value")) == v1  # idempotent
+    assert reg.get_by_uuid(v1) == schema_json("value")
+    evolved = schema_json("value").replace("EnvelopeValue", "V2")
+    v2 = reg.register("cdc-value", evolved)
+    assert v2 != v1 and reg.get_by_uuid(v2) == evolved

@@ -280,6 +280,179 @@ class LocalSchemaRegistry:
         return sid, state["by_id"][str(sid)]
 
 
+# ------------------------------------------------- AWS Glue wire variant
+
+# Glue message header (glue_schema_registry.go:330-352, mirroring the
+# public AWSSchemaRegistryConstants): [version=3][compression=0][16-byte
+# schema-version UUID], then the Avro binary body — 18 bytes vs
+# Confluent's 5. The consumer resolves the UUID against the registry
+# (getGlueSchemaIDFromHeader) instead of a 4-byte numeric id.
+GLUE_HEADER_VERSION = 3
+GLUE_COMPRESSION_NONE = 0
+
+
+def glue_schema_version_uuid(subject: str, schema_text: str) -> bytes:
+    """Deterministic 16-byte schema-version UUID for the emulated Glue
+    registry. Real Glue mints a random UUID server-side at RegisterSchema
+    time (glue_client.go CreateSchema/RegisterSchemaVersion); any
+    deterministic derivation is equally valid for an emulation and makes
+    encode replayable — we use UUIDv5 (sha1) over (subject, schema)."""
+    import uuid as _uuid
+
+    return _uuid.uuid5(
+        _uuid.NAMESPACE_OID, f"{subject}\x00{schema_text}"
+    ).bytes
+
+
+class GlueSchemaRegistryEmulation:
+    """File-backed Glue registry emulation behind the same contract as
+    glue_client.go: register(subject, schema) → schema-version UUID (hex);
+    get_by_uuid(uuid_hex) → schema text. Idempotent per (subject, schema)
+    like the reference's getSchemaVersion-on-AlreadyExists path."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict:
+        import json as _json
+        import os as _os
+
+        if _os.path.exists(self.path):
+            with open(self.path) as fh:
+                return _json.load(fh)
+        return {"by_uuid": {}, "subjects": {}}
+
+    def register(self, subject: str, schema_text: str) -> str:
+        import json as _json
+
+        state = self._load()
+        vid = glue_schema_version_uuid(subject, schema_text).hex()
+        state["by_uuid"][vid] = schema_text
+        state["subjects"].setdefault(subject, [])
+        if vid not in state["subjects"][subject]:
+            state["subjects"][subject].append(vid)
+        with open(self.path, "w") as fh:
+            _json.dump(state, fh, indent=2, sort_keys=True)
+        return vid
+
+    def get_by_uuid(self, uuid_hex: str) -> str:
+        return self._load()["by_uuid"][uuid_hex]
+
+
+def glue_header(version_uuid: bytes) -> bytes:
+    assert len(version_uuid) == 16
+    return (
+        bytes([GLUE_HEADER_VERSION, GLUE_COMPRESSION_NONE]) + version_uuid
+    )
+
+
+def split_glue_header(raw: bytes) -> tuple[str, bytes]:
+    """Parse + validate the 18-byte Glue header, returning (uuid_hex,
+    body). Rejects like the reference decoder (decoder.go:405-415): short
+    header, wrong header version, non-zero compression byte."""
+    if len(raw) < 18:
+        raise ValueError("glue header too short")
+    if raw[0] != GLUE_HEADER_VERSION:
+        raise ValueError(f"glue header version byte {raw[0]} != 3")
+    if raw[1] != GLUE_COMPRESSION_NONE:
+        raise ValueError(f"glue compression byte {raw[1]} != 0")
+    return raw[2:18].hex(), raw[18:]
+
+
+def encode_avro_glue(env: DataFrame, subject: str = "cdc-value") -> DataFrame:
+    """Envelope → Glue-framed Avro messages: same Avro binary body as the
+    Confluent path, 18-byte Glue header instead of the 5-byte Confluent
+    one. The schema-version UUID is minted per (subject, schema) exactly
+    once — a broadcast scalar, not per-row work."""
+    vid = glue_schema_version_uuid(subject, schema_json("value"))
+    hdr = glue_header(vid)
+
+    @pandas_udf(T.BinaryType())
+    def enc_value(
+        op: pd.Series, cts: pd.Series, i: pd.Series, b: pd.Series, n: pd.Series
+    ) -> pd.Series:
+        out = []
+        for k in range(len(op)):
+            confluent = encode_value_bytes(
+                i.iloc[k],
+                None if pd.isna(b.iloc[k]) else b.iloc[k],
+                n.iloc[k] if n.iloc[k] is not None else None,
+                op.iloc[k],
+                cts.iloc[k],
+                0,
+            )
+            out.append(hdr + confluent[5:])  # swap framing, keep the body
+        return pd.Series(out, dtype=object)
+
+    @pandas_udf(T.BinaryType())
+    def enc_key(i: pd.Series) -> pd.Series:
+        return pd.Series([hdr + _zigzag(int(v)) for v in i], dtype=object)
+
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    flat = env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        "op",
+        img["id"].alias("_id"),
+        img["balance"].alias("_balance"),
+        img["note"].alias("_note"),
+    )
+    return flat.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        enc_key(F.col("_id")).alias("key"),
+        enc_value(
+            F.col("op"),
+            F.col("commit_ts"),
+            F.col("_id"),
+            F.col("_balance"),
+            F.col("_note"),
+        ).alias("value"),
+    )
+
+
+def decode_avro_glue(
+    messages: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """Glue-framed Avro messages → change rows + the header's
+    schema_version_uuid (hex) for registry resolution — the consumer-side
+    mirror of getGlueSchemaIDFromHeader + the avro body decode."""
+    out_t = T.StructType(
+        [
+            T.StructField("schema_version_uuid", T.StringType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("commit_ts", T.LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def dec(value: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in value:
+            uid, body = split_glue_header(bytes(v))
+            d = decode_value_bytes(MAGIC + b"\x00\x00\x00\x00" + body)
+            d.pop("schema_id")
+            d["schema_version_uuid"] = uid
+            rows.append(d)
+        return pd.DataFrame(rows)
+
+    return messages.withColumn("_d", dec(F.col(value_col))).select(
+        "_d.op",
+        "_d.schema_version_uuid",
+        "_d.id",
+        "_d.balance",
+        "_d.note",
+        "_d.commit_ts",
+    )
+
+
 def encode_avro_watermark_events(
     ddl: DataFrame | None = None,
     resolved: DataFrame | None = None,

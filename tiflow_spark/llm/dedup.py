@@ -458,6 +458,52 @@ WHERE round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
             len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {threshold}"""
 
 
+def lsh_index_compact_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_bucket: int = 2,
+) -> str:
+    """DuckDB oracle for the stats-sidecar re-cap: a FRESH capped index
+    build over the full corpus — which is exactly what
+    :func:`compact_lsh_index` with true counts must equal."""
+    rows_per_band = num_hashes // bands
+    mh = ", ".join(
+        f"list_min(list_transform(hv, h -> "
+        f"({a} * (h % 1073741824) + {c} * (h // 1073741824) + {b})"
+        f" % 2305843009213693951)) AS mh_{i}"
+        for i, (a, c, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = ", ".join(
+        "({b}, {sig})".format(
+            b=b,
+            sig="concat_ws('|', "
+            + ", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + ")",
+        )
+        for b in range(bands)
+    )
+    return f"""WITH {CORPUS_SQL.strip()},
+sh AS (SELECT doc_id, {_shingles_sql("text", n)} AS sh FROM corpus),
+hs AS (SELECT doc_id,
+       list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hv
+       FROM sh),
+sigs AS (SELECT doc_id, {mh} FROM hs),
+banded AS (
+  SELECT doc_id, b.* FROM sigs,
+  LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+stats AS (
+  SELECT band, sig, count(*) AS total_seen, min(doc_id) AS rep
+  FROM banded GROUP BY 1, 2
+)
+SELECT b.doc_id, b.band, b.sig
+FROM banded b JOIN stats s ON b.band = s.band AND b.sig = s.sig
+WHERE s.total_seen <= {max_bucket} OR b.doc_id = s.rep"""
+
+
 def dedup_incremental_sql(
     num_hashes: int = 16,
     bands: int = 4,
@@ -902,7 +948,11 @@ def dedup_incremental(
     in-batch buckets emit O(d) rep edges instead of O(d²) pairs. The
     index side must be capped at build time (:func:`minhash_index`
     ``max_bucket``) — re-scanning the whole index per batch to cap it
-    here would defeat the touch-only-hit-keys shape.
+    here would defeat the touch-only-hit-keys shape. Fresh capped
+    indexes and indexes re-capped via :func:`compact_lsh_index` with the
+    true-count stats sidecar are interchangeable inputs here: the
+    sidecar re-cap is exactly a fresh build (property-tested), and this
+    function only equi-joins the index on (band, sig).
 
     The batch shingle/banded frames are ``persist()``-ed (they feed three
     branches). ``return_index=True`` returns ``(verified, new_sh,

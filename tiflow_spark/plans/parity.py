@@ -1876,6 +1876,36 @@ def q_dedup_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_index_compact", None)  # oracle installed below
+def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index MAINTENANCE re-cap with the true-count stats sidecar
+    (llm/dedup.py compact_lsh_index): a capped base index grows by an
+    uncapped appended batch; merge_lsh_stats folds the batch stats and
+    the re-cap must equal a FRESH capped build over the full corpus —
+    which is exactly what the oracle computes from scratch in DuckDB.
+    This is the compaction-cadence operation that keeps incremental
+    ingest's candidate sets bounded for the life of a 100 TB index."""
+    from tiflow_spark.llm.dedup import (
+        compact_lsh_index,
+        corpus_with_dups,
+        merge_lsh_stats,
+        minhash_index,
+    )
+
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    base = corpus.filter(F.col("doc_id") < 10000)
+    batch = corpus.filter(F.col("doc_id") >= 10000)
+    _, idx_capped, base_stats = minhash_index(
+        base, 16, 4, max_bucket=2, with_stats=True
+    )
+    _, batch_banded, batch_stats = minhash_index(batch, 16, 4, with_stats=True)
+    return compact_lsh_index(
+        idx_capped.unionByName(batch_banded),
+        2,
+        stats=merge_lsh_stats(base_stats, batch_stats),
+    )
+
+
 @register("dedup_groups", None)
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate grouping: MinHash+LSH pairs → connected components →
@@ -2068,6 +2098,7 @@ def _install_llm_oracles() -> None:
         "dedup_incremental_capped": dd.dedup_incremental_sql(
             16, 4, 0.5, max_bucket=2
         ),
+        "dedup_index_compact": dd.lsh_index_compact_sql(16, 4, 3, 2),
         # connected components over the SAME pair graph via transitive
         # closure (recursive CTE); min reachable id = the component label
         "dedup_groups": f"""WITH RECURSIVE {dd.CORPUS_SQL.strip()},
@@ -2978,6 +3009,49 @@ def q_codec_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.codecs.avro import decode_avro, encode_avro
 
     return decode_avro(encode_avro(_env(spark, sf_dir)))
+
+
+@register(
+    "codec_avro_glue",
+    f"""{ENV_CTE}
+    SELECT op, TRUE AS uuid_ok,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note,
+      commit_ts
+    FROM env""",
+)
+def q_codec_avro_glue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro with the AWS GLUE registry wire variant
+    (pkg/sink/codec/avro/glue_schema_registry.go:330-352): 18-byte header
+    [version=3][compression=0][16-byte schema-version UUID] instead of
+    Confluent's [0x00][4-byte id], same Avro binary body. Full
+    encode→decode round trip; uuid_ok asserts every decoded header UUID
+    resolves to the SAME schema-version the emulated Glue registry minted
+    at register time (the consumer's getGlueSchemaIDFromHeader →
+    GetSchemaVersion lookup)."""
+    import tempfile
+
+    from tiflow_spark.codecs.avro import (
+        GlueSchemaRegistryEmulation,
+        decode_avro_glue,
+        encode_avro_glue,
+        schema_json,
+    )
+
+    reg = GlueSchemaRegistryEmulation(
+        tempfile.mktemp(prefix="tiflow_glue_reg_", suffix=".json")
+    )
+    vid = reg.register("cdc-value", schema_json("value"))
+    dec = decode_avro_glue(encode_avro_glue(_env(spark, sf_dir), "cdc-value"))
+    return dec.select(
+        "op",
+        (F.col("schema_version_uuid") == F.lit(vid)).alias("uuid_ok"),
+        "id",
+        "balance",
+        "note",
+        "commit_ts",
+    )
 
 
 @register(
