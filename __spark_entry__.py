@@ -23,11 +23,15 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # With more than 50 registered, we rotate coverage across rounds so no query
 # goes more than ~3 rounds without a hard-signal row. Round 7 (per VERDICT
 # r6 next-round #2): ALL 18 queries whose latest check was round 3 (the
-# longest-unaudited block, fully cleared this round) + the 3 queries new in
-# round 7 (validate_resume = sync_diff checkpoint/resume, codec_avro_glue =
-# the Glue registry wire variant, dedup_index_compact = the stats-sidecar
-# exact re-cap) + 29 of the 50 r4-stale queries in name order. The 21
-# r4-stale deferrals (olap_promo_revenue, olap_shipping_priority,
+# longest-unaudited block, fully cleared this round) + the 6 queries new in
+# round 7 (validate_resume = sync_diff checkpoint/resume, validate_resume_report
+# = crash-resume finishing its report from checkpoint state,
+# codec_avro_glue = the Glue registry wire variant, dedup_index_compact =
+# the stats-sidecar exact re-cap, text_gopher_rules = the integer-exact
+# Gopher hard-filter battery, sample_ppl_buckets = CCNet perplexity-bucket
+# sampling) + 26 of the 50 r4-stale queries in name order. The 24
+# r4-stale deferrals (olap_nation_volume, olap_order_priority,
+# olap_pricing_summary, olap_promo_revenue, olap_shipping_priority,
 # olap_sliding_rate, olap_small_qty_revenue, olap_top_spenders,
 # olap_top_supplier, olap_user_sessions, olap_waiting_suppliers,
 # pack_sequences, sample_stratified, sample_temperature, sim_ann_recall,
@@ -61,9 +65,12 @@ _PRIORITY = [
     "validate_binsearch",
     # new in round 7 (never driver-checked)
     "validate_resume",
+    "validate_resume_report",
     "codec_avro_glue",
     "dedup_index_compact",
-    # oldest of the r4-stale block (29 of 50, name order)
+    "text_gopher_rules",
+    "sample_ppl_buckets",
+    # oldest of the r4-stale block (26 of 50, name order)
     "cdc_bdr_filter",
     "cdc_charset_decode",
     "cdc_force_replicate",
@@ -90,9 +97,6 @@ _PRIORITY = [
     "olap_late_shipments",
     "olap_local_supplier_volume",
     "olap_lost_customers",
-    "olap_nation_volume",
-    "olap_order_priority",
-    "olap_pricing_summary",
 ]
 
 

@@ -150,7 +150,13 @@ def section_r7ops(sf_dir: str) -> dict:
     timings = _time_registry_set(
         spark,
         sf_dir,
-        ["codec_avro_glue", "validate_resume", "dedup_index_compact"],
+        [
+            "codec_avro_glue",
+            "validate_resume",
+            "dedup_index_compact",
+            "text_gopher_rules",
+            "sample_ppl_buckets",
+        ],
     )
 
     from tiflow_spark.envelope import events_to_changes, load_table

@@ -693,3 +693,35 @@ def test_forecast_revenue_full_pushdown(spark, sf_dir):
                  "l_discount,0.05", "l_discount,0.07", "l_quantity,24"):
         assert frag in pushed, f"{frag} not pushed: {pushed}"
     assert n_exchanges(plan) <= 1  # scalar agg: partial + final only
+
+
+def test_gopher_rules_is_map_only(spark, sf_dir):
+    """The Gopher hard-filter battery must be a single map-only pass:
+    zero shuffle exchanges, and the tokenization must not be re-inlined
+    into every rule."""
+    from tiflow_spark.llm.textstats import gopher_rules
+    from tiflow_spark.envelope import load_table
+
+    plan = plan_of(gopher_rules(load_table(spark, sf_dir, "documents")))
+    assert n_exchanges(plan) == 0
+    # the token array materializes ONCE (its own aliased projection,
+    # referenced 6 times — CollapseProject keeps it), not once per rule
+    assert plan.count("split(text") == 1
+
+
+def test_ppl_bucket_full_corpus_side_has_no_global_sort(spark, sf_dir):
+    """perplexity_bucket_sample's full-corpus side is map-only after the
+    LM aggregation: the tercile cutoffs are literals (driver-collected
+    from the bounded sample), so the final plan must contain no Sort over
+    the full corpus and no window — windows only ever ran on the
+    1/97 sample during cutoff computation."""
+    from tiflow_spark.llm.sampling import perplexity_bucket_sample
+    from tiflow_spark.llm.textstats import trigram_lm_score
+    from tiflow_spark.envelope import load_table
+
+    lm = trigram_lm_score(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lm_score")
+    out = perplexity_bucket_sample(lm)
+    plan = plan_of(out)
+    assert "Window" not in plan  # ntile ran pre-collect, not in this plan

@@ -118,3 +118,44 @@ def test_resume_on_equal_tables_reports_clean(spark, sf_dir, ckpt_dir):
         ).count()
         == 0
     )
+
+
+def test_summary_report_from_checkpoint_equals_direct(spark, sf_dir, ckpt_dir):
+    """Crash mid-diff, resume, assemble the report from checkpoint state —
+    must equal the never-interrupted summary_report column-for-column."""
+    from tiflow_spark.validation.syncdiff import (
+        resumable_chunk_compare,
+        summary_report,
+        summary_report_from_checkpoint,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    dst = _corrupt(src)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        resumable_chunk_compare(
+            spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir,
+            chunks_per_batch=2, fail_after_batches=1,
+        )
+    got = summary_report_from_checkpoint(
+        spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir,
+        schema="s", table="customer",
+    ).collect()[0]
+    want = summary_report(
+        src, dst, "c_custkey", CUST_COLS, 64, schema="s", table="customer"
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_driver_contract_rotation_shape():
+    """The driver snapshots the first 50 queries() in dict order: the
+    rotation list must be exactly 50 valid, distinct registry names, and
+    every registered query must carry a DuckDB oracle (zero rows-only
+    checks — the repo's standing bar since round 5)."""
+    import __spark_entry__ as entry
+    from tiflow_spark.plans.parity import REGISTRY
+
+    p = entry._PRIORITY
+    assert len(p) == 50 and len(set(p)) == 50
+    assert all(n in REGISTRY for n in p)
+    assert list(entry.queries())[:50] == p
+    assert set(entry.oracle_sql()) == set(REGISTRY)

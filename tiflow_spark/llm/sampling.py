@@ -523,3 +523,96 @@ def domain_cap_sql(
         ORDER BY {order_col} DESC, {id_col} ASC) AS domain_rank
       FROM {table}
     ) WHERE domain_rank <= {cap}"""
+
+
+def perplexity_bucket_sample(
+    lm_scores: DataFrame,
+    rates: dict[int, float] | None = None,
+    sample_mod: int = 97,
+    salt: str = "ppl",
+) -> DataFrame:
+    """CCNet-style perplexity-bucketed sampling (Wenzek et al. 2020): cut
+    the corpus into head/middle/tail terciles of LM fluency and keep each
+    bucket at its own rate — the standard shape for trading data quality
+    against volume with a KenLM-like filter.
+
+    ``lm_scores``: (doc_id, lm_score) from textstats.trigram_lm_score
+    (higher = more fluent here, so bucket 3 is CCNet's "head").
+    ``rates``: keep-fraction per bucket {1: tail, 2: middle, 3: head}.
+
+    Scale shape: the tercile CUTOFFS come from a deterministic hash-free
+    1/``sample_mod`` doc_id sample — an exact ntile over that small frame
+    (two scalar cutoffs collected driver-side, like the k-means centroid
+    fetch), then bucketing + keep decisions are MAP-ONLY over the full
+    corpus (cutoff comparison + salted hash), no global sort of 100 TB.
+    CCNet itself computes cutoffs on a sample for the same reason. The
+    keep decision is the engine-portable salted-hash idiom shared with
+    dataset_split: append-stable, rerun-stable."""
+    from pyspark.sql import Window
+
+    if rates is None:
+        rates = {1: 0.1, 2: 0.5, 3: 1.0}
+    samp = lm_scores.filter(F.col("doc_id") % sample_mod == 0)
+    w = Window.orderBy("lm_score", "doc_id")
+    cuts = {
+        r["t"]: r["c"]
+        for r in samp.withColumn("t", F.ntile(3).over(w))
+        .groupBy("t")
+        .agg(F.max("lm_score").alias("c"))
+        .collect()
+    }
+    assert 1 in cuts, "cutoff sample is empty — lower sample_mod"
+    c1 = cuts[1]
+    c2 = cuts.get(2, c1)
+    bucket = (
+        F.when(F.col("lm_score") <= F.lit(c1), 1)
+        .when(F.col("lm_score") <= F.lit(c2), 2)
+        .otherwise(3)
+    )
+    keep_thresh = (
+        F.when(bucket == 1, int(rates[1] * _BUCKETS))
+        .when(bucket == 2, int(rates[2] * _BUCKETS))
+        .otherwise(int(rates[3] * _BUCKETS))
+    )
+    return lm_scores.select(
+        "doc_id",
+        "lm_score",
+        bucket.alias("bucket"),
+        (_bucket(F.col("doc_id"), salt) < keep_thresh).alias("kept"),
+    )
+
+
+def perplexity_bucket_sample_sql(
+    lm_cte: str,
+    rates: dict[int, float] | None = None,
+    sample_mod: int = 97,
+    salt: str = "ppl",
+) -> str:
+    """DuckDB mirror over a CTE named `lm` providing (doc_id, lm_score)."""
+    if rates is None:
+        rates = {1: 0.1, 2: 0.5, 3: 1.0}
+    h = portable_hash64_sql_duckdb(
+        f"'{salt}:' || CAST(doc_id AS VARCHAR)"
+    )
+    t1, t2, t3 = (int(rates[b] * _BUCKETS) for b in (1, 2, 3))
+    return f"""WITH {lm_cte},
+    samp AS (SELECT doc_id, lm_score FROM lm WHERE doc_id % {sample_mod} = 0),
+    tiles AS (
+      SELECT lm_score,
+             ntile(3) OVER (ORDER BY lm_score, doc_id) AS t
+      FROM samp
+    ),
+    cuts AS (
+      SELECT
+        max(CASE WHEN t = 1 THEN lm_score END) AS c1,
+        coalesce(max(CASE WHEN t = 2 THEN lm_score END),
+                 max(CASE WHEN t = 1 THEN lm_score END)) AS c2
+      FROM tiles
+    )
+    SELECT doc_id, lm_score,
+      CASE WHEN lm_score <= c1 THEN 1
+           WHEN lm_score <= c2 THEN 2 ELSE 3 END AS bucket,
+      ((({h}) % {_BUCKETS} + {_BUCKETS}) % {_BUCKETS}) <
+        (CASE WHEN lm_score <= c1 THEN {t1}
+              WHEN lm_score <= c2 THEN {t2} ELSE {t3} END) AS kept
+    FROM lm CROSS JOIN cuts"""

@@ -624,3 +624,121 @@ def trigram_lm_score_sql(
     SELECT doc_id, n_tris, CAST(hit_mass AS BIGINT) AS hit_mass,
       round(hit_mass * 1.0 / n_tris, 6) AS lm_score
     FROM per_doc"""
+
+
+# ------------------------------------------------- Gopher quality rules
+
+
+# The canonical Gopher repetition-free quality gates (Rae et al. 2021,
+# Table A1 — the rule battery fineweb/Dolma re-implement), restricted to
+# the signals computable from plain text. Distinct from quality_features'
+# soft composite score: this is the HARD pass/fail filter stage, and every
+# threshold is evaluated in cross-multiplied INTEGER space (no ratio
+# doubles), so the verdicts are bit-identical across engines.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule flags + the AND-of-all `passes` verdict.
+
+    Rules (integer cross-multiplication form):
+      r_word_count     50 <= n_words <= 100000
+      r_mean_word_len  3*n_words <= sum(len(word)) <= 10*n_words
+      r_symbol_ratio   10*(n_hash + n_ellipsis) <= n_words
+      r_alpha_words    5*n_alpha_words >= 4*n_words  (>= 80%)
+      r_stopwords      >= 2 DISTINCT Gopher stopwords present
+
+    Map-only: every signal folds over the token array with built-ins —
+    one pass over the corpus, no shuffle at all. The token array is
+    aliased in its own projection and referenced 6 times downstream, so
+    CollapseProject keeps it materialized once per row instead of
+    re-splitting the text per rule (the word_shingles O(len²) lesson:
+    Catalyst inlines non-aliased subexpressions into every use site)."""
+    t = F.col(text_col)
+    toked = docs.select(
+        "doc_id",
+        tokens(t).alias("_toks"),
+        F.regexp_count(t, F.lit("#")).alias("_n_hash"),
+        F.regexp_count(t, F.lit(r"\.\.\.")).alias("_n_ellipsis"),
+    )
+    toks = F.col("_toks")
+    counts = toked.select(
+        "doc_id",
+        "_n_hash",
+        "_n_ellipsis",
+        F.size(toks).alias("_n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("_sum_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).alias(
+            "_n_alpha"
+        ),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS)
+                    ),
+                    lambda x: F.lower(x),
+                )
+            )
+        ).alias("_n_stop"),
+    )
+    n_words = F.col("_n_words")
+    r_word_count = (n_words >= 50) & (n_words <= 100000)
+    r_mean_word_len = (F.lit(3) * n_words <= F.col("_sum_len")) & (
+        F.col("_sum_len") <= F.lit(10) * n_words
+    )
+    r_symbol_ratio = (
+        F.lit(10) * (F.col("_n_hash") + F.col("_n_ellipsis")) <= n_words
+    )
+    r_alpha_words = F.lit(5) * F.col("_n_alpha") >= F.lit(4) * n_words
+    r_stopwords = F.col("_n_stop") >= 2
+    return counts.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_word_count.alias("r_word_count"),
+        r_mean_word_len.alias("r_mean_word_len"),
+        r_symbol_ratio.alias("r_symbol_ratio"),
+        r_alpha_words.alias("r_alpha_words"),
+        r_stopwords.alias("r_stopwords"),
+        (
+            r_word_count
+            & r_mean_word_len
+            & r_symbol_ratio
+            & r_alpha_words
+            & r_stopwords
+        ).alias("passes"),
+    )
+
+
+def gopher_rules_sql(table: str = "documents") -> str:
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+        len({toks}) AS n_words,
+        CAST(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0)
+             AS BIGINT) AS sum_len,
+        len(regexp_extract_all(text, '#')) AS n_hash,
+        len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis,
+        len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]')))
+          AS n_alpha,
+        len(list_distinct(list_transform(
+          list_filter({toks}, t -> lower(t) IN ({stop_list})),
+          t -> lower(t)))) AS n_stop
+      FROM {table}
+    )
+    SELECT doc_id, n_words,
+      (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+      (3*n_words <= sum_len AND sum_len <= 10*n_words) AS r_mean_word_len,
+      (10*(n_hash + n_ellipsis) <= n_words) AS r_symbol_ratio,
+      (5*n_alpha >= 4*n_words) AS r_alpha_words,
+      (n_stop >= 2) AS r_stopwords,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (3*n_words <= sum_len AND sum_len <= 10*n_words)
+       AND (10*(n_hash + n_ellipsis) <= n_words)
+       AND (5*n_alpha >= 4*n_words)
+       AND (n_stop >= 2)) AS passes
+    FROM base"""

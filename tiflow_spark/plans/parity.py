@@ -2268,6 +2268,40 @@ def q_validate_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("validate_resume_report", None)  # shares summary_report's oracle,
+# installed at module end (summary_report registers later in this file)
+def q_validate_resume_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-resume diff FINISHING ITS REPORT from checkpoint state
+    (checkpoints.go SavedState persists report state alongside chunk
+    state): the chunk pass crashes after one batch, the resumed run
+    completes remaining batches and assembles the per-table report with
+    chunk aggregates read from the persisted state (zero re-checksums)
+    and row-diff only over the recorded mismatched chunks. Must equal
+    the never-interrupted summary_report — the shared oracle."""
+    import tempfile
+
+    from tiflow_spark.validation.syncdiff import (
+        resumable_chunk_compare,
+        summary_report_from_checkpoint,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    dst = _corrupt_customer(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="tiflow_syncdiff_rpt_")
+    try:
+        resumable_chunk_compare(
+            spark, src, dst, "c_custkey", CUSTOMER_COLS, 64, ckpt,
+            fail_after_batches=1,
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    return summary_report_from_checkpoint(
+        spark, src, dst, "c_custkey", CUSTOMER_COLS, 64, ckpt,
+        schema="test", table="customer",
+    )
+
+
 @register(
     "validate_repair",
     f"""WITH {CORRUPT_SQL.strip().lstrip()},
@@ -4629,6 +4663,58 @@ def _install_lm_score_sql() -> None:
 _install_lm_score_sql()
 
 
+@register("text_gopher_rules", None)  # oracle installed below
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher hard quality-rule battery (Rae et al. 2021 Table A1
+    subset: word count, mean word length, symbol ratio, alpha-word share,
+    distinct stopwords) with every threshold in cross-multiplied INTEGER
+    space — the pass/fail filter stage ahead of dedup in a curation
+    funnel, map-only over the corpus (llm/textstats.gopher_rules)."""
+    from tiflow_spark.llm.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir))
+
+
+@register("sample_ppl_buckets", None)  # oracle installed below
+def q_sample_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity-bucket sampling: tercile cutoffs from an exact
+    ntile over a deterministic 1/97 doc sample (two scalars collected,
+    like the k-means centroid fetch), then MAP-ONLY bucketing + salted-
+    hash keep decisions over the full corpus — head kept 100%, middle
+    50%, tail 10% (llm/sampling.perplexity_bucket_sample over
+    textstats.trigram_lm_score)."""
+    from tiflow_spark.llm.sampling import perplexity_bucket_sample
+    from tiflow_spark.llm.textstats import trigram_lm_score
+
+    lm = trigram_lm_score(_docs(spark, sf_dir)).select("doc_id", "lm_score")
+    return perplexity_bucket_sample(lm)
+
+
+def _install_round7_llm_sql() -> None:
+    from tiflow_spark.llm.sampling import perplexity_bucket_sample_sql
+    from tiflow_spark.llm.textstats import (
+        gopher_rules_sql,
+        trigram_lm_score_sql,
+    )
+
+    REGISTRY["text_gopher_rules"] = (
+        REGISTRY["text_gopher_rules"][0],
+        gopher_rules_sql(),
+    )
+    lm_cte = (
+        "lm AS (SELECT doc_id, lm_score FROM ("
+        + trigram_lm_score_sql()
+        + "))"
+    )
+    REGISTRY["sample_ppl_buckets"] = (
+        REGISTRY["sample_ppl_buckets"][0],
+        perplexity_bucket_sample_sql(lm_cte),
+    )
+
+
+_install_round7_llm_sql()
+
+
 # -------------------------------------- partitioned-table routing (round 4)
 
 _PARTITION_DIR = [
@@ -5835,3 +5921,15 @@ def _install_split_spans_sql() -> None:
 
 
 _install_split_spans_sql()
+
+
+def _install_resume_report_oracle() -> None:
+    # validate_resume_report must equal the never-interrupted
+    # summary_report — same oracle by construction
+    REGISTRY["validate_resume_report"] = (
+        REGISTRY["validate_resume_report"][0],
+        REGISTRY["validate_summary_report"][1],
+    )
+
+
+_install_resume_report_oracle()

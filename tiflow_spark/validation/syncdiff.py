@@ -387,6 +387,67 @@ def resume_row_diff(
     return row_diff(src.filter(pred), dst.filter(pred), pk, cols)
 
 
+def summary_report_from_checkpoint(
+    spark,
+    src: DataFrame,
+    dst: DataFrame,
+    pk: str,
+    cols: list[str],
+    width: int,
+    checkpoint_dir: str,
+    schema: str = "test",
+    table: str = "t",
+) -> DataFrame:
+    """The final per-table report assembled FROM the checkpoint state —
+    the reference's SavedState persists report state alongside chunk
+    state precisely so a resumed diff finishes its report without
+    re-checksumming (checkpoints.go SavedState/Report). The chunk
+    aggregates come straight from the persisted per-batch results (zero
+    table scans); only the row-diff over mismatched chunks touches data,
+    through :func:`resume_row_diff`'s pruned scan. Column-identical to
+    :func:`summary_report`."""
+    cc = resumable_chunk_compare(
+        spark, src, dst, pk, cols, width, checkpoint_dir
+    )
+    struct_equal = src.select(*cols).schema == dst.select(*cols).schema
+    chunk_agg = cc.agg(
+        F.count(F.lit(1)).alias("chunk_total"),
+        F.sum(F.when(~F.col("match"), 1).otherwise(0)).alias("chunk_failed"),
+        F.sum("src_cnt").alias("up_count"),
+        F.sum("dst_cnt").alias("down_count"),
+    )
+    kinds = resume_row_diff(
+        spark, src, dst, pk, cols, width, checkpoint_dir
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "missing", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_missing"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "extra", 1).otherwise(0)), F.lit(0)
+        ).alias("n_extra"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "different", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_different"),
+    )
+    return chunk_agg.crossJoin(F.broadcast(kinds)).select(
+        F.lit(schema).alias("schema_name"),
+        F.lit(table).alias("table_name"),
+        F.lit(struct_equal).alias("struct_equal"),
+        (F.col("chunk_failed") == 0).alias("data_equal"),
+        "up_count",
+        "down_count",
+        "chunk_total",
+        "chunk_failed",
+        "n_missing",
+        "n_extra",
+        "n_different",
+        (F.col("n_missing") + F.col("n_different")).alias("rows_add"),
+        (F.col("n_extra") + F.col("n_different")).alias("rows_delete"),
+    )
+
+
 def bin_search_diff(
     src: DataFrame,
     dst: DataFrame,
