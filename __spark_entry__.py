@@ -29,8 +29,12 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # codec_avro_glue = the Glue registry wire variant, dedup_index_compact =
 # the stats-sidecar exact re-cap, text_gopher_rules = the integer-exact
 # Gopher hard-filter battery, sample_ppl_buckets = CCNet perplexity-bucket
-# sampling) + 26 of the 50 r4-stale queries in name order. The 24
-# r4-stale deferrals (olap_nation_volume, olap_order_priority,
+# sampling, dedup_keep_best = quality-aware dup-group keep policy,
+# sample_unimax = UniMax language-budget waterfill, sample_dsir = DSIR
+# importance resampling) + 23 of the 50 r4-stale queries in name order.
+# The 27 r4-stale deferrals (olap_late_shipments,
+# olap_local_supplier_volume, olap_lost_customers, olap_nation_volume,
+# olap_order_priority,
 # olap_pricing_summary, olap_promo_revenue, olap_shipping_priority,
 # olap_sliding_rate, olap_small_qty_revenue, olap_top_spenders,
 # olap_top_supplier, olap_user_sessions, olap_waiting_suppliers,
@@ -70,7 +74,10 @@ _PRIORITY = [
     "dedup_index_compact",
     "text_gopher_rules",
     "sample_ppl_buckets",
-    # oldest of the r4-stale block (26 of 50, name order)
+    "dedup_keep_best",
+    "sample_unimax",
+    "sample_dsir",
+    # oldest of the r4-stale block (23 of 50, name order)
     "cdc_bdr_filter",
     "cdc_charset_decode",
     "cdc_force_replicate",
@@ -94,9 +101,6 @@ _PRIORITY = [
     "mq_consumer_flush",
     "olap_daily_event_rollup",
     "olap_disjunctive_revenue",
-    "olap_late_shipments",
-    "olap_local_supplier_volume",
-    "olap_lost_customers",
 ]
 
 

@@ -156,6 +156,8 @@ def section_r7ops(sf_dir: str) -> dict:
             "dedup_index_compact",
             "text_gopher_rules",
             "sample_ppl_buckets",
+            "dedup_keep_best",
+            "sample_dsir",
         ],
     )
 

@@ -725,3 +725,34 @@ def test_ppl_bucket_full_corpus_side_has_no_global_sort(spark, sf_dir):
     out = perplexity_bucket_sample(lm)
     plan = plan_of(out)
     assert "Window" not in plan  # ntile ran pre-collect, not in this plan
+
+
+def test_dsir_models_broadcast_corpus_shuffles_once(spark, sf_dir):
+    """DSIR's two pruned models must reach the corpus token stream as
+    broadcast joins (map-side), never a sort-merge repartition of every
+    token; the only corpus-scale shuffle is the doc_id reduction. The two
+    1-row mass frames ride in as broadcast nested-loop cross joins."""
+    from tiflow_spark.llm.sampling import dsir_importance
+    from tiflow_spark.envelope import load_table
+
+    plan = plan_of(dsir_importance(load_table(spark, sf_dir, "documents")))
+    assert plan.count("SortMergeJoin") == 0
+    # node headers in the formatted detail section (the tree rendering
+    # repeats each node, same convention as n_exchanges)
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.M)) == 2
+    assert (
+        len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, flags=re.M))
+        == 2
+    )
+
+
+def test_unimax_windows_run_on_aggregate_frame_only(spark, sf_dir):
+    """UniMax's waterfill windows may only ever see the per-language
+    AGGREGATE frame: exactly one corpus-scale hash exchange (the lang
+    groupBy), everything downstream is metadata-scale."""
+    from tiflow_spark.llm.sampling import unimax_allocation
+    from tiflow_spark.envelope import load_table
+
+    plan = plan_of(unimax_allocation(load_table(spark, sf_dir, "documents")))
+    corpus_exchanges = re.findall(r"Exchange hashpartitioning\(lang", plan)
+    assert len(corpus_exchanges) <= 1

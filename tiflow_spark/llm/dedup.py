@@ -803,6 +803,75 @@ def duplicate_groups(
     )
 
 
+def keep_best_per_group(
+    groups: DataFrame, corpus: DataFrame, quality: Column | None = None
+) -> DataFrame:
+    """Quality-aware keep policy over dup components: instead of the
+    min-id canonical doc, keep the HIGHEST-quality member of each
+    duplicate group (ties → lowest doc_id) — the keep rule production
+    dedup pipelines actually run (the near-dup stages of public corpus
+    recipes keep the longest / best-scored duplicate, not an arbitrary
+    one; reference parity: this is the keep/drop decision the dedup
+    findings feed, composed with a quality signal).
+
+    `groups` is duplicate_groups() output; quality is any integer
+    expression over the corpus frame (default: text length). One
+    rank-window partitioned by group_id — groups are bounded by the LSH
+    hot-bucket caps upstream (max_bucket/max_cluster star-linking), so no
+    group can serialize a task at 100 TB.
+
+    Returns (doc_id, group_id, group_size, quality, keep).
+    """
+    from pyspark.sql import Window
+
+    if quality is None:
+        quality = F.length("text")
+    scored = groups.join(
+        corpus.select("doc_id", quality.cast("long").alias("quality")),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    )
+    return scored.select(
+        "doc_id",
+        "group_id",
+        "group_size",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def keep_best_sql(quality_sql: str = "length(text)") -> str:
+    """DuckDB twin of duplicate_groups + keep_best_per_group over the
+    minhash-LSH pair graph (recursive-CTE transitive closure)."""
+    pairs = minhash_lsh_sql(16, 4, 0.5)
+    return f"""WITH RECURSIVE {CORPUS_SQL.strip()},
+    pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach (id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+    grouped AS (
+      SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id,
+             CAST({quality_sql} AS BIGINT) AS quality
+      FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+    )
+    SELECT doc_id, group_id,
+      CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size,
+      quality,
+      row_number() OVER (PARTITION BY group_id
+                         ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+    FROM grouped"""
+
+
 # ------------------------------------------------ incremental LSH dedup
 
 

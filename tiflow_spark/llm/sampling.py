@@ -616,3 +616,307 @@ def perplexity_bucket_sample_sql(
         (CASE WHEN lm_score <= c1 THEN {t1}
               WHEN lm_score <= c2 THEN {t2} ELSE {t3} END) AS kept
     FROM lm CROSS JOIN cuts"""
+
+
+# ------------------------------------------------- UniMax language budget
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    budget_num: int = 1,
+    budget_den: int = 2,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling"): spread a total training
+    budget as uniformly as possible across languages, capping every
+    language at ``max_epochs`` repeats of its corpus and redistributing
+    the surplus to the rest — the sequential greedy of the paper
+    (ascending corpus size; each language gets
+    ``min(cap, remaining // languages_left)``).
+
+    Here as a closed-form WINDOW plan (the scheduler-waterfill trick):
+    sort ascending by cap, a language is "capped" while the cumulative
+    test ``cap <= (B - prefix_cap_before) div left`` has never failed
+    (integer div; the cumulative AND makes the boundary sticky), and the
+    uncapped tail splits the residual R over m languages as
+    ``R div m`` each with the ``R mod m`` remainder going to the LAST
+    remainder-many in sort order — exactly the floor sequence the
+    sequential loop produces (property-tested against a literal
+    transcription of the loop in tests/test_round7.py).
+
+    Budget = ``total_size * budget_num // budget_den`` — derived from the
+    corpus itself so every engine computes the identical budget.
+
+    Scale shape: ONE map-side-combined aggregate shuffles the corpus down
+    to a languages-count frame; every window after that runs over that
+    metadata-scale frame (thousands of rows at most — the single-partition
+    WindowExec is deliberate and bounded, same class as the scheduler's
+    move-planning windows).
+
+    Returns (lang, chars, cap, alloc) — alloc in the same char units.
+    """
+    from pyspark.sql import Window
+
+    sizes = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.col(size_col)).alias("chars")
+    )
+    sizes = sizes.withColumn("cap", F.col("chars") * max_epochs)
+    w_ord = Window.orderBy("cap", "grp")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = (
+        sizes.withColumn("_i", F.row_number().over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_B",
+            F.expr(
+                f"(sum(chars) over () * {budget_num}) div {budget_den}"
+            ),
+        )
+        .withColumn(
+            "_prefix_before",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_left", F.col("_n") - F.col("_i") + 1)
+        .withColumn(
+            "_test",
+            (
+                F.col("cap")
+                <= F.expr("(_B - _prefix_before) div _left")
+            ).cast("int"),
+        )
+        .withColumn("_capped", F.min("_test").over(w_cum) == 1)
+    )
+    finals = (
+        stepped.withColumn(
+            "_capped_mass",
+            F.sum(
+                F.when(F.col("_capped"), F.col("cap")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).over(w_all),
+        )
+        .withColumn(
+            "_m",
+            F.sum(F.when(F.col("_capped"), 0).otherwise(1)).over(w_all),
+        )
+        .withColumn(
+            "_j",
+            F.sum(F.when(F.col("_capped"), 0).otherwise(1)).over(w_cum),
+        )
+        .withColumn("_R", F.col("_B") - F.col("_capped_mass"))
+    )
+    alloc = F.when(F.col("_capped"), F.col("cap")).otherwise(
+        F.expr("_R div _m")
+        + F.when(
+            F.col("_j") > F.col("_m") - F.expr("_R % _m"), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return finals.select(
+        F.col("grp").alias("lang"),
+        "chars",
+        "cap",
+        alloc.cast("long").alias("alloc"),
+    )
+
+
+def unimax_allocation_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+    budget_num: int = 1,
+    budget_den: int = 2,
+    max_epochs: int = 2,
+) -> str:
+    return f"""
+    WITH sizes AS (
+      SELECT {group_col} AS grp,
+             CAST(sum({size_col}) AS BIGINT) AS chars,
+             CAST(sum({size_col}) AS BIGINT) * {max_epochs} AS cap
+      FROM {table} GROUP BY 1
+    ),
+    stepped AS (
+      SELECT grp, chars, cap,
+        row_number() OVER (ORDER BY cap, grp) AS i,
+        count(*) OVER () AS n,
+        CAST(sum(chars) OVER () AS BIGINT) * {budget_num}
+          // {budget_den} AS B,
+        CAST(coalesce(sum(cap) OVER (ORDER BY cap, grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS prefix_before
+      FROM sizes
+    ),
+    tested AS (
+      SELECT *, n - i + 1 AS lft,
+        CASE WHEN cap <= (B - prefix_before) // (n - i + 1)
+             THEN 1 ELSE 0 END AS test
+      FROM stepped
+    ),
+    cum AS (
+      SELECT *,
+        min(test) OVER (ORDER BY cap, grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped
+      FROM tested
+    ),
+    finals AS (
+      SELECT *,
+        CAST(sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+             AS BIGINT) AS capped_mass,
+        sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS m,
+        sum(CASE WHEN capped THEN 0 ELSE 1 END) OVER (ORDER BY cap, grp
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS j
+      FROM cum
+    )
+    SELECT grp AS lang, chars, cap,
+      CAST(CASE WHEN capped THEN cap
+           ELSE (B - capped_mass) // m
+                + CASE WHEN j > m - ((B - capped_mass) % m)
+                       THEN 1 ELSE 0 END
+      END AS BIGINT) AS alloc
+    FROM finals"""
+
+
+# --------------------------------------------- DSIR importance resampling
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    target_mod: int = 2,
+    raw_mod: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more it looks like a TARGET domain sample than like the
+    RAW corpus, using two bag-of-words models, and keep the docs whose
+    importance ratio exceeds 1.
+
+    The paper's weight is p_target(doc)/p_raw(doc) over hashed n-gram
+    features. Here the two models are word-unigram hit-mass models (the
+    trigram_lm_score shape): ``ht`` = sum of target-model counts over the
+    doc's tokens, ``hr`` = the same under the raw model, and the
+    importance decision is the EXACT cross-multiplied ratio test
+
+        ht * TR  >  hr * TT      (TT/TR = total pruned model masses)
+
+    i.e. normalized target affinity > normalized raw affinity — all
+    BIGINT until the one reported ``round(ratio, 6)`` weight, so verdicts
+    are bit-identical across engines.
+
+    Target sample = docs of ``target_lang`` with doc_id % target_mod == 0;
+    raw sample = all-language docs with doc_id % raw_mod == 0 (deterministic
+    stand-ins for the paper's target/raw corpora).
+
+    Scale shape: both pruned models are frequent-token tables — bounded,
+    broadcast — so the corpus-scale token stream joins map-side twice and
+    shuffles ONCE on doc_id for the per-doc reduction (map-side combined).
+    The two model masses are 1-row aggregates cross-joined in (broadcast).
+    """
+    from tiflow_spark.llm.textstats import tokens
+
+    toks = docs.select(
+        "doc_id",
+        F.col("lang"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    model_t = (
+        toks.filter(
+            (F.col("lang") == target_lang)
+            & (F.col("doc_id") % target_mod == 0)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+        .filter(F.col("cnt_t") >= min_count)
+    )
+    model_r = (
+        toks.filter(F.col("doc_id") % raw_mod == 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt_r"))
+        .filter(F.col("cnt_r") >= min_count)
+    )
+    masses = model_t.agg(
+        F.sum("cnt_t").cast("long").alias("TT")
+    ).crossJoin(model_r.agg(F.sum("cnt_r").cast("long").alias("TR")))
+    per_doc = (
+        toks.join(F.broadcast(model_t), "tok", "left")
+        .join(F.broadcast(model_r), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("cnt_t"), F.lit(0)))
+            .cast("long")
+            .alias("ht"),
+            F.sum(F.coalesce(F.col("cnt_r"), F.lit(0)))
+            .cast("long")
+            .alias("hr"),
+        )
+    )
+    out = per_doc.crossJoin(F.broadcast(masses))
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "ht",
+        "hr",
+        F.round(
+            (F.col("ht") * F.col("TR"))
+            / F.nullif(F.col("hr") * F.col("TT"), F.lit(0)),
+            6,
+        ).alias("weight"),
+        (F.col("ht") * F.col("TR") > F.col("hr") * F.col("TT")).alias(
+            "keep"
+        ),
+    )
+
+
+def dsir_importance_sql(
+    table: str = "documents",
+    target_lang: str = "en",
+    target_mod: int = 2,
+    raw_mod: int = 3,
+    min_count: int = 2,
+) -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({toks}) AS tok FROM {table}
+    ),
+    model_t AS (
+      SELECT tok, count(*) AS cnt_t FROM tok
+      WHERE lang = '{target_lang}' AND doc_id % {target_mod} = 0
+      GROUP BY 1 HAVING count(*) >= {min_count}
+    ),
+    model_r AS (
+      SELECT tok, count(*) AS cnt_r FROM tok
+      WHERE doc_id % {raw_mod} = 0
+      GROUP BY 1 HAVING count(*) >= {min_count}
+    ),
+    masses AS (
+      SELECT (SELECT CAST(sum(cnt_t) AS BIGINT) FROM model_t) AS TT,
+             (SELECT CAST(sum(cnt_r) AS BIGINT) FROM model_r) AS TR
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+        count(*) AS n_tok,
+        CAST(sum(coalesce(mt.cnt_t, 0)) AS BIGINT) AS ht,
+        CAST(sum(coalesce(mr.cnt_r, 0)) AS BIGINT) AS hr
+      FROM tok t
+      LEFT JOIN model_t mt USING (tok)
+      LEFT JOIN model_r mr USING (tok)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tok, ht, hr,
+      round((ht * TR) * 1.0 / nullif(hr * TT, 0), 6) AS weight,
+      (ht * TR > hr * TT) AS keep
+    FROM per_doc CROSS JOIN masses"""

@@ -4715,6 +4715,76 @@ def _install_round7_llm_sql() -> None:
 _install_round7_llm_sql()
 
 
+@register("dedup_keep_best", None)  # oracle installed below
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keep policy: MinHash-LSH pairs → connected
+    components → keep the HIGHEST-quality member of each dup group
+    (text length, ties → lowest id) instead of the arbitrary min-id
+    canonical — the keep rule production curation pipelines actually run
+    (llm/dedup.keep_best_per_group). One bounded-group rank window on top
+    of the dedup_groups plan."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        duplicate_groups,
+        keep_best_per_group,
+        minhash_lsh_pairs,
+    )
+
+    corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
+    groups = duplicate_groups(minhash_lsh_pairs(corpus, 16, 4, 0.5), corpus)
+    return keep_best_per_group(groups, corpus)
+
+
+@register("sample_unimax", None)  # oracle installed below
+def q_sample_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023): total char
+    budget = half the corpus, max 2 epochs per language, surplus from
+    capped small languages redistributed uniformly — the sequential
+    greedy expressed as a closed-form window waterfill over the per-lang
+    aggregate (property-tested move-for-move against a literal loop),
+    integer-exact (llm/sampling.unimax_allocation)."""
+    from tiflow_spark.llm.sampling import unimax_allocation
+
+    return unimax_allocation(load_table(spark, sf_dir, "documents"))
+
+
+@register("sample_dsir", None)  # oracle installed below
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023): per-doc
+    target-vs-raw importance from two pruned bag-of-words hit-mass
+    models (target = sampled English docs, raw = all-language sample),
+    keep verdicts via the EXACT cross-multiplied ratio test
+    ht·TR > hr·TT — both models broadcast, one doc_id reduction
+    (llm/sampling.dsir_importance)."""
+    from tiflow_spark.llm.sampling import dsir_importance
+
+    return dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+def _install_round7b_llm_sql() -> None:
+    from tiflow_spark.llm.dedup import keep_best_sql
+    from tiflow_spark.llm.sampling import (
+        dsir_importance_sql,
+        unimax_allocation_sql,
+    )
+
+    REGISTRY["dedup_keep_best"] = (
+        REGISTRY["dedup_keep_best"][0],
+        keep_best_sql(),
+    )
+    REGISTRY["sample_unimax"] = (
+        REGISTRY["sample_unimax"][0],
+        unimax_allocation_sql(),
+    )
+    REGISTRY["sample_dsir"] = (
+        REGISTRY["sample_dsir"][0],
+        dsir_importance_sql(),
+    )
+
+
+_install_round7b_llm_sql()
+
+
 # -------------------------------------- partitioned-table routing (round 4)
 
 _PARTITION_DIR = [
