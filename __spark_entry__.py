@@ -23,7 +23,7 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # With more than 50 registered, we rotate coverage across rounds so no query
 # goes more than ~3 rounds without a hard-signal row. Round 7 (per VERDICT
 # r6 next-round #2): ALL 18 queries whose latest check was round 3 (the
-# longest-unaudited block, fully cleared this round) + the 6 queries new in
+# longest-unaudited block, fully cleared this round) + the 10 queries new in
 # round 7 (validate_resume = sync_diff checkpoint/resume, validate_resume_report
 # = crash-resume finishing its report from checkpoint state,
 # codec_avro_glue = the Glue registry wire variant, dedup_index_compact =
@@ -31,8 +31,10 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # Gopher hard-filter battery, sample_ppl_buckets = CCNet perplexity-bucket
 # sampling, dedup_keep_best = quality-aware dup-group keep policy,
 # sample_unimax = UniMax language-budget waterfill, sample_dsir = DSIR
-# importance resampling) + 23 of the 50 r4-stale queries in name order.
-# The 27 r4-stale deferrals (olap_late_shipments,
+# importance resampling, snapshot_load_resume = DM loader crash-resume
+# with per-chunk atomic commits) + 22 of the 50 r4-stale queries in name
+# order. The 28 r4-stale deferrals (olap_disjunctive_revenue,
+# olap_late_shipments,
 # olap_local_supplier_volume, olap_lost_customers, olap_nation_volume,
 # olap_order_priority,
 # olap_pricing_summary, olap_promo_revenue, olap_shipping_priority,
@@ -77,7 +79,8 @@ _PRIORITY = [
     "dedup_keep_best",
     "sample_unimax",
     "sample_dsir",
-    # oldest of the r4-stale block (23 of 50, name order)
+    "snapshot_load_resume",
+    # oldest of the r4-stale block (22 of 50, name order)
     "cdc_bdr_filter",
     "cdc_charset_decode",
     "cdc_force_replicate",
@@ -100,7 +103,6 @@ _PRIORITY = [
     "mm_decode_real",
     "mq_consumer_flush",
     "olap_daily_event_rollup",
-    "olap_disjunctive_revenue",
 ]
 
 

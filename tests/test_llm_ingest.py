@@ -1,0 +1,129 @@
+"""Standing LLM-corpus ingest e2e (streaming/llm_ingest.py): quality gate +
+incremental LSH dedup as a Structured Streaming changefeed over arriving
+document files, with replay-idempotent batch commits and checkpoint
+resume."""
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tiflow_spark.envelope import load_table
+from tiflow_spark.streaming.llm_ingest import (
+    ingest_batch,
+    init_ingest_state,
+    read_corpus,
+    run_corpus_ingest,
+)
+
+COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@pytest.fixture()
+def work_dir():
+    d = tempfile.mkdtemp(prefix="tiflow_llm_ingest_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _clones(docs, id_offset, mod):
+    return docs.filter(F.col("doc_id") % mod == 0).withColumn(
+        "doc_id", F.col("doc_id") + id_offset
+    )
+
+
+def _drop_file(df, source_dir, name):
+    """Materialize df as ONE parquet file inside the stream source dir."""
+    tmp = tempfile.mkdtemp(prefix="tiflow_ingest_file_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(source_dir, exist_ok=True)
+    shutil.move(os.path.join(tmp, part), os.path.join(source_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _gate(df):
+    return df.filter(F.col("n_chars") >= 150)
+
+
+def test_streaming_ingest_dedups_and_resumes(spark, sf_dir, work_dir):
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    seed = docs.filter(F.col("doc_id") < 50)
+    batch1 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+    b1 = batch1.unionByName(_clones(seed, 10000, 7))  # clones of SEED docs
+    batch2 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+    b2 = batch2.unionByName(_clones(batch1, 20000, 5))  # clones of batch 1
+
+    src = f"{work_dir}/arrivals"
+    _drop_file(b1, src, "file1.parquet")
+    _drop_file(b2, src, "file2.parquet")
+
+    state = f"{work_dir}/state"
+    init_ingest_state(spark, state, seed=_gate(seed))
+    run_corpus_ingest(
+        spark, src, state, f"{work_dir}/ckpt", quality_gate=_gate
+    )
+
+    corpus = read_corpus(spark, state)
+    kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+
+    # every planted clone of a surviving original is gone (exact text dup)
+    gated_seed_ids = {r["doc_id"] for r in _gate(seed).collect()}
+    clone1 = {
+        r["doc_id"] + 10000
+        for r in seed.filter(F.col("doc_id") % 7 == 0).collect()
+        if r["doc_id"] in gated_seed_ids and r["n_chars"] >= 150
+    }
+    assert clone1 and not (clone1 & kept)
+    # quality gate enforced on every batch
+    assert corpus.filter(F.col("n_chars") < 150).count() == 0
+
+    # the STRONG invariant: the curated corpus contains no near-dup pair
+    # at the ingest threshold at all (independent full-corpus probe)
+    from tiflow_spark.llm.dedup import minhash_lsh_pairs
+
+    assert minhash_lsh_pairs(corpus, 16, 4, 0.5).count() == 0
+
+    # stream == batch determinism: driving ingest_batch directly with the
+    # same file splits produces the identical corpus
+    state2 = f"{work_dir}/state2"
+    init_ingest_state(spark, state2, seed=_gate(seed))
+    ingest_batch(spark, b1, 0, state2, quality_gate=_gate)
+    ingest_batch(spark, b2, 1, state2, quality_gate=_gate)
+    corpus2 = read_corpus(spark, state2)
+    assert corpus.exceptAll(corpus2).count() == 0
+    assert corpus2.exceptAll(corpus).count() == 0
+
+    # checkpoint resume: a file arriving AFTER the first drain is the only
+    # thing the restarted query processes; re-ingested clones stay dropped
+    batch3 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 160))
+    b3 = batch3.unionByName(_clones(batch2, 30000, 5))
+    _drop_file(b3, src, "file3.parquet")
+    before_batches = set(os.listdir(f"{state}/corpus"))
+    run_corpus_ingest(
+        spark, src, state, f"{work_dir}/ckpt", quality_gate=_gate
+    )
+    after_batches = set(os.listdir(f"{state}/corpus"))
+    assert len(after_batches - before_batches) == 1  # ONLY file3's batch
+    corpus3 = read_corpus(spark, state)
+    new_ids = {r["doc_id"] for r in corpus3.select("doc_id").collect()} - kept
+    gated_b3 = {r["doc_id"] for r in _gate(b3).collect()}
+    assert new_ids <= gated_b3
+    assert not {i for i in new_ids if i >= 30000 and (i - 30000) in kept}
+    assert minhash_lsh_pairs(corpus3, 16, 4, 0.5).count() == 0
+
+
+def test_ingest_batch_rerun_is_idempotent(spark, sf_dir, work_dir):
+    """foreachBatch replay semantics: re-running the SAME batch id must
+    replace its outputs, not double-append."""
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    state = f"{work_dir}/state"
+    init_ingest_state(spark, state, seed=docs.filter(F.col("doc_id") < 20))
+    b = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40))
+    ingest_batch(spark, b, 0, state)
+    once = sorted(tuple(r) for r in read_corpus(spark, state).collect())
+    ingest_batch(spark, b, 0, state)  # crash-replay of the same micro-batch
+    twice = sorted(tuple(r) for r in read_corpus(spark, state).collect())
+    assert once == twice

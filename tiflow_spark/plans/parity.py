@@ -2268,6 +2268,48 @@ def q_validate_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_load_resume",
+    f"""SELECT c_custkey // 16 AS chunk_id, count(*) AS cnt,
+           bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
+    FROM customer GROUP BY 1""",
+)
+def q_snapshot_load_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DM load unit crash-resume (dm/loader/checkpoint.go + lightning.go):
+    a chunked dumpling-style dump loads into the target with per-chunk
+    atomic commits + a persisted checkpoint; the run crashes after 3
+    chunks (fault-injected), the resumed run loads ONLY the remaining
+    chunks, and the per-chunk (count, checksum) aggregates read back FROM
+    THE LOADED TARGET must equal the source table — which is what the
+    oracle computes directly from `customer`."""
+    import tempfile
+
+    from tiflow_spark.sources.loader import (
+        dump_snapshot_chunks,
+        read_loaded_table,
+        resumable_snapshot_load,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="tiflow_loadfix_")
+    dump_snapshot_chunks(src, f"{work}/dump", "customer", "c_custkey", 16)
+    try:
+        resumable_snapshot_load(
+            spark, f"{work}/dump", f"{work}/target", "customer",
+            f"{work}/ckpt", fail_after_chunks=3,
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass  # the injected mid-load crash
+    resumable_snapshot_load(
+        spark, f"{work}/dump", f"{work}/target", "customer", f"{work}/ckpt"
+    )
+    loaded = read_loaded_table(spark, f"{work}/target", "customer")
+    return loaded.groupBy(
+        F.expr("c_custkey div 16").alias("chunk_id")
+    ).agg(*chunk_checksum_agg(CUSTOMER_COLS))
+
+
 @register("validate_resume_report", None)  # shares summary_report's oracle,
 # installed at module end (summary_report registers later in this file)
 def q_validate_resume_report(spark: SparkSession, sf_dir: str) -> DataFrame:
