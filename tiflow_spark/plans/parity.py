@@ -2270,9 +2270,10 @@ def q_validate_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snapshot_load_resume",
-    f"""SELECT c_custkey // 16 AS chunk_id, count(*) AS cnt,
+    f"""WITH cs AS (SELECT max(c_custkey) // 8 + 1 AS sz FROM customer)
+    SELECT c_custkey // sz AS chunk_id, count(*) AS cnt,
            bit_xor({row_checksum_sql_duckdb(CUSTOMER_COLS)}) AS checksum
-    FROM customer GROUP BY 1""",
+    FROM customer CROSS JOIN cs GROUP BY 1""",
 )
 def q_snapshot_load_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DM load unit crash-resume (dm/loader/checkpoint.go + lightning.go):
@@ -2292,7 +2293,14 @@ def q_snapshot_load_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = load_table(spark, sf_dir, "customer")
     work = tempfile.mkdtemp(prefix="tiflow_loadfix_")
-    dump_snapshot_chunks(src, f"{work}/dump", "customer", "c_custkey", 16)
+    # scale-adaptive chunking (~9 chunks at every sf): each chunk load is
+    # one independent job, so a fixed chunk SIZE would make the fixture's
+    # sequential driver loop O(corpus) at bigger scales — the real knob a
+    # dumpling operator sets is chunk COUNT per worker slot
+    chunk_size = src.agg(F.max("c_custkey")).collect()[0][0] // 8 + 1
+    dump_snapshot_chunks(
+        src, f"{work}/dump", "customer", "c_custkey", chunk_size
+    )
     try:
         resumable_snapshot_load(
             spark, f"{work}/dump", f"{work}/target", "customer",
@@ -2306,7 +2314,7 @@ def q_snapshot_load_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     loaded = read_loaded_table(spark, f"{work}/target", "customer")
     return loaded.groupBy(
-        F.expr("c_custkey div 16").alias("chunk_id")
+        F.expr(f"c_custkey div {chunk_size}").alias("chunk_id")
     ).agg(*chunk_checksum_agg(CUSTOMER_COLS))
 
 
