@@ -127,3 +127,50 @@ def test_ingest_batch_rerun_is_idempotent(spark, sf_dir, work_dir):
     ingest_batch(spark, b, 0, state)  # crash-replay of the same micro-batch
     twice = sorted(tuple(r) for r in read_corpus(spark, state).collect())
     assert once == twice
+
+
+def test_corpus_pair_free_under_any_batch_split(spark, sf_dir, work_dir):
+    """The load-bearing invariant: however the SAME arrivals are split
+    into micro-batches, the curated corpus never contains a near-dup pair
+    (kept docs are always indexed before later arrivals are judged, and
+    in-batch survivors are checked pairwise). The KEPT SET itself may
+    legitimately differ between splits in dup-chain cases — pair-freedom
+    is what the funnel guarantees."""
+    import random
+
+    from tiflow_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    arrivals = (
+        docs.filter(F.col("doc_id") < 40)
+        .unionByName(_clones(docs.filter(F.col("doc_id") < 40), 10000, 3))
+        .collect()
+    )
+    arrivals.sort(key=lambda r: r["doc_id"])
+    all_df = spark.createDataFrame(arrivals, docs.schema)
+    paired = {
+        i
+        for r in minhash_lsh_pairs(all_df, 16, 4, 0.5).collect()
+        for i in (r["id_a"], r["id_b"])
+    }
+    never_dup = {r["doc_id"] for r in arrivals} - paired
+    rng = random.Random(11)
+    for trial in range(4):
+        n_cuts = rng.randint(0, 3)
+        cuts = sorted(rng.sample(range(1, len(arrivals)), n_cuts))
+        parts, prev = [], 0
+        for c in cuts + [len(arrivals)]:
+            parts.append(arrivals[prev:c])
+            prev = c
+        state = f"{work_dir}/split-{trial}"
+        init_ingest_state(spark, state)
+        for bid, rows in enumerate(p for p in parts if p):
+            batch = spark.createDataFrame(rows, docs.schema)
+            ingest_batch(spark, batch, bid, state)
+        corpus = read_corpus(spark, state)
+        assert minhash_lsh_pairs(corpus, 16, 4, 0.5).count() == 0, (
+            f"trial {trial} cuts {cuts}"
+        )
+        # and every doc with NO near-dup at all is kept under every split
+        kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+        assert never_dup <= kept, f"trial {trial} lost {never_dup - kept}"
