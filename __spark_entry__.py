@@ -23,7 +23,7 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # With more than 50 registered, we rotate coverage across rounds so no query
 # goes more than ~3 rounds without a hard-signal row. Round 7 (per VERDICT
 # r6 next-round #2): ALL 18 queries whose latest check was round 3 (the
-# longest-unaudited block, fully cleared this round) + the 10 queries new in
+# longest-unaudited block, fully cleared this round) + the 11 queries new in
 # round 7 (validate_resume = sync_diff checkpoint/resume, validate_resume_report
 # = crash-resume finishing its report from checkpoint state,
 # codec_avro_glue = the Glue registry wire variant, dedup_index_compact =
@@ -32,8 +32,10 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # sampling, dedup_keep_best = quality-aware dup-group keep policy,
 # sample_unimax = UniMax language-budget waterfill, sample_dsir = DSIR
 # importance resampling, snapshot_load_resume = DM loader crash-resume
-# with per-chunk atomic commits) + 22 of the 50 r4-stale queries in name
-# order. The 28 r4-stale deferrals (olap_disjunctive_revenue,
+# with per-chunk atomic commits, text_top_ngrams = C4-style heavy-hitter
+# n-gram boilerplate report) + 21 of the 50 r4-stale queries in name
+# order. The 29 r4-stale deferrals (olap_daily_event_rollup,
+# olap_disjunctive_revenue,
 # olap_late_shipments,
 # olap_local_supplier_volume, olap_lost_customers, olap_nation_volume,
 # olap_order_priority,
@@ -80,7 +82,8 @@ _PRIORITY = [
     "sample_unimax",
     "sample_dsir",
     "snapshot_load_resume",
-    # oldest of the r4-stale block (22 of 50, name order)
+    "text_top_ngrams",
+    # oldest of the r4-stale block (21 of 50, name order)
     "cdc_bdr_filter",
     "cdc_charset_decode",
     "cdc_force_replicate",
@@ -102,7 +105,6 @@ _PRIORITY = [
     "join_range",
     "mm_decode_real",
     "mq_consumer_flush",
-    "olap_daily_event_rollup",
 ]
 
 

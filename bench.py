@@ -158,6 +158,7 @@ def section_r7ops(sf_dir: str) -> dict:
             "sample_ppl_buckets",
             "dedup_keep_best",
             "sample_dsir",
+            "text_top_ngrams",
         ],
     )
 

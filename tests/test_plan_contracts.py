@@ -756,3 +756,15 @@ def test_unimax_windows_run_on_aggregate_frame_only(spark, sf_dir):
     plan = plan_of(unimax_allocation(load_table(spark, sf_dir, "documents")))
     corpus_exchanges = re.findall(r"Exchange hashpartitioning\(lang", plan)
     assert len(corpus_exchanges) <= 1
+
+
+def test_top_ngrams_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """The heavy-hitter report's top-k must compile to TakeOrdered
+    (per-partition heaps + driver merge), never a global Sort of the
+    full gram table."""
+    from tiflow_spark.llm.textstats import top_ngrams
+    from tiflow_spark.envelope import load_table
+
+    plan = plan_of(top_ngrams(load_table(spark, sf_dir, "documents")))
+    assert "TakeOrderedAndProject" in plan
+    assert not re.findall(r"^\(\d+\) Sort", plan, flags=re.M)

@@ -742,3 +742,60 @@ def gopher_rules_sql(table: str = "documents") -> str:
        AND (5*n_alpha >= 4*n_words)
        AND (n_stop >= 2)) AS passes
     FROM base"""
+
+
+# ------------------------------------------------ corpus top n-gram report
+
+
+def top_ngrams(
+    docs: DataFrame, k: int = 50, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level heavy-hitter n-grams by DOCUMENT frequency — the
+    boilerplate detector behind C4-style "most common lines/phrases"
+    stripping: an n-gram present in a large share of documents is
+    template text, not content, and its report drives removal rules.
+
+    df = number of distinct docs containing the n-gram (word_shingles is
+    per-doc distinct, so one explode+count IS document frequency);
+    share_ppm = df·10⁶ // n_docs in integer space. Top-``k`` under the
+    total order (df DESC, gram ASC) — deterministic at ties.
+
+    Scale shape: the explode is the shingle stage every dedup op already
+    pays; ONE gram-keyed count shuffle with map-side combine, then a
+    global top-k which Spark executes as TakeOrdered (per-partition heaps
+    + driver merge of k·P rows — no global sort of the gram table).
+    """
+    from tiflow_spark.llm.dedup import word_shingles
+
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("_nd"))
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        counted.crossJoin(F.broadcast(n_docs))
+        .select(
+            "gram",
+            "df",
+            F.expr("df * 1000000 div _nd").alias("share_ppm"),
+        )
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(
+    table: str = "documents", k: int = 50, n: int = 3
+) -> str:
+    from tiflow_spark.llm.dedup import _shingles_sql
+
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_shingles_sql('text', n)}) AS gram
+      FROM {table}
+    ),
+    counted AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM {table})
+    SELECT gram, df, CAST(df AS BIGINT) * 1000000 // n_docs AS share_ppm
+    FROM counted CROSS JOIN nd
+    ORDER BY df DESC, gram ASC LIMIT {k}"""

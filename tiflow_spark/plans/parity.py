@@ -4811,6 +4811,18 @@ def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance(load_table(spark, sf_dir, "documents"))
 
 
+@register("text_top_ngrams", None)  # oracle installed below
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter n-gram report by document frequency — the C4
+    boilerplate-detection signal (most-common-phrases stripping). One
+    gram-keyed count shuffle + TakeOrdered top-k; ties broken by the
+    (df DESC, gram ASC) total order so both engines pick the identical
+    k rows (llm/textstats.top_ngrams)."""
+    from tiflow_spark.llm.textstats import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"))
+
+
 def _install_round7b_llm_sql() -> None:
     from tiflow_spark.llm.dedup import keep_best_sql
     from tiflow_spark.llm.sampling import (
@@ -4829,6 +4841,12 @@ def _install_round7b_llm_sql() -> None:
     REGISTRY["sample_dsir"] = (
         REGISTRY["sample_dsir"][0],
         dsir_importance_sql(),
+    )
+    from tiflow_spark.llm.textstats import top_ngrams_sql
+
+    REGISTRY["text_top_ngrams"] = (
+        REGISTRY["text_top_ngrams"][0],
+        top_ngrams_sql(),
     )
 
 
