@@ -406,3 +406,35 @@ def test_loader_resume_correct_at_every_crash_point(spark, sf_dir):
             assert got == src_rows, f"crash_at={crash_at}"
     finally:
         _sh.rmtree(work, ignore_errors=True)
+
+
+def test_loader_ignores_crashed_staging_dirs(spark, sf_dir, ckpt_dir):
+    """A crash BETWEEN the staged chunk write and its rename must leave
+    nothing a reader can see: stray staging dirs are invisible to
+    read_loaded_table and the resumed run re-loads that chunk cleanly."""
+    import os
+    import tempfile
+
+    from tiflow_spark.sources.loader import (
+        dump_snapshot_chunks,
+        read_loaded_table,
+        resumable_snapshot_load,
+    )
+
+    work = tempfile.mkdtemp(prefix="tiflow_loader_stage_")
+    src = load_table(spark, sf_dir, "nation")
+    dump_snapshot_chunks(src, f"{work}/dump", "nation", "n_nationkey", 8)
+    resumable_snapshot_load(
+        spark, f"{work}/dump", f"{work}/target", "nation", ckpt_dir
+    )
+    # simulate the crash artifact: a partial staged chunk that never
+    # got renamed (write some wrong rows into it)
+    stray = f"{work}/target/nation/_staging-0"
+    src.limit(3).write.mode("overwrite").parquet(stray)
+    loaded = read_loaded_table(spark, f"{work}/target", "nation")
+    assert loaded.count() == src.count()  # stray rows invisible
+    assert loaded.select(src.columns).exceptAll(src).count() == 0
+    assert os.path.isdir(stray)  # and we really did plant it
+
+    import shutil as _sh
+    _sh.rmtree(work, ignore_errors=True)

@@ -121,7 +121,10 @@ def resumable_snapshot_load(
             os.path.join(src_root, f"chunk_id={cid}")
         )
         final = os.path.join(target_dir, table, f"chunk-{cid}")
-        staging = final + ".staging"
+        # staging name must NOT match read_loaded_table's chunk-* glob: a
+        # crash between the staged write and the rename would otherwise
+        # leave a partial chunk that reads as committed data
+        staging = os.path.join(target_dir, table, f"_staging-{cid}")
         shutil.rmtree(staging, ignore_errors=True)
         chunk_df.write.mode("overwrite").parquet(staging)
         shutil.rmtree(final, ignore_errors=True)
