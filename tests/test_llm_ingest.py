@@ -174,3 +174,22 @@ def test_corpus_pair_free_under_any_batch_split(spark, sf_dir, work_dir):
         # and every doc with NO near-dup at all is kept under every split
         kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
         assert never_dup <= kept, f"trial {trial} lost {never_dup - kept}"
+
+
+def test_first_arrival_wins_even_with_smaller_later_ids(spark, sf_dir, work_dir):
+    """First-arrival-wins must not depend on id ordering: a LATER arrival
+    whose doc_id is SMALLER than its indexed near-dup is still the one
+    dropped (committed docs are never retroactively dropped)."""
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    state = f"{work_dir}/state"
+    # seed with the HIGH-id docs
+    seed = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    init_ingest_state(spark, state, seed=seed)
+    # later batch: clones of seed docs carrying SMALLER ids (negative offset)
+    late_clones = seed.withColumn("doc_id", F.col("doc_id") - 100)
+    fresh = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 205))
+    ingest_batch(spark, late_clones.unionByName(fresh), 0, state)
+    kept = {r["doc_id"] for r in read_corpus(spark, state).collect()}
+    seed_ids = {r["doc_id"] for r in seed.collect()}
+    assert seed_ids <= kept  # committed docs untouched
+    assert not ({i - 100 for i in seed_ids} & kept)  # every late clone lost

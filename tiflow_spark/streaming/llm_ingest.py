@@ -145,14 +145,26 @@ def ingest_batch(
         gated, idx_sh, idx_banded, num_hashes, bands, threshold, n,
         return_index=True,
     )
-    # first-arrival-wins, min-id-keeps (the duplicate_groups rep policy):
-    # a batch doc is dropped when it near-dups ANY smaller-id doc —
-    # indexed or in-batch. Caller contract: doc ids are assigned
-    # monotonically, so every indexed id < every batch id, and the
-    # canonical id_a < id_b ordering makes id_b always the batch doc to
-    # drop (id_b indexed would force id_a indexed too — impossible, every
-    # pair carries at least one batch doc).
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # FIRST-ARRIVAL-WINS, independent of id ordering: an already-committed
+    # (indexed) doc can never be retroactively dropped, so a batch doc
+    # loses every pairing with an index doc regardless of which side the
+    # canonical id_a < id_b ordering put it on; within the batch the
+    # smaller id wins (the duplicate_groups min-id rep policy). The
+    # membership probes are id-equi joins where the pairs side is
+    # batch-scale — the index side is touched only on the paired ids.
+    idx_ids = idx_sh.select("doc_id")
+    lose_b = pairs.join(
+        idx_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "semi"
+    ).select(F.col("id_b").alias("doc_id"))
+    lose_a = pairs.join(
+        idx_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "semi"
+    ).select(F.col("id_a").alias("doc_id"))
+    in_batch = pairs.join(
+        idx_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_anti"
+    ).join(
+        idx_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_anti"
+    ).select(F.col("id_b").alias("doc_id"))
+    dropped = lose_b.unionByName(lose_a).unionByName(in_batch).distinct()
     survivors = gated.join(dropped, "doc_id", "left_anti")
     surv_ids = survivors.select("doc_id")
     _atomic_write(
