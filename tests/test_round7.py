@@ -438,3 +438,44 @@ def test_loader_ignores_crashed_staging_dirs(spark, sf_dir, ckpt_dir):
 
     import shutil as _sh
     _sh.rmtree(work, ignore_errors=True)
+
+
+def test_loader_batched_mode_matches_sequential(spark, sf_dir, ckpt_dir):
+    """chunks_per_batch > 1 (one cluster-parallel job per chunk group)
+    must produce the identical target through a crash+resume as the
+    sequential per-chunk path, with the same zero-reload guarantee at
+    batch granularity."""
+    import shutil as _sh
+    import tempfile
+
+    from tiflow_spark.sources.loader import (
+        dump_snapshot_chunks,
+        read_loaded_table,
+        resumable_snapshot_load,
+    )
+
+    work = tempfile.mkdtemp(prefix="tiflow_loader_batched_")
+    src = load_table(spark, sf_dir, "customer")
+    chunks = dump_snapshot_chunks(src, f"{work}/dump", "customer",
+                                  "c_custkey", 16)
+    assert len(chunks) > 5
+
+    first: list[int] = []
+    with pytest.raises(RuntimeError, match="injected crash"):
+        resumable_snapshot_load(
+            spark, f"{work}/dump", f"{work}/target", "customer", ckpt_dir,
+            fail_after_chunks=3, loaded_chunks=first, chunks_per_batch=4,
+        )
+    assert len(first) == 4  # one full group committed before the boundary
+    second: list[int] = []
+    resumable_snapshot_load(
+        spark, f"{work}/dump", f"{work}/target", "customer", ckpt_dir,
+        loaded_chunks=second, chunks_per_batch=4,
+    )
+    assert sorted(first + second) == chunks
+    assert not (set(first) & set(second))
+
+    loaded = read_loaded_table(spark, f"{work}/target", "customer")
+    assert loaded.select(src.columns).exceptAll(src).count() == 0
+    assert src.exceptAll(loaded.select(src.columns)).count() == 0
+    _sh.rmtree(work, ignore_errors=True)

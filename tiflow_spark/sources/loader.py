@@ -93,14 +93,24 @@ def resumable_snapshot_load(
     ckpt_dir: str,
     fail_after_chunks: int | None = None,
     loaded_chunks: list[int] | None = None,
+    chunks_per_batch: int = 1,
 ) -> None:
     """Load a chunked dump into ``target_dir/table``, checkpointing each
-    chunk; re-invocation after a crash loads only chunks not yet
-    committed. ``fail_after_chunks`` injects a crash after N chunk
-    commits (the loader fault-injection hook, same idiom as
+    chunk batch; re-invocation after a crash loads only chunks not yet
+    committed. ``fail_after_chunks`` injects a crash once N chunks have
+    committed this run — it fires at the next batch boundary (the loader
+    fault-injection hook, same idiom as
     syncdiff.resumable_chunk_compare); ``loaded_chunks`` (out-param)
     records which chunks THIS run actually loaded, so tests can assert
-    the resume skipped completed work."""
+    the resume skipped completed work.
+
+    ``chunks_per_batch`` is the parallelism/recovery trade-off: each
+    batch of uncommitted chunks loads as ONE Spark job (the dump dirs
+    read with ``basePath`` so the chunk_id partition column survives,
+    written back ``partitionBy(chunk_id)``) — the chunks of a batch load
+    cluster-parallel instead of one driver-looped job each, and a crash
+    re-does at most one batch. 1 = per-chunk commits (finest recovery);
+    a 1000-executor load wants hundreds per batch."""
     state = _read_ckpt(ckpt_dir, table)
     src_root = os.path.join(dump_dir, table)
     all_chunks = sorted(
@@ -111,29 +121,36 @@ def resumable_snapshot_load(
     done = set(state["done_chunks"])
     state["status"] = "running"
     _write_ckpt(ckpt_dir, table, state)
+    todo = [cid for cid in all_chunks if cid not in done]
     n_this_run = 0
-    for cid in all_chunks:
-        if cid in done:
-            continue
+    for g in range(0, len(todo), max(chunks_per_batch, 1)):
+        group = todo[g : g + max(chunks_per_batch, 1)]
         if fail_after_chunks is not None and n_this_run >= fail_after_chunks:
             raise RuntimeError("injected crash mid-load")
-        chunk_df = spark.read.parquet(
-            os.path.join(src_root, f"chunk_id={cid}")
-        )
-        final = os.path.join(target_dir, table, f"chunk-{cid}")
-        # staging name must NOT match read_loaded_table's chunk-* glob: a
-        # crash between the staged write and the rename would otherwise
+        # staging names must NOT match read_loaded_table's chunk-* glob:
+        # a crash between a staged write and its rename would otherwise
         # leave a partial chunk that reads as committed data
-        staging = os.path.join(target_dir, table, f"_staging-{cid}")
-        shutil.rmtree(staging, ignore_errors=True)
-        chunk_df.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(staging, final)  # the atomic chunk commit
-        state["done_chunks"] = sorted(set(state["done_chunks"]) | {cid})
+        group_staging = os.path.join(target_dir, table, f"_staging-g{g}")
+        shutil.rmtree(group_staging, ignore_errors=True)
+        batch_df = spark.read.option("basePath", src_root).parquet(
+            *[os.path.join(src_root, f"chunk_id={cid}") for cid in group]
+        )
+        batch_df.write.mode("overwrite").partitionBy("chunk_id").parquet(
+            group_staging
+        )
+        for cid in group:
+            final = os.path.join(target_dir, table, f"chunk-{cid}")
+            shutil.rmtree(final, ignore_errors=True)
+            # atomic per-chunk commit; a crash mid-group re-loads only
+            # this group (renamed-but-uncheckpointed chunks overwrite
+            # idempotently on the resume)
+            os.rename(os.path.join(group_staging, f"chunk_id={cid}"), final)
+        shutil.rmtree(group_staging, ignore_errors=True)
+        state["done_chunks"] = sorted(set(state["done_chunks"]) | set(group))
         _write_ckpt(ckpt_dir, table, state)
         if loaded_chunks is not None:
-            loaded_chunks.append(cid)
-        n_this_run += 1
+            loaded_chunks.extend(group)
+        n_this_run += len(group)
     state["status"] = "finished"
     _write_ckpt(ckpt_dir, table, state)
 
