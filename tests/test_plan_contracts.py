@@ -711,10 +711,11 @@ def test_gopher_rules_is_map_only(spark, sf_dir):
 
 def test_ppl_bucket_full_corpus_side_has_no_global_sort(spark, sf_dir):
     """perplexity_bucket_sample's full-corpus side is map-only after the
-    LM aggregation: the tercile cutoffs are literals (driver-collected
-    from the bounded sample), so the final plan must contain no Sort over
-    the full corpus and no window — windows only ever ran on the
-    1/97 sample during cutoff computation."""
+    LM aggregation: the tercile cutoffs are literals (read off the
+    bounded distinct-score histogram driver-side), so the final plan
+    must contain no Sort over the full corpus and no window — the exact
+    cutoff computation uses no windows at all, only a histogram
+    aggregation plus two bounded collects."""
     from tiflow_spark.llm.sampling import perplexity_bucket_sample
     from tiflow_spark.llm.textstats import trigram_lm_score
     from tiflow_spark.envelope import load_table

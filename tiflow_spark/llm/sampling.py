@@ -528,7 +528,6 @@ def domain_cap_sql(
 def perplexity_bucket_sample(
     lm_scores: DataFrame,
     rates: dict[int, float] | None = None,
-    sample_mod: int = 97,
     salt: str = "ppl",
 ) -> DataFrame:
     """CCNet-style perplexity-bucketed sampling (Wenzek et al. 2020): cut
@@ -540,30 +539,73 @@ def perplexity_bucket_sample(
     (higher = more fluent here, so bucket 3 is CCNet's "head").
     ``rates``: keep-fraction per bucket {1: tail, 2: middle, 3: head}.
 
-    Scale shape: the tercile CUTOFFS come from a deterministic hash-free
-    1/``sample_mod`` doc_id sample — an exact ntile over that small frame
-    (two scalar cutoffs collected driver-side, like the k-means centroid
-    fetch), then bucketing + keep decisions are MAP-ONLY over the full
-    corpus (cutoff comparison + salted hash), no global sort of 100 TB.
-    CCNet itself computes cutoffs on a sample for the same reason. The
-    keep decision is the engine-portable salted-hash idiom shared with
-    dataset_split: append-stable, rerun-stable."""
-    from pyspark.sql import Window
-
+    Scale shape: the tercile CUTOFFS are EXACT true-rank boundaries of
+    the full corpus, computed with zero global sorts and zero windows.
+    lm_score is already rounded to 6 decimals in [0, 1] (textstats.
+    trigram_lm_score), so the distinct-score histogram is metadata-scale
+    (≤ 1,000,001 rows) regardless of corpus size. One corpus-scale
+    aggregation builds it; driver work is then bounded by two collects —
+    a ≤101-row coarse (2-decimal) sub-histogram to locate the buckets
+    holding the tercile ranks, and the ≤2×10,001 fine rows inside those
+    buckets to read the exact cutoff scores off a prefix sum. Bucketing
+    + keep decisions stay MAP-ONLY over the full corpus (cutoff-literal
+    comparison + salted hash). The keep decision is the engine-portable
+    salted-hash idiom shared with dataset_split: append-stable,
+    rerun-stable."""
     if rates is None:
         rates = {1: 0.1, 2: 0.5, 3: 1.0}
-    samp = lm_scores.filter(F.col("doc_id") % sample_mod == 0)
-    w = Window.orderBy("lm_score", "doc_id")
-    cuts = {
-        r["t"]: r["c"]
-        for r in samp.withColumn("t", F.ntile(3).over(w))
-        .groupBy("t")
-        .agg(F.max("lm_score").alias("c"))
-        .collect()
-    }
-    assert 1 in cuts, "cutoff sample is empty — lower sample_mod"
+    hist = (
+        lm_scores.groupBy("lm_score")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "coarse", F.floor(F.col("lm_score") * 100).cast("long")
+        )
+    )
+    hist.persist()
+    try:
+        # x → x*100 → floor is monotone, so (coarse, lm_score) order is
+        # global score order even under FP rounding of the multiply.
+        coarse = sorted(
+            (r["coarse"], r["n"])
+            for r in hist.groupBy("coarse")
+            .agg(F.sum("cnt").alias("n"))
+            .collect()
+        )
+        n = sum(c for _, c in coarse)
+        assert n >= 3, "need at least 3 scored docs for terciles"
+        q, rem = divmod(n, 3)
+        s1 = q + (1 if rem >= 1 else 0)
+        s2 = q + (1 if rem >= 2 else 0)
+        targets = {1: s1, 2: s1 + s2}  # true rank of each cutoff row
+        holder: dict[int, int] = {}  # cutoff id -> coarse bucket
+        base: dict[int, int] = {}  # coarse bucket -> cum count before it
+        cum = 0
+        for b, c in coarse:
+            for t, rank in targets.items():
+                if t not in holder and cum + c >= rank:
+                    holder[t] = b
+                    base[b] = cum
+            cum += c
+        fine = sorted(
+            (r["coarse"], r["lm_score"], r["cnt"])
+            for r in hist.filter(
+                F.col("coarse").isin(list(set(holder.values())))
+            ).collect()
+        )
+    finally:
+        hist.unpersist()
+    cuts: dict[int, float] = {}
+    for t, rank in targets.items():
+        cum = base[holder[t]]
+        for b, score, c in fine:
+            if b != holder[t]:
+                continue
+            cum += c
+            if cum >= rank:
+                cuts[t] = score
+                break
     c1 = cuts[1]
-    c2 = cuts.get(2, c1)
+    c2 = cuts[2]
     bucket = (
         F.when(F.col("lm_score") <= F.lit(c1), 1)
         .when(F.col("lm_score") <= F.lit(c2), 2)
@@ -585,10 +627,15 @@ def perplexity_bucket_sample(
 def perplexity_bucket_sample_sql(
     lm_cte: str,
     rates: dict[int, float] | None = None,
-    sample_mod: int = 97,
     salt: str = "ppl",
 ) -> str:
-    """DuckDB mirror over a CTE named `lm` providing (doc_id, lm_score)."""
+    """DuckDB mirror over a CTE named `lm` providing (doc_id, lm_score).
+
+    The Spark side reads the cutoffs off a distinct-score histogram
+    prefix sum; an exact full-corpus ntile yields the identical c1/c2
+    (the max score inside tercile t IS the score at true rank s1 /
+    s1+s2 — ties share a score, so doc_id tie order can't change it),
+    so the oracle just states the spec directly."""
     if rates is None:
         rates = {1: 0.1, 2: 0.5, 3: 1.0}
     h = portable_hash64_sql_duckdb(
@@ -596,11 +643,10 @@ def perplexity_bucket_sample_sql(
     )
     t1, t2, t3 = (int(rates[b] * _BUCKETS) for b in (1, 2, 3))
     return f"""WITH {lm_cte},
-    samp AS (SELECT doc_id, lm_score FROM lm WHERE doc_id % {sample_mod} = 0),
     tiles AS (
       SELECT lm_score,
              ntile(3) OVER (ORDER BY lm_score, doc_id) AS t
-      FROM samp
+      FROM lm
     ),
     cuts AS (
       SELECT
