@@ -335,3 +335,112 @@ def test_replay_idempotent_under_duplicate_delivery(spark, sf_dir, work_dir):
     assert replayed.count() == expected.count() and expected.count() > 0
     assert replayed.exceptAll(expected).count() == 0
     assert expected.exceptAll(replayed).count() == 0
+
+
+def _direct_apply_expected(split):
+    """Last-writer fold computed directly on the UPDATE-SPLIT change
+    stream — what any protocol's broker replay must reproduce. MQ sinks
+    always receive the split stream (sink.go:1187 forces SplitUpdate),
+    so the consumer's image-keyed fold matches the entity-keyed apply."""
+    from pyspark.sql import Window
+
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(
+        F.col("after")
+    )
+    flat = split.select(
+        "schema", "table", "key",
+        "op", "commit_ts", "seq",
+        img["id"].alias("id"),
+        img["balance"].alias("balance"),
+        img["note"].alias("note"),
+    )
+    w = Window.partitionBy("schema", "table", "key").orderBy(
+        F.col("commit_ts").desc(), F.col("seq").desc()
+    )
+    return (
+        flat.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .select("schema", "table", "key", "id", "balance", "note")
+    )
+
+
+def test_debezium_replay_matches_direct_apply(spark, sf_dir, work_dir):
+    """Debezium-configured consumer e2e (writer.go:51-63 debezium branch):
+    encode stream -> broker files -> replay -> applied state equals
+    direct apply. Table identity and commitTs come from the payload's
+    source block — no side channel."""
+    from tiflow_spark.codecs.debezium import encode_debezium
+    from tiflow_spark.operators.dispatchers import dispatch
+    from tiflow_spark.sinks.mq import produce_file_broker
+    from tiflow_spark.streaming.consumer import (
+        replay_debezium_broker_to_state,
+    )
+
+    env = tfm.split_updates(
+        events_to_changes(load_table(spark, sf_dir, "events"))
+    )
+    d = dispatch(env, DEMO_CFG, num_partitions=8)
+    msgs = encode_debezium(env).join(
+        d.select("commit_ts", "seq", "topic", "partition", "key"),
+        ["commit_ts", "seq"],
+    )
+    produce_file_broker(msgs, f"{work_dir}/broker", batch_id=0)
+
+    replayed = replay_debezium_broker_to_state(spark, f"{work_dir}/broker")
+    expected = _direct_apply_expected(env)
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0
+
+
+def test_avro_replay_matches_direct_apply(spark, sf_dir, work_dir):
+    """Avro-configured (Confluent framing) consumer e2e (writer.go's avro
+    branch): binary wire values through the broker, table identity from
+    the table-topic, applied state equals direct apply."""
+    from tiflow_spark.codecs.avro import encode_avro
+    from tiflow_spark.operators.dispatchers import dispatch
+    from tiflow_spark.sinks.mq import produce_file_broker
+    from tiflow_spark.streaming.consumer import replay_avro_broker_to_state
+
+    env = tfm.split_updates(
+        events_to_changes(load_table(spark, sf_dir, "events"))
+    )
+    d = dispatch(env, DEMO_CFG, num_partitions=8)
+    msgs = encode_avro(env).join(
+        d.select("commit_ts", "seq", "topic", "partition"),
+        ["commit_ts", "seq"],
+    )
+    produce_file_broker(msgs, f"{work_dir}/broker", batch_id=0)
+
+    replayed = replay_avro_broker_to_state(spark, f"{work_dir}/broker")
+    expected = _direct_apply_expected(env)
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0
+
+
+def test_avro_replay_idempotent_under_duplicate_delivery(spark, sf_dir, work_dir):
+    """At-least-once delivery for the avro path: a duplicated batch
+    yields the same applied state (fold idempotency holds for the binary
+    protocol too)."""
+    from tiflow_spark.codecs.avro import encode_avro
+    from tiflow_spark.operators.dispatchers import dispatch
+    from tiflow_spark.sinks.mq import produce_file_broker
+    from tiflow_spark.streaming.consumer import replay_avro_broker_to_state
+
+    env = tfm.split_updates(
+        events_to_changes(load_table(spark, sf_dir, "events"))
+    )
+    d = dispatch(env, DEMO_CFG, num_partitions=8)
+    msgs = encode_avro(env).join(
+        d.select("commit_ts", "seq", "topic", "partition"),
+        ["commit_ts", "seq"],
+    )
+    produce_file_broker(msgs, f"{work_dir}/broker", batch_id=0)
+    produce_file_broker(msgs, f"{work_dir}/broker", batch_id=99)
+
+    replayed = replay_avro_broker_to_state(spark, f"{work_dir}/broker")
+    expected = _direct_apply_expected(env)
+    assert replayed.count() == expected.count() and expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0

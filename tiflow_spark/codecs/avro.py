@@ -202,8 +202,16 @@ def encode_avro(env: DataFrame, schema_id: int = 1) -> DataFrame:
     )
 
 
-def decode_avro(messages: DataFrame, value_col: str = "value") -> DataFrame:
-    """Avro messages → change rows (consumer path, avro decoder parity)."""
+def decode_avro(
+    messages: DataFrame,
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Avro messages → change rows (consumer path, avro decoder parity).
+
+    ``extra_cols`` passes message-frame columns (topic/partition/offset
+    broker metadata) through the decode — join-free composition, same
+    passthrough as decode_avro_glue."""
     out_t = T.StructType(
         [
             T.StructField("schema_id", T.IntegerType()),
@@ -220,6 +228,7 @@ def decode_avro(messages: DataFrame, value_col: str = "value") -> DataFrame:
         return pd.DataFrame([decode_value_bytes(v) for v in value])
 
     return messages.withColumn("_d", dec(F.col(value_col))).select(
+        *extra_cols,
         "_d.op",
         "_d.schema_id",
         "_d.id",

@@ -62,8 +62,16 @@ def debezium_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> st
       ts_ms: 0::BIGINT
     }}}}) AS value FROM env"""
 
-def decode_debezium(messages: DataFrame, value_col: str = "value") -> DataFrame:
-    """Debezium envelope JSON → change rows (debezium consumer parity)."""
+def decode_debezium(
+    messages: DataFrame,
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Debezium envelope JSON → change rows (debezium consumer parity).
+
+    ``extra_cols`` passes message-frame columns (partition/offset broker
+    metadata) through the decode — join-free composition, same
+    passthrough as the other codec decoders."""
     img = "STRUCT<id: BIGINT, balance: DOUBLE, note: STRING>"
     schema = (
         f"payload STRUCT<before: {img}, after: {img}, "
@@ -71,13 +79,16 @@ def decode_debezium(messages: DataFrame, value_col: str = "value") -> DataFrame:
         "table: STRING, commitTs: BIGINT, ts_ms: BIGINT>, "
         "op: STRING, ts_ms: BIGINT>"
     )
-    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+    m = messages.select(
+        *extra_cols, F.from_json(F.col(value_col), schema).alias("m")
+    )
     op = (
         F.when(F.col("m.payload.op") == "c", "I")
         .when(F.col("m.payload.op") == "u", "U")
         .otherwise("D")
     )
     return m.select(
+        *extra_cols,
         op.alias("op"),
         F.col("m.payload.source.db").alias("schema"),
         F.col("m.payload.source.table").alias("table"),

@@ -6072,3 +6072,82 @@ def _install_resume_report_oracle() -> None:
 
 
 _install_resume_report_oracle()
+
+
+# ------------------------------------------------- round 8: consumer replay
+
+_DEBEZIUM_BROKER_DIRS: dict[str, str] = {}
+
+
+def _debezium_broker_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Produce the dispatched Debezium stream to a file broker once per
+    (process, sf_dir); the replay query consumes from it."""
+    if sf_dir not in _DEBEZIUM_BROKER_DIRS:
+        import tempfile
+
+        from tiflow_spark.codecs.debezium import encode_debezium
+        from tiflow_spark.sinks.mq import produce_file_broker
+
+        # identity-changing updates MUST be split ahead of any MQ encoder
+        # (sink.go:1187 forces SplitUpdate for Kafka sinks) — the consumer
+        # keys by the image's handle column, so an un-split U(id 5→105)
+        # would leave the old row alive downstream.
+        env = tfm.split_updates(_env(spark, sf_dir))
+        d = dispatch(env, DEMO_CFG, num_partitions=16)
+        msgs = encode_debezium(env).join(
+            d.select("commit_ts", "seq", "topic", "partition", "key"),
+            ["commit_ts", "seq"],
+        )
+        base = tempfile.mkdtemp(prefix="tiflow_dbz_")
+        produce_file_broker(msgs, base, batch_id=0)
+        _DEBEZIUM_BROKER_DIRS[sf_dir] = base
+    return _DEBEZIUM_BROKER_DIRS[sf_dir]
+
+
+@register(
+    "consumer_replay_debezium",
+    f"""{ENV_CTE},
+    split AS (
+      SELECT op, "schema", "table", commit_ts, seq * 2 AS seq,
+             CAST(coalesce(after_id, before_id) AS VARCHAR) AS key,
+             before_id, before_balance, before_note,
+             after_id, after_balance, after_note
+      FROM env WHERE NOT (op = 'U' AND before_id <> after_id)
+      UNION ALL
+      SELECT 'D', "schema", "table", commit_ts, seq * 2,
+             CAST(before_id AS VARCHAR),
+             before_id, before_balance, before_note, NULL, NULL, NULL
+      FROM env WHERE op = 'U' AND before_id <> after_id
+      UNION ALL
+      SELECT 'I', "schema", "table", commit_ts, seq * 2 + 1,
+             CAST(after_id AS VARCHAR),
+             NULL, NULL, NULL, after_id, after_balance, after_note
+      FROM env WHERE op = 'U' AND before_id <> after_id
+    ),
+    last AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY "schema", "table", key
+          ORDER BY commit_ts DESC, seq DESC) AS rn
+        FROM split) WHERE rn = 1
+    )
+    SELECT "schema", "table", key, after_id AS id,
+           after_balance AS balance, after_note AS note
+    FROM last WHERE op <> 'D'""",
+)
+def q_consumer_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-configured consumer replay end-to-end (the writer.go:51-63
+    debezium branch): envelope -> debezium-encoded topic on the file
+    broker -> decode -> shared last-writer apply. The protocol's source
+    block carries (db, table, commitTs), so the oracle is the direct
+    last-writer fold over the update-split change stream — broker offsets
+    reproduce (commit_ts, seq) order per key because the producer
+    appends in dispatch order and the index-value dispatcher is
+    key-sticky (streaming/consumer.replay_debezium_broker_to_state)."""
+    from tiflow_spark.streaming.consumer import (
+        replay_debezium_broker_to_state,
+    )
+
+    return replay_debezium_broker_to_state(
+        spark, _debezium_broker_dir(spark, sf_dir)
+    )

@@ -242,6 +242,101 @@ def replay_simple_broker_with_ddl(
     return last.filter(F.col("op") != "D").drop("op")
 
 
+def _last_writer_fold(rows: DataFrame) -> DataFrame:
+    """Shared consumer apply: last-writer state per (schema, table, key)
+    ordered by (commit_ts, offset), live rows only. Every protocol's
+    replay ends here — the consumer-side mirror of the MySQL-sink apply
+    (cmd/kafka-consumer/writer.go funnels all five decoders into the
+    same downstream apply). One keyed fold shuffle."""
+    w = Window.partitionBy("schema", "table", "key").orderBy(
+        F.col("commit_ts").desc(), F.col("offset").desc()
+    )
+    last = (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "commit_ts", "offset")
+    )
+    return last.filter(F.col("_op_class") != "D").drop("_op_class")
+
+
+def replay_debezium_broker_to_state(
+    spark: SparkSession,
+    broker_dir: str,
+    topic: str | None = None,
+) -> DataFrame:
+    """Debezium consumer replay (cmd/kafka-consumer/writer.go:51-63's
+    debezium branch): the envelope's source block carries (db, table,
+    commitTs), so table identity AND fold order come from the protocol
+    itself — no topic-name side channel, and full-precision commitTs
+    avoids the canal ms-truncation caveat. The fold key is the handle
+    column of the typed image (the reference consumer reads it from the
+    message key envelope; for the bank payload both are `id`). D events
+    key by the before-image, everything else by after.
+
+    Output: (schema, table, key, id, balance, note) live rows.
+    Scale shape: one from_json map stage, one (schema, table, key) fold
+    shuffle; broker scan prunes by topic."""
+    from tiflow_spark.codecs.debezium import decode_debezium
+    from tiflow_spark.sinks.mq import consume_file_broker
+
+    msgs = consume_file_broker(spark, broker_dir, topic)
+    dec = decode_debezium(msgs, extra_cols=("offset",))
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(
+        F.col("after")
+    )
+    rows = dec.select(
+        "schema",
+        "table",
+        img["id"].cast("string").alias("key"),
+        F.col("op").alias("_op_class"),
+        "commit_ts",
+        "offset",
+        img["id"].alias("id"),
+        img["balance"].alias("balance"),
+        img["note"].alias("note"),
+    )
+    return _last_writer_fold(rows)
+
+
+def replay_avro_broker_to_state(
+    spark: SparkSession,
+    broker_dir: str,
+    topic: str | None = None,
+) -> DataFrame:
+    """Confluent-framed Avro consumer replay (writer.go's avro branch):
+    the value body carries the typed row + op + full-precision commit_ts;
+    table identity is topic-derived ('schema.table' — the reference's
+    avro protocol likewise requires table-topic dispatch, so the topic IS
+    the table's address). Fold key is the Avro key-schema column (`id`).
+
+    Output: (schema, table, key, id, balance, note) live rows.
+    Scale shape: one Arrow-batched decode stage (binary wire format —
+    the one place a pandas_udf is the right tool), one keyed fold
+    shuffle; broker scan prunes by topic."""
+    from tiflow_spark.codecs.avro import decode_avro
+    from tiflow_spark.sinks.mq import consume_file_broker
+
+    msgs = consume_file_broker(spark, broker_dir, topic)
+    dec = decode_avro(msgs, extra_cols=("topic", "offset"))
+    dot = F.instr(F.col("topic"), ".")
+    rows = dec.select(
+        F.when(dot > 0, F.substring_index("topic", ".", 1))
+        .otherwise(F.lit(""))
+        .alias("schema"),
+        F.when(dot > 0, F.substring_index("topic", ".", -1))
+        .otherwise(F.col("topic"))
+        .alias("table"),
+        F.col("id").cast("string").alias("key"),
+        F.col("op").alias("_op_class"),
+        "commit_ts",
+        "offset",
+        "id",
+        "balance",
+        "note",
+    )
+    return _last_writer_fold(rows)
+
+
 def replay_open_broker_to_state(
     spark: SparkSession,
     broker_dir: str,
