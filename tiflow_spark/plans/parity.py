@@ -6151,3 +6151,50 @@ def q_consumer_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_debezium_broker_to_state(
         spark, _debezium_broker_dir(spark, sf_dir)
     )
+
+
+@register("llm_ingest_funnel", None)  # oracle installed below
+def q_llm_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing LLM-corpus ingest subsystem end-to-end
+    (streaming/llm_ingest.py): init + three ingest_batch calls over a
+    deterministic doc_id%3 split of the corpus_with_dups fixture, with a
+    length quality gate — each batch is gated, incrementally deduped
+    against the PERSISTED LSH index (first-arrival-wins, id-independent)
+    plus itself, and atomically committed; the returned curated corpus
+    must equal the staged keep-set the oracle computes from the global
+    verified pair graph. Clones land in earlier batches than some
+    originals (the +10000/+20000 ids shift arrival order), so the
+    id-independent first-arrival rule is genuinely exercised."""
+    import tempfile
+
+    from tiflow_spark.llm.dedup import corpus_with_dups
+    from tiflow_spark.streaming.llm_ingest import (
+        ingest_batch,
+        init_ingest_state,
+        read_corpus,
+    )
+
+    docs = corpus_with_dups(_docs(spark, sf_dir))
+    state = tempfile.mkdtemp(prefix="tiflow_ingest_q_")
+    init_ingest_state(spark, state)
+    for k in range(3):
+        ingest_batch(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == k),
+            k,
+            state,
+            quality_gate=lambda df: df.filter(F.length("text") >= 200),
+        )
+    return read_corpus(spark, state).select("doc_id", "text")
+
+
+def _install_ingest_funnel_sql() -> None:
+    from tiflow_spark.streaming.llm_ingest import ingest_funnel_sql
+
+    REGISTRY["llm_ingest_funnel"] = (
+        REGISTRY["llm_ingest_funnel"][0],
+        ingest_funnel_sql(n_batches=3, min_len=200),
+    )
+
+
+_install_ingest_funnel_sql()

@@ -217,3 +217,109 @@ def run_corpus_ingest(
 def read_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     """The curated corpus (all committed batches)."""
     return _read_parts(spark, os.path.join(state_dir, "corpus"), DOC_SCHEMA)
+
+
+def ingest_funnel_sql(
+    n_batches: int = 3,
+    min_len: int = 200,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+) -> str:
+    """DuckDB oracle for the staged ingest funnel over the
+    corpus_with_dups fixture split into ``n_batches`` by ``doc_id %
+    n_batches`` (batch index = arrival order): length gate, then per
+    batch the EXACT incremental drop rules of :func:`ingest_batch` —
+    a batch doc loses every verified pairing with an indexed doc
+    regardless of id orientation (first-arrival-wins), and within the
+    batch the larger id loses. Expressible as plain SQL because banding
+    is per-doc deterministic: the global verified pair set P restricted
+    to (index ∪ batch) is exactly the candidate set each batch sees —
+    dropped docs are never indexed, so their pairs simply never
+    materialize downstream, which the membership predicates mirror."""
+    from tiflow_spark.llm.dedup import (
+        CORPUS_SQL,
+        _minhash_coeffs,
+        _shingles_sql,
+    )
+
+    rows_per_band = num_hashes // bands
+    mh = ", ".join(
+        f"list_min(list_transform(hv, h -> "
+        f"({a} * (h % 1073741824) + {c} * (h // 1073741824) + {b})"
+        f" % 2305843009213693951)) AS mh_{i}"
+        for i, (a, c, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = ", ".join(
+        "({b}, {sig})".format(
+            b=b,
+            sig="concat_ws('|', "
+            + ", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + ")",
+        )
+        for b in range(bands)
+    )
+    stages = []
+    keeps = []
+    for k in range(n_batches):
+        if k == 0:
+            # empty index: only the in-batch rule applies
+            stages.append(f"""k0 AS (
+  SELECT doc_id FROM gated WHERE bk = 0 AND doc_id NOT IN (
+    SELECT id_b FROM pb WHERE ba = 0 AND bb = 0)
+)""")
+        else:
+            idx = " UNION ".join(
+                f"SELECT doc_id FROM k{j}" for j in range(k)
+            )
+            stages.append(f"""i{k} AS ({idx}),
+d{k} AS (
+  SELECT id_b AS doc_id FROM pb
+  WHERE bb = {k} AND id_a IN (SELECT doc_id FROM i{k})
+  UNION
+  SELECT id_a FROM pb
+  WHERE ba = {k} AND id_b IN (SELECT doc_id FROM i{k})
+  UNION
+  SELECT id_b FROM pb WHERE ba = {k} AND bb = {k}
+),
+k{k} AS (
+  SELECT doc_id FROM gated WHERE bk = {k}
+    AND doc_id NOT IN (SELECT doc_id FROM d{k})
+)""")
+        keeps.append(f"SELECT doc_id FROM k{k}")
+    jac = (
+        "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh))), 6)"
+    )
+    return f"""WITH {CORPUS_SQL.strip()},
+gated AS (
+  SELECT doc_id, text, doc_id % {n_batches} AS bk
+  FROM corpus WHERE length(text) >= {min_len}
+),
+sh AS (SELECT doc_id, {_shingles_sql("text", n)} AS sh FROM gated),
+hs AS (SELECT doc_id,
+       list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hv
+       FROM sh),
+sigs AS (SELECT doc_id, {mh} FROM hs),
+banded AS (
+  SELECT doc_id, b.* FROM sigs,
+  LATERAL (VALUES {band_rows}) AS b(band, sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pb AS (
+  SELECT id_a, id_b, id_a % {n_batches} AS ba, id_b % {n_batches} AS bb
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE {jac} >= {threshold}
+),
+{",".join(stages)}
+SELECT g.doc_id, g.text FROM gated g
+JOIN ({" UNION ".join(keeps)}) keep USING (doc_id)"""
