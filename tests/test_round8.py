@@ -1,0 +1,129 @@
+"""Round-8 features: checkpointed row-diff outcomes (a fully
+checkpointed sync_diff assembles its report with zero table scans) and
+the consumer-replay protocol completions."""
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from tiflow_spark.envelope import load_table
+
+CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+@pytest.fixture()
+def ckpt_dir():
+    d = tempfile.mkdtemp(prefix="tiflow_syncdiff_ckpt8_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _corrupt(cust):
+    drift = cust.filter(F.col("c_custkey") % 101 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 97 == 0, F.col("c_acctbal") + 1.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    extra = cust.filter(F.col("c_custkey") % 103 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    return drift.unionByName(extra)
+
+
+def test_row_diff_outcomes_are_checkpointed(spark, sf_dir, ckpt_dir):
+    """After the chunk phase completes, the first resume_row_diff call
+    commits its rows to the checkpoint; later calls read ONLY the
+    checkpoint — proven by passing empty (schema-only) table frames and
+    still getting the full diff back."""
+    from tiflow_spark.validation.syncdiff import (
+        resumable_chunk_compare,
+        resume_row_diff,
+        targeted_row_diff,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    dst = _corrupt(src)
+    resumable_chunk_compare(
+        spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir
+    )
+    first = resume_row_diff(
+        spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir
+    )
+    assert os.path.isdir(os.path.join(ckpt_dir, "rowdiff"))
+    # zero-rescan: empty frames, full answer
+    again = resume_row_diff(
+        spark, src.limit(0), dst.limit(0), "c_custkey", CUST_COLS, 64,
+        ckpt_dir,
+    )
+    want = targeted_row_diff(src, dst, "c_custkey", CUST_COLS, 64)
+    for got in (first, again):
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_report_from_full_checkpoint_touches_no_table_data(
+    spark, sf_dir, ckpt_dir
+):
+    """VERDICT r7 #7's done-criterion: with all chunk batches AND the
+    row-diff outcomes checkpointed, summary_report_from_checkpoint must
+    be assembled from checkpoint state alone — asserted by handing it
+    empty (schema-only) table frames and requiring the report to equal
+    the never-interrupted direct one."""
+    from tiflow_spark.validation.syncdiff import (
+        resumable_chunk_compare,
+        resume_row_diff,
+        summary_report,
+        summary_report_from_checkpoint,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    dst = _corrupt(src)
+    resumable_chunk_compare(
+        spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir
+    )
+    resume_row_diff(spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir)
+    got = summary_report_from_checkpoint(
+        spark, src.limit(0), dst.limit(0), "c_custkey", CUST_COLS, 64,
+        ckpt_dir, schema="s", table="customer",
+    ).collect()[0]
+    want = summary_report(
+        src, dst, "c_custkey", CUST_COLS, 64, schema="s", table="customer"
+    ).collect()[0]
+    assert got.asDict() == want.asDict()
+
+
+def test_partial_checkpoint_does_not_freeze_row_diff(spark, sf_dir, ckpt_dir):
+    """A row-diff call against a PARTIAL chunk checkpoint must not
+    persist its (partial) mismatch set: the rowdiff dir appears only
+    once the chunk phase is complete, and the final outcome equals the
+    direct targeted diff."""
+    from tiflow_spark.validation.syncdiff import (
+        resumable_chunk_compare,
+        resume_row_diff,
+        targeted_row_diff,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    dst = _corrupt(src)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        resumable_chunk_compare(
+            spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir,
+            chunks_per_batch=2, fail_after_batches=1,
+        )
+    resume_row_diff(spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir)
+    assert not os.path.isdir(os.path.join(ckpt_dir, "rowdiff"))
+    resumable_chunk_compare(
+        spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir
+    )
+    got = resume_row_diff(
+        spark, src, dst, "c_custkey", CUST_COLS, 64, ckpt_dir
+    )
+    assert os.path.isdir(os.path.join(ckpt_dir, "rowdiff"))
+    want = targeted_row_diff(src, dst, "c_custkey", CUST_COLS, 64)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0

@@ -369,22 +369,64 @@ def resume_row_diff(
     mismatched chunk ids from ``checkpoint_dir`` (no re-checksum pass at
     all — the reference's resume reuses its chunk report the same way)
     and row-joins ONLY those chunks, with the chunk predicate pushed to
-    the scan like :func:`targeted_row_diff`."""
+    the scan like :func:`targeted_row_diff`.
+
+    The row-diff OUTCOMES are themselves checkpointed (checkpoints.go
+    SavedState persists report + row results alongside chunk state): once
+    the chunk phase is complete, the first call computes the pruned join
+    and atomically commits its rows (tagged per chunk) as a ``rowdiff``
+    parquet dir next to the batch files; every later call — including a
+    resumed :func:`summary_report_from_checkpoint` — reads that dir and
+    touches ZERO table data. Mismatch-set-scale by construction (the join
+    was already pruned to bad chunks), and written distributed, so no
+    driver collect. A crash mid-write leaves only ``rowdiff.staging`` and
+    the next call recomputes — one pruned job of loss, while the
+    expensive full-table checksum phase keeps its batch granularity."""
     import json as _json
     import os as _os
+    import shutil as _shutil
+
+    rd_dir = _os.path.join(checkpoint_dir, "rowdiff")
+    if _os.path.isdir(rd_dir):
+        return spark.read.parquet(rd_dir).drop("chunk_id")
 
     bad: list[int] = []
+    batch_files = 0
     for name in sorted(_os.listdir(checkpoint_dir)):
         if not (name.startswith("batch_") and name.endswith(".json")):
             continue
+        batch_files += 1
         with open(_os.path.join(checkpoint_dir, name)) as f:
             for r in _json.load(f):
                 if not r["match"]:
                     bad.append(r["chunk_id"])
+    # the rowdiff outcome is only durable once the chunk worklist is fully
+    # checksummed — freezing it against a partial checkpoint would pin a
+    # partial mismatch set
+    complete = False
+    bounds_path = _os.path.join(checkpoint_dir, "_chunks.json")
+    if _os.path.exists(bounds_path):
+        with open(bounds_path) as f:
+            meta = _json.load(f)
+        cpb = meta["chunks_per_batch"]
+        complete = batch_files >= max(
+            1, (len(meta["chunks"]) + cpb - 1) // cpb
+        )
+
     if not bad:
-        return row_diff(src.limit(0), dst.limit(0), pk, cols)
-    pred = chunk_id_col(pk, width).isin(*bad)
-    return row_diff(src.filter(pred), dst.filter(pred), pk, cols)
+        diff = row_diff(src.limit(0), dst.limit(0), pk, cols)
+    else:
+        pred = chunk_id_col(pk, width).isin(*bad)
+        diff = row_diff(src.filter(pred), dst.filter(pred), pk, cols)
+    if not complete:
+        return diff
+    staging = rd_dir + ".staging"
+    _shutil.rmtree(staging, ignore_errors=True)
+    diff.withColumn("chunk_id", chunk_id_col(pk, width)).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    _os.rename(staging, rd_dir)
+    return spark.read.parquet(rd_dir).drop("chunk_id")
 
 
 def summary_report_from_checkpoint(
@@ -403,9 +445,10 @@ def summary_report_from_checkpoint(
     state precisely so a resumed diff finishes its report without
     re-checksumming (checkpoints.go SavedState/Report). The chunk
     aggregates come straight from the persisted per-batch results (zero
-    table scans); only the row-diff over mismatched chunks touches data,
-    through :func:`resume_row_diff`'s pruned scan. Column-identical to
-    :func:`summary_report`."""
+    table scans); the row-diff phase reads its own checkpointed outcomes
+    when present (:func:`resume_row_diff`'s rowdiff parquet) — a fully
+    checkpointed diff assembles this report touching NO table data at
+    all. Column-identical to :func:`summary_report`."""
     cc = resumable_chunk_compare(
         spark, src, dst, pk, cols, width, checkpoint_dir
     )
