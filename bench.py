@@ -26,7 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SECTIONS = ["headline", "r5ops", "r6ops", "r7ops", "stream", "incdedup", "live"]
+SECTIONS = [
+    "headline", "r5ops", "r6ops", "r7ops", "r8ops", "stream", "incdedup",
+    "live",
+]
 
 
 def _spark():
@@ -195,6 +198,110 @@ def section_r7ops(sf_dir: str) -> dict:
     }
 
 
+def section_r8ops(sf_dir: str) -> dict:
+    # round-8 surface: the debezium-configured consumer replay e2e, the
+    # loader query-status facade, steady-state per-batch ingest of the
+    # standing LLM funnel (Gopher hard-filter gate + incremental dedup vs
+    # a persisted full-corpus index — the VERDICT r7 #3 ask), and the
+    # schema-evolving simple-protocol replay (VERDICT r7 #8)
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    timings = _time_registry_set(
+        spark, sf_dir, ["consumer_replay_debezium", "snapshot_load_status"]
+    )
+
+    # per-batch standing ingest: full corpus is the PERSISTED state (its
+    # build is the fixture, untimed); timed = gate + incremental dedup +
+    # atomic batch commit for a 10% batch. Same batch_id every rep — the
+    # replay-idempotent overwrite makes reps identical work.
+    from tiflow_spark.llm.textstats import gopher_rules
+    from tiflow_spark.streaming.llm_ingest import (
+        ingest_batch,
+        init_ingest_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    state = tempfile.mkdtemp(prefix="tiflow_bench_ingest_")
+    init_ingest_state(spark, state, seed=docs)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+
+    def gate(df):
+        keep = gopher_rules(df).filter("passes").select("doc_id")
+        return df.join(keep, "doc_id", "left_semi")
+
+    ingest_batch(spark, batch, 1, state, quality_gate=gate)  # warm
+    best = None
+    for _rep in range(5):
+        t0 = time.perf_counter()
+        ingest_batch(spark, batch, 1, state, quality_gate=gate)
+        el = time.perf_counter() - t0
+        best = el if best is None or el < best else best
+    timings["ingest_batch_gopher"] = round(best, 3)
+    print(f"# ingest_batch_gopher: {timings['ingest_batch_gopher']}s",
+          file=sys.stderr)
+    shutil.rmtree(state, ignore_errors=True)
+
+    # schema-evolving simple-protocol consumer replay: changefeed with a
+    # CREATE TABLE DDL side-channel per source table, replayed through
+    # the registry-building consumer
+    from tiflow_spark.envelope import events_to_changes, load_table
+    from tiflow_spark.operators import filters as flt
+    from tiflow_spark.plans.parity import DEMO_CFG
+    from tiflow_spark.streaming.consumer import replay_simple_broker_with_ddl
+    from tiflow_spark.tools import create_changefeed
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    work = tempfile.mkdtemp(prefix="tiflow_bench_simple_")
+    src = f"{work}/source"
+    env.repartition(8).write.parquet(src)
+    filtered = flt.apply_filters(env, DEMO_CFG)
+    tables = filtered.select("schema", "table").distinct().collect()
+    t0_ts = filtered.agg(F.min("commit_ts")).collect()[0][0] - 1
+    ddl = spark.createDataFrame(
+        [
+            (
+                "DDL", r["schema"], r["table"], t0_ts, i, "create table",
+                f"CREATE TABLE {r['table']} (id BIGINT PRIMARY KEY, "
+                "balance DOUBLE, note VARCHAR)",
+            )
+            for i, r in enumerate(sorted(tables, key=tuple))
+        ],
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string",
+    )
+    _spec, broker = create_changefeed(
+        spark, src, DEMO_CFG,
+        "kafka://broker:9092/cdc-demo?protocol=simple&partition-num=8",
+        work, ddl_events=ddl,
+    )
+    replay_simple_broker_with_ddl(spark, broker).count()  # warm
+    best, n = None, 0
+    for _rep in range(5):
+        t0 = time.perf_counter()
+        n = replay_simple_broker_with_ddl(spark, broker).count()
+        el = time.perf_counter() - t0
+        best = el if best is None or el < best else best
+    timings["consumer_replay_simple_ddl"] = round(best, 3)
+    print(
+        f"# consumer_replay_simple_ddl: {n} rows in "
+        f"{timings['consumer_replay_simple_ddl']}s",
+        file=sys.stderr,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "r8_queries": timings,
+        "r8_total_sec": round(sum(timings.values()), 3),
+    }
+
+
 def section_stream(sf_dir: str) -> dict:
     # steady-state streaming apply: seed the hash-bucket target with the
     # full state once, then time small incremental merges — per-batch cost
@@ -254,13 +361,28 @@ def section_stream(sf_dir: str) -> dict:
             small, target, n_buckets=n_buckets, batch_id=i, mode="delta"
         )
         delta_secs.append(round(time.perf_counter() - t0, 3))
-    t0 = time.perf_counter()
-    compact_deltas(spark, target)
-    compact_sec = round(time.perf_counter() - t0, 3)
+    # compact_deltas mutates the target, so reps each run on a fresh COPY
+    # of the delta'd state (copy untimed). r7's 16.9 s (vs r6's 5.95 s on
+    # an identical plan) was a single COLD run in the isolated JVM — the
+    # only stream op with neither a warm pass nor repetitions; warm +
+    # min-of-3 pins the plan's cost instead of first-run codegen/committer
+    # warmup (the same fix the r6→r7 headline got).
+    warm_cp = f"{work}/compact_warm"
+    shutil.copytree(target, warm_cp)
+    compact_deltas(spark, warm_cp)
+    compact_reps = []
+    for r in range(3):
+        cp = f"{work}/compact_rep{r}"
+        shutil.copytree(target, cp)
+        t0 = time.perf_counter()
+        compact_deltas(spark, cp)
+        compact_reps.append(round(time.perf_counter() - t0, 3))
+    compact_sec = min(compact_reps)
     shutil.rmtree(work, ignore_errors=True)
     print(
         f"# stream seed {seed_sec}s; batches {batch_secs}; "
-        f"delta batches {delta_secs}; compact {compact_sec}s",
+        f"delta batches {delta_secs}; compact {compact_sec}s "
+        f"(min of {compact_reps})",
         file=sys.stderr,
     )
     return {
@@ -268,6 +390,7 @@ def section_stream(sf_dir: str) -> dict:
         "stream_batch_secs": batch_secs,
         "stream_delta_batch_secs": delta_secs,
         "stream_compact_sec": compact_sec,
+        "stream_compact_reps": compact_reps,
     }
 
 
@@ -342,12 +465,15 @@ def section_live(sf_dir: str) -> dict:
         processing_time="200 milliseconds",
     )
     try:
-        for i in (1, 2, 3):
+        # 5 appended files → ≥5 row-carrying batches (r7's 3 samples were
+        # too few to separate first-batch warmup from steady state; the
+        # MIN is the standing changefeed's per-trigger cost)
+        for i in (1, 2, 3, 4, 5):
             env.filter(F.col("seq") % 50 == i).coalesce(1).write.mode(
                 "append"
             ).parquet(live_src)
             _t.sleep(2.5)
-        deadline = _t.time() + 30
+        deadline = _t.time() + 45
         while _t.time() < deadline:
             p = q.lastProgress
             if p and p["numInputRows"] == 0:
@@ -363,7 +489,10 @@ def section_live(sf_dir: str) -> dict:
     shutil.rmtree(live_work, ignore_errors=True)
     print(f"# live-trigger batch latencies (ms): {live_batch_ms}",
           file=sys.stderr)
-    return {"live_batch_ms": live_batch_ms}
+    return {
+        "live_batch_ms": live_batch_ms,
+        "live_batch_ms_min": min(live_batch_ms) if live_batch_ms else None,
+    }
 
 
 def main() -> None:

@@ -6198,3 +6198,56 @@ def _install_ingest_funnel_sql() -> None:
 
 
 _install_ingest_funnel_sql()
+
+
+@register(
+    "snapshot_load_status",
+    """WITH cs AS (SELECT max(c_custkey) // 8 + 1 AS sz FROM customer),
+    n AS (SELECT count(DISTINCT c_custkey // sz) AS total
+          FROM customer CROSS JOIN cs)
+    SELECT 'after_crash' AS phase, 'customer' AS "table",
+           'running' AS status, CAST(3 AS BIGINT) AS chunks_done FROM n
+    UNION ALL
+    SELECT 'after_resume', 'customer', 'finished', CAST(total AS BIGINT)
+    FROM n""",
+)
+def q_snapshot_load_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DM query-status over the loader checkpoints (dm/worker query-status
+    + pb.ProcessResult progress view): snapshot the per-table unit status
+    mid-crash (running, 3 chunks committed) and after the resumed load
+    (finished, every occupied chunk) — both read purely from persisted
+    checkpoint state (sources/loader.load_status). The oracle derives the
+    chunk universe from the table itself with the same scale-adaptive
+    chunk size as the load fixture."""
+    import tempfile
+
+    from tiflow_spark.sources.loader import (
+        dump_snapshot_chunks,
+        load_status,
+        resumable_snapshot_load,
+    )
+
+    src = load_table(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="tiflow_loadstat_")
+    chunk_size = src.agg(F.max("c_custkey")).collect()[0][0] // 8 + 1
+    dump_snapshot_chunks(
+        src, f"{work}/dump", "customer", "c_custkey", chunk_size
+    )
+    try:
+        resumable_snapshot_load(
+            spark, f"{work}/dump", f"{work}/target", "customer",
+            f"{work}/ckpt", fail_after_chunks=3,
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass  # the injected mid-load crash
+    s1 = load_status(spark, f"{work}/ckpt", ["customer"]).withColumn(
+        "phase", F.lit("after_crash")
+    )
+    resumable_snapshot_load(
+        spark, f"{work}/dump", f"{work}/target", "customer", f"{work}/ckpt"
+    )
+    s2 = load_status(spark, f"{work}/ckpt", ["customer"]).withColumn(
+        "phase", F.lit("after_resume")
+    )
+    return s1.unionByName(s2).select("phase", "table", "status", "chunks_done")
