@@ -21,90 +21,75 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~3 rounds without a hard-signal row. Round 7 (per VERDICT
-# r6 next-round #2): ALL 18 queries whose latest check was round 3 (the
-# longest-unaudited block, fully cleared this round) + the 11 queries new in
-# round 7 (validate_resume = sync_diff checkpoint/resume, validate_resume_report
-# = crash-resume finishing its report from checkpoint state,
-# codec_avro_glue = the Glue registry wire variant, dedup_index_compact =
-# the stats-sidecar exact re-cap, text_gopher_rules = the integer-exact
-# Gopher hard-filter battery, sample_ppl_buckets = CCNet perplexity-bucket
-# sampling, dedup_keep_best = quality-aware dup-group keep policy,
-# sample_unimax = UniMax language-budget waterfill, sample_dsir = DSIR
-# importance resampling, snapshot_load_resume = DM loader crash-resume
-# with per-chunk atomic commits, text_top_ngrams = C4-style heavy-hitter
-# n-gram boilerplate report) + 21 of the 50 r4-stale queries in name
-# order. The 29 r4-stale deferrals (olap_daily_event_rollup,
-# olap_disjunctive_revenue,
-# olap_late_shipments,
-# olap_local_supplier_volume, olap_lost_customers, olap_nation_volume,
-# olap_order_priority,
-# olap_pricing_summary, olap_promo_revenue, olap_shipping_priority,
-# olap_sliding_rate, olap_small_qty_revenue, olap_top_spenders,
-# olap_top_supplier, olap_user_sessions, olap_waiting_suppliers,
-# pack_sequences, sample_stratified, sample_temperature, sim_ann_recall,
-# sim_ann_sq, sink_uri_route, snapshot_merge_partial, stream_delta_merge,
-# text_contamination, text_normalize, text_pii_scrub, text_rarity,
-# text_repetition) rotate FIRST in round 8; each is meanwhile covered by
-# the local sf0.001 oracle sweep every pytest run (tests/test_parity.py)
-# and several by bench/unit paths (olap_shipping_priority in the headline
-# set context, stream_delta_merge by the bench stream section,
-# text_*/pack_sequences by tests/test_llm_*.py). The remainder follows in
-# registration order as regression sentinels.
+# goes more than ~4 rounds without a hard-signal row. Round 8 (per VERDICT
+# r7 next-round #1): ALL 29 queries whose latest check was round 4 (the
+# longest-unaudited block, fully cleared this round) + the 3 queries new in
+# round 8 (consumer_replay_debezium = the debezium-configured consumer
+# replay e2e, llm_ingest_funnel = the standing streaming-ingest subsystem
+# hard-signaled, snapshot_load_status = the DM loader query-status facade)
+# + 2 round-8 PLAN-CHANGED re-checks (sample_ppl_buckets now computes
+# exact histogram-derived tercile cutoffs — no sample, no window;
+# validate_resume_report now assembles from the checkpointed row-diff
+# outcomes) + the 16 oldest r5-checked names in name order. The remaining
+# 33 r5-checked names rotate first in round 9; every deferred name is
+# meanwhile covered by the local sf0.001 oracle sweep on every pytest run
+# (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
+# follows in registration order as regression sentinels.
 _PRIORITY = [
-    # latest-checked round 3 — all 18, longest-unaudited first
-    "cdc_envelope",
-    "cdc_filter_summary",
-    "cdc_metrics",
-    "cdc_row_checksum",
-    "cdc_topic_template",
-    "cdc_typed_apply",
-    "codec_canal_json_ddl",
-    "codec_csv",
-    "codec_maxwell",
-    "codec_simple",
-    "data_split",
-    "dedup_groups",
-    "filter_helper",
-    "handle_error_dlq",
-    "mm_frame_sample",
-    "precheck_structure",
-    "shardddl_enforce",
-    "validate_binsearch",
-    # new in round 7 (never driver-checked)
-    "validate_resume",
-    "validate_resume_report",
-    "codec_avro_glue",
-    "dedup_index_compact",
-    "text_gopher_rules",
+    # latest-checked round 4 — all 29, longest-unaudited first
+    "olap_daily_event_rollup",
+    "olap_disjunctive_revenue",
+    "olap_late_shipments",
+    "olap_local_supplier_volume",
+    "olap_lost_customers",
+    "olap_nation_volume",
+    "olap_order_priority",
+    "olap_pricing_summary",
+    "olap_promo_revenue",
+    "olap_shipping_priority",
+    "olap_sliding_rate",
+    "olap_small_qty_revenue",
+    "olap_top_spenders",
+    "olap_top_supplier",
+    "olap_user_sessions",
+    "olap_waiting_suppliers",
+    "pack_sequences",
+    "sample_stratified",
+    "sample_temperature",
+    "sim_ann_recall",
+    "sim_ann_sq",
+    "sink_uri_route",
+    "snapshot_merge_partial",
+    "stream_delta_merge",
+    "text_contamination",
+    "text_normalize",
+    "text_pii_scrub",
+    "text_rarity",
+    "text_repetition",
+    # new in round 8 (never driver-checked)
+    "consumer_replay_debezium",
+    "llm_ingest_funnel",
+    "snapshot_load_status",
+    # round-8 plan-changed re-checks
     "sample_ppl_buckets",
-    "dedup_keep_best",
-    "sample_unimax",
-    "sample_dsir",
-    "snapshot_load_resume",
-    "text_top_ngrams",
-    # oldest of the r4-stale block (21 of 50, name order)
-    "cdc_bdr_filter",
-    "cdc_charset_decode",
-    "cdc_force_replicate",
-    "cdc_generated_columns",
-    "cdc_partition_route",
-    "cdc_safe_mode_window",
-    "cdc_txn_holdout_wm",
-    "cdc_txn_split",
-    "cdc_vector_type",
-    "codec_handle_key_only",
-    "corpus_chunk",
-    "corpus_export_shards",
-    "corpus_funnel",
-    "corpus_profile",
-    "corpus_select_budget",
-    "data_epoch_shuffle",
-    "dedup_minhash_capped",
-    "join_asof",
-    "join_range",
-    "mm_decode_real",
-    "mq_consumer_flush",
+    "validate_resume_report",
+    # oldest of the r5-checked block (16 of 49, name order)
+    "cdc_apply",
+    "cdc_compact",
+    "cdc_filter_stack",
+    "cdc_handle_key_dispatch",
+    "cdc_partition_ddl",
+    "cdc_rekey_force_fallback",
+    "cdc_route_split",
+    "cdc_stored_generated",
+    "codec_claim_check",
+    "codec_maxwell_ddl",
+    "codec_open_ddl",
+    "ddl_barrier_plan",
+    "ddl_default_backfill",
+    "ddl_filter",
+    "ddl_key_metadata",
+    "ddl_lossy_report",
 ]
 
 
