@@ -193,3 +193,107 @@ def test_first_arrival_wins_even_with_smaller_later_ids(spark, sf_dir, work_dir)
     seed_ids = {r["doc_id"] for r in seed.collect()}
     assert seed_ids <= kept  # committed docs untouched
     assert not ({i - 100 for i in seed_ids} & kept)  # every late clone lost
+
+
+def test_compact_ingest_state_preserves_corpus_and_decisions(
+    spark, sf_dir, work_dir
+):
+    """Dir-folding compaction changes NOTHING visible: corpus identical,
+    and a post-compaction ingest batch makes the same dedup decisions an
+    uncompacted state would."""
+    from tiflow_spark.streaming.llm_ingest import (
+        compact_ingest_state,
+        ingest_batch,
+        init_ingest_state,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    b = [
+        docs.filter(
+            (F.col("doc_id") >= k * 30) & (F.col("doc_id") < (k + 1) * 30)
+        )
+        for k in range(3)
+    ]
+    nxt = docs.filter((F.col("doc_id") >= 90) & (F.col("doc_id") < 110))
+    nxt = nxt.unionByName(_clones(b[0], 40000, 4))  # dups vs folded batches
+
+    state_a, state_b = f"{work_dir}/a", f"{work_dir}/b"
+    for st in (state_a, state_b):
+        init_ingest_state(spark, st)
+        for k in range(3):
+            ingest_batch(spark, b[k], k, st)
+    before = sorted(tuple(r) for r in read_corpus(spark, state_a).collect())
+    folded = compact_ingest_state(spark, state_a, keep_last=1)
+    assert folded > 0
+    after = sorted(tuple(r) for r in read_corpus(spark, state_a).collect())
+    assert before == after
+    # newest batch dir stays standalone (replay-exclusion contract)
+    assert os.path.isdir(f"{state_a}/corpus/batch-2")
+    assert not os.path.isdir(f"{state_a}/corpus/batch-0")
+
+    ingest_batch(spark, nxt, 3, state_a)
+    ingest_batch(spark, nxt, 3, state_b)
+    got = sorted(tuple(r) for r in read_corpus(spark, state_a).collect())
+    want = sorted(tuple(r) for r in read_corpus(spark, state_b).collect())
+    assert got == want
+
+
+def test_compact_ingest_state_crash_windows(spark, sf_dir, work_dir):
+    """The two manifest-protocol crash states read correctly: a manifest
+    whose target dir is missing is void (sources stay live); a committed
+    target whose sources were not yet deleted excludes them (no
+    double-count); re-running compaction finishes the cleanup."""
+    import json
+
+    from tiflow_spark.streaming.llm_ingest import (
+        compact_ingest_state,
+        ingest_batch,
+        init_ingest_state,
+        read_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    state = f"{work_dir}/state"
+    init_ingest_state(spark, state)
+    for k in range(3):
+        ingest_batch(
+            spark,
+            docs.filter(
+                (F.col("doc_id") >= k * 30)
+                & (F.col("doc_id") < (k + 1) * 30)
+            ),
+            k,
+            state,
+        )
+    baseline = sorted(
+        tuple(r) for r in read_corpus(spark, state).collect()
+    )
+
+    # crash between manifest write and rename: void manifest, sources live
+    with open(f"{state}/corpus/_compacted-000099.json", "w") as f:
+        json.dump(
+            {"target": "batch-compacted-000099",
+             "sources": ["batch-0", "batch-1"]}, f,
+        )
+    got = sorted(tuple(r) for r in read_corpus(spark, state).collect())
+    assert got == baseline
+    os.remove(f"{state}/corpus/_compacted-000099.json")
+
+    # crash between rename and source deletion: snapshot sources, compact,
+    # restore the (already-consumed) sources — manifest must exclude them
+    pre = f"{work_dir}/pre"
+    shutil.copytree(state, pre)
+    compact_ingest_state(spark, state, keep_last=1)
+    for sub in ("corpus", "index_sh", "index_banded"):
+        for d in os.listdir(f"{pre}/{sub}"):
+            if d.startswith("batch-") and not os.path.isdir(
+                f"{state}/{sub}/{d}"
+            ):
+                shutil.copytree(f"{pre}/{sub}/{d}", f"{state}/{sub}/{d}")
+    got = sorted(tuple(r) for r in read_corpus(spark, state).collect())
+    assert got == baseline
+    # a re-run finishes the cleanup without changing the corpus
+    compact_ingest_state(spark, state, keep_last=1)
+    got = sorted(tuple(r) for r in read_corpus(spark, state).collect())
+    assert got == baseline

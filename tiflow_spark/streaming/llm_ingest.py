@@ -21,9 +21,9 @@ restarted query resume with only unseen files.
 Scale shape per batch: O(batch shingles) + a (band, sig)-keyed join that
 touches the index only on the keys the batch hits (llm/dedup.
 dedup_incremental's contract); the corpus itself is never re-read. The
-index directories accumulate one subdir per batch — re-cap/fold them at
-compaction cadence with compact_lsh_index, exactly like the bucketed
-sink's delta compaction.
+state directories accumulate one subdir per batch — fold them at
+compaction cadence with :func:`compact_ingest_state` (manifest-committed,
+crash-safe), exactly like the bucketed sink's delta compaction.
 """
 
 from __future__ import annotations
@@ -48,20 +48,41 @@ def _atomic_write(df: DataFrame, final_dir: str) -> None:
     os.rename(staging, final_dir)
 
 
+def _live_parts(root: str, exclude: str | None = None) -> list[str]:
+    """batch-* dirs that are live: not staging, not excluded, and not
+    consumed by a committed compaction (a ``_compacted-*.json`` manifest
+    whose target dir exists marks its sources dead — the crash-safe
+    half-state where sources were folded but not yet deleted)."""
+    import json
+
+    if not os.path.isdir(root):
+        return []
+    consumed: set[str] = set()
+    for m in os.listdir(root):
+        if not (m.startswith("_compacted-") and m.endswith(".json")):
+            continue
+        with open(os.path.join(root, m)) as f:
+            manifest = json.load(f)
+        # a manifest whose target never got renamed into place (crash
+        # between manifest write and rename) is void — sources stay live
+        if os.path.isdir(os.path.join(root, manifest["target"])):
+            consumed.update(manifest["sources"])
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("batch-")
+        and not d.endswith(".staging")
+        and d != exclude
+        and d not in consumed
+    )
+
+
 def _read_parts(
     spark: SparkSession, root: str, schema: str, exclude: str | None = None
 ) -> DataFrame:
-    parts = (
-        sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("batch-")
-            and not d.endswith(".staging")
-            and d != exclude
-        )
-        if os.path.isdir(root)
-        else []
-    )
+    parts = [
+        os.path.join(root, d) for d in _live_parts(root, exclude=exclude)
+    ]
     if not parts:
         return spark.createDataFrame([], schema)
     return spark.read.parquet(*parts)
@@ -217,6 +238,85 @@ def run_corpus_ingest(
 def read_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     """The curated corpus (all committed batches)."""
     return _read_parts(spark, os.path.join(state_dir, "corpus"), DOC_SCHEMA)
+
+
+def compact_ingest_state(
+    spark: SparkSession, state_dir: str, keep_last: int = 1
+) -> int:
+    """Fold accumulated per-batch state dirs into one — the maintenance
+    slot the module docstring promises (same cadence as bucketed-sink
+    delta compaction). A standing ingest commits one dir per micro-batch
+    into corpus/index_sh/index_banded; after months that is thousands of
+    dirs per read. This folds all but the newest ``keep_last`` batch dirs
+    (contents unchanged — pure dir-folding, so every dedup decision is
+    byte-identical before and after) into a single ``batch-compacted-<n>``
+    dir per subdir.
+
+    Crash safety, in commit order per subdir:
+    1. write the folded parquet to a ``.staging`` dir;
+    2. write a ``_compacted-<n>.json`` manifest naming the target dir and
+       the source dirs it folds — a manifest whose target dir does not
+       exist is VOID (crash between 2 and 3 leaves sources live);
+    3. rename staging → target — from this instant :func:`_live_parts`
+       excludes the sources even though they still exist on disk;
+    4. delete the sources (a crash mid-delete leaves dead dirs that the
+       manifest already excludes; re-running compaction finishes the
+       cleanup).
+
+    ``keep_last`` newest dirs stay un-folded because the ONE batch a
+    crashed foreachBatch can replay is the newest — its replay excludes
+    its own dir by name (ingest_batch's contract), which requires that
+    dir to still be a standalone name, not rows inside a fold.
+
+    Returns the number of source dirs folded across the three subdirs.
+    """
+    import json
+
+    def _batch_ord(name: str):
+        # numeric micro-batch ids are the recency order; seed and prior
+        # compacted folds hold strictly older rows — fold them first
+        tail = name[len("batch-"):]
+        return (1, int(tail)) if tail.isdigit() else (0, name)
+
+    folded = 0
+    for sub in ("corpus", "index_sh", "index_banded"):
+        root = os.path.join(state_dir, sub)
+        live = sorted(_live_parts(root), key=_batch_ord)
+        # garbage-collect dirs a committed manifest already consumed but a
+        # crash-before-delete left on disk (step 4's crash window)
+        for d in os.listdir(root):
+            if (
+                d.startswith("batch-")
+                and not d.endswith(".staging")
+                and d not in live
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        sources = live[:-keep_last] if keep_last > 0 else live
+        if len(sources) < 2:
+            continue
+        gen = 1 + max(
+            (
+                int(m.split("-")[1].split(".")[0])
+                for m in os.listdir(root)
+                if m.startswith("_compacted-") and m.endswith(".json")
+            ),
+            default=0,
+        )
+        target = f"batch-compacted-{gen:06d}"
+        df = spark.read.parquet(*[os.path.join(root, d) for d in sources])
+        staging = os.path.join(root, target) + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        manifest = os.path.join(root, f"_compacted-{gen:06d}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"target": target, "sources": sources}, f)
+        os.replace(tmp, manifest)
+        os.rename(staging, os.path.join(root, target))
+        for d in sources:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        folded += len(sources)
+    return folded
 
 
 def ingest_funnel_sql(
