@@ -541,17 +541,21 @@ def perplexity_bucket_sample(
 
     Scale shape: the tercile CUTOFFS are EXACT true-rank boundaries of
     the full corpus, computed with zero global sorts and zero windows.
-    lm_score is already rounded to 6 decimals in [0, 1] (textstats.
-    trigram_lm_score), so the distinct-score histogram is metadata-scale
-    (≤ 1,000,001 rows) regardless of corpus size. One corpus-scale
-    aggregation builds it; driver work is then bounded by two collects —
-    a ≤101-row coarse (2-decimal) sub-histogram to locate the buckets
-    holding the tercile ranks, and the ≤2×10,001 fine rows inside those
-    buckets to read the exact cutoff scores off a prefix sum. Bucketing
-    + keep decisions stay MAP-ONLY over the full corpus (cutoff-literal
-    comparison + salted hash). The keep decision is the engine-portable
-    salted-hash idiom shared with dataset_split: append-stable,
-    rerun-stable."""
+    lm_score is 6-decimal rounded (textstats.trigram_lm_score) but
+    near-unique per doc, so the distinct-score histogram can approach
+    corpus scale — it therefore stays DISTRIBUTED (one groupBy shuffle,
+    cached for the two lookups); the driver sees only (a) the 2-decimal
+    COARSE sub-histogram — one row per occupied 0.01-wide score band,
+    bounded by 100×score-span rows whatever the corpus — to locate the
+    two bands holding the tercile ranks, and (b) the ≤2×10,001 distinct
+    fine scores inside those bands, off whose prefix sum the exact
+    cutoffs are read. Bucketing + keep decisions stay MAP-ONLY over the
+    full corpus (cutoff-literal comparison + salted hash). Cost of
+    exactness: the cutoff aggregation is a second full scoring pass
+    (CCNet's sampled cutoffs score ~1% for that stage); the trade buys
+    true ranks and no single-partition window. The keep decision is the
+    engine-portable salted-hash idiom shared with dataset_split:
+    append-stable, rerun-stable."""
     if rates is None:
         rates = {1: 0.1, 2: 0.5, 3: 1.0}
     hist = (

@@ -4728,9 +4728,9 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sample_ppl_buckets", None)  # oracle installed below
 def q_sample_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity-bucket sampling: EXACT true-rank tercile
-    cutoffs read off a distinct-score histogram (metadata-scale because
-    lm_score is 6-decimal-rounded in [0,1]; bounded coarse+fine collects,
-    no windows, no global sort, no sampling), then MAP-ONLY bucketing +
+    cutoffs read off the DISTRIBUTED distinct-score histogram via
+    bounded two-level (coarse band → fine scores) driver collects — no
+    windows, no global sort, no sampling — then MAP-ONLY bucketing +
     salted-hash keep decisions over the full corpus — head kept 100%,
     middle 50%, tail 10% (llm/sampling.perplexity_bucket_sample over
     textstats.trigram_lm_score)."""
