@@ -297,3 +297,47 @@ def test_compact_ingest_state_crash_windows(spark, sf_dir, work_dir):
     compact_ingest_state(spark, state, keep_last=1)
     got = sorted(tuple(r) for r in read_corpus(spark, state).collect())
     assert got == baseline
+
+
+def test_streaming_ingest_with_in_stream_compaction(spark, sf_dir, work_dir):
+    """compact_every folds state dirs inside the stream without changing
+    the curated corpus, and the resumed stream keeps working against the
+    compacted state."""
+    from tiflow_spark.streaming.llm_ingest import run_corpus_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select(COLS)
+    b1 = docs.filter(F.col("doc_id") < 40)
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+    b2 = b2.unionByName(_clones(b1, 10000, 3))
+
+    plain, compacted = f"{work_dir}/plain", f"{work_dir}/compacted"
+    for st, ck, kw in (
+        (plain, f"{work_dir}/ck_p", {}),
+        (compacted, f"{work_dir}/ck_c", {"compact_every": 1}),
+    ):
+        src = f"{work_dir}/src_{os.path.basename(st)}"
+        _drop_file(b1, src, "f1.parquet")
+        _drop_file(b2, src, "f2.parquet")
+        init_ingest_state(spark, st)
+        run_corpus_ingest(spark, src, st, ck, **kw)
+
+    got = sorted(tuple(r) for r in read_corpus(spark, compacted).collect())
+    want = sorted(tuple(r) for r in read_corpus(spark, plain).collect())
+    assert got == want and got
+
+    # resume against the compacted state: a third file still dedups
+    # against everything already committed (and with three committed
+    # batches the in-stream fold has >=2 sources, so it actually fires)
+    b3 = docs.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 90))
+    b3 = b3.unionByName(_clones(b2, 20000, 5))
+    for st, ck in ((plain, f"{work_dir}/ck_p"), (compacted, f"{work_dir}/ck_c")):
+        src = f"{work_dir}/src_{os.path.basename(st)}"
+        _drop_file(b3, src, "f3.parquet")
+        run_corpus_ingest(spark, src, st, ck,
+                          **({"compact_every": 1} if st == compacted else {}))
+    got = sorted(tuple(r) for r in read_corpus(spark, compacted).collect())
+    want = sorted(tuple(r) for r in read_corpus(spark, plain).collect())
+    assert got == want
+    corp = [d for d in os.listdir(f"{compacted}/corpus")
+            if d.startswith("batch-")]
+    assert any(d.startswith("batch-compacted-") for d in corp)

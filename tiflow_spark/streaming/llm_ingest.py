@@ -216,18 +216,31 @@ def run_corpus_ingest(
     processed (availableNow trigger — the batch-draining mode; a
     production deployment would use a processingTime trigger, identical
     body). Restarting with the same checkpoint processes ONLY files that
-    arrived since the last run."""
+    arrived since the last run. Pass ``compact_every=N`` (via
+    ``dedup_params``) to fold the state dirs with
+    :func:`compact_ingest_state` after every N committed batches —
+    the in-stream maintenance cadence."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: ingest_batch(
-                spark, df, bid, state_dir, quality_gate, **dedup_params
-            )
+    compact_every = dedup_params.pop("compact_every", None)
+
+    def _body(df: DataFrame, bid: int) -> None:
+        ingest_batch(
+            spark, df, bid, state_dir, quality_gate, **dedup_params
         )
+        # maintenance cadence INSIDE the stream: fold state dirs every N
+        # committed batches. keep_last=1 keeps the batch just committed
+        # standalone, so a crash-replay of it (the only batch foreachBatch
+        # can replay) still excludes its own dir by name. Purely a
+        # read-amplification fix — decisions are byte-identical.
+        if compact_every and (bid + 1) % compact_every == 0:
+            compact_ingest_state(spark, state_dir, keep_last=1)
+
+    q = (
+        stream.writeStream.foreachBatch(_body)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
