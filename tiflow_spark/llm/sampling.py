@@ -529,6 +529,7 @@ def perplexity_bucket_sample(
     lm_scores: DataFrame,
     rates: dict[int, float] | None = None,
     salt: str = "ppl",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity-bucketed sampling (Wenzek et al. 2020): cut
     the corpus into head/middle/tail terciles of LM fluency and keep each
@@ -551,13 +552,22 @@ def perplexity_bucket_sample(
     fine scores inside those bands, off whose prefix sum the exact
     cutoffs are read. Bucketing + keep decisions stay MAP-ONLY over the
     full corpus (cutoff-literal comparison + salted hash). Cost of
-    exactness: the cutoff aggregation is a second full scoring pass
-    (CCNet's sampled cutoffs score ~1% for that stage); the trade buys
-    true ranks and no single-partition window. The keep decision is the
+    exactness: the cutoff aggregation needs the scored corpus BEFORE the
+    output pass does, so without ``materialize_dir`` the upstream scoring
+    runs twice (CCNet's sampled cutoffs score ~1% for that stage); pass a
+    directory to checkpoint (doc_id, lm_score) — ~16 bytes/doc parquet —
+    once, and both the histogram and the output read the checkpoint: ONE
+    scoring pass, the production shape. The keep decision is the
     engine-portable salted-hash idiom shared with dataset_split:
     append-stable, rerun-stable."""
     if rates is None:
         rates = {1: 0.1, 2: 0.5, 3: 1.0}
+    if materialize_dir is not None:
+        spark = lm_scores.sparkSession
+        lm_scores.select("doc_id", "lm_score").write.mode(
+            "overwrite"
+        ).parquet(materialize_dir)
+        lm_scores = spark.read.parquet(materialize_dir)
     hist = (
         lm_scores.groupBy("lm_score")
         .agg(F.count(F.lit(1)).alias("cnt"))

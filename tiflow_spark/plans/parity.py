@@ -4734,11 +4734,15 @@ def q_sample_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted-hash keep decisions over the full corpus — head kept 100%,
     middle 50%, tail 10% (llm/sampling.perplexity_bucket_sample over
     textstats.trigram_lm_score)."""
+    import tempfile
+
     from tiflow_spark.llm.sampling import perplexity_bucket_sample
     from tiflow_spark.llm.textstats import trigram_lm_score
 
     lm = trigram_lm_score(_docs(spark, sf_dir)).select("doc_id", "lm_score")
-    return perplexity_bucket_sample(lm)
+    return perplexity_bucket_sample(
+        lm, materialize_dir=tempfile.mkdtemp(prefix="tiflow_ppl_lm_")
+    )
 
 
 def _install_round7_llm_sql() -> None:
