@@ -68,12 +68,15 @@ _PRIORITY = [
     "text_repetition",
     # new in round 8 (never driver-checked)
     "consumer_replay_debezium",
+    "consumer_replay_canal",
+    "consumer_replay_open",
+    "consumer_replay_avro",
     "llm_ingest_funnel",
     "snapshot_load_status",
     # round-8 plan-changed re-checks
     "sample_ppl_buckets",
     "validate_resume_report",
-    # oldest of the r5-checked block (16 of 49, name order)
+    # oldest of the r5-checked block (13 of 49, name order)
     "cdc_apply",
     "cdc_compact",
     "cdc_filter_stack",
@@ -87,9 +90,6 @@ _PRIORITY = [
     "codec_open_ddl",
     "ddl_barrier_plan",
     "ddl_default_backfill",
-    "ddl_filter",
-    "ddl_key_metadata",
-    "ddl_lossy_report",
 ]
 
 

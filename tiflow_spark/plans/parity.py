@@ -6080,37 +6080,13 @@ _install_resume_report_oracle()
 
 # ------------------------------------------------- round 8: consumer replay
 
-_DEBEZIUM_BROKER_DIRS: dict[str, str] = {}
+_REPLAY_BROKER_DIRS: dict[tuple[str, str], str] = {}
 
-
-def _debezium_broker_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Produce the dispatched Debezium stream to a file broker once per
-    (process, sf_dir); the replay query consumes from it."""
-    if sf_dir not in _DEBEZIUM_BROKER_DIRS:
-        import tempfile
-
-        from tiflow_spark.codecs.debezium import encode_debezium
-        from tiflow_spark.sinks.mq import produce_file_broker
-
-        # identity-changing updates MUST be split ahead of any MQ encoder
-        # (sink.go:1187 forces SplitUpdate for Kafka sinks) — the consumer
-        # keys by the image's handle column, so an un-split U(id 5→105)
-        # would leave the old row alive downstream.
-        env = tfm.split_updates(_env(spark, sf_dir))
-        d = dispatch(env, DEMO_CFG, num_partitions=16)
-        msgs = encode_debezium(env).join(
-            d.select("commit_ts", "seq", "topic", "partition", "key"),
-            ["commit_ts", "seq"],
-        )
-        base = tempfile.mkdtemp(prefix="tiflow_dbz_")
-        produce_file_broker(msgs, base, batch_id=0)
-        _DEBEZIUM_BROKER_DIRS[sf_dir] = base
-    return _DEBEZIUM_BROKER_DIRS[sf_dir]
-
-
-@register(
-    "consumer_replay_debezium",
-    f"""{ENV_CTE},
+#: the one oracle every protocol replay must satisfy: the direct
+#: last-writer fold over the UPDATE-SPLIT change stream — broker offsets
+#: reproduce (commit_ts, seq) order per key because the producer appends
+#: in dispatch order and the index-value dispatcher is key-sticky
+_REPLAY_FOLD_SQL = f"""{ENV_CTE},
     split AS (
       SELECT op, "schema", "table", commit_ts, seq * 2 AS seq,
              CAST(coalesce(after_id, before_id) AS VARCHAR) AS key,
@@ -6137,23 +6113,117 @@ def _debezium_broker_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     SELECT "schema", "table", key, after_id AS id,
            after_balance AS balance, after_note AS note
-    FROM last WHERE op <> 'D'""",
-)
+    FROM last WHERE op <> 'D'"""
+
+
+def _replay_broker_dir(
+    spark: SparkSession, sf_dir: str, protocol: str
+) -> str:
+    """Produce the dispatched, ``protocol``-encoded change stream to a
+    file broker once per (process, protocol, sf_dir); the replay queries
+    consume from it. Identity-changing updates are split ahead of the
+    encoder (sink.go:1187 forces SplitUpdate for Kafka sinks) — the
+    consumer keys by the image's handle column, so an un-split
+    U(id 5→105) would leave the old row alive downstream."""
+    key = (protocol, sf_dir)
+    if key not in _REPLAY_BROKER_DIRS:
+        import tempfile
+
+        from tiflow_spark.sinks.mq import produce_file_broker
+
+        env = tfm.split_updates(_env(spark, sf_dir))
+        d = dispatch(env, DEMO_CFG, num_partitions=16)
+        if protocol == "debezium":
+            from tiflow_spark.codecs.debezium import encode_debezium
+
+            enc = encode_debezium(env)
+        elif protocol == "canal-json":
+            from tiflow_spark.codecs.canal_json import encode_canal_json
+
+            enc = encode_canal_json(env)
+        elif protocol == "open-protocol":
+            from tiflow_spark.codecs.open_protocol import (
+                encode_open_protocol,
+            )
+
+            enc = encode_open_protocol(env)
+        elif protocol == "avro":
+            from tiflow_spark.codecs.avro import encode_avro
+
+            enc = encode_avro(env)
+        else:  # pragma: no cover - registry wiring error
+            raise ValueError(protocol)
+        d_cols = ["commit_ts", "seq", "topic", "partition"]
+        if "key" not in enc.columns:
+            d_cols.append("key")  # avro/open carry the protocol key
+        msgs = enc.join(d.select(*d_cols), ["commit_ts", "seq"])
+        base = tempfile.mkdtemp(prefix=f"tiflow_replay_{protocol[:4]}_")
+        produce_file_broker(msgs, base, batch_id=0)
+        _REPLAY_BROKER_DIRS[key] = base
+    return _REPLAY_BROKER_DIRS[key]
+
+
+@register("consumer_replay_debezium", _REPLAY_FOLD_SQL)
 def q_consumer_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-configured consumer replay end-to-end (the writer.go:51-63
     debezium branch): envelope -> debezium-encoded topic on the file
     broker -> decode -> shared last-writer apply. The protocol's source
-    block carries (db, table, commitTs), so the oracle is the direct
-    last-writer fold over the update-split change stream — broker offsets
-    reproduce (commit_ts, seq) order per key because the producer
-    appends in dispatch order and the index-value dispatcher is
-    key-sticky (streaming/consumer.replay_debezium_broker_to_state)."""
+    block carries (db, table, commitTs), so table identity and fold order
+    need no side channel (streaming/consumer.
+    replay_debezium_broker_to_state)."""
     from tiflow_spark.streaming.consumer import (
         replay_debezium_broker_to_state,
     )
 
     return replay_debezium_broker_to_state(
-        spark, _debezium_broker_dir(spark, sf_dir)
+        spark, _replay_broker_dir(spark, sf_dir, "debezium")
+    )
+
+
+@register("consumer_replay_canal", _REPLAY_FOLD_SQL)
+def q_consumer_replay_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-json consumer replay as a hard-signal row (writer.go's
+    canal-json branch; previously bench-timed only): pkNames-keyed fold
+    ordered by (ms-truncated es, offset) — offsets break the ms ties in
+    dispatch order, which per key IS (commit_ts, seq) order, so the fold
+    equals the full-precision oracle (streaming/consumer.
+    replay_broker_to_state)."""
+    from tiflow_spark.streaming.consumer import replay_broker_to_state
+
+    out = replay_broker_to_state(
+        spark,
+        _replay_broker_dir(spark, sf_dir, "canal-json"),
+        {"id": "bigint", "balance": "double", "note": "string"},
+    )
+    return out.select("schema", "table", "key", "id", "balance", "note")
+
+
+@register("consumer_replay_open", _REPLAY_FOLD_SQL)
+def q_consumer_replay_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-protocol consumer replay as a hard-signal row (writer.go's
+    open branch): the fold key comes from the h (handle) flags in the
+    value's column objects — protocol-native keying, no pkNames side
+    channel (streaming/consumer.replay_open_broker_to_state)."""
+    from tiflow_spark.streaming.consumer import replay_open_broker_to_state
+
+    out = replay_open_broker_to_state(
+        spark,
+        _replay_broker_dir(spark, sf_dir, "open-protocol"),
+        {"id": "bigint", "balance": "double", "note": "string"},
+    )
+    return out.select("schema", "table", "key", "id", "balance", "note")
+
+
+@register("consumer_replay_avro", _REPLAY_FOLD_SQL)
+def q_consumer_replay_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed Avro consumer replay as a hard-signal row
+    (writer.go's avro branch): binary wire values decoded in one
+    Arrow-batched stage, table identity from the table-topic
+    (streaming/consumer.replay_avro_broker_to_state)."""
+    from tiflow_spark.streaming.consumer import replay_avro_broker_to_state
+
+    return replay_avro_broker_to_state(
+        spark, _replay_broker_dir(spark, sf_dir, "avro")
     )
 
 
