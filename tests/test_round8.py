@@ -127,3 +127,34 @@ def test_partial_checkpoint_does_not_freeze_row_diff(spark, sf_dir, ckpt_dir):
     want = targeted_row_diff(src, dst, "c_custkey", CUST_COLS, 64)
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_remove_duplicate_lines_rewrites_and_preserves_order(spark):
+    """Line-level boilerplate removal: hot lines vanish from every doc,
+    content lines keep their order, an all-boilerplate doc survives with
+    empty text (the quality gate downstream decides its fate)."""
+    from tiflow_spark.llm.textstats import remove_duplicate_lines
+
+    rows = [
+        (1, "HEADER\nalpha beta\ngamma\nFOOTER"),
+        (2, "HEADER\ndelta\nFOOTER"),
+        (3, "HEADER\nepsilon zeta\nFOOTER"),
+        (4, "HEADER\nFOOTER"),  # all boilerplate
+        (5, "unique one\nunique two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_lines(docs, min_df=3).collect()
+    }
+    assert out[1]["text"] == "alpha beta\ngamma"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 2
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 2
+    assert out[5]["text"] == "unique one\nunique two"
+    assert out[5]["n_removed"] == 0
+    # df counts DISTINCT docs: a line repeated inside ONE doc stays
+    docs2 = spark.createDataFrame(
+        [(1, "same\nsame\nsame\nother")], "doc_id long, text string"
+    )
+    r = remove_duplicate_lines(docs2, min_df=3).collect()[0]
+    assert r["text"] == "same\nsame\nsame\nother" and r["n_removed"] == 0

@@ -799,3 +799,99 @@ def top_ngrams_sql(
     SELECT gram, df, CAST(df AS BIGINT) * 1000000 // n_docs AS share_ppm
     FROM counted CROSS JOIN nd
     ORDER BY df DESC, gram ASC LIMIT {k}"""
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate REMOVAL (the C4/RefinedWeb rewrite stage
+    the top_ngrams report feeds): a line whose trimmed form appears in
+    ``min_df`` or more DISTINCT documents is template text (nav bars,
+    cookie banners, license footers) and is dropped from every document;
+    remaining lines keep their original order. Returns (doc_id,
+    text, n_lines, n_removed) — docs whose every line is boilerplate
+    survive with empty text so the caller's quality gate decides their
+    fate.
+
+    Scale shape: one posexplode over lines (map-only), ONE line-keyed
+    count shuffle with map-side combine (distinct (doc, line) first —
+    word_shingles-style per-doc dedup makes the count a true document
+    frequency), a line-keyed anti-join of the lines against the hot set
+    (boilerplate is by definition a small distinct set — AQE broadcasts
+    it when it fits), and one doc_id fold that reassembles via
+    sort_array(collect_list(struct(pos, line))) — no windows, no global
+    sort. Reference scope: beyond-parity LLM-pipeline operator (the
+    reference replicates rows; corpus curation is this repo's §LLM
+    surface).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    hot = (
+        lines.select("doc_id", "norm")
+        .distinct()
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("norm")
+    )
+    kept = lines.join(hot, "norm", "left_anti")
+    stats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        stats.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
+def remove_duplicate_lines_sql(
+    corpus_cte: str = "corpus AS (SELECT doc_id, text FROM documents)",
+    min_df: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`remove_duplicate_lines` over a CTE named
+    `corpus` providing (doc_id, text). List-based (order falls out of
+    list_filter, so no ordinality machinery): the hot set rides in as a
+    one-row list cross join."""
+    keep = "list_filter(ls, l -> NOT list_contains(hs, trim(l)))"
+    return f"""WITH {corpus_cte},
+    docs_l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+    ),
+    norms AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(ls, l -> trim(l)))) AS norm
+      FROM docs_l
+    ),
+    hot AS (
+      SELECT norm FROM (
+        SELECT norm, count(*) AS df FROM norms GROUP BY 1
+      ) WHERE df >= {min_df}
+    ),
+    h1 AS (SELECT coalesce(list(norm), []) AS hs FROM hot)
+    SELECT doc_id,
+           array_to_string({keep}, chr(10)) AS text,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ls) - len({keep}) AS BIGINT) AS n_removed
+    FROM docs_l CROSS JOIN h1"""

@@ -6325,3 +6325,47 @@ def q_snapshot_load_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase", F.lit("after_resume")
     )
     return s1.unionByName(s2).select("phase", "table", "status", "chunks_done")
+
+
+_BOILER_CORPUS_CTE = (
+    "corpus AS (SELECT doc_id, "
+    "'Subscribe to our newsletter' || chr(10) || text || chr(10) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 Example Corp' "
+    "ELSE 'Thanks for reading' END AS text FROM documents)"
+)
+
+
+@register("text_line_dedup", None)  # oracle installed below
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level boilerplate REMOVAL — the rewrite stage
+    the text_top_ngrams report feeds: lines whose trimmed form occurs in
+    >= 3 distinct docs (planted header/footer template lines here) are
+    dropped from every doc, content lines keep their order
+    (llm/textstats.remove_duplicate_lines). Beyond-parity LLM operator."""
+    from tiflow_spark.llm.textstats import remove_duplicate_lines
+
+    docs = _docs(spark, sf_dir)
+    boiler = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("(c) 2026 Example Corp")
+            ).otherwise(F.lit("Thanks for reading")),
+        ).alias("text"),
+    )
+    return remove_duplicate_lines(boiler, min_df=3)
+
+
+def _install_line_dedup_sql() -> None:
+    from tiflow_spark.llm.textstats import remove_duplicate_lines_sql
+
+    REGISTRY["text_line_dedup"] = (
+        REGISTRY["text_line_dedup"][0],
+        remove_duplicate_lines_sql(_BOILER_CORPUS_CTE, min_df=3),
+    )
+
+
+_install_line_dedup_sql()
