@@ -148,12 +148,33 @@ def test_corpus_pair_free_under_any_batch_split(spark, sf_dir, work_dir):
     )
     arrivals.sort(key=lambda r: r["doc_id"])
     all_df = spark.createDataFrame(arrivals, docs.schema)
-    paired = {
-        i
+    global_pairs = [
+        (r["id_a"], r["id_b"])
         for r in minhash_lsh_pairs(all_df, 16, 4, 0.5).collect()
-        for i in (r["id_a"], r["id_b"])
-    }
+    ]
+    paired = {i for p in global_pairs for i in p}
     never_dup = {r["doc_id"] for r in arrivals} - paired
+
+    def staged_keep(parts_rows):
+        """The oracle construction of llm_ingest.ingest_funnel_sql as
+        plain python: per batch, a doc loses every pairing with an
+        already-kept (indexed) doc regardless of orientation, and
+        in-batch pairs drop id_b — computed from the GLOBAL verified
+        pair set, which is legal because banding is per-doc
+        deterministic and dropped docs are never indexed."""
+        kept: set = set()
+        for rows in parts_rows:
+            ids = {r["doc_id"] for r in rows}
+            drop = set()
+            for a, b in global_pairs:
+                if a in kept and b in ids:
+                    drop.add(b)
+                elif b in kept and a in ids:
+                    drop.add(a)
+                elif a in ids and b in ids:
+                    drop.add(b)
+            kept |= ids - drop
+        return kept
     rng = random.Random(11)
     for trial in range(4):
         n_cuts = rng.randint(0, 3)
@@ -174,6 +195,11 @@ def test_corpus_pair_free_under_any_batch_split(spark, sf_dir, work_dir):
         # and every doc with NO near-dup at all is kept under every split
         kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
         assert never_dup <= kept, f"trial {trial} lost {never_dup - kept}"
+        # the REAL ingest keep-set equals the staged-formula keep-set the
+        # DuckDB oracle (ingest_funnel_sql) is built on — validates the
+        # oracle derivation for arbitrary splits, not just doc_id%3
+        want = staged_keep(p for p in parts if p)
+        assert kept == want, f"trial {trial}: {kept ^ want}"
 
 
 def test_first_arrival_wins_even_with_smaller_later_ids(spark, sf_dir, work_dir):
