@@ -74,10 +74,11 @@ _PRIORITY = [
     "llm_ingest_funnel",
     "snapshot_load_status",
     "text_line_dedup",
+    "dedup_span_remove",
     # round-8 plan-changed re-checks
     "sample_ppl_buckets",
     "validate_resume_report",
-    # oldest of the r5-checked block (12 of 49, name order)
+    # oldest of the r5-checked block (11 of 49, name order)
     "cdc_apply",
     "cdc_compact",
     "cdc_filter_stack",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "codec_claim_check",
     "codec_maxwell_ddl",
     "codec_open_ddl",
-    "ddl_barrier_plan",
 ]
 
 

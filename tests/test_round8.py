@@ -158,3 +158,29 @@ def test_remove_duplicate_lines_rewrites_and_preserves_order(spark):
     )
     r = remove_duplicate_lines(docs2, min_df=3).collect()[0]
     assert r["text"] == "same\nsame\nsame\nother" and r["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_keeps_canonical_copy(spark):
+    """Exact-substring removal: the min-doc_id occurrence keeps its
+    text, later docs lose exactly the covered positions, disjoint
+    content survives everywhere, and a full-clone doc is erased to
+    empty."""
+    from tiflow_spark.llm.dedup import remove_duplicate_spans
+
+    shared = "a b c d e f g h"  # one 8-gram, shared
+    rows = [
+        (1, f"{shared} uniq1 uniq2"),
+        (2, f"intro {shared} tail"),
+        (3, shared),  # pure clone -> erased entirely
+        (4, "totally different words here with no dup at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, k=8).collect()
+    }
+    assert out[1]["text"] == f"{shared} uniq1 uniq2"  # canonical keeps all
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "intro tail" and out[2]["n_removed"] == 8
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 8
+    assert out[4]["n_removed"] == 0

@@ -1293,3 +1293,141 @@ SELECT s.doc_id, s.n_tokens,
 FROM stats s
 LEFT JOIN cov v USING (doc_id)
 LEFT JOIN cnt c USING (doc_id)"""
+
+
+def remove_duplicate_spans(corpus: DataFrame, k: int = 8) -> DataFrame:
+    """Duplicated-span REMOVAL — the rewrite stage behind
+    :func:`span_coverage`'s signal (Lee et al. 2021 exact substring
+    dedup, re-expressed without suffix arrays): a k-gram occurring in
+    >= 2 distinct documents keeps ONLY its canonical copy (the min
+    doc_id, the repo-wide exact-dedup keep policy); every other doc
+    drops the token positions its occurrences cover. Token positions of
+    the owner doc survive unless another gram owned elsewhere also
+    covers them. Output (doc_id, text, n_tokens, n_removed); text is
+    the kept tokens re-joined with single spaces (token-level rewrite —
+    original whitespace is not preserved, same as the reference
+    implementations that operate on token streams).
+
+    Scale shape — LINEAR like span_coverage, plus the rebuild fold:
+    one md5(k-gram)-keyed shuffle for (owner, distinct-doc count), one
+    equi-join of occurrences against that group frame (no pair blow-up:
+    each occurrence meets exactly one group row), a bounded k-wide
+    position explode, an anti-join of the token stream against covered
+    positions, and one per-doc collect_list fold ordered by
+    sort_array — no windows, no global sort."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    stats = corpus.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    occ = (
+        corpus.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.posexplode(positional_kgrams(F.col("text"), k)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .filter(F.col("gram") != "")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.md5(F.col("gram")).alias("h"),
+        )
+    )
+    own = (
+        occ.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    erase = occ.join(own, "h").filter(F.col("owner") != F.col("doc_id"))
+    covered = erase.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + (k - 1), F.col("n_tokens")),
+            )
+        ).alias("p"),
+    ).distinct()
+    tokp = corpus.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "tok")
+    kept = tokp.join(covered, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return stats.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
+
+
+def remove_duplicate_spans_sql(k: int = 8) -> str:
+    """DuckDB oracle for remove_duplicate_spans over the augmented
+    corpus (same occ construction as span_coverage_sql)."""
+    return f"""WITH {CORPUS_SQL.strip()},
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM corpus
+),
+posn AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks,
+         unnest(range(1, greatest(len(toks) - {k - 1}, 1) + 1)) AS pos
+  FROM tok
+),
+occ AS (
+  SELECT doc_id, n_tokens, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ')) AS h
+  FROM posn
+  WHERE array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ') <> ''
+),
+own AS (
+  SELECT h, min(doc_id) AS owner FROM occ
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+erase AS (
+  SELECT o.* FROM occ o JOIN own USING (h) WHERE own.owner <> o.doc_id
+),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id,
+           unnest(range(pos, least(pos + {k - 1}, n_tokens) + 1)) AS p
+    FROM erase
+  )
+),
+tokp AS (
+  SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS p, toks
+  FROM tok
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.toks[t.p] AS tok
+  FROM tokp t
+  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+stats AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+SELECT s.doc_id, coalesce(r.text, '') AS text, s.n_tokens,
+       CAST(s.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM stats s LEFT JOIN rebuilt r USING (doc_id)"""

@@ -6369,3 +6369,30 @@ def _install_line_dedup_sql() -> None:
 
 
 _install_line_dedup_sql()
+
+
+@register("dedup_span_remove", None)  # oracle installed below
+def q_dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (Lee et al. 2021 exact substring dedup,
+    suffix-array-free): cross-doc duplicated 8-grams keep only their
+    min-doc_id canonical copy; every other doc drops the covered token
+    positions — the rewrite stage behind dedup_span_coverage's signal,
+    over the clone-seeded corpus (llm/dedup.remove_duplicate_spans)."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(corpus_with_dups(_docs(spark, sf_dir)))
+
+
+def _install_span_remove_sql() -> None:
+    from tiflow_spark.llm.dedup import remove_duplicate_spans_sql
+
+    REGISTRY["dedup_span_remove"] = (
+        REGISTRY["dedup_span_remove"][0],
+        remove_duplicate_spans_sql(),
+    )
+
+
+_install_span_remove_sql()
