@@ -216,7 +216,14 @@ def section_r8ops(sf_dir: str) -> dict:
 
     spark = _spark()
     timings = _time_registry_set(
-        spark, sf_dir, ["consumer_replay_debezium", "snapshot_load_status"]
+        spark,
+        sf_dir,
+        [
+            "consumer_replay_debezium",
+            "snapshot_load_status",
+            "text_line_dedup",
+            "dedup_span_remove",
+        ],
     )
 
     # per-batch standing ingest: full corpus is the PERSISTED state (its
