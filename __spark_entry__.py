@@ -23,15 +23,17 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # With more than 50 registered, we rotate coverage across rounds so no query
 # goes more than ~4 rounds without a hard-signal row. Round 8 (per VERDICT
 # r7 next-round #1): ALL 29 queries whose latest check was round 4 (the
-# longest-unaudited block, fully cleared this round) + the 3 queries new in
-# round 8 (consumer_replay_debezium = the debezium-configured consumer
-# replay e2e, llm_ingest_funnel = the standing streaming-ingest subsystem
-# hard-signaled, snapshot_load_status = the DM loader query-status facade)
+# longest-unaudited block, fully cleared this round) + the 8 queries new in
+# round 8 (the four consumer_replay_* protocols now oracle-checked e2e
+# against the shared update-split fold, llm_ingest_funnel = the standing
+# streaming-ingest subsystem hard-signaled, snapshot_load_status = the DM
+# loader query-status facade, text_line_dedup = C4-style line boilerplate
+# removal, dedup_span_remove = exact substring dedup)
 # + 2 round-8 PLAN-CHANGED re-checks (sample_ppl_buckets now computes
 # exact histogram-derived tercile cutoffs — no sample, no window;
 # validate_resume_report now assembles from the checkpointed row-diff
-# outcomes) + the 16 oldest r5-checked names in name order. The remaining
-# 33 r5-checked names rotate first in round 9; every deferred name is
+# outcomes) + the 11 oldest r5-checked names in name order. The remaining
+# 38 r5-checked names rotate first in round 9; every deferred name is
 # meanwhile covered by the local sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
 # follows in registration order as regression sentinels.
