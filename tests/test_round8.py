@@ -64,6 +64,16 @@ def test_row_diff_outcomes_are_checkpointed(spark, sf_dir, ckpt_dir):
         assert got.count() == want.count() > 0
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+    # the cached diff is pinned to its geometry: asking with different
+    # cols (or pk/width) must raise, never hand back the stale diff
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        resume_row_diff(
+            spark, src, dst, "c_custkey", CUST_COLS[:2], 64, ckpt_dir
+        )
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        resume_row_diff(
+            spark, src, dst, "c_custkey", CUST_COLS, 128, ckpt_dir
+        )
 
 
 def test_report_from_full_checkpoint_touches_no_table_data(
@@ -158,6 +168,15 @@ def test_remove_duplicate_lines_rewrites_and_preserves_order(spark):
     )
     r = remove_duplicate_lines(docs2, min_df=3).collect()[0]
     assert r["text"] == "same\nsame\nsame\nother" and r["n_removed"] == 0
+    # blank lines are paragraph separators, never hot: even when every
+    # doc contains one, they survive
+    docs3 = spark.createDataFrame(
+        [(i, f"para {i}\n\ntail {i}") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    for r in remove_duplicate_lines(docs3, min_df=3).collect():
+        assert r["text"] == f"para {r['doc_id']}\n\ntail {r['doc_id']}"
+        assert r["n_removed"] == 0
 
 
 def test_remove_duplicate_spans_keeps_canonical_copy(spark):

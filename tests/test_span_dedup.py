@@ -107,3 +107,137 @@ def test_semdedup_prune_consistency(spark, sf_dir):
     out = semdedup_prune(emb, 0.35, 8, 64).collect()
     assert {r["vec_id"] for r in out if not r["kept"]} == pruned_ids
     assert len(out) == emb.count()
+
+
+# ------------------------------------------------- min_span_len (round 9)
+
+
+def _brute_remove(rows, k, min_span_len):
+    """Brute-force Python oracle for remove_duplicate_spans: exhaustive
+    gram inventory, owner = min doc_id, covered positions merged into
+    maximal runs, runs >= min_span_len erased."""
+    from collections import defaultdict
+
+    toks = {d: [t for t in text.split() if t] for d, text in rows}
+    occs = defaultdict(list)  # gram -> [(doc, 1-based pos)]
+    for d, ts in toks.items():
+        n = len(ts)
+        for i in range(1, max(n - k + 1, 1) + 1):
+            g = " ".join(ts[i - 1 : i - 1 + k])
+            if g:
+                occs[g].append((d, i))
+    covered = defaultdict(set)
+    for lst in occs.values():
+        docs_with = {d for d, _ in lst}
+        if len(docs_with) < 2:
+            continue
+        owner = min(docs_with)
+        for d, i in lst:
+            if d == owner:
+                continue
+            n = len(toks[d])
+            covered[d].update(range(i, min(i + k - 1, n) + 1))
+    out = {}
+    for d, ts in toks.items():
+        erase = set()
+        run = []
+        for p in sorted(covered.get(d, ())) + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if len(run) >= min_span_len:
+                    erase.update(run)
+                run = []
+            if p is not None:
+                run.append(p)
+        kept = [t for j, t in enumerate(ts, 1) if j not in erase]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_min_span_len_keeps_short_collisions(spark):
+    """A duplicated 8-gram shorter than min_span_len survives; a clone
+    run longer than it is still erased."""
+    from tiflow_spark.llm.dedup import remove_duplicate_spans
+
+    shared8 = "s1 s2 s3 s4 s5 s6 s7 s8"
+    long_run = " ".join(f"c{i}" for i in range(30))
+    rows = [
+        (1, f"{shared8} a1 a2 a3 a4"),
+        (2, f"{shared8} b1 b2 b3 b4"),   # shares only an 8-run with doc 1
+        (3, long_run + " x1 x2"),
+        (4, long_run + " y1 y2"),        # shares a 30-run with doc 3
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            _df(spark, rows), k=8, min_span_len=10
+        ).collect()
+    }
+    # 8-token shared run < 10: doc 2 keeps its text
+    assert out[2]["n_removed"] == 0 and out[2]["text"] == rows[1][1]
+    # 30-token shared run >= 10: doc 4 (non-owner) loses it
+    assert out[4]["n_removed"] == 30
+    assert out[4]["text"] == "y1 y2"
+    # owner doc 3 untouched
+    assert out[3]["n_removed"] == 0
+
+
+def test_min_span_len_default_is_r8_semantics(spark):
+    """min_span_len=1 must be plan-identical to the bare k-gram form."""
+    from tiflow_spark.llm.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "s1 s2 s3 s4 s5 s6 s7 s8 a"),
+        (2, "s1 s2 s3 s4 s5 s6 s7 s8 b"),
+    ]
+    df = _df(spark, rows)
+    import re
+
+    a = remove_duplicate_spans(df, k=8)
+    b = remove_duplicate_spans(df, k=8, min_span_len=1)
+
+    def norm(d):
+        s = d._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+", "#x", s)
+        return re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_n", s)
+
+    assert norm(a) == norm(b)
+
+
+def _tiny_docs():
+    from hypothesis import strategies as st
+
+    token = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(token, min_size=0, max_size=12).map(" ".join)
+    return st.lists(doc, min_size=2, max_size=5).map(
+        lambda ds: [(i + 1, d) for i, d in enumerate(ds)]
+    )
+
+
+def _property_spanlen(spark, rows, min_span_len):
+    from tiflow_spark.llm.dedup import remove_duplicate_spans
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            _df(spark, rows), k=3, min_span_len=min_span_len
+        ).collect()
+    }
+    assert got == _brute_remove(rows, 3, min_span_len)
+
+
+def test_min_span_len_matches_brute_force(spark):
+    """Hypothesis property: Spark run-merge == exhaustive Python oracle
+    over tiny 3-letter-alphabet corpora for several span thresholds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=_tiny_docs(), min_span_len=st.integers(1, 7))
+    def inner(rows, min_span_len):
+        _property_spanlen(spark, rows, min_span_len)
+
+    inner()

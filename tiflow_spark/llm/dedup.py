@@ -1295,7 +1295,9 @@ LEFT JOIN cov v USING (doc_id)
 LEFT JOIN cnt c USING (doc_id)"""
 
 
-def remove_duplicate_spans(corpus: DataFrame, k: int = 8) -> DataFrame:
+def remove_duplicate_spans(
+    corpus: DataFrame, k: int = 8, min_span_len: int = 1
+) -> DataFrame:
     """Duplicated-span REMOVAL — the rewrite stage behind
     :func:`span_coverage`'s signal (Lee et al. 2021 exact substring
     dedup, re-expressed without suffix arrays): a k-gram occurring in
@@ -1308,13 +1310,23 @@ def remove_duplicate_spans(corpus: DataFrame, k: int = 8) -> DataFrame:
     original whitespace is not preserved, same as the reference
     implementations that operate on token streams).
 
+    ``min_span_len`` matches the paper's span-length semantics (Lee et
+    al. cut only substrings of >= 50 tokens; the bare k-gram form
+    erases ANY duplicated k-token window, which is far more
+    aggressive): covered positions are merged into maximal consecutive
+    RUNS per document and only runs of at least ``min_span_len`` tokens
+    are erased. The default 1 keeps the k-gram semantics (every covered
+    position goes) with an unchanged plan.
+
     Scale shape — LINEAR like span_coverage, plus the rebuild fold:
     one md5(k-gram)-keyed shuffle for (owner, distinct-doc count), one
     equi-join of occurrences against that group frame (no pair blow-up:
     each occurrence meets exactly one group row), a bounded k-wide
     position explode, an anti-join of the token stream against covered
     positions, and one per-doc collect_list fold ordered by
-    sort_array — no windows, no global sort."""
+    sort_array — no windows, no global sort. The run merge is one more
+    per-doc fold (sorted positions → (start, len) runs via
+    F.aggregate), bounded by doc length exactly like the rebuild."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     stats = corpus.select(
         "doc_id", F.size(toks).cast("long").alias("n_tokens")
@@ -1354,6 +1366,62 @@ def remove_duplicate_spans(corpus: DataFrame, k: int = 8) -> DataFrame:
             )
         ).alias("p"),
     ).distinct()
+    if min_span_len > 1:
+        # merge covered positions into maximal runs per doc (window-free:
+        # one per-doc fold over the sorted position list) and erase only
+        # runs >= min_span_len
+        last = F.element_at
+        runs = covered.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("p")).alias("ps")
+        ).withColumn(
+            "runs",
+            F.aggregate(
+                "ps",
+                F.expr(
+                    "CAST(array() AS array<struct<start:bigint,len:bigint>>)"
+                ),
+                lambda acc, p: F.when(
+                    (F.size(acc) > 0)
+                    & (
+                        last(acc, -1)["start"] + last(acc, -1)["len"] == p
+                    ),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                last(acc, -1)["start"].alias("start"),
+                                (last(acc, -1)["len"] + 1).alias("len"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                p.alias("start"),
+                                F.lit(1).cast("long").alias("len"),
+                            )
+                        ),
+                    )
+                ),
+            ),
+        )
+        covered = runs.select(
+            "doc_id",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.filter(
+                            "runs", lambda r: r["len"] >= min_span_len
+                        ),
+                        lambda r: F.sequence(
+                            r["start"], r["start"] + r["len"] - 1
+                        ),
+                    )
+                )
+            ).alias("p"),
+        )
     tokp = corpus.select(
         "doc_id", F.posexplode(toks).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("p"), "tok")
@@ -1378,9 +1446,28 @@ def remove_duplicate_spans(corpus: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def remove_duplicate_spans_sql(k: int = 8) -> str:
+def remove_duplicate_spans_sql(k: int = 8, min_span_len: int = 1) -> str:
     """DuckDB oracle for remove_duplicate_spans over the augmented
-    corpus (same occ construction as span_coverage_sql)."""
+    corpus (same occ construction as span_coverage_sql). The
+    ``min_span_len`` run filter is gaps-and-islands (the oracle can
+    afford the window); emitted only when > 1 so the default stays
+    byte-identical to the registered r8 oracle."""
+    run_filter = ""
+    if min_span_len > 1:
+        run_filter = f"""
+runs AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM covered
+),
+runlen AS (
+  SELECT doc_id, grp, count(*) AS len FROM runs GROUP BY 1, 2
+),
+covered_f AS (
+  SELECT r.doc_id, r.p FROM runs r JOIN runlen l USING (doc_id, grp)
+  WHERE l.len >= {min_span_len}
+),"""
+    cov_src = "covered_f" if min_span_len > 1 else "covered"
     return f"""WITH {CORPUS_SQL.strip()},
 tok AS (
   SELECT doc_id,
@@ -1411,7 +1498,7 @@ covered AS (
            unnest(range(pos, least(pos + {k - 1}, n_tokens) + 1)) AS p
     FROM erase
   )
-),
+),{run_filter}
 tokp AS (
   SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS p, toks
   FROM tok
@@ -1419,7 +1506,7 @@ tokp AS (
 kept AS (
   SELECT t.doc_id, t.p, t.toks[t.p] AS tok
   FROM tokp t
-  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+  LEFT JOIN {cov_src} c ON c.doc_id = t.doc_id AND c.p = t.p
   WHERE c.doc_id IS NULL
 ),
 rebuilt AS (

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from tiflow_spark.functions.hashing import (
     portable_hash64,
@@ -366,24 +367,29 @@ def select_within_budget(
     boundary doc that first crosses the budget is excluded — conservative
     cut, never overshoots).
 
-    Scale shape — NO global ``ORDER BY``-the-world window: quality scores
-    are discrete (rounded), so the running total is a two-phase
-    distributed prefix sum: a window PARTITIONED BY quality band (parallel
-    across the cluster), plus a band-level offset table that is
-    metadata-scale (distinct quality values) and broadcast back. Same
-    construction as llm/packing's token prefix sum.
+    Scale shape — NO global ``ORDER BY``-the-world window, not even over
+    the band-totals frame: quality scores are discrete (rounded), so the
+    running total is a two-phase distributed prefix sum — a window
+    PARTITIONED BY quality band (parallel across the cluster) plus a
+    band-level offset table. The offsets come from the same bounded
+    driver-prefix-sum idiom as :func:`perplexity_bucket_sample`'s exact
+    cutoffs: the (band → token-total) AGGREGATE stays distributed (one
+    groupBy shuffle), the driver pulls at most ``max_bands`` + 1 of its
+    rows (fail-fast tripwire BEFORE anything corpus-sized moves), runs
+    the metadata-scale cumulative sum locally, and ships the offsets back
+    as a broadcast join. Zero single-task stages at any band count the
+    guard admits.
 
     Output: id_col, quality_col, tokens_col, cum_before (tokens consumed
     by strictly-better-ranked docs).
 
     PRECONDITION (enforced): the construction is metadata-scale only while
     quality is DISCRETE. Near-unique continuous scores degenerate every
-    band to one row, making the offsets table corpus-sized and its window
-    a single-task global sort. Pass ``quality_decimals`` to round
-    continuous scores into bands here (the selection order then ties on
-    id within a rounded band), and/or rely on ``max_bands``: the offset
-    window asserts the band count stays under it and fails fast instead
-    of silently building the degenerate plan.
+    band to one row, making the offsets table corpus-sized. Pass
+    ``quality_decimals`` to round continuous scores into bands here (the
+    selection order then ties on id within a rounded band), and/or rely
+    on ``max_bands``: the bounded collect raises instead of silently
+    pulling a corpus-sized table to the driver.
     """
     from pyspark.sql import Window
 
@@ -402,34 +408,30 @@ def select_within_budget(
     band_totals = banded.groupBy(quality_col).agg(
         F.max("_in_band_cum").alias("_band_total")
     )
-    band_order = Window.orderBy(F.col(quality_col).desc())
-    offsets = band_totals.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_band_total").over(
-                band_order.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
+    # bounded collect: ≤ max_bands + 1 rows ever reach the driver; the
+    # +1 row is the discreteness tripwire
+    band_rows = band_totals.limit(max_bands + 1).collect()
+    if len(band_rows) > max_bands:
+        raise ValueError(
+            f"select_within_budget: > {max_bands} distinct quality "
+            "bands — quality looks continuous; pass quality_decimals "
+            "to band it"
+        )
+    offset_rows = []
+    cum = 0
+    for r in sorted(band_rows, key=lambda r: r[quality_col], reverse=True):
+        offset_rows.append((r[quality_col], cum))
+        cum += r["_band_total"]
+    spark = docs.sparkSession
+    offsets = spark.createDataFrame(
+        offset_rows,
+        schema=StructType(
+            [
+                band_totals.schema[quality_col],
+                StructField("_offset", LongType(), False),
+            ]
         ),
-    ).withColumn(
-        # discreteness guard: rides the same single-task window (zero cost
-        # when the precondition holds) and raises before the degenerate
-        # corpus-sized table is broadcast. Folded INTO _offset (null-on-
-        # success assert + coalesce 0) so column pruning can't drop it.
-        "_offset",
-        F.col("_offset")
-        + F.coalesce(
-            F.assert_true(
-                F.row_number().over(band_order) <= max_bands,
-                F.lit(
-                    f"select_within_budget: > {max_bands} distinct quality "
-                    "bands — quality looks continuous; pass "
-                    "quality_decimals to band it"
-                ),
-            ).cast("long"),
-            F.lit(0),
-        ),
-    ).select(quality_col, "_offset")
+    )
     out = banded.join(F.broadcast(offsets), quality_col).withColumn(
         "cum_before",
         F.col("_offset") + F.col("_in_band_cum") - F.col(tokens_col),

@@ -810,7 +810,11 @@ def remove_duplicate_lines(
     the top_ngrams report feeds): a line whose trimmed form appears in
     ``min_df`` or more DISTINCT documents is template text (nav bars,
     cookie banners, license footers) and is dropped from every document;
-    remaining lines keep their original order. Returns (doc_id,
+    remaining lines keep their original order. Blank lines (trimmed to
+    '') are exempt from the hot set — they are paragraph separators, not
+    template text, and stripping them corpus-wide would silently collapse
+    paragraph structure the moment min_df docs contain any blank line.
+    Returns (doc_id,
     text, n_lines, n_removed) — docs whose every line is boilerplate
     survive with empty text so the caller's quality gate decides their
     fate.
@@ -832,6 +836,7 @@ def remove_duplicate_lines(
     ).withColumn("norm", F.trim(F.col("line")))
     hot = (
         lines.select("doc_id", "norm")
+        .filter(F.col("norm") != "")
         .distinct()
         .groupBy("norm")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -886,7 +891,7 @@ def remove_duplicate_lines_sql(
     ),
     hot AS (
       SELECT norm FROM (
-        SELECT norm, count(*) AS df FROM norms GROUP BY 1
+        SELECT norm, count(*) AS df FROM norms WHERE norm <> '' GROUP BY 1
       ) WHERE df >= {min_df}
     ),
     h1 AS (SELECT coalesce(list(norm), []) AS hs FROM hot)

@@ -6396,3 +6396,34 @@ def _install_span_remove_sql() -> None:
 
 
 _install_span_remove_sql()
+
+
+@register("dedup_span_remove_minlen", None)  # oracle installed below
+def q_dedup_span_remove_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal with Lee et al. 2021's span-length semantics (the
+    paper erases only duplicated substrings of >= 50 tokens; the bare
+    k-gram form is far more aggressive): covered positions are merged
+    into maximal per-doc runs — a window-free F.aggregate fold — and
+    only runs of >= 25 tokens are erased, so short accidental 8-gram
+    collisions survive while wholesale clones are still cut
+    (llm/dedup.remove_duplicate_spans min_span_len)."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        remove_duplicate_spans,
+    )
+
+    return remove_duplicate_spans(
+        corpus_with_dups(_docs(spark, sf_dir)), min_span_len=25
+    )
+
+
+def _install_span_remove_minlen_sql() -> None:
+    from tiflow_spark.llm.dedup import remove_duplicate_spans_sql
+
+    REGISTRY["dedup_span_remove_minlen"] = (
+        REGISTRY["dedup_span_remove_minlen"][0],
+        remove_duplicate_spans_sql(min_span_len=25),
+    )
+
+
+_install_span_remove_minlen_sql()

@@ -307,7 +307,10 @@ def replay_avro_broker_to_state(
     the value body carries the typed row + op + full-precision commit_ts;
     table identity is topic-derived ('schema.table' — the reference's
     avro protocol likewise requires table-topic dispatch, so the topic IS
-    the table's address). Fold key is the Avro key-schema column (`id`).
+    the table's address). The topic is split on its FIRST '.' only:
+    schema names may not contain a dot (MySQL identifiers in the default
+    '{schema}.{table}' template don't), while any further dots belong to
+    the table name. Fold key is the Avro key-schema column (`id`).
 
     Output: (schema, table, key, id, balance, note) live rows.
     Scale shape: one Arrow-batched decode stage (binary wire format —
@@ -323,7 +326,10 @@ def replay_avro_broker_to_state(
         F.when(dot > 0, F.substring_index("topic", ".", 1))
         .otherwise(F.lit(""))
         .alias("schema"),
-        F.when(dot > 0, F.substring_index("topic", ".", -1))
+        F.when(
+            dot > 0,
+            F.expr("substring(topic, instr(topic, '.') + 1)"),
+        )
         .otherwise(F.col("topic"))
         .alias("table"),
         F.col("id").cast("string").alias("key"),

@@ -294,6 +294,10 @@ def compact_ingest_state(
     folded = 0
     for sub in ("corpus", "index_sh", "index_banded"):
         root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            # state_dir not built via init_ingest_state (or this subdir
+            # never written) — nothing to fold, mirror _live_parts' guard
+            continue
         live = sorted(_live_parts(root), key=_batch_ord)
         # garbage-collect dirs a committed manifest already consumed but a
         # crash-before-delete left on disk (step 4's crash window)

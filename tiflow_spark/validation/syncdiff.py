@@ -387,7 +387,21 @@ def resume_row_diff(
     import shutil as _shutil
 
     rd_dir = _os.path.join(checkpoint_dir, "rowdiff")
+    rd_meta = _os.path.join(checkpoint_dir, "rowdiff_meta.json")
+    geometry = {"pk": pk, "cols": list(cols), "width": width}
     if _os.path.isdir(rd_dir):
+        # the cached diff is only valid for the geometry it was computed
+        # under — same discipline as the _chunks.json check in
+        # resumable_chunk_compare (a silent col/pk drift would hand back
+        # a stale diff with the wrong column set)
+        if _os.path.exists(rd_meta):
+            with open(rd_meta) as f:
+                saved = _json.load(f)
+            if saved != geometry:
+                raise ValueError(
+                    "rowdiff checkpoint geometry mismatch: "
+                    f"saved {saved}, requested {geometry}"
+                )
         return spark.read.parquet(rd_dir).drop("chunk_id")
 
     bad: list[int] = []
@@ -425,6 +439,10 @@ def resume_row_diff(
     diff.withColumn("chunk_id", chunk_id_col(pk, width)).write.mode(
         "overwrite"
     ).parquet(staging)
+    tmp = rd_meta + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(geometry, f)
+    _os.replace(tmp, rd_meta)
     _os.rename(staging, rd_dir)
     return spark.read.parquet(rd_dir).drop("chunk_id")
 
