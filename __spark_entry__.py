@@ -21,77 +21,79 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~4 rounds without a hard-signal row. Round 8 (per VERDICT
-# r7 next-round #1): ALL 29 queries whose latest check was round 4 (the
-# longest-unaudited block, fully cleared this round) + the 8 queries new in
-# round 8 (the four consumer_replay_* protocols now oracle-checked e2e
-# against the shared update-split fold, llm_ingest_funnel = the standing
-# streaming-ingest subsystem hard-signaled, snapshot_load_status = the DM
-# loader query-status facade, text_line_dedup = C4-style line boilerplate
-# removal, dedup_span_remove = exact substring dedup)
-# + 2 round-8 PLAN-CHANGED re-checks (sample_ppl_buckets now computes
-# exact histogram-derived tercile cutoffs — no sample, no window;
-# validate_resume_report now assembles from the checkpointed row-diff
-# outcomes) + the 11 oldest r5-checked names in name order. The remaining
-# 38 r5-checked names rotate first in round 9; every deferred name is
-# meanwhile covered by the local sf0.001 oracle sweep on every pytest run
+# goes more than ~4 rounds without a hard-signal row. Round 9 (per VERDICT
+# r8 next-round #1): ALL 38 queries whose latest check was round 5 — the
+# entire remaining stale block, so after this round nothing is staler than
+# r6 and the full-registry cycle stays <= 4 rounds — + the 4 queries new in
+# round 9 (consumer_replay_storage_csv = cmd/storage-consumer parity, the
+# last reference consumer binary without a hard-signal row;
+# dedup_span_remove_minlen = Lee et al. span-length semantics;
+# llm_ingest_stream = the ingest driven through run_corpus_ingest's
+# availableNow trigger + checkpoint + in-stream compaction;
+# compact_ingest_state = the state-maintenance fold, decisions
+# byte-identical) + 3 round-9 PLAN-CHANGED re-checks (corpus_select_budget:
+# band offsets now bounded driver prefix-sum, the last data-dependent
+# global-order window removed; text_line_dedup: blank lines exempt from the
+# hot set; consumer_replay_avro: topic split on first dot) + the 5 oldest
+# r6-checked names in name order. Every deferred name is meanwhile covered
+# by the local sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
 # follows in registration order as regression sentinels.
 _PRIORITY = [
-    # latest-checked round 4 — all 29, longest-unaudited first
-    "olap_daily_event_rollup",
-    "olap_disjunctive_revenue",
-    "olap_late_shipments",
-    "olap_local_supplier_volume",
-    "olap_lost_customers",
-    "olap_nation_volume",
-    "olap_order_priority",
-    "olap_pricing_summary",
-    "olap_promo_revenue",
-    "olap_shipping_priority",
-    "olap_sliding_rate",
-    "olap_small_qty_revenue",
-    "olap_top_spenders",
-    "olap_top_supplier",
-    "olap_user_sessions",
-    "olap_waiting_suppliers",
-    "pack_sequences",
-    "sample_stratified",
-    "sample_temperature",
-    "sim_ann_recall",
-    "sim_ann_sq",
-    "sink_uri_route",
-    "snapshot_merge_partial",
-    "stream_delta_merge",
-    "text_contamination",
-    "text_normalize",
-    "text_pii_scrub",
-    "text_rarity",
-    "text_repetition",
-    # new in round 8 (never driver-checked)
-    "consumer_replay_debezium",
-    "consumer_replay_canal",
-    "consumer_replay_open",
-    "consumer_replay_avro",
-    "llm_ingest_funnel",
-    "snapshot_load_status",
+    # latest-checked round 5 — all 38, the whole remaining stale block
+    "ddl_barrier_plan",
+    "ddl_default_backfill",
+    "ddl_filter",
+    "ddl_key_metadata",
+    "ddl_lossy_report",
+    "ddl_schema_evolution",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "olap_customer_distribution",
+    "olap_large_orders",
+    "olap_market_share",
+    "olap_returned_items",
+    "olap_volume_shipping",
+    "online_ddl_route",
+    "precheck",
+    "sample_domain_cap",
+    "schema_asof_decode",
+    "shardddl_optimistic_merge",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "sim_topk_cosine",
+    "sink_storage_layout",
+    "sink_storage_roundtrip",
+    "snapshot_merge",
+    "stream_apply",
+    "text_fingerprint",
+    "text_langid",
+    "text_lm_score",
+    "text_quality",
+    "text_token_counts",
+    "validate_checksum",
+    "validate_chunk_compare",
+    "validate_pending",
+    "validate_repair",
+    "validate_row_diff",
+    # new in round 9 (never driver-checked)
+    "consumer_replay_storage_csv",
+    "dedup_span_remove_minlen",
+    "llm_ingest_stream",
+    "compact_ingest_state",
+    # round-9 plan-changed re-checks
+    "corpus_select_budget",
     "text_line_dedup",
-    "dedup_span_remove",
-    # round-8 plan-changed re-checks
-    "sample_ppl_buckets",
-    "validate_resume_report",
-    # oldest of the r5-checked block (11 of 49, name order)
-    "cdc_apply",
-    "cdc_compact",
-    "cdc_filter_stack",
-    "cdc_handle_key_dispatch",
-    "cdc_partition_ddl",
-    "cdc_rekey_force_fallback",
-    "cdc_route_split",
-    "cdc_stored_generated",
-    "codec_claim_check",
-    "codec_maxwell_ddl",
-    "codec_open_ddl",
+    "consumer_replay_avro",
+    # oldest of the r6-checked block (5 of 50, name order)
+    "cdc_causality",
+    "cdc_causality_fk",
+    "cdc_checkpoint",
+    "cdc_column_ops",
+    "cdc_dispatch",
 ]
 
 

@@ -27,8 +27,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SECTIONS = [
-    "headline", "r5ops", "r6ops", "r7ops", "r8ops", "stream", "incdedup",
-    "live",
+    "headline", "r5ops", "r6ops", "r7ops", "r8ops", "r9ops", "scaling",
+    "stream", "incdedup", "live",
 ]
 
 
@@ -312,6 +312,100 @@ def section_r8ops(sf_dir: str) -> dict:
         "r8_queries": timings,
         "r8_total_sec": round(sum(timings.values()), 3),
     }
+
+
+def section_r9ops(sf_dir: str) -> dict:
+    # round-9 surface: the storage-consumer CSV replay e2e (the sixth and
+    # last reference consumer binary), Lee-et-al span-length dedup, the
+    # ingest driven through its production streaming trigger (availableNow
+    # + checkpoint + in-stream compaction — fixture-dominated: three file
+    # writes + three micro-batches + a fold inside the timed query), the
+    # state-maintenance fold, and the budget cut re-timed after its
+    # band-offset window became a bounded driver prefix-sum.
+    from tiflow_spark.plans.parity import REGISTRY
+
+    spark = _spark()
+    timings = _time_registry_set(
+        spark,
+        sf_dir,
+        [
+            "consumer_replay_storage_csv",
+            "dedup_span_remove_minlen",
+            "corpus_select_budget",
+        ],
+    )
+    # the two ingest-subsystem queries build their whole fixture INSIDE
+    # the timed call (clone corpus + three file writes + streaming query +
+    # compaction) — ~40 s each at sf0.1, so min-of-5 would dominate the
+    # bench for a number that is fixture I/O, not a standing plan. One
+    # timed run each; the steady-state per-batch ingest cost is
+    # ingest_batch_gopher in r8ops.
+    for name in ("llm_ingest_stream", "compact_ingest_state"):
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s (single run, "
+              "fixture-dominated)", file=sys.stderr)
+    return {
+        "r9_queries": timings,
+        "r9_total_sec": round(sum(timings.values()), 3),
+    }
+
+
+def section_scaling(sf_dir: str) -> dict:
+    # scaling-slope evidence (VERDICT r8 #7): time the five most expensive
+    # registry paths at sf0.01 AND the bench sf (0.1 = 10x the data) and
+    # report the ratio — a superlinearity tripwire for the 100x claim.
+    # With fixed per-job overhead (planning, codegen, task launch)
+    # dominating at these scales, a linear plan shows a ratio well UNDER
+    # 10; >= 10 means the data term already dominates AND grows no faster
+    # than linearly only if the ratio stays ~10. Verdict bands: <= 12
+    # ~linear-or-better, <= 30 watch (noise/overhead mix), > 30 red flag.
+    spark = _spark()
+    small_dir = "/root/testdata/sf0.01"
+    names = [
+        "sample_ppl_buckets",
+        "dedup_keep_best",
+        "dedup_semdedup",
+        "dedup_index_compact",
+        "validate_resume",
+    ]
+    from tiflow_spark.plans.parity import REGISTRY
+
+    out: dict = {}
+    for name in names:
+        ts = {}
+        for label, d in (("small", small_dir), ("big", sf_dir)):
+            fn, _ = REGISTRY[name]
+            fn(spark, d).count()  # warm
+            best = None
+            for _rep in range(3):
+                t0 = time.perf_counter()
+                fn(spark, d).count()
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            ts[label] = round(best, 3)
+        ratio = round(ts["big"] / ts["small"], 2) if ts["small"] else None
+        verdict = (
+            "~linear-or-better at 10x data"
+            if ratio is not None and ratio <= 12
+            else "mildly superlinear - watch"
+            if ratio is not None and ratio <= 30
+            else "SUPERLINEAR - red flag"
+        )
+        out[name] = {
+            "sf0.01_sec": ts["small"],
+            "sf_big_sec": ts["big"],
+            "ratio_10x": ratio,
+            "verdict": verdict,
+        }
+        print(
+            f"# scaling {name}: {ts['small']}s -> {ts['big']}s "
+            f"(x{ratio}) {verdict}",
+            file=sys.stderr,
+        )
+    return {"scaling_10x": out}
 
 
 def section_stream(sf_dir: str) -> dict:

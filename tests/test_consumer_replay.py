@@ -444,3 +444,32 @@ def test_avro_replay_idempotent_under_duplicate_delivery(spark, sf_dir, work_dir
     assert replayed.count() == expected.count() and expected.count() > 0
     assert replayed.exceptAll(expected).count() == 0
     assert expected.exceptAll(replayed).count() == 0
+
+
+def test_replay_storage_csv_function_matches_direct_apply(
+    spark, sf_dir, work_dir
+):
+    """The packaged storage-consumer replay (round 9's registry row)
+    equals the directly-applied state — same contract as the inline fold
+    above but through streaming.consumer.replay_storage_csv_to_state."""
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+    from tiflow_spark.streaming.consumer import replay_storage_csv_to_state
+
+    env = events_to_changes(load_table(spark, sf_dir, "events"))
+    transformed = tfm.split_updates(
+        tfm.route(flt.apply_filters(env, DEMO_CFG), DEMO_CFG)
+    )
+    out = f"{work_dir}/storage_fn"
+    write_storage_sink(transformed, out, StorageSinkConfig())
+    replayed = replay_storage_csv_to_state(
+        spark, out, {"id": "bigint", "balance": "double", "note": "string"}
+    ).select("table", "key", "id", "balance", "note")
+    expected = changes_to_state(transformed, table_col="table").select(
+        F.col("target_table").alias("table"), "key", "id", "balance", "note"
+    )
+    assert replayed.count() == expected.count() > 0
+    assert replayed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(replayed).count() == 0

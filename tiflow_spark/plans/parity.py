@@ -11,6 +11,8 @@ The demo TaskConfig below exercises the full reference config surface
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -6227,6 +6229,43 @@ def q_consumer_replay_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STORAGE_REPLAY_DIRS: dict[str, str] = {}
+
+
+@register("consumer_replay_storage_csv", _REPLAY_FOLD_SQL)
+def q_consumer_replay_storage_csv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Storage-consumer CSV replay end-to-end (cmd/storage-consumer —
+    the reference's SIXTH consumer binary, the only one not reading a
+    broker): the update-split change stream is written through the
+    cloud-storage sink's schema/table/version/date CDC*.csv layout, read
+    back by path-glob text scan + JVM from_csv, and folded to the shared
+    last-writer applied state. CSV carries no intra-ts sequence
+    (reference parity), so the fold orders by commit_ts alone — total
+    here because the fixture assigns one commit per key-txn
+    (streaming/consumer.replay_storage_csv_to_state)."""
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+    from tiflow_spark.streaming.consumer import replay_storage_csv_to_state
+
+    if sf_dir not in _STORAGE_REPLAY_DIRS:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="tiflow_replay_csv_")
+        write_storage_sink(
+            tfm.split_updates(_env(spark, sf_dir)), base, StorageSinkConfig()
+        )
+        _STORAGE_REPLAY_DIRS[sf_dir] = base
+    return replay_storage_csv_to_state(
+        spark,
+        _STORAGE_REPLAY_DIRS[sf_dir],
+        {"id": "bigint", "balance": "double", "note": "string"},
+    )
+
+
 @register("llm_ingest_funnel", None)  # oracle installed below
 def q_llm_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standing LLM-corpus ingest subsystem end-to-end
@@ -6272,6 +6311,122 @@ def _install_ingest_funnel_sql() -> None:
 
 
 _install_ingest_funnel_sql()
+
+
+def _ingest_fixture_files(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Lay the doc_id%3 splits of the corpus_with_dups fixture down as
+    THREE single parquet files with ascending mtimes, so the file stream
+    source (availableNow, maxFilesPerTrigger=1) replays them as micro-
+    batches 0/1/2 in arrival order — the same batch assignment the
+    funnel oracle states."""
+    import glob as _glob
+
+    from tiflow_spark.llm.dedup import corpus_with_dups
+
+    docs = corpus_with_dups(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "text",
+        F.lit("xx").alias("lang"),
+        F.lit("fixture").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    src = os.path.join(base, "source")
+    os.makedirs(src, exist_ok=True)
+    for k in range(3):
+        tmp = os.path.join(base, f"_stage{k}")
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"{k:02d}.parquet")
+        os.replace(part, dest)
+        os.utime(dest, (1_000_000 + k, 1_000_000 + k))
+    return src
+
+
+@register("llm_ingest_stream", None)  # oracle installed below
+def q_llm_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest subsystem driven through its PRODUCTION entrypoint —
+    run_corpus_ingest's Structured Streaming file source + availableNow
+    trigger + foreachBatch + checkpoint + in-stream compaction cadence
+    (compact_every=2) — over the same doc_id%3 file split and length
+    gate as llm_ingest_funnel, against the same staged-keep-set oracle:
+    the trigger/checkpoint/compaction machinery itself sits under the
+    hash check (decisions are byte-identical under compaction,
+    streaming/llm_ingest.run_corpus_ingest)."""
+    import tempfile
+
+    from tiflow_spark.streaming.llm_ingest import (
+        init_ingest_state,
+        read_corpus,
+        run_corpus_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="tiflow_ingest_stream_")
+    src = _ingest_fixture_files(spark, sf_dir, base)
+    state = os.path.join(base, "state")
+    init_ingest_state(spark, state)
+    run_corpus_ingest(
+        spark,
+        src,
+        state,
+        os.path.join(base, "ckpt"),
+        quality_gate=lambda df: df.filter(F.length("text") >= 200),
+        compact_every=2,
+    )
+    return read_corpus(spark, state).select("doc_id", "text")
+
+
+@register("compact_ingest_state", None)  # oracle installed below
+def q_compact_ingest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-maintenance hard signal: after the three-batch funnel, fold
+    the per-batch state dirs with compact_ingest_state (manifest-gated,
+    crash-safe) and re-read the curated corpus — the query raises unless
+    the fold actually consumed dirs, and the hash check proves decisions
+    are byte-identical across the fold
+    (streaming/llm_ingest.compact_ingest_state)."""
+    import tempfile
+
+    from tiflow_spark.llm.dedup import corpus_with_dups
+    from tiflow_spark.streaming.llm_ingest import (
+        compact_ingest_state,
+        ingest_batch,
+        init_ingest_state,
+        read_corpus,
+    )
+
+    docs = corpus_with_dups(_docs(spark, sf_dir))
+    state = tempfile.mkdtemp(prefix="tiflow_ingest_compact_")
+    init_ingest_state(spark, state)
+    for k in range(3):
+        ingest_batch(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == k),
+            k,
+            state,
+            quality_gate=lambda df: df.filter(F.length("text") >= 200),
+        )
+    folded = compact_ingest_state(spark, state, keep_last=1)
+    if folded < 2:  # 3 dirs per subdir, keep_last=1 → 2 folded per subdir
+        raise AssertionError(
+            f"compact_ingest_state folded only {folded} dirs"
+        )
+    return read_corpus(spark, state).select("doc_id", "text")
+
+
+def _install_ingest_stream_sql() -> None:
+    # both rows must reproduce the funnel's staged keep-set exactly
+    REGISTRY["llm_ingest_stream"] = (
+        REGISTRY["llm_ingest_stream"][0],
+        REGISTRY["llm_ingest_funnel"][1],
+    )
+    REGISTRY["compact_ingest_state"] = (
+        REGISTRY["compact_ingest_state"][0],
+        REGISTRY["llm_ingest_funnel"][1],
+    )
+
+
+_install_ingest_stream_sql()
 
 
 @register(

@@ -404,3 +404,52 @@ def replay_open_broker_to_state(
         .drop("_rn", "commit_ts", "offset")
     )
     return last.filter(F.col("op_class") != "D").drop("op_class")
+
+
+def replay_storage_csv_to_state(
+    spark: SparkSession,
+    base_dir: str,
+    payload_types: dict[str, str],
+) -> DataFrame:
+    """Storage-sink CSV consumer replay (cmd/storage-consumer's csv
+    decoder, storage_consumer.go's readFromDownloadedStorage →
+    sink-apply loop): the rotated CDC*.csv files under the
+    schema/table/version/date layout are read back, decoded by the JVM
+    CSV parser, and folded to last-writer live state — the same
+    downstream apply every kafka-consumer protocol funnels into.
+
+    CSV carries no intra-ts sequence (reference parity: the csv format's
+    columns are op/table/schema/commit-ts + image), so the fold orders
+    by commit_ts alone; callers need per-(key, commit_ts) uniqueness,
+    which holds whenever the upstream assigns one commit per key-txn
+    (the storage-consumer replays whole files in ts order under the same
+    assumption).
+
+    Output: (schema, table, key, <payload cols>) live rows.
+    Scale shape: one distributed text scan with a pushed path glob, one
+    from_csv map stage (no Python), one (schema, table, key) fold
+    shuffle."""
+    from pyspark.sql import types as T
+
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        read_storage_sink,
+    )
+
+    _t = {"bigint": T.LongType(), "double": T.DoubleType(),
+          "string": T.StringType()}
+    payload = T.StructType(
+        [T.StructField(c, _t[t]) for c, t in payload_types.items()]
+    )
+    dec = read_storage_sink(spark, base_dir, payload, StorageSinkConfig())
+    first = next(iter(payload_types))
+    rows = dec.select(
+        "schema",
+        "table",
+        F.col(first).cast("string").alias("key"),
+        F.col("op").alias("_op_class"),
+        "commit_ts",
+        F.lit(0).alias("offset"),
+        *payload_types,
+    )
+    return _last_writer_fold(rows)
