@@ -516,3 +516,8 @@ def test_select_within_budget_no_global_window(spark, sf_dir):
     import re
 
     assert not re.search(r"Exchange SinglePartition.*\n.*Window", plan)
+    # r9: the band-offset window is GONE entirely — offsets are a bounded
+    # driver prefix-sum broadcast back, so the only Window left is the
+    # in-band one (partitioned by quality). No single-partition exchange
+    # may appear anywhere in the plan.
+    assert "Exchange SinglePartition" not in plan

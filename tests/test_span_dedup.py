@@ -241,3 +241,17 @@ def test_min_span_len_matches_brute_force(spark):
         _property_spanlen(spark, rows, min_span_len)
 
     inner()
+
+
+def test_min_span_len_plan_has_no_window(spark):
+    """The run merge must stay window-free (per-doc F.aggregate fold) —
+    a Window node here would be the single-task global sort the operator
+    exists to avoid."""
+    from tiflow_spark.llm.dedup import remove_duplicate_spans
+
+    df = _df(spark, [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")])
+    plan = (
+        remove_duplicate_spans(df, k=8, min_span_len=3)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan
