@@ -34,8 +34,12 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # byte-identical) + 3 round-9 PLAN-CHANGED re-checks (corpus_select_budget:
 # band offsets now bounded driver prefix-sum, the last data-dependent
 # global-order window removed; text_line_dedup: blank lines exempt from the
-# hot set; consumer_replay_avro: topic split on first dot) + the 5 oldest
-# r6-checked names in name order. Every deferred name is meanwhile covered
+# hot set; consumer_replay_avro: topic split on first dot;
+# consumer_replay_canal: the key-sticky contract assert is now folded into
+# the fold's filter — the r8 free-standing asserted column was pruned by
+# Catalyst, i.e. the guard was dead; a negative test now pins it live) +
+# the 4 oldest r6-checked names in name order. Every deferred name is
+# meanwhile covered
 # by the local sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
 # follows in registration order as regression sentinels.
@@ -88,12 +92,12 @@ _PRIORITY = [
     "corpus_select_budget",
     "text_line_dedup",
     "consumer_replay_avro",
-    # oldest of the r6-checked block (5 of 50, name order)
+    "consumer_replay_canal",
+    # oldest of the r6-checked block (4 of 50, name order)
     "cdc_causality",
     "cdc_causality_fk",
     "cdc_checkpoint",
     "cdc_column_ops",
-    "cdc_dispatch",
 ]
 
 

@@ -473,3 +473,61 @@ def test_replay_storage_csv_function_matches_direct_apply(
     assert replayed.count() == expected.count() > 0
     assert replayed.exceptAll(expected).count() == 0
     assert expected.exceptAll(replayed).count() == 0
+
+
+def test_canal_key_sticky_contract_fires(spark, work_dir):
+    """The key-sticky contract assert must be LIVE in the executed plan:
+    a key observed in two broker partitions fails the replay. (Round-9
+    regression: the r8 form hung the assert on a column that was later
+    dropped, and Catalyst pruned the guard away entirely.)"""
+    from tiflow_spark.sinks.mq import produce_file_broker
+
+    row = (
+        '{{"id":1,"database":"s","table":"t","pkNames":["id"],'
+        '"isDdl":false,"type":"{t}","es":{es},"ts":{es},"sql":"",'
+        '"data":[{{"id":"1","balance":"{b}","note":"x"}}],"old":null}}'
+    )
+    msgs = spark.createDataFrame(
+        [
+            (100, 0, "tp", 0, row.format(t="INSERT", es=100, b="1.0")),
+            (101, 1, "tp", 1, row.format(t="UPDATE", es=101, b="2.0")),
+        ],
+        "commit_ts long, seq long, topic string, partition int, "
+        "value string",
+    ).withColumn("key", F.lit("1"))
+    produce_file_broker(msgs, f"{work_dir}/broker_tie", batch_id=0)
+    with pytest.raises(Exception, match="contract violated"):
+        replay_broker_to_state(
+            spark, f"{work_dir}/broker_tie", {"id": "bigint"}
+        ).collect()
+
+
+def test_csv_replay_tied_commit_ts_contract_fires(spark, work_dir):
+    """CSV carries no intra-ts sequence, so a tied (key, commit_ts) makes
+    the fold non-total — the replay must fail loudly, not pick an
+    arbitrary image."""
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+    from tiflow_spark.streaming.consumer import replay_storage_csv_to_state
+
+    env = spark.createDataFrame(
+        [
+            ("I", "s", "t", 100, 1, 1, 1.0, "a"),
+            ("U", "s", "t", 100, 2, 1, 2.0, "b"),
+        ],
+        "op string, schema string, table string, commit_ts long, "
+        "seq long, id long, balance double, note string",
+    ).select(
+        "op", "schema", "table", "commit_ts", "seq",
+        F.struct("id", "balance", "note").alias("after"),
+        F.struct("id", "balance", "note").alias("before"),
+    )
+    out = f"{work_dir}/storage_tie"
+    write_storage_sink(env, out, StorageSinkConfig())
+    with pytest.raises(Exception, match="contract violated"):
+        replay_storage_csv_to_state(
+            spark, out, {"id": "bigint", "balance": "double",
+                         "note": "string"}
+        ).collect()

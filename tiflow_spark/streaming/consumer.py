@@ -82,26 +82,31 @@ def replay_broker_to_state(
     # key-sticky contract (same key → same partition). Enforce it instead
     # of assuming it: a key observed in >1 partition fails the replay
     # loudly rather than silently picking a stale row.  collect_set rides
-    # the same window partitioning — no extra shuffle.
+    # the same window partitioning — no extra shuffle. The assert is
+    # folded INTO the row-number filter (null-on-success + coalesce
+    # true): a free-standing asserted column that is later .drop()ped is
+    # pruned by Catalyst and the guard silently dies (found by a
+    # round-9 negative test — the r8 form WAS dead).
     n_parts = F.size(F.collect_set("partition").over(w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )))
-    last = (
-        rows.withColumn(
-            "_contract",
-            F.assert_true(
-                n_parts <= 1,
-                F.concat(
-                    F.lit("replay contract violated: key observed in "
-                          "multiple broker partitions: "),
-                    F.col("schema"), F.lit("."), F.col("table"),
-                    F.lit("/"), F.col("key"),
-                ),
+    contract = F.coalesce(
+        F.assert_true(
+            F.col("_nparts") <= 1,
+            F.concat(
+                F.lit("replay contract violated: key observed in "
+                      "multiple broker partitions: "),
+                F.col("schema"), F.lit("."), F.col("table"),
+                F.lit("/"), F.col("key"),
             ),
-        )
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    last = (
+        rows.withColumn("_nparts", n_parts)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_contract", "es", "partition", "offset")
+        .filter(contract & (F.col("_rn") == 1))
+        .drop("_rn", "_nparts", "es", "partition", "offset")
     )
     return last.filter(F.col("etype") != "DELETE").drop("etype")
 
@@ -420,10 +425,14 @@ def replay_storage_csv_to_state(
 
     CSV carries no intra-ts sequence (reference parity: the csv format's
     columns are op/table/schema/commit-ts + image), so the fold orders
-    by commit_ts alone; callers need per-(key, commit_ts) uniqueness,
+    by commit_ts alone — total only without per-(key, commit_ts) ties,
     which holds whenever the upstream assigns one commit per key-txn
     (the storage-consumer replays whole files in ts order under the same
-    assumption).
+    assumption). ENFORCED, not assumed: a key whose winning commit_ts
+    carries more than one row fails the replay loudly instead of
+    silently picking an arbitrary image (same contract discipline as
+    replay_broker_to_state's key-sticky assert); the check rides the
+    fold's window partitioning — no extra shuffle.
 
     Output: (schema, table, key, <payload cols>) live rows.
     Scale shape: one distributed text scan with a pushed path glob, one
@@ -449,7 +458,40 @@ def replay_storage_csv_to_state(
         F.col(first).cast("string").alias("key"),
         F.col("op").alias("_op_class"),
         "commit_ts",
-        F.lit(0).alias("offset"),
         *payload_types,
     )
-    return _last_writer_fold(rows)
+    w = Window.partitionBy("schema", "table", "key").orderBy(
+        F.col("commit_ts").desc()
+    )
+    frame = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    top_rows = F.sum(
+        F.when(
+            F.col("commit_ts") == F.max("commit_ts").over(frame), 1
+        ).otherwise(0)
+    ).over(frame)
+    # the assert is folded INTO the row-number filter (null-on-success +
+    # coalesce true) so column pruning cannot drop it — a free-standing
+    # asserted column that is later .drop()ped gets optimized away and
+    # the guard silently dies. Window expressions can't sit in a WHERE,
+    # so _top materializes first and the filter asserts over the column.
+    contract = F.coalesce(
+        F.assert_true(
+            F.col("_top") <= 1,
+            F.concat(
+                F.lit("csv replay contract violated: tied commit_ts "
+                      "for key "),
+                F.col("schema"), F.lit("."), F.col("table"),
+                F.lit("/"), F.col("key"),
+            ),
+        ).cast("boolean"),
+        F.lit(True),
+    )
+    last = (
+        rows.withColumn("_top", top_rows)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(contract & (F.col("_rn") == 1))
+        .drop("_rn", "_top", "commit_ts")
+    )
+    return last.filter(F.col("_op_class") != "D").drop("_op_class")
