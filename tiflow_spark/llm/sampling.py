@@ -397,7 +397,6 @@ def select_within_budget(
         docs = docs.withColumn(
             quality_col, F.round(F.col(quality_col), quality_decimals)
         )
-    q = F.col(quality_col)
     in_band = Window.partitionBy(quality_col).orderBy(id_col)
     banded = docs.select(id_col, quality_col, tokens_col).withColumn(
         "_in_band_cum",
