@@ -1,10 +1,14 @@
 """Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. The headline metric the driver compares
-to BASELINE.md is end-to-end change-pipeline throughput: the reference's
-envelope is 40–290k rows/s applied; ours is measured by `cdc_apply` over the
-sf0.1 events table (600k lineitem-scale stream).
+Prints one compact JSON line PER SECTION as it completes, then a slim
+headline summary line LAST ({"metric", "value", "unit", "core7_sec",
+"apply_rows_per_sec", "sf"}, ~150 chars — sized so the driver's 2000-char
+stdout tail capture always parses; round 9's single merged mega-line
+outgrew it). The complete merged object is written to bench_full.json.
+The headline metric the driver compares to BASELINE.md is end-to-end
+change-pipeline throughput: the reference's envelope is 40–290k rows/s
+applied; ours is measured by `cdc_apply` over the sf0.1 events table
+(600k lineitem-scale stream).
 
 SECTION ISOLATION (round 7): each section runs in its OWN subprocess with a
 fresh JVM — round 6 showed that appending sections to one long-lived JVM
@@ -316,13 +320,13 @@ def section_r8ops(sf_dir: str) -> dict:
 
 def section_r9ops(sf_dir: str) -> dict:
     # round-9 surface: the storage-consumer CSV replay e2e (the sixth and
-    # last reference consumer binary), Lee-et-al span-length dedup, the
-    # ingest driven through its production streaming trigger (availableNow
-    # + checkpoint + in-stream compaction — fixture-dominated: three file
-    # writes + three micro-batches + a fold inside the timed query), the
-    # state-maintenance fold, and the budget cut re-timed after its
-    # band-offset window became a bounded driver prefix-sum.
-    from tiflow_spark.plans.parity import REGISTRY
+    # last reference consumer binary), Lee-et-al span-length dedup, and
+    # the budget cut re-timed after its band-offset window became a
+    # bounded driver prefix-sum.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
 
     spark = _spark()
     timings = _time_registry_set(
@@ -334,42 +338,112 @@ def section_r9ops(sf_dir: str) -> dict:
             "corpus_select_budget",
         ],
     )
-    # the two ingest-subsystem queries build their whole fixture INSIDE
-    # the timed call (clone corpus + three file writes + streaming query +
-    # compaction) — ~40 s each at sf0.1, so min-of-5 would dominate the
-    # bench for a number that is fixture I/O, not a standing plan. One
-    # timed run each; the steady-state per-batch ingest cost is
-    # ingest_batch_gopher in r8ops.
-    for name in ("llm_ingest_stream", "compact_ingest_state"):
-        fn, _ = REGISTRY[name]
+    # the two ingest-subsystem paths were single-run fixture-dominated
+    # numbers in r9 (the registry query builds corpus clone + file writes
+    # + streaming query + compaction inside one call). r10 (VERDICT #3):
+    # split fixture construction (untimed per rep where shareable) from
+    # the timed machinery — min-of-3 on the drain/fold — so the reported
+    # number is the streaming/compaction cost, comparable to
+    # ingest_batch_gopher's per-batch number in r8ops.
+    from tiflow_spark.plans.parity import _docs, _ingest_fixture_files
+    from tiflow_spark.llm.dedup import corpus_with_dups
+    from tiflow_spark.streaming.llm_ingest import (
+        compact_ingest_state,
+        ingest_batch,
+        init_ingest_state,
+        run_corpus_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="tiflow_bench_ingest_stream_")
+    t0 = time.perf_counter()
+    src = _ingest_fixture_files(spark, sf_dir, base)
+    stream_fixture_sec = round(time.perf_counter() - t0, 3)
+    drain_reps = []
+    for r in range(3):
+        state = f"{base}/state{r}"
+        init_ingest_state(spark, state)
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s (single run, "
-              "fixture-dominated)", file=sys.stderr)
+        run_corpus_ingest(
+            spark, src, state, f"{base}/ckpt{r}",
+            quality_gate=lambda df: df.filter(F.length("text") >= 200),
+            compact_every=2,
+        )
+        drain_reps.append(round(time.perf_counter() - t0, 3))
+    timings["llm_ingest_stream_drain"] = min(drain_reps)
+    print(
+        f"# llm_ingest_stream: fixture {stream_fixture_sec}s, drain "
+        f"{min(drain_reps)}s (min of {drain_reps})", file=sys.stderr,
+    )
+
+    # compaction fold: the 3-batch delta'd state is the fixture (built
+    # once, copied untimed per rep because the fold mutates it)
+    docs = corpus_with_dups(_docs(spark, sf_dir))
+    cbase = tempfile.mkdtemp(prefix="tiflow_bench_compact_")
+    t0 = time.perf_counter()
+    state0 = f"{cbase}/state"
+    init_ingest_state(spark, state0)
+    for k in range(3):
+        ingest_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == k), k, state0,
+            quality_gate=lambda df: df.filter(F.length("text") >= 200),
+        )
+    compact_fixture_sec = round(time.perf_counter() - t0, 3)
+    fold_reps = []
+    for r in range(3):
+        cp = f"{cbase}/rep{r}"
+        shutil.copytree(state0, cp)
+        t0 = time.perf_counter()
+        folded = compact_ingest_state(spark, cp, keep_last=1)
+        fold_reps.append(round(time.perf_counter() - t0, 3))
+        assert folded >= 2, f"fold consumed only {folded} dirs"
+    timings["compact_ingest_state_fold"] = min(fold_reps)
+    print(
+        f"# compact_ingest_state: fixture {compact_fixture_sec}s, fold "
+        f"{min(fold_reps)}s (min of {fold_reps})", file=sys.stderr,
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(cbase, ignore_errors=True)
     return {
         "r9_queries": timings,
         "r9_total_sec": round(sum(timings.values()), 3),
+        "ingest_fixture_sec": {
+            "llm_ingest_stream": stream_fixture_sec,
+            "compact_ingest_state": compact_fixture_sec,
+        },
     }
 
 
 def section_scaling(sf_dir: str) -> dict:
-    # scaling-slope evidence (VERDICT r8 #7): time the five most expensive
-    # registry paths at sf0.01 AND the bench sf (0.1 = 10x the data) and
-    # report the ratio — a superlinearity tripwire for the 100x claim.
+    # scaling-slope evidence (VERDICT r8 #7): time the most expensive
+    # registry paths at the next sf DOWN (10x less data) AND the bench sf
+    # and report the ratio — a superlinearity tripwire for the 100x claim.
     # With fixed per-job overhead (planning, codegen, task launch)
     # dominating at these scales, a linear plan shows a ratio well UNDER
     # 10; >= 10 means the data term already dominates AND grows no faster
     # than linearly only if the ratio stays ~10. Verdict bands: <= 12
     # ~linear-or-better, <= 30 watch (noise/overhead mix), > 30 red flag.
+    # r10 (ADVICE): small_dir is DERIVED from sf_dir (sf/10), never
+    # hardcoded — running the bench at sf0.01 now compares against
+    # sf0.001 instead of silently comparing a scale to itself.
     spark = _spark()
-    small_dir = "/root/testdata/sf0.01"
+    sf_txt = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf_txt)
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
+                             f"sf{sf_val / 10:g}")
+    assert small_dir != sf_dir.rstrip("/"), "scaling needs two scales"
+    assert os.path.isdir(small_dir), f"missing small scale {small_dir}"
+    # r10 (VERDICT #5): the headline rows/s claim rested on plan reading
+    # alone — add the apply path (cdc_apply, cdc_compact) and the storage
+    # consumer replay e2e to the slope evidence.
     names = [
         "sample_ppl_buckets",
         "dedup_keep_best",
         "dedup_semdedup",
         "dedup_index_compact",
         "validate_resume",
+        "cdc_apply",
+        "cdc_compact",
+        "consumer_replay_storage_csv",
     ]
     from tiflow_spark.plans.parity import REGISTRY
 
@@ -604,12 +678,21 @@ def section_live(sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else sf
 
     if len(sys.argv) >= 3 and sys.argv[1] == "--section":
         frag = globals()[f"section_{sys.argv[2]}"](sf_dir)
         print(json.dumps(frag))
         return
 
+    # EMISSION CONTRACT (round 10): the driver records only a 2000-char
+    # tail of stdout, and round 9's single merged mega-line outgrew it
+    # ("parsed": null — the only broken hard signal that round). Emit one
+    # compact JSON line per section AS IT COMPLETES (full detail near the
+    # tail for humans), dump the complete merged object to bench_full.json
+    # for the evidence archive, and make the LAST stdout line a slim
+    # headline summary (~150 chars) so the driver's tail parse always
+    # lands on valid, headline-bearing JSON.
     merged: dict = {}
     for sec in SECTIONS:
         r = subprocess.run(
@@ -626,18 +709,34 @@ def main() -> None:
         # the fragment is the last stdout line that parses as JSON
         for line in reversed(r.stdout.strip().splitlines()):
             try:
-                merged.update(json.loads(line))
-                break
+                frag = json.loads(line)
             except (json.JSONDecodeError, ValueError):
                 continue
-    out = {
+            merged.update(frag)
+            print(json.dumps({"section": sec, **frag},
+                             separators=(",", ":")))
+            break
+    full = {
         "metric": "headline_queries_total_sec",
-        "value": merged.pop("value", None),
+        "value": merged.get("value"),
         "unit": "sec",
-        **merged,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **{k: v for k, v in merged.items() if k != "value"},
+        "sf": sf_num,
     }
-    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    slim = {
+        "metric": "headline_queries_total_sec",
+        "value": merged.get("value"),
+        "unit": "sec",
+        "core7_sec": merged.get("core7_sec"),
+        "apply_rows_per_sec": merged.get("apply_rows_per_sec"),
+        "sf": sf_num,
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) <= 300, f"slim headline line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

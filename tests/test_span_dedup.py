@@ -244,7 +244,7 @@ def test_min_span_len_matches_brute_force(spark):
 
 
 def test_min_span_len_plan_has_no_window(spark):
-    """The run merge must stay window-free (per-doc F.aggregate fold) —
+    """The run merge must stay window-free (linear per-doc array ops) —
     a Window node here would be the single-task global sort the operator
     exists to avoid."""
     from tiflow_spark.llm.dedup import remove_duplicate_spans

@@ -1324,9 +1324,11 @@ def remove_duplicate_spans(
     each occurrence meets exactly one group row), a bounded k-wide
     position explode, an anti-join of the token stream against covered
     positions, and one per-doc collect_list fold ordered by
-    sort_array — no windows, no global sort. The run merge is one more
-    per-doc fold (sorted positions → (start, len) runs via
-    F.aggregate), bounded by doc length exactly like the rebuild."""
+    sort_array — no windows, no global sort. The run merge is linear
+    per-doc array work (run starts by adjacent-element compare, run
+    lengths by zipping the start-index list with itself shifted),
+    O(covered positions) exactly like the rebuild — no accumulator
+    copying (the r9 F.aggregate fold was O(runs²); ADVICE r9)."""
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
     stats = corpus.select(
         "doc_id", F.size(toks).cast("long").alias("n_tokens")
@@ -1368,42 +1370,38 @@ def remove_duplicate_spans(
     ).distinct()
     if min_span_len > 1:
         # merge covered positions into maximal runs per doc (window-free:
-        # one per-doc fold over the sorted position list) and erase only
-        # runs >= min_span_len
-        last = F.element_at
+        # LINEAR array ops over the sorted position list — the r9
+        # F.aggregate fold copied the whole accumulator per element,
+        # O(runs²) for fragmented coverage; ADVICE r9) and erase only
+        # runs >= min_span_len. Gaps-and-islands without a window: a run
+        # STARTS at index i iff i == 0 or ps[i] != ps[i-1] + 1 (one
+        # adjacent-element compare each, O(n)); run lengths are the
+        # deltas between consecutive start indices (zip start-index list
+        # with itself shifted left, O(runs)).
+        ps = F.col("ps")
+        n = F.size(ps)
+        start_idx = F.filter(
+            F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint")),
+            lambda i: (i == F.lit(0))
+            | (
+                F.element_at(ps, (i + 1).cast("int"))
+                != F.element_at(ps, i.cast("int")) + 1
+            ),
+        )
+        next_start = F.concat(
+            F.slice(start_idx, F.lit(2), F.size(start_idx)),
+            F.array(n.cast("bigint")),
+        )
         runs = covered.groupBy("doc_id").agg(
             F.array_sort(F.collect_list("p")).alias("ps")
         ).withColumn(
             "runs",
-            F.aggregate(
-                "ps",
-                F.expr(
-                    "CAST(array() AS array<struct<start:bigint,len:bigint>>)"
-                ),
-                lambda acc, p: F.when(
-                    (F.size(acc) > 0)
-                    & (
-                        last(acc, -1)["start"] + last(acc, -1)["len"] == p
-                    ),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                last(acc, -1)["start"].alias("start"),
-                                (last(acc, -1)["len"] + 1).alias("len"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc,
-                        F.array(
-                            F.struct(
-                                p.alias("start"),
-                                F.lit(1).cast("long").alias("len"),
-                            )
-                        ),
-                    )
+            F.zip_with(
+                start_idx,
+                next_start,
+                lambda s, e: F.struct(
+                    F.element_at(ps, (s + 1).cast("int")).alias("start"),
+                    (e - s).cast("bigint").alias("len"),
                 ),
             ),
         )

@@ -383,6 +383,16 @@ def select_within_budget(
     Output: id_col, quality_col, tokens_col, cum_before (tokens consumed
     by strictly-better-ranked docs).
 
+    EAGER-SNAPSHOT SEMANTICS: calling this function runs ONE job now — a
+    window-free ``groupBy(quality).sum(tokens)`` aggregate whose ≤
+    ``max_bands`` rows are prefix-summed on the driver and frozen as the
+    offsets table. If ``docs`` is non-deterministic (or its source
+    changes) and a quality band appears at action time that was not in
+    the snapshot, the returned plan RAISES at action time (live guard on
+    the consumed cum_before value) instead of silently dropping the band.
+    NULL quality has no defined rank in the greedy order; null-quality
+    rows raise here — score or filter them first.
+
     PRECONDITION (enforced): the construction is metadata-scale only while
     quality is DISCRETE. Near-unique continuous scores degenerate every
     band to one row, making the offsets table corpus-sized. Pass
@@ -391,21 +401,16 @@ def select_within_budget(
     on ``max_bands``: the bounded collect raises instead of silently
     pulling a corpus-sized table to the driver.
     """
-    from pyspark.sql import Window
-
     if quality_decimals is not None:
         docs = docs.withColumn(
             quality_col, F.round(F.col(quality_col), quality_decimals)
         )
-    in_band = Window.partitionBy(quality_col).orderBy(id_col)
-    banded = docs.select(id_col, quality_col, tokens_col).withColumn(
-        "_in_band_cum",
-        F.sum(tokens_col).over(
-            in_band.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    band_totals = banded.groupBy(quality_col).agg(
-        F.max("_in_band_cum").alias("_band_total")
+    base = docs.select(id_col, quality_col, tokens_col)
+    # the eager snapshot job is window-free: a plain partial-aggregated
+    # groupBy — the in-band cumulative window below runs only once, at
+    # action time of the returned plan (ADVICE r9)
+    band_totals = base.groupBy(quality_col).agg(
+        F.sum(tokens_col).alias("_band_total")
     )
     # bounded collect: ≤ max_bands + 1 rows ever reach the driver; the
     # +1 row is the discreteness tripwire
@@ -415,6 +420,11 @@ def select_within_budget(
             f"select_within_budget: > {max_bands} distinct quality "
             "bands — quality looks continuous; pass quality_decimals "
             "to band it"
+        )
+    if any(r[quality_col] is None for r in band_rows):
+        raise ValueError(
+            "select_within_budget: NULL quality has no rank in the "
+            "greedy order — filter or score null-quality rows first"
         )
     offset_rows = []
     cum = 0
@@ -431,9 +441,51 @@ def select_within_budget(
             ]
         ),
     )
-    out = banded.join(F.broadcast(offsets), quality_col).withColumn(
+    return _apply_band_offsets(
+        base, offsets, token_budget, quality_col, tokens_col, id_col
+    )
+
+
+def _apply_band_offsets(
+    base: DataFrame,
+    offsets: DataFrame,
+    token_budget: int,
+    quality_col: str,
+    tokens_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Join the frozen band-offset snapshot back and apply the budget cut.
+
+    The join is LEFT so a band that appears at action time but was absent
+    from the snapshot surfaces as a NULL offset — and the NULL is
+    converted into a RAISE by an assert that rides the consumed
+    ``cum_before`` value itself (``coalesce(_offset, assert_true(false))``
+    inside the selected/filtered column), so Catalyst cannot prune it
+    (a free-standing asserted column would be dead code — see the r9
+    canal-replay fix). Negative-tested in tests/test_round10.py."""
+    from pyspark.sql import Window
+
+    in_band = Window.partitionBy(quality_col).orderBy(id_col)
+    banded = base.withColumn(
+        "_in_band_cum",
+        F.sum(tokens_col).over(
+            in_band.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    checked_offset = F.coalesce(
+        F.col("_offset"),
+        F.assert_true(
+            F.lit(False),
+            F.concat(
+                F.lit("select_within_budget: quality band "),
+                F.col(quality_col).cast("string"),
+                F.lit(" appeared after the offsets snapshot"),
+            ),
+        ).cast("long"),
+    )
+    out = banded.join(F.broadcast(offsets), quality_col, "left").withColumn(
         "cum_before",
-        F.col("_offset") + F.col("_in_band_cum") - F.col(tokens_col),
+        checked_offset + F.col("_in_band_cum") - F.col(tokens_col),
     )
     return (
         out.filter(F.col("cum_before") + F.col(tokens_col) <= token_budget)

@@ -48,6 +48,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """tempfile.mkdtemp with atexit cleanup. Registry queries build
+    file-backed fixtures (brokers, checkpoints, ingest state); per-call
+    mkdtemp leaked several GB of /tmp across a warm full-sweep session
+    (VERDICT r9 advisory #2) — every fixture dir is now reaped when the
+    process exits."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _SCRATCH_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
 
 def register(name: str, sql: str | None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -413,12 +435,11 @@ def q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming changefeed (file source → foreachBatch MERGE) with an
     availableNow trigger; result = the materialized target table. Must equal
     the batch oracle — the streaming/batch equivalence contract."""
-    import tempfile
 
     from tiflow_spark.streaming.pipeline import run_changefeed
 
     env = _env(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="tiflow_stream_q_")
+    work = _scratch_dir(prefix="tiflow_stream_q_")
     src = f"{work}/source"
     # three out-of-order drops → multiple micro-batches
     for chunk in (2, 0, 1):
@@ -455,7 +476,6 @@ def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-truncate state vanishes from the visible target — including a
     REPLAYED pre-truncate batch merged after the truncate (the resurrection
     case) — via the O(1) metadata watermark, not a data rewrite."""
-    import tempfile
 
     from tiflow_spark.sinks.bucketed import (
         merge_hash_bucketed,
@@ -480,7 +500,7 @@ def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
     ).collect()[0]
     cut = bnd.t0 + (bnd.t1 - bnd.t0) // 2
-    target = tempfile.mkdtemp(prefix="tiflow_trunc_q_") + "/target"
+    target = _scratch_dir(prefix="tiflow_trunc_q_") + "/target"
     pre = changes.filter(F.col("commit_ts") < cut)
     merge_hash_bucketed(pre, target, n_buckets=8, batch_id=0)
     truncate_table(target, "events_all", cut)
@@ -516,7 +536,6 @@ def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaving (winner resolution is associative). The LSM trade of the
     reference's pebble db-sorter (docs/design/2022-03-16-ticdc-db-sorter.md)
     applied to the apply target."""
-    import tempfile
 
     from tiflow_spark.sinks.bucketed import (
         compact_deltas,
@@ -541,7 +560,7 @@ def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
     ).collect()[0]
     cut = bnd.t0 + (bnd.t1 - bnd.t0) // 2
-    target = tempfile.mkdtemp(prefix="tiflow_mor_q_") + "/target"
+    target = _scratch_dir(prefix="tiflow_mor_q_") + "/target"
     merge_hash_bucketed(
         changes.filter(F.col("commit_ts") < cut), target, n_buckets=8,
         batch_id=0,
@@ -1819,7 +1838,6 @@ _LSH_IDX_CACHE: dict[tuple[str, int | None], tuple[str, str]] = {}
 def _prebuilt_lsh_index(
     spark: SparkSession, sf_dir: str, max_bucket: int | None
 ) -> tuple[DataFrame, DataFrame]:
-    import tempfile
 
     from tiflow_spark.llm.dedup import corpus_with_dups, minhash_index
 
@@ -1831,7 +1849,7 @@ def _prebuilt_lsh_index(
         idx_sh, idx_banded = minhash_index(
             base, 16, 4, max_bucket=max_bucket
         )
-        d = tempfile.mkdtemp(prefix="tiflow_lsh_idx_")
+        d = _scratch_dir(prefix="tiflow_lsh_idx_")
         idx_sh.write.mode("overwrite").parquet(f"{d}/sh")
         idx_banded.write.mode("overwrite").parquet(f"{d}/banded")
         _LSH_IDX_CACHE[key] = (f"{d}/sh", f"{d}/banded")
@@ -2250,13 +2268,12 @@ def q_validate_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk-range-pruned job, its results written atomically). The final frame
     must equal a never-interrupted chunk compare — which is what the
     oracle checks."""
-    import tempfile
 
     from tiflow_spark.validation.syncdiff import resumable_chunk_compare
 
     src = load_table(spark, sf_dir, "customer")
     dst = _corrupt_customer(spark, sf_dir)
-    ckpt = tempfile.mkdtemp(prefix="tiflow_syncdiff_ckpt_")
+    ckpt = _scratch_dir(prefix="tiflow_syncdiff_ckpt_")
     try:
         resumable_chunk_compare(
             spark, src, dst, "c_custkey", CUSTOMER_COLS, 64, ckpt,
@@ -2285,7 +2302,6 @@ def q_snapshot_load_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks, and the per-chunk (count, checksum) aggregates read back FROM
     THE LOADED TARGET must equal the source table — which is what the
     oracle computes directly from `customer`."""
-    import tempfile
 
     from tiflow_spark.sources.loader import (
         dump_snapshot_chunks,
@@ -2294,7 +2310,7 @@ def q_snapshot_load_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = load_table(spark, sf_dir, "customer")
-    work = tempfile.mkdtemp(prefix="tiflow_loadfix_")
+    work = _scratch_dir(prefix="tiflow_loadfix_")
     # scale-adaptive chunking (~9 chunks at every sf): each chunk load is
     # one independent job, so a fixed chunk SIZE would make the fixture's
     # sequential driver loop O(corpus) at bigger scales — the real knob a
@@ -2330,7 +2346,6 @@ def q_validate_resume_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk aggregates read from the persisted state (zero re-checksums)
     and row-diff only over the recorded mismatched chunks. Must equal
     the never-interrupted summary_report — the shared oracle."""
-    import tempfile
 
     from tiflow_spark.validation.syncdiff import (
         resumable_chunk_compare,
@@ -2339,7 +2354,7 @@ def q_validate_resume_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = load_table(spark, sf_dir, "customer")
     dst = _corrupt_customer(spark, sf_dir)
-    ckpt = tempfile.mkdtemp(prefix="tiflow_syncdiff_rpt_")
+    ckpt = _scratch_dir(prefix="tiflow_syncdiff_rpt_")
     try:
         resumable_chunk_compare(
             spark, src, dst, "c_custkey", CUSTOMER_COLS, 64, ckpt,
@@ -2424,11 +2439,10 @@ def _storage_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write the envelope once per (process, sf_dir) in the reference's
     storage-sink layout; both storage queries read from it."""
     if sf_dir not in _STORAGE_DIRS:
-        import tempfile
 
         from tiflow_spark.sinks.storage import StorageSinkConfig, write_storage_sink
 
-        base = tempfile.mkdtemp(prefix="tiflow_storage_")
+        base = _scratch_dir(prefix="tiflow_storage_")
         write_storage_sink(
             _env(spark, sf_dir),
             base,
@@ -2492,7 +2506,6 @@ def q_storage_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     message per line — in the same {schema}/{table}/{version}/{date}
     layout, decoded back by the storage-consumer path. Canal es is
     ms-truncated, so the round trip compares at ms precision."""
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -2505,7 +2518,7 @@ def q_storage_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = StorageSinkConfig(
         max_records_per_file=50, pk_cols=("id",), protocol="canal-json"
     )
-    base = tempfile.mkdtemp(prefix="tiflow_storage_canal_")
+    base = _scratch_dir(prefix="tiflow_storage_canal_")
     write_storage_sink(_env(spark, sf_dir), base, cfg)
     payload = T.StructType(
         [
@@ -2888,14 +2901,13 @@ def _mq_broker_dir(spark: SparkSession, sf_dir: str) -> str:
     """Produce the dispatched canal-json stream to a file broker once per
     (process, sf_dir); the roundtrip query consumes from it."""
     if sf_dir not in _MQ_BROKER_DIRS:
-        import tempfile
 
         from tiflow_spark.codecs.canal_json import encode_canal_json
         from tiflow_spark.sinks.mq import produce_file_broker
 
         d = dispatch(_env(spark, sf_dir), DEMO_CFG, num_partitions=16)
         msgs = encode_canal_json(d, extra_cols=("topic", "partition", "key"))
-        base = tempfile.mkdtemp(prefix="tiflow_mq_")
+        base = _scratch_dir(prefix="tiflow_mq_")
         produce_file_broker(msgs, base, batch_id=0)
         _MQ_BROKER_DIRS[sf_dir] = base
     return _MQ_BROKER_DIRS[sf_dir]
@@ -3116,8 +3128,6 @@ def q_codec_avro_glue(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves to the SAME schema-version the emulated Glue registry minted
     at register time (the consumer's getGlueSchemaIDFromHeader →
     GetSchemaVersion lookup)."""
-    import tempfile
-
     from tiflow_spark.codecs.avro import (
         GlueSchemaRegistryEmulation,
         decode_avro_glue,
@@ -3126,7 +3136,7 @@ def q_codec_avro_glue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     reg = GlueSchemaRegistryEmulation(
-        tempfile.mktemp(prefix="tiflow_glue_reg_", suffix=".json")
+        os.path.join(_scratch_dir("tiflow_glue_reg_"), "registry.json")
     )
     vid = reg.register("cdc-value", schema_json("value"))
     dec = decode_avro_glue(encode_avro_glue(_env(spark, sf_dir), "cdc-value"))
@@ -3220,13 +3230,12 @@ def q_redo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redo-log disaster recovery (cdc/redo): write the changefeed's events
     to a date-partitioned WAL, then roll a fresh downstream forward to the
     recovery point (max ts - 12h) by replaying log ≤ recovery_ts."""
-    import tempfile
 
     from tiflow_spark.streaming.redo import append_redo_log, read_redo_log, replay
 
     env = flt.apply_filters(_env(spark, sf_dir), DEMO_CFG)
     split = tfm.split_updates(tfm.route(env, DEMO_CFG))
-    log_dir = tempfile.mkdtemp(prefix="tiflow_redo_") + "/log"
+    log_dir = _scratch_dir(prefix="tiflow_redo_") + "/log"
     append_redo_log(split, log_dir)
     log = read_redo_log(spark, log_dir)
     rec_df = _env(spark, sf_dir).agg(
@@ -4736,14 +4745,13 @@ def q_sample_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted-hash keep decisions over the full corpus — head kept 100%,
     middle 50%, tail 10% (llm/sampling.perplexity_bucket_sample over
     textstats.trigram_lm_score)."""
-    import tempfile
 
     from tiflow_spark.llm.sampling import perplexity_bucket_sample
     from tiflow_spark.llm.textstats import trigram_lm_score
 
     lm = trigram_lm_score(_docs(spark, sf_dir)).select("doc_id", "lm_score")
     return perplexity_bucket_sample(
-        lm, materialize_dir=tempfile.mkdtemp(prefix="tiflow_ppl_lm_")
+        lm, materialize_dir=_scratch_dir(prefix="tiflow_ppl_lm_")
     )
 
 
@@ -6129,7 +6137,6 @@ def _replay_broker_dir(
     U(id 5→105) would leave the old row alive downstream."""
     key = (protocol, sf_dir)
     if key not in _REPLAY_BROKER_DIRS:
-        import tempfile
 
         from tiflow_spark.sinks.mq import produce_file_broker
 
@@ -6159,7 +6166,7 @@ def _replay_broker_dir(
         if "key" not in enc.columns:
             d_cols.append("key")  # avro/open carry the protocol key
         msgs = enc.join(d.select(*d_cols), ["commit_ts", "seq"])
-        base = tempfile.mkdtemp(prefix=f"tiflow_replay_{protocol[:4]}_")
+        base = _scratch_dir(prefix=f"tiflow_replay_{protocol[:4]}_")
         produce_file_broker(msgs, base, batch_id=0)
         _REPLAY_BROKER_DIRS[key] = base
     return _REPLAY_BROKER_DIRS[key]
@@ -6252,9 +6259,8 @@ def q_consumer_replay_storage_csv(
     from tiflow_spark.streaming.consumer import replay_storage_csv_to_state
 
     if sf_dir not in _STORAGE_REPLAY_DIRS:
-        import tempfile
 
-        base = tempfile.mkdtemp(prefix="tiflow_replay_csv_")
+        base = _scratch_dir(prefix="tiflow_replay_csv_")
         write_storage_sink(
             tfm.split_updates(_env(spark, sf_dir)), base, StorageSinkConfig()
         )
@@ -6278,7 +6284,6 @@ def q_llm_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pair graph. Clones land in earlier batches than some
     originals (the +10000/+20000 ids shift arrival order), so the
     id-independent first-arrival rule is genuinely exercised."""
-    import tempfile
 
     from tiflow_spark.llm.dedup import corpus_with_dups
     from tiflow_spark.streaming.llm_ingest import (
@@ -6288,7 +6293,7 @@ def q_llm_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = corpus_with_dups(_docs(spark, sf_dir))
-    state = tempfile.mkdtemp(prefix="tiflow_ingest_q_")
+    state = _scratch_dir(prefix="tiflow_ingest_q_")
     init_ingest_state(spark, state)
     for k in range(3):
         ingest_batch(
@@ -6354,7 +6359,6 @@ def q_llm_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trigger/checkpoint/compaction machinery itself sits under the
     hash check (decisions are byte-identical under compaction,
     streaming/llm_ingest.run_corpus_ingest)."""
-    import tempfile
 
     from tiflow_spark.streaming.llm_ingest import (
         init_ingest_state,
@@ -6362,7 +6366,7 @@ def q_llm_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_corpus_ingest,
     )
 
-    base = tempfile.mkdtemp(prefix="tiflow_ingest_stream_")
+    base = _scratch_dir(prefix="tiflow_ingest_stream_")
     src = _ingest_fixture_files(spark, sf_dir, base)
     state = os.path.join(base, "state")
     init_ingest_state(spark, state)
@@ -6385,7 +6389,6 @@ def q_compact_ingest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fold actually consumed dirs, and the hash check proves decisions
     are byte-identical across the fold
     (streaming/llm_ingest.compact_ingest_state)."""
-    import tempfile
 
     from tiflow_spark.llm.dedup import corpus_with_dups
     from tiflow_spark.streaming.llm_ingest import (
@@ -6396,7 +6399,7 @@ def q_compact_ingest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = corpus_with_dups(_docs(spark, sf_dir))
-    state = tempfile.mkdtemp(prefix="tiflow_ingest_compact_")
+    state = _scratch_dir(prefix="tiflow_ingest_compact_")
     init_ingest_state(spark, state)
     for k in range(3):
         ingest_batch(
@@ -6448,7 +6451,6 @@ def q_snapshot_load_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint state (sources/loader.load_status). The oracle derives the
     chunk universe from the table itself with the same scale-adaptive
     chunk size as the load fixture."""
-    import tempfile
 
     from tiflow_spark.sources.loader import (
         dump_snapshot_chunks,
@@ -6457,7 +6459,7 @@ def q_snapshot_load_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = load_table(spark, sf_dir, "customer")
-    work = tempfile.mkdtemp(prefix="tiflow_loadstat_")
+    work = _scratch_dir(prefix="tiflow_loadstat_")
     chunk_size = src.agg(F.max("c_custkey")).collect()[0][0] // 8 + 1
     dump_snapshot_chunks(
         src, f"{work}/dump", "customer", "c_custkey", chunk_size

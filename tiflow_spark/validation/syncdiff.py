@@ -394,7 +394,13 @@ def resume_row_diff(
         # under — same discipline as the _chunks.json check in
         # resumable_chunk_compare (a silent col/pk drift would hand back
         # a stale diff with the wrong column set)
-        if _os.path.exists(rd_meta):
+        # a rd_dir WITHOUT its meta file (pre-r9 checkpoint, or a
+        # partially deleted one) is treated as a geometry mismatch too —
+        # trusting it would silently hand back a diff computed under an
+        # unknown pk/cols/width (ADVICE r9); recompute instead
+        if not _os.path.exists(rd_meta):
+            _shutil.rmtree(rd_dir, ignore_errors=True)
+        else:
             with open(rd_meta) as f:
                 saved = _json.load(f)
             if saved != geometry:
@@ -402,7 +408,7 @@ def resume_row_diff(
                     "rowdiff checkpoint geometry mismatch: "
                     f"saved {saved}, requested {geometry}"
                 )
-        return spark.read.parquet(rd_dir).drop("chunk_id")
+            return spark.read.parquet(rd_dir).drop("chunk_id")
 
     bad: list[int] = []
     batch_files = 0
