@@ -531,3 +531,95 @@ def test_csv_replay_tied_commit_ts_contract_fires(spark, work_dir):
             spark, out, {"id": "bigint", "balance": "double",
                          "note": "string"}
         ).collect()
+
+
+def _interleavings():
+    """Random tie-free change streams: a few keys, each key a chain of
+    ops with DISTINCT per-key commit_ts (the storage-consumer's
+    assumption), arrival order arbitrary (files replay in ts order but
+    nothing depends on generation order)."""
+    from hypothesis import strategies as st
+
+    op = st.sampled_from(["I", "U", "D"])
+    chain = st.lists(op, min_size=1, max_size=5)
+    return st.dictionaries(
+        st.integers(1, 4), chain, min_size=1, max_size=4
+    ).flatmap(
+        lambda d: st.permutations(
+            [
+                (o, k, i)  # (op, key, per-key ts index)
+                for k, ops in d.items()
+                for i, o in enumerate(ops)
+            ]
+        )
+    )
+
+
+def test_csv_replay_random_interleavings_match_direct_apply(
+    spark, work_dir
+):
+    """Hypothesis property (VERDICT r9 optional #8): ANY tie-free
+    commit_ts assignment — random op chains per key, random arrival
+    order, ts gaps — replays through write_storage_sink +
+    replay_storage_csv_to_state to exactly the brute-force last-writer
+    state (D at the top removes the key). The CSV fold's no-seq
+    assumption gets the same fuzzing the span dedup got in round 9."""
+    import shutil as _sh
+
+    from hypothesis import HealthCheck, given, settings
+
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+    from tiflow_spark.streaming.consumer import replay_storage_csv_to_state
+
+    counter = [0]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=_interleavings())
+    def inner(rows):
+        counter[0] += 1
+        out = f"{work_dir}/storage_prop_{counter[0]}"
+        # per-key ts index -> globally distinct-but-gappy commit_ts,
+        # still strictly increasing within the key (tie-free contract)
+        data = [
+            ("D" if o == "D" else o, "s", "t", 1000 + i * 7 + k, n,
+             k, float(i), f"v{i}")
+            for n, (o, k, i) in enumerate(rows)
+        ]
+        env = spark.createDataFrame(
+            data,
+            "op string, schema string, table string, commit_ts long, "
+            "seq long, id long, balance double, note string",
+        ).select(
+            "op", "schema", "table", "commit_ts", "seq",
+            F.struct("id", "balance", "note").alias("after"),
+            F.struct("id", "balance", "note").alias("before"),
+        )
+        write_storage_sink(env, out, StorageSinkConfig())
+        got = {
+            (r["key"], r["id"], r["balance"], r["note"])
+            for r in replay_storage_csv_to_state(
+                spark, out,
+                {"id": "bigint", "balance": "double", "note": "string"},
+            ).collect()
+        }
+        # brute-force oracle: per key take the max-commit_ts row
+        last: dict[int, tuple] = {}
+        for o, s, t, cts, n, k, b, note in data:
+            if k not in last or cts > last[k][0]:
+                last[k] = (cts, o, b, note)
+        want = {
+            (str(k), k, b, note)
+            for k, (cts, o, b, note) in last.items()
+            if o != "D"
+        }
+        _sh.rmtree(out, ignore_errors=True)
+        assert got == want
+
+    inner()

@@ -154,3 +154,106 @@ def test_run_merge_linear_on_fragmented_coverage(spark):
     }
     assert out3[2]["n_removed"] == 120
     assert out3[1]["n_removed"] == 0  # owner keeps its copy
+
+
+def test_topic_expression_validation():
+    """expression.go:64-84 semantics: general form accepts
+    [prefix]{schema}[middle][{table}][suffix]; avro REQUIRES both
+    placeholders; forbidden characters in the literal parts reject."""
+    from tiflow_spark.operators.dispatchers import (
+        validate_topic_expression,
+    )
+
+    validate_topic_expression("hard_coded-topic.v1")
+    validate_topic_expression("cdc_{schema}_{table}")
+    validate_topic_expression("{schema}")
+    validate_topic_expression("{schema}_{table}", protocol="avro")
+    for bad, proto in (
+        ("{table}_{schema}", ""),      # placeholders out of order
+        ("cdc/{schema}", ""),          # '/' forbidden in literal part
+        ("has space{schema}", ""),
+        ("{schema}_only", "avro"),     # avro needs BOTH placeholders
+        ("fixed-topic", "avro"),
+    ):
+        with pytest.raises(ValueError, match="topic"):
+            validate_topic_expression(bad, protocol=proto)
+
+
+def test_substitute_topic_sanitizes(spark):
+    from tiflow_spark.operators.dispatchers import substitute_topic
+
+    df = spark.createDataFrame(
+        [("db$1", "t w!"), (".", "."), ("a" * 300, "b")],
+        "schema STRING, table STRING",
+    )
+    got = [
+        r["topic"]
+        for r in df.select(
+            substitute_topic("{schema}{table}").alias("topic")
+        ).collect()
+    ]
+    assert got[0] == "db_1t_w_"
+    assert got[1] == "__"          # '..' is invalid in kafka
+    assert len(got[2]) == 249      # kafka topic max length
+
+
+def test_wire_corruption_is_caught_by_message_checksum(spark):
+    """Beyond the injected carried-value corruption the registry row
+    uses: flip actual BYTES of an encoded message and the consumer-side
+    verify must flag it — the integrity property the reference ships
+    checksums on the wire FOR."""
+    from tiflow_spark.codecs.avro import (
+        decode_avro_checksum,
+        encode_avro_checksum,
+    )
+    from tiflow_spark.codecs.simple import (
+        decode_simple_checksum,
+        encode_simple_checksum,
+    )
+    from tiflow_spark.envelope import events_to_changes, load_table
+
+    # avro: ids < 64 zigzag-encode to ONE byte with the high bit unset,
+    # so flipping that byte between 0x00 (id 0) and 0x02 (id 1) changes
+    # the VALUE without breaking varint framing (framing corruption
+    # fails decode outright in any avro consumer — the wire checksum
+    # exists for value-level corruption that still parses)
+    img = "STRUCT<id BIGINT, balance DOUBLE, note STRING>"
+    env = spark.range(50).select(
+        F.lit("I").alias("op"),
+        F.lit("s").alias("schema"),
+        F.lit("t").alias("table"),
+        (F.col("id") + 1000).alias("commit_ts"),
+        F.col("id").alias("seq"),
+        F.lit(None).cast(img).alias("before"),
+        F.struct(
+            (F.col("id") % 50).alias("id"),
+            (F.col("id") * 1.5).alias("balance"),
+            F.lit("n").alias("note"),
+        ).alias("after"),
+    )
+    msgs = encode_avro_checksum(env)
+    tampered = msgs.withColumn(
+        "value",
+        F.concat(
+            F.expr("substring(value, 1, 5)"),
+            F.expr(
+                "CASE WHEN substring(value, 6, 1) = X'00' "
+                "THEN X'02' ELSE X'00' END"
+            ),
+            F.expr("substring(value, 7, octet_length(value) - 6)"),
+        ),
+    )
+    bad = decode_avro_checksum(tampered).filter(~F.col("checksum_ok"))
+    assert bad.count() == 50
+    env = events_to_changes(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    ).limit(50)
+    # simple: rewrite a value inside the JSON data map
+    jmsgs = encode_simple_checksum(env)
+    jtampered = jmsgs.withColumn(
+        "value", F.regexp_replace("value", '"id":"([0-9]+)"', '"id":"9$1"')
+    )
+    jbad = decode_simple_checksum(
+        jtampered, {"id": "bigint", "balance": "double", "note": "string"}
+    ).filter(~F.col("checksum_ok"))
+    assert jbad.count() == 50

@@ -143,6 +143,186 @@ def decode_value_bytes(raw: bytes) -> dict:
     }
 
 
+CHECKSUM_VALUE_SCHEMA = {
+    **VALUE_SCHEMA,
+    "fields": VALUE_SCHEMA["fields"]
+    + [
+        {"name": "_tidb_row_level_checksum", "type": "string"},
+        {"name": "_tidb_corrupted", "type": "boolean"},
+        {"name": "_tidb_checksum_version", "type": "int"},
+    ],
+}
+
+
+def encode_value_bytes_checksum(
+    id_: int, balance, note, op: str, commit_ts: int, schema_id: int,
+    checksum: str, corrupted: bool, version: int,
+) -> bytes:
+    """CHECKSUM_VALUE_SCHEMA body: the enable-row-checksum wire variant
+    (avro.go:337-360/503-516 appends _tidb_row_level_checksum as a
+    DECIMAL STRING plus the corrupted flag and checksum version)."""
+    base = encode_value_bytes(id_, balance, note, op, commit_ts, schema_id)
+    return (
+        base
+        + _enc_string(checksum)
+        + (b"\x01" if corrupted else b"\x00")
+        + _zigzag(int(version))
+    )
+
+
+def decode_value_bytes_checksum(raw: bytes) -> dict:
+    out = decode_value_bytes(raw)
+    # re-walk past the base body to the checksum tail
+    buf = io.BytesIO(raw[5:])
+    _read_zigzag(buf)  # id
+    if _read_zigzag(buf) == 1:
+        buf.read(8)  # balance
+    if _read_zigzag(buf) == 1:
+        buf.read(_read_zigzag(buf))  # note
+    buf.read(_read_zigzag(buf))  # op
+    _read_zigzag(buf)  # commit_ts
+    out["carried_checksum"] = buf.read(_read_zigzag(buf)).decode("utf-8")
+    out["corrupted"] = buf.read(1) == b"\x01"
+    out["checksum_version"] = _read_zigzag(buf)
+    return out
+
+
+def encode_avro_checksum(
+    env: DataFrame,
+    schema_id: int = 2,
+    version: int = 1,
+    corrupt_when=None,
+) -> DataFrame:
+    """encode_avro + the enable-row-checksum fields: the carried checksum
+    is computed JVM-side over the event image with the repo's portable
+    row checksum (functions/hashing.row_checksum — the role TiDB's
+    row-level checksum plays on the reference wire, avro.go:337), then
+    stringified into the avro body. ``corrupt_when`` flips the carried
+    value (+1) on matching rows — upstream corruption injection for the
+    verify path; the _tidb_corrupted flag stays false (upstream believed
+    the row was fine; the CONSUMER must catch it)."""
+    from tiflow_spark.functions.hashing import row_checksum
+
+    img = F.when(F.col("op") == "D", F.col("before")).otherwise(F.col("after"))
+    flat = env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        "op",
+        img["id"].alias("_id"),
+        img["balance"].alias("_balance"),
+        img["note"].alias("_note"),
+    )
+    ck = row_checksum(["_id", "_balance", "_note"])
+    if corrupt_when is not None:
+        ck = F.when(corrupt_when, ck + 1).otherwise(ck)
+    flat = flat.withColumn("_carried", ck.cast("string"))
+
+    @pandas_udf(T.BinaryType())
+    def enc_value(
+        op: pd.Series, cts: pd.Series, i: pd.Series, b: pd.Series,
+        n: pd.Series, carried: pd.Series,
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                encode_value_bytes_checksum(
+                    i.iloc[k],
+                    None if pd.isna(b.iloc[k]) else b.iloc[k],
+                    n.iloc[k] if n.iloc[k] is not None else None,
+                    op.iloc[k],
+                    cts.iloc[k],
+                    schema_id,
+                    carried.iloc[k],
+                    False,
+                    version,
+                )
+                for k in range(len(op))
+            ],
+            dtype=object,
+        )
+
+    @pandas_udf(T.BinaryType())
+    def enc_key(i: pd.Series) -> pd.Series:
+        return pd.Series(
+            [MAGIC + struct.pack(">I", schema_id) + _zigzag(int(v)) for v in i],
+            dtype=object,
+        )
+
+    return flat.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        enc_key(F.col("_id")).alias("key"),
+        enc_value(
+            F.col("op"),
+            F.col("commit_ts"),
+            F.col("_id"),
+            F.col("_balance"),
+            F.col("_note"),
+            F.col("_carried"),
+        ).alias("value"),
+    )
+
+
+def decode_avro_checksum(
+    messages: DataFrame,
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Decode the enable-row-checksum wire variant, VERIFYING the carried
+    checksum the way the consumer does (pkg/sink/codec/common/
+    verify_checksum.go VerifyChecksum): recompute over the decoded
+    columns, compare with the carried value, and skip verification when
+    the carried value is 0/absent (checksum not enabled upstream — BR
+    restores). checksum_ok rides the output; callers decide raise vs
+    route-to-DLQ (the reference errors the changefeed)."""
+    from tiflow_spark.functions.hashing import row_checksum
+
+    out_t = T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("carried_checksum", T.StringType()),
+            T.StructField("corrupted", T.BooleanType()),
+            T.StructField("checksum_version", T.IntegerType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def dec(value: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([decode_value_bytes_checksum(v) for v in value])
+
+    dec_df = messages.withColumn("_d", dec(F.col(value_col))).select(
+        *extra_cols,
+        "_d.op",
+        "_d.schema_id",
+        "_d.id",
+        "_d.balance",
+        "_d.note",
+        "_d.commit_ts",
+        "_d.carried_checksum",
+        "_d.corrupted",
+        "_d.checksum_version",
+    )
+    recomputed = row_checksum(["id", "balance", "note"])
+    return dec_df.withColumn(
+        "checksum_ok",
+        F.when(
+            F.col("carried_checksum").isNull()
+            | (F.col("carried_checksum") == "0"),
+            F.lit(True),  # verify_checksum.go:37 — zero means not enabled
+        ).otherwise(
+            F.col("carried_checksum") == recomputed.cast("string")
+        ),
+    )
+
+
 def encode_avro(env: DataFrame, schema_id: int = 1) -> DataFrame:
     """Envelope → (schema, table, commit_ts, seq, key BINARY, value BINARY).
 

@@ -76,6 +76,136 @@ def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
     )
 
 
+def encode_simple_checksum(
+    env: DataFrame,
+    schema_version: int = 1,
+    checksum_version: int = 1,
+    corrupt_when=None,
+) -> DataFrame:
+    """encode_simple + the enable-row-checksum block (message.go:465-470
+    ``checksum {version, corrupted, current, previous}``): ``current`` is
+    the checksum over the NEW image (I/U), ``previous`` over the OLD
+    image (U/D) — the reference carries both so the consumer can verify
+    update pre-images too (simple/decoder.go:395-404 →
+    common/verify_checksum.go). Absent sides carry 0 (= not enabled /
+    nothing to verify, verify_checksum.go:37). ``corrupt_when`` flips
+    BOTH carried values (+1) on matching rows — upstream corruption the
+    consumer must catch; the corrupted flag stays false."""
+    from tiflow_spark.functions.hashing import row_checksum
+
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    names = [f.name for f in fields]
+    flat = env.select(
+        "*",
+        *[F.col(f"after.{n}").alias(f"_a_{n}") for n in names],
+        *[F.col(f"before.{n}").alias(f"_b_{n}") for n in names],
+    )
+    cur = F.when(
+        F.col("op") != "D", row_checksum([f"_a_{n}" for n in names])
+    ).otherwise(F.lit(0))
+    prev = F.when(
+        F.col("op") != "I", row_checksum([f"_b_{n}" for n in names])
+    ).otherwise(F.lit(0))
+    if corrupt_when is not None:
+        cur = F.when(corrupt_when & (cur != 0), cur + 1).otherwise(cur)
+        prev = F.when(corrupt_when & (prev != 0), prev + 1).otherwise(prev)
+    dml_type = (
+        F.when(F.col("op") == "I", "INSERT")
+        .when(F.col("op") == "U", "UPDATE")
+        .otherwise("DELETE")
+    )
+    data = F.when(F.col("op") != "D", _image_map("after", fields))
+    old = F.when(F.col("op") != "I", _image_map("before", fields))
+    msg = F.struct(
+        F.lit(1).alias("version"),
+        F.col("schema").alias("database"),
+        F.col("table").alias("table"),
+        F.lit(0).cast("long").alias("tableID"),
+        dml_type.alias("type"),
+        F.col("commit_ts").cast("long").alias("commitTs"),
+        F.lit(0).cast("long").alias("buildTs"),
+        F.lit(schema_version).cast("long").alias("schemaVersion"),
+        data.alias("data"),
+        old.alias("old"),
+        F.struct(
+            F.lit(checksum_version).alias("version"),
+            F.lit(False).alias("corrupted"),
+            cur.cast("long").alias("current"),
+            prev.cast("long").alias("previous"),
+        ).alias("checksum"),
+    )
+    return flat.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+    )
+
+
+def decode_simple_checksum(
+    messages: DataFrame,
+    payload_types: dict[str, str],
+    value_col: str = "value",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """decode_simple + VerifyChecksum over BOTH images (simple/decoder.go
+    :395-404 builds integrity.Checksum from the message and calls
+    common/VerifyChecksum, which recomputes over Columns for ``current``
+    and PreColumns for ``previous``, skipping any side carried as 0).
+    ``payload_types`` gives the typed view of the string image maps so
+    the recompute canonicalizes values exactly as the encoder did.
+    Output rides ``checksum_ok`` (current AND previous both verify)."""
+    from tiflow_spark.functions.hashing import row_checksum
+
+    schema = (
+        "version INT, database STRING, table STRING, tableID BIGINT, "
+        "type STRING, commitTs BIGINT, buildTs BIGINT, schemaVersion BIGINT, "
+        "data MAP<STRING,STRING>, old MAP<STRING,STRING>, "
+        "checksum STRUCT<version:INT,corrupted:BOOLEAN,"
+        "current:BIGINT,previous:BIGINT>"
+    )
+    m = messages.select(
+        *extra_cols, F.from_json(F.col(value_col), schema).alias("m")
+    )
+    op = (
+        F.when(F.col("m.type") == "INSERT", "I")
+        .when(F.col("m.type") == "UPDATE", "U")
+        .when(F.col("m.type") == "DELETE", "D")
+    )
+    names = list(payload_types)
+    typed = m.select(
+        *extra_cols,
+        op.alias("op"),
+        F.col("m.database").alias("schema"),
+        F.col("m.table").alias("table"),
+        F.col("m.commitTs").alias("commit_ts"),
+        F.col("m.data").alias("image"),
+        F.col("m.old").alias("old_image"),
+        F.col("m.checksum.corrupted").alias("corrupted"),
+        F.col("m.checksum.current").alias("_cur"),
+        F.col("m.checksum.previous").alias("_prev"),
+        *[
+            F.col("m.data").getItem(n).cast(t).alias(f"_a_{n}")
+            for n, t in payload_types.items()
+        ],
+        *[
+            F.col("m.old").getItem(n).cast(t).alias(f"_b_{n}")
+            for n, t in payload_types.items()
+        ],
+    )
+    cur_ok = F.when(
+        F.col("_cur").isNull() | (F.col("_cur") == 0), F.lit(True)
+    ).otherwise(F.col("_cur") == row_checksum([f"_a_{n}" for n in names]))
+    prev_ok = F.when(
+        F.col("_prev").isNull() | (F.col("_prev") == 0), F.lit(True)
+    ).otherwise(F.col("_prev") == row_checksum([f"_b_{n}" for n in names]))
+    return typed.withColumn("checksum_ok", cur_ok & prev_ok).drop(
+        *[f"_a_{n}" for n in names], *[f"_b_{n}" for n in names],
+        "_cur", "_prev",
+    )
+
+
 def bootstrap_messages(
     env: DataFrame,
     schema_version: int = 1,

@@ -68,6 +68,74 @@ def topic_column(template: str | None) -> Column:
     return F.concat(*parts)
 
 
+_TOPIC_EXPR_RE = re.compile(
+    r"[A-Za-z0-9\._\-]*(\{schema\})?([A-Za-z0-9\._\-]*\{table\})?"
+    r"[A-Za-z0-9\._\-]*"
+)
+_AVRO_TOPIC_EXPR_RE = re.compile(
+    r"[A-Za-z0-9\._\-]*\{schema\}[A-Za-z0-9\._\-]*\{table\}"
+    r"[A-Za-z0-9\._\-]*"
+)
+# characters forbidden in a kafka topic name (expression.go kafkaForbidRE)
+_KAFKA_FORBID = r"[^a-zA-Z0-9\._\-]"
+_KAFKA_TOPIC_MAX = 249
+
+
+def validate_topic_expression(template: str, protocol: str = "") -> None:
+    """Changefeed-create-time topic-expression validation
+    (dispatcher/topic/expression.go:64-84): the general form is
+    [prefix]{schema}[middle][{table}][suffix] with prefix/middle/suffix
+    limited to [A-Za-z0-9._-]; the AVRO protocol additionally REQUIRES
+    both {schema} and {table} placeholders (ValidateForAvro — avro maps
+    one subject per table, so a shared topic is rejected at create time,
+    event_router.go:269)."""
+    rex = _AVRO_TOPIC_EXPR_RE if protocol == "avro" else _TOPIC_EXPR_RE
+    if not rex.fullmatch(template):
+        detail = (
+            "topic rule for avro protocol must contain both {schema} "
+            "and {table}"
+            if protocol == "avro"
+            else "allowed form is [prefix]{schema}[middle][{table}]"
+            "[suffix] over [A-Za-z0-9._-]"
+        )
+        raise ValueError(
+            f"invalid topic expression {template!r}: {detail}"
+        )
+
+
+def substitute_topic(
+    template: str | None,
+    schema_col: str = "schema",
+    table_col: str = "table",
+) -> Column:
+    """topic_column + the reference's Substitute() sanitization
+    (expression.go:86-111): characters outside [A-Za-z0-9._-] in the
+    SCHEMA/TABLE VALUES are replaced with '_' (kafka forbids them in
+    topic names), the result is truncated to kafka's 249-char max, and
+    the degenerate names '.' / '..' (invalid in kafka) map to '_' /
+    '__'. All JVM-side regexp/substring — no UDF."""
+    if not template:
+        return F.concat_ws(".", F.col(schema_col), F.col(table_col))
+    parts: list[Column] = []
+    for tok in re.split(r"(\{schema\}|\{table\})", template):
+        if tok == "{schema}":
+            parts.append(
+                F.regexp_replace(F.col(schema_col), _KAFKA_FORBID, "_")
+            )
+        elif tok == "{table}":
+            parts.append(
+                F.regexp_replace(F.col(table_col), _KAFKA_FORBID, "_")
+            )
+        elif tok:
+            parts.append(F.lit(tok))
+    name = F.substring(F.concat(*parts), 1, _KAFKA_TOPIC_MAX)
+    return (
+        F.when(name == ".", F.lit("_"))
+        .when(name == "..", F.lit("__"))
+        .otherwise(name)
+    )
+
+
 def dispatch(env: DataFrame, cfg: TaskConfig, num_partitions: int = 16) -> DataFrame:
     """Add topic/partition columns per the first matching dispatcher rule."""
     topic: Column = topic_column(None)

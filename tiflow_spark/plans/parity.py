@@ -840,6 +840,63 @@ def q_topic_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+@register(
+    "cdc_topic_sanitize",
+    f"""{ENV_CTE}
+    SELECT seq,
+      'cdc_' || "schema" || '_' ||
+        regexp_replace("table" || '$v w', '[^a-zA-Z0-9._-]', '_', 'g')
+        AS topic_dirty,
+      substr("schema" || '_' || rpad("table", 260, 'x'), 1, 249)
+        AS topic_long,
+      CASE concat('.', '.') WHEN '.' THEN '_' WHEN '..' THEN '__'
+           ELSE concat('.', '.') END AS topic_dot
+    FROM env""",
+)
+def q_topic_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-expression VALIDATION + Substitute() sanitization
+    (dispatcher/topic/expression.go:64-111, the round-10 reference-corner
+    probe): the general expression form and the avro-only both-placeholder
+    rule are enforced at changefeed-create time (validate_topic_expression
+    — negative-tested in tests/test_round10.py), and the runtime
+    substitution sanitizes kafka-forbidden characters in schema/table
+    VALUES to '_', truncates to kafka's 249-char topic max, and maps the
+    degenerate '.'/'..' names. Three injected shapes: forbidden chars
+    ('$'/space), an over-length table, and the dot-only name."""
+    from tiflow_spark.operators.dispatchers import (
+        substitute_topic,
+        validate_topic_expression,
+    )
+
+    for tmpl, proto in (
+        ("cdc_{schema}_{table}", ""),
+        ("{schema}_{table}", "avro"),
+        ("{schema}{table}", "avro"),
+    ):
+        validate_topic_expression(tmpl, proto)
+    env = (
+        _env(spark, sf_dir)
+        .select("seq", "schema", "table")
+        .withColumn(
+            "_dirty_table", F.concat(F.col("table"), F.lit("$v w"))
+        )
+        .withColumn("_long_table", F.rpad(F.col("table"), 260, "x"))
+        .withColumn("_dot", F.lit("."))
+    )
+    return env.select(
+        "seq",
+        substitute_topic(
+            "cdc_{schema}_{table}", table_col="_dirty_table"
+        ).alias("topic_dirty"),
+        substitute_topic(
+            "{schema}_{table}", table_col="_long_table"
+        ).alias("topic_long"),
+        substitute_topic(
+            "{schema}{table}", schema_col="_dot", table_col="_dot"
+        ).alias("topic_dot"),
+    )
+
+
 def _install_analytics() -> None:
     from tiflow_spark.plans import analytics as an
 
@@ -3148,6 +3205,101 @@ def q_codec_avro_glue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "note",
         "commit_ts",
     )
+
+
+@register(
+    "codec_avro_checksum",
+    f"""{ENV_CTE},
+    flat AS (
+      SELECT seq, op,
+        CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+        CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+        CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note
+      FROM env),
+    carried AS (
+      SELECT *,
+        CASE WHEN seq % 29 = 0
+             THEN {row_checksum_sql_duckdb(['id', 'balance', 'note'])} + 1
+             ELSE {row_checksum_sql_duckdb(['id', 'balance', 'note'])}
+        END AS carried_ck
+      FROM flat)
+    SELECT seq, op, FALSE AS corrupted,
+           carried_ck = {row_checksum_sql_duckdb(['id', 'balance', 'note'])}
+             AS checksum_ok
+    FROM carried""",
+)
+def q_codec_avro_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-in-message on the AVRO WIRE (the round-10 reference-corner
+    probe): enable-row-checksum appends _tidb_row_level_checksum (decimal
+    string) + _tidb_corrupted + _tidb_checksum_version to the value
+    record (avro.go:337-360,503-516), and the consumer recomputes over
+    the DECODED columns and compares, skipping a carried 0
+    (common/verify_checksum.go:35-55). Rows with seq%29==0 carry an
+    upstream-corrupted value (+1) and must flag checksum_ok=false AFTER
+    the full encode→decode round trip — data corruption anywhere on the
+    wire path would flip additional rows."""
+    from tiflow_spark.codecs.avro import (
+        decode_avro_checksum,
+        encode_avro_checksum,
+    )
+
+    msgs = encode_avro_checksum(
+        _env(spark, sf_dir), corrupt_when=F.col("seq") % 29 == 0
+    )
+    dec = decode_avro_checksum(msgs, extra_cols=("seq",))
+    return dec.select("seq", "op", "corrupted", "checksum_ok")
+
+
+_CK_AFTER = row_checksum_sql_duckdb(
+    ["after_id", "after_balance", "after_note"]
+)
+_CK_BEFORE = row_checksum_sql_duckdb(
+    ["before_id", "before_balance", "before_note"]
+)
+
+
+@register(
+    "codec_simple_checksum",
+    f"""{ENV_CTE},
+    carried AS (
+      SELECT seq, op,
+        CASE WHEN op <> 'D' THEN
+          CASE WHEN seq % 31 = 0 THEN {_CK_AFTER} + 1 ELSE {_CK_AFTER} END
+        ELSE 0 END AS cur,
+        CASE WHEN op <> 'I' THEN
+          CASE WHEN seq % 31 = 0 THEN {_CK_BEFORE} + 1 ELSE {_CK_BEFORE} END
+        ELSE 0 END AS prev
+      FROM env)
+    SELECT seq, carried.op AS op,
+      (cur = 0 OR cur = {_CK_AFTER.replace('after_', 'e.after_')})
+      AND (prev = 0 OR prev = {_CK_BEFORE.replace('before_', 'e.before_')})
+        AS checksum_ok
+    FROM carried JOIN env e USING (seq)""",
+)
+def q_codec_simple_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-in-message on the SIMPLE protocol (round-10 probe, part
+    2): the message's checksum block carries BOTH images' checksums
+    ({{version, corrupted, current, previous}}, simple/message.go:465-470)
+    and the consumer verifies current against the decoded NEW image and
+    previous against the decoded OLD image, skipping either side carried
+    as 0 (simple/decoder.go:395-404 → common/verify_checksum.go:56-74 —
+    the update-pre-image verification avro's single-image wire cannot
+    express). seq%31 rows carry upstream-corrupted values on both sides
+    and must flag false through the JSON round trip."""
+    from tiflow_spark.codecs.simple import (
+        decode_simple_checksum,
+        encode_simple_checksum,
+    )
+
+    msgs = encode_simple_checksum(
+        _env(spark, sf_dir), corrupt_when=F.col("seq") % 31 == 0
+    )
+    dec = decode_simple_checksum(
+        msgs,
+        {"id": "bigint", "balance": "double", "note": "string"},
+        extra_cols=("seq",),
+    )
+    return dec.select("seq", "op", "checksum_ok")
 
 
 @register(
