@@ -31,8 +31,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SECTIONS = [
-    "headline", "r5ops", "r6ops", "r7ops", "r8ops", "r9ops", "scaling",
-    "stream", "incdedup", "live",
+    "headline", "r5ops", "r6ops", "r7ops", "r8ops", "r9ops", "r10ops",
+    "scaling", "stream", "incdedup", "live",
 ]
 
 
@@ -410,6 +410,27 @@ def section_r9ops(sf_dir: str) -> dict:
             "llm_ingest_stream": stream_fixture_sec,
             "compact_ingest_state": compact_fixture_sec,
         },
+    }
+
+
+def section_r10ops(sf_dir: str) -> dict:
+    # round-10 surface: topic sanitization (regexp/substring map stage)
+    # and the two checksum-in-message wire paths (encode -> decode ->
+    # recompute-and-verify round trips; avro is the Arrow-batched pandas
+    # UDF pair, simple is pure JVM to_json/from_json)
+    spark = _spark()
+    timings = _time_registry_set(
+        spark,
+        sf_dir,
+        [
+            "cdc_topic_sanitize",
+            "codec_avro_checksum",
+            "codec_simple_checksum",
+        ],
+    )
+    return {
+        "r10_queries": timings,
+        "r10_total_sec": round(sum(timings.values()), 3),
     }
 
 
