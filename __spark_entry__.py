@@ -27,15 +27,17 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # (codec_avro_checksum / codec_simple_checksum = the checksum-in-message
 # integrity wire paths the r9 #6 reference probe surfaced;
 # cdc_topic_sanitize = topic-expression validation + Substitute kafka
-# sanitization from the same probe) plus the round-10 PLAN-CHANGED
-# re-check corpus_select_budget (eager window-free snapshot + NULL reject
-# + live post-snapshot-band guard). That fills all 50 slots; the OTHER
-# round-10 plan change, dedup_span_remove_minlen (run merge rewritten from
-# an O(runs^2) fold to linear array ops), is output-identical by
-# construction — hypothesis-tested against a brute-force Python oracle
-# (tests/test_span_dedup.py), green in the per-pytest sf0.001 sweep, and
-# verified this round against its DuckDB oracle at sf0.01 under a vanilla
-# driver-style session — it rotates first in r11. Every deferred name is
+# sanitization from the same probe; codec_csv_binary_handle = the CSV
+# handle-key meta column + binary base64/hex text encoding, the second
+# probe pass). That fills all 50 slots; the TWO round-10 plan changes —
+# corpus_select_budget (eager window-free snapshot + NULL reject + live
+# post-snapshot-band guard) and dedup_span_remove_minlen (run merge
+# rewritten from an O(runs^2) fold to linear array ops) — are
+# output-identical on the registry fixture and were BOTH verified this
+# round against their DuckDB oracles at sf0.01 under a vanilla
+# driver-style session (plus the sf0.001 per-pytest sweep and the sf0.1
+# full sweep, PYTEST_r10.txt); they rotate FIRST in r11. Every deferred
+# name is
 # meanwhile covered by the local sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
 # follows in registration order as regression sentinels.
@@ -91,8 +93,7 @@ _PRIORITY = [
     "codec_avro_checksum",
     "codec_simple_checksum",
     "cdc_topic_sanitize",
-    # round-10 plan-changed re-check
-    "corpus_select_budget",
+    "codec_csv_binary_handle",
 ]
 
 

@@ -426,6 +426,7 @@ def section_r10ops(sf_dir: str) -> dict:
             "cdc_topic_sanitize",
             "codec_avro_checksum",
             "codec_simple_checksum",
+            "codec_csv_binary_handle",
         ],
     )
     return {

@@ -257,3 +257,48 @@ def test_wire_corruption_is_caught_by_message_checksum(spark):
         jtampered, {"id": "bigint", "balance": "double", "note": "string"}
     ).filter(~F.col("checksum_ok"))
     assert jbad.count() == 50
+
+
+def test_csv_binary_and_handle_key_roundtrip_modes(spark):
+    """The two round-10 CSV knobs across BOTH binary encodings and both
+    quoting modes: binary payload bytes (incl. non-UTF8) survive the
+    text wire exactly; the handle key rides its own meta column."""
+    from pyspark.sql import types as T
+
+    from tiflow_spark.codecs.csv_codec import (
+        CsvConfig,
+        decode_csv,
+        encode_csv,
+    )
+
+    raw = bytes([0, 1, 2, 0xFF, 0x22, 0x2C, 0x5C])  # quote/comma/backslash
+    env = spark.createDataFrame(
+        [("I", "s", "t", 100, 1, "k1", 7, raw)],
+        "op string, schema string, table string, commit_ts long, "
+        "seq long, key string, _id long, _b binary",
+    ).select(
+        "op", "schema", "table", "commit_ts", "seq", "key",
+        F.struct(F.col("_id").alias("id"), F.col("_b").alias("blob"))
+        .alias("after"),
+        F.lit(None).cast("struct<id:bigint,blob:binary>").alias("before"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("blob", T.BinaryType()),
+        ]
+    )
+    for method in ("base64", "hex"):
+        for quote in ('"', ""):
+            cfg = CsvConfig(
+                quote=quote,
+                output_handle_key=True,
+                binary_encoding_method=method,
+            )
+            dec = decode_csv(encode_csv(env, cfg), payload, cfg).first()
+            assert dec["handle_key"] == "k1", (method, quote)
+            assert bytes(dec["blob"]) == raw, (method, quote)
+            assert dec["id"] == 7
+
+    with pytest.raises(ValueError, match="binary encoding"):
+        encode_csv(env, CsvConfig(binary_encoding_method="zstd"))

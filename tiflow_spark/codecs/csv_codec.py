@@ -3,10 +3,14 @@
 Reference: pkg/sink/codec/csv/csv_message.go (layout :99-110, quoting
 :197-245, op taxonomy I/U/D :99) and csv_encoder.go. Message layout:
 
-    op, table, schema [, commit_ts] [, is_update] , col1..colN
+    op, table, schema [, commit_ts] [, is_update] [, handle_key] , col1..colN
 
 - quote mode: string fields wrapped in the quote char, inner quotes doubled
   (RFC 4180); numbers unquoted; NULL → null_string (default ``\\N``).
+- handle-key meta column (csv_message.go:139-141 OutputHandleKey) and
+  base64/hex text encoding for binary payload columns
+  (csv_message.go:286-293,331-343 BinaryEncodingMethod) — both JVM
+  built-ins (base64/hex/unbase64/unhex).
 - escape mode (empty quote): backslash-escape \\, \\r → \\r, \\n → \\n and
   the delimiter.
 - update events with ``output_old_value``: encoded as TWO rows — D(pre) then
@@ -32,6 +36,12 @@ class CsvConfig:
     null_string: str = "\\N"
     include_commit_ts: bool = True
     output_old_value: bool = False
+    # extra meta column carrying the handle key after is-updated
+    # (csv_message.go:139-141, OutputHandleKey)
+    output_handle_key: bool = False
+    # binary columns ride as text: 'base64' | 'hex'
+    # (csv_message.go:331-343, config.BinaryEncodingMethod)
+    binary_encoding_method: str = "base64"
 
 
 def _fmt_string(c: Column, cfg: CsvConfig) -> Column:
@@ -46,9 +56,31 @@ def _fmt_string(c: Column, cfg: CsvConfig) -> Column:
     return out
 
 
+def _bin_encode(c: Column, cfg: CsvConfig) -> Column:
+    if cfg.binary_encoding_method == "base64":
+        return F.base64(c)
+    if cfg.binary_encoding_method == "hex":
+        return F.lower(F.hex(c))
+    raise ValueError(
+        f"unsupported binary encoding method {cfg.binary_encoding_method}"
+    )
+
+
+def _bin_decode(c: Column, cfg: CsvConfig) -> Column:
+    if cfg.binary_encoding_method == "base64":
+        return F.unbase64(c)
+    if cfg.binary_encoding_method == "hex":
+        return F.unhex(c)
+    raise ValueError(
+        f"unsupported binary encoding method {cfg.binary_encoding_method}"
+    )
+
+
 def _fmt(c: Column, dtype: T.DataType, cfg: CsvConfig) -> Column:
     if isinstance(dtype, T.StringType):
         formatted = _fmt_string(c, cfg)
+    elif isinstance(dtype, T.BinaryType):
+        formatted = _fmt_string(_bin_encode(c, cfg), cfg)
     elif isinstance(dtype, T.BooleanType):
         formatted = F.when(c, "true").otherwise("false")
     else:
@@ -75,6 +107,8 @@ def encode_csv(env: DataFrame, cfg: CsvConfig = CsvConfig()) -> DataFrame:
             fields.append(
                 _fmt(F.col("op") == "U", T.BooleanType(), cfg)
             )
+        if cfg.output_handle_key:
+            fields.append(_fmt(F.col("key"), T.StringType(), cfg))
         for f in side_t.fields:  # type: ignore[union-attr]
             fields.append(_fmt(F.col(f"{image}.{f.name}"), f.dataType, cfg))
         return F.concat_ws(cfg.delimiter, *fields)
@@ -122,7 +156,21 @@ def decode_csv(
         meta.append(T.StructField("commit_ts", T.LongType()))
     if cfg.output_old_value:
         meta.append(T.StructField("is_update", T.BooleanType()))
-    full = T.StructType(meta + list(payload_schema.fields))
+    if cfg.output_handle_key:
+        meta.append(T.StructField("handle_key", T.StringType()))
+    # binary payload columns ride the wire as base64/hex TEXT
+    # (csv_message.go:286-293): parse them as strings, decode after
+    bin_fields = {
+        f.name for f in payload_schema.fields
+        if isinstance(f.dataType, T.BinaryType)
+    }
+    wire_payload = [
+        T.StructField(f.name, T.StringType())
+        if f.name in bin_fields
+        else f
+        for f in payload_schema.fields
+    ]
+    full = T.StructType(meta + wire_payload)
     opts = {
         "sep": cfg.delimiter,
         "quote": cfg.quote or "",
@@ -133,7 +181,10 @@ def decode_csv(
         *keep_cols,
         F.from_csv(F.col(line_col), full.simpleString(), opts).alias("r"),
     )
-    return parsed.select(*keep_cols, "r.*")
+    out = parsed.select(*keep_cols, "r.*")
+    for name in bin_fields:
+        out = out.withColumn(name, _bin_decode(F.col(name), cfg))
+    return out
 
 
 def csv_encode_sql_duckdb(

@@ -350,6 +350,69 @@ def q_codec_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_csv(_env(spark, sf_dir), CsvConfig())
 
 
+@register(
+    "codec_csv_binary_handle",
+    f"""{ENV_CTE}
+    SELECT seq, op, key AS handle_key, commit_ts,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END
+        AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note_text
+    FROM env""",
+)
+def q_codec_csv_binary_handle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec with the two round-10-probed config knobs: the
+    handle-key meta column (csv_message.go:139-141 OutputHandleKey) and
+    hex text encoding of a BINARY payload column (csv_message.go:
+    286-293,331-343 BinaryEncodingMethod) — full encode→decode round
+    trip: note is turned into real bytes upstream, rides the CSV line
+    as hex, and must decode back to the original text; the handle key
+    must survive as its own meta column. The oracle derives the same
+    final frame from the raw events independently."""
+    from pyspark.sql import types as T
+
+    from tiflow_spark.codecs.csv_codec import (
+        CsvConfig,
+        decode_csv,
+        encode_csv,
+    )
+
+    def as_binary(side: str):
+        return F.when(
+            F.col(f"{side}.id").isNotNull(),
+            F.struct(
+                F.col(f"{side}.id").alias("id"),
+                F.col(f"{side}.balance").alias("balance"),
+                F.encode(F.col(f"{side}.note"), "UTF-8").alias("note"),
+            ),
+        )
+
+    env = (
+        _env(spark, sf_dir)
+        .withColumn("after", as_binary("after"))
+        .withColumn("before", as_binary("before"))
+    )
+    cfg = CsvConfig(output_handle_key=True, binary_encoding_method="hex")
+    lines = encode_csv(env, cfg)
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.BinaryType()),
+        ]
+    )
+    dec = decode_csv(lines, payload, cfg, keep_cols=("seq",))
+    return dec.select(
+        "seq",
+        "op",
+        "handle_key",
+        "commit_ts",
+        "id",
+        "balance",
+        F.decode(F.col("note"), "UTF-8").alias("note_text"),
+    )
+
+
 @register("codec_canal_json", None)
 def q_codec_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canal-JSON codec (canal_json_row_event_encoder.go; FlatMessage layout)."""
