@@ -36,7 +36,13 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # output-identical on the registry fixture and were BOTH verified this
 # round against their DuckDB oracles at sf0.01 under a vanilla
 # driver-style session (plus the sf0.001 per-pytest sweep and the sf0.1
-# full sweep, PYTEST_r10.txt); they rotate FIRST in r11. Every deferred
+# full sweep, PYTEST_r10.txt); they rotate FIRST in r11, together with
+# codec_simple_bootstrap_resend (a fifth round-10 row that missed the
+# 50-slot cap: its two constituent byte-identical encoders — the simple
+# DML message and the bootstrap JSON — are BOTH driver-checked this
+# round via codec_simple_checksum's wire and the rotated
+# codec_simple_bootstrap, and the composition was verified against its
+# DuckDB oracle at sf0.001 + sf0.01 under this session). Every deferred
 # name is
 # meanwhile covered by the local sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder

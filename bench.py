@@ -427,6 +427,7 @@ def section_r10ops(sf_dir: str) -> dict:
             "codec_avro_checksum",
             "codec_simple_checksum",
             "codec_csv_binary_handle",
+            "codec_simple_bootstrap_resend",
         ],
     )
     return {

@@ -272,6 +272,55 @@ def bootstrap_messages(
     )
 
 
+def interleave_bootstrap(
+    env: DataFrame,
+    msg_count: int,
+    schema_version: int = 1,
+    pk_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-triggered bootstrap RESEND (pkg/sink/codec/bootstraper.go:
+    127-140): with sending-bootstrap enabled, the simple protocol
+    re-emits each table's BOOTSTRAP schema message once the row-event
+    count since the last one exceeds send-bootstrap-in-msg-count, so a
+    consumer attaching at any stream offset finds a schema within a
+    bounded lookback. This is the data-derivable half of the trigger;
+    the wall-clock half (send-bootstrap-interval-in-sec, ticker-driven)
+    and the inactive-table GC are runtime machinery with no
+    batch-observable output. A bootstrap precedes the 1st DML of each
+    (schema, table) and every ``msg_count``-th thereafter.
+
+    Output (schema, table, commit_ts, seq, msg_type, value): the
+    bootstrap rows carry the (commit_ts, seq) of the DML they precede;
+    consumer order within a table is (commit_ts, seq, msg_type) —
+    'BOOTSTRAP' sorts before 'DML'.
+
+    Scale shape: one keyed window per (schema, table) for the running
+    message index (partitioned across the cluster — never global), a
+    broadcast join of the table-count-sized bootstrap frame onto the
+    trigger rows, one unionByName."""
+    from pyspark.sql import Window
+
+    dml = encode_simple(env, schema_version).select(
+        "schema", "table", "commit_ts", "seq",
+        F.lit("DML").alias("msg_type"), "value",
+    )
+    w = Window.partitionBy("schema", "table").orderBy("commit_ts", "seq")
+    triggers = (
+        env.select("schema", "table", "commit_ts", "seq")
+        .withColumn("_idx", F.row_number().over(w))
+        .filter((F.col("_idx") - 1) % msg_count == 0)
+        .drop("_idx")
+    )
+    boots = triggers.join(
+        F.broadcast(bootstrap_messages(env, schema_version, pk_cols)),
+        ["schema", "table"],
+    ).select(
+        "schema", "table", "commit_ts", "seq",
+        F.lit("BOOTSTRAP").alias("msg_type"), "value",
+    )
+    return boots.unionByName(dml)
+
+
 def decode_simple(
     messages: DataFrame,
     value_col: str = "value",
@@ -304,8 +353,9 @@ def decode_simple(
     )
 
 
-def simple_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
-    """DuckDB SQL building byte-identical simple-protocol DML messages."""
+def simple_msg_json_sql(payload_cols: list[tuple[str, str]]) -> str:
+    """The DuckDB to_json expression building one byte-identical
+    simple-protocol DML message from a flattened env row."""
 
     def img_map(prefix: str) -> str:
         kv = ", ".join(
@@ -314,8 +364,7 @@ def simple_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
         )
         return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
 
-    return f"""{env_cte}
-    SELECT "schema", "table", commit_ts, seq, to_json({{
+    return f"""to_json({{
       version: 1,
       database: "schema",
       "table": "table",
@@ -327,7 +376,14 @@ def simple_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
       schemaVersion: 1::BIGINT,
       data: CASE WHEN op <> 'D' THEN {img_map("after")} END,
       old: CASE WHEN op <> 'I' THEN {img_map("before")} END
-    }}) AS value FROM env"""
+    }})"""
+
+
+def simple_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
+    """DuckDB SQL building byte-identical simple-protocol DML messages."""
+    return f"""{env_cte}
+    SELECT "schema", "table", commit_ts, seq,
+      {simple_msg_json_sql(payload_cols)} AS value FROM env"""
 
 
 def encode_simple_ddl(ddl: DataFrame, registry: DataFrame) -> DataFrame:

@@ -3145,6 +3145,49 @@ def q_codec_simple_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_messages(_env(spark, sf_dir), pk_cols=("id",))
 
 
+def _install_bootstrap_resend() -> None:
+    from tiflow_spark.codecs.simple import simple_msg_json_sql
+
+    REGISTRY["codec_simple_bootstrap_resend"] = (
+        REGISTRY["codec_simple_bootstrap_resend"][0],
+        f"""{ENV_CTE},
+        idxed AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY "schema", "table" ORDER BY commit_ts, seq
+          ) AS _idx FROM env)
+        SELECT "schema", "table", commit_ts, seq,
+               'BOOTSTRAP' AS msg_type, {_BOOTSTRAP_JSON_SQL} AS value
+        FROM idxed WHERE (_idx - 1) % 100 = 0
+        UNION ALL
+        SELECT "schema", "table", commit_ts, seq,
+               'DML' AS msg_type,
+               {simple_msg_json_sql(PAYLOAD_COLS)} AS value
+        FROM env""",
+    )
+
+
+@register("codec_simple_bootstrap_resend", None)  # SQL installed below
+def q_codec_simple_bootstrap_resend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-triggered bootstrap resend (pkg/sink/codec/bootstraper.go:
+    127-140, the sending-bootstrap feature of the simple protocol): a
+    BOOTSTRAP schema message precedes the first DML of every (schema,
+    table) and every 100th thereafter, so a consumer attaching mid-
+    stream finds a schema within a bounded lookback. Byte-identical on
+    both message kinds; the wall-clock interval trigger and inactive-
+    table GC are runtime machinery, documented in
+    codecs/simple.interleave_bootstrap."""
+    from tiflow_spark.codecs.simple import interleave_bootstrap
+
+    return interleave_bootstrap(
+        _env(spark, sf_dir), msg_count=100, pk_cols=("id",)
+    )
+
+
+_install_bootstrap_resend()
+
+
 _Q = (
     "CASE WHEN {x} IS NULL THEN 'NULL' "
     "ELSE '''' || replace(CAST({x} AS VARCHAR), '''', '''''') || '''' END"
