@@ -428,6 +428,7 @@ def section_r10ops(sf_dir: str) -> dict:
             "codec_simple_checksum",
             "codec_csv_binary_handle",
             "codec_simple_bootstrap_resend",
+            "codec_compress_roundtrip",
         ],
     )
     return {

@@ -302,3 +302,46 @@ def test_csv_binary_and_handle_key_roundtrip_modes(spark):
 
     with pytest.raises(ValueError, match="binary encoding"):
         encode_csv(env, CsvConfig(binary_encoding_method="zstd"))
+
+
+def test_snappy_block_codec_pure_python():
+    """The pure-Python snappy block codec (pkg/compression parity):
+    hypothesis-style roundtrip fuzz over mixed-entropy inputs, the
+    overlapping-copy decode path, all literal-length forms, and the
+    unsupported-codec error parity."""
+    import os as _os
+    import random
+
+    from tiflow_spark.codecs.compress import (
+        compress_bytes,
+        decompress_bytes,
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    random.seed(11)
+    cases = [b"", b"x", b"ab" * 4000, _os.urandom(5000),
+             b"a" * 1000, bytes(range(256)) * 8]
+    for _ in range(200):
+        n = random.randrange(0, 3000)
+        alpha = random.choice([2, 4, 256])
+        cases.append(bytes(random.randrange(alpha) for _ in range(n)))
+    for c in cases:
+        assert snappy_decompress(snappy_compress(c)) == c
+    # overlapping copy really engaged (RLE compresses ~20x; copies
+    # cap at 64 bytes so 1000 bytes need ~16 copy elements x 3 bytes)
+    assert len(snappy_compress(b"a" * 1000)) < 60
+    # decoder handles tag forms our encoder never emits (1-byte-offset
+    # copy, kind 1): 'abcd' + copy len 4 offset 4 -> 'abcdabcd'
+    hand = bytes([8]) + bytes([(3 << 2) | 0]) + b"abcd" + bytes(
+        [((4 - 4) << 2) | 1 | (0 << 5), 4]
+    )
+    assert snappy_decompress(hand) == b"abcdabcd"
+    # none passthrough + unsupported parity (compress.go:52)
+    assert compress_bytes("none", b"zz") == b"zz"
+    assert decompress_bytes("none", b"zz") == b"zz"
+    with pytest.raises(ValueError, match="Unsupported compression"):
+        compress_bytes("zstd", b"zz")
+    # lz4 is an import-try gate in this environment
+    with pytest.raises(ModuleNotFoundError):
+        compress_bytes("lz4", b"zz")

@@ -421,6 +421,38 @@ def q_codec_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_canal_json(_env(spark, sf_dir))
 
 
+@register("codec_compress_roundtrip", None)  # SQL installed below
+def q_codec_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-value compression (pkg/sink/codec/common/compress.go wraps
+    every simple/open/canal-json value; pkg/compression: none/snappy/
+    lz4): the canal-json stream is snappy-compressed and decompressed
+    through the pure-Python spec-conformant snappy block codec
+    (codecs/compress.py) and must come back byte-identical — the oracle
+    derives the expected messages from the raw events independently, so
+    any lossiness in the compression pair fails the hash. lz4 is an
+    import-try gate (no lz4 library in this environment, documented)."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.codecs.compress import (
+        compress_messages,
+        decompress_messages,
+    )
+
+    msgs = encode_canal_json(_env(spark, sf_dir))
+    return decompress_messages(compress_messages(msgs, "snappy"), "snappy")
+
+
+def _install_compress_sql() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+
+    REGISTRY["codec_compress_roundtrip"] = (
+        REGISTRY["codec_compress_roundtrip"][0],
+        canal_json_sql_duckdb(PAYLOAD_COLS, ENV_CTE),
+    )
+
+
+_install_compress_sql()
+
+
 @register("codec_debezium", None)
 def q_codec_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium JSON envelope (pkg/sink/codec/debezium/codec.go)."""
