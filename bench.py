@@ -429,6 +429,7 @@ def section_r10ops(sf_dir: str) -> dict:
             "codec_csv_binary_handle",
             "codec_simple_bootstrap_resend",
             "codec_compress_roundtrip",
+            "codec_canal_trimmed_images",
         ],
     )
     return {

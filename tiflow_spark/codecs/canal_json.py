@@ -85,11 +85,46 @@ def _image_map(side: str, fields: list[T.StructField]) -> Column:
     return F.when(F.col(side).isNotNull(), F.create_map(*kv))
 
 
+def _changed_only_map(fields: list[T.StructField]) -> Column:
+    """The OLD image with only the columns whose pre value differs from
+    the post value (only-output-updated-columns,
+    canal_json_row_event_encoder.go:230-243 fillColumns' skip-if-equal
+    against the new-columns map). Entry order = declared field order,
+    null-safe native-type compare, map built via filtered entries so
+    arity stays data-dependent without a UDF."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f.name).alias("key"),
+                F.col(f"before.{f.name}").cast("string").alias("value"),
+                (
+                    ~F.col(f"before.{f.name}").eqNullSafe(
+                        F.col(f"after.{f.name}")
+                    )
+                ).alias("keep"),
+            )
+            for f in fields
+        ]
+    )
+    kept = F.transform(
+        F.filter(entries, lambda e: e["keep"]),
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+    )
+    return F.when(F.col("before").isNotNull(), F.map_from_entries(kept))
+
+
 def encode_canal_json(
     env: DataFrame,
     pk_names: tuple[str, ...] = ("id",),
     extra_cols: tuple[str, ...] = (),
+    only_output_updated_columns: bool = False,
+    delete_only_handle_key: bool = False,
 ) -> DataFrame:
+    """``only_output_updated_columns`` trims UPDATE old-images to the
+    actually-changed columns; ``delete_only_handle_key`` trims DELETE
+    data-images to the handle-key columns
+    (common/config.go:45-46,78 — both default-off, default output
+    byte-identical to round-1's)."""
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
     sql_type = F.create_map(
         *[
@@ -110,10 +145,20 @@ def encode_canal_json(
         .when(F.col("op") == "U", "UPDATE")
         .otherwise("DELETE")
     )
-    data = F.when(F.col("op") == "D", F.array(_image_map("before", fields))).otherwise(
+    delete_image = (
+        _image_map("before", [f for f in fields if f.name in pk_names])
+        if delete_only_handle_key
+        else _image_map("before", fields)
+    )
+    data = F.when(F.col("op") == "D", F.array(delete_image)).otherwise(
         F.array(_image_map("after", fields))
     )
-    old = F.when(F.col("op") == "U", F.array(_image_map("before", fields)))
+    old_image = (
+        _changed_only_map(fields)
+        if only_output_updated_columns
+        else _image_map("before", fields)
+    )
+    old = F.when(F.col("op") == "U", F.array(old_image))
     msg = F.struct(
         F.lit(0).cast("long").alias("id"),
         F.col("schema").alias("database"),
@@ -173,18 +218,44 @@ def decode_canal_json(
 
 
 def canal_json_sql_duckdb(
-    payload_cols: list[tuple[str, str]], env_cte: str, extra_select: str = ""
+    payload_cols: list[tuple[str, str]],
+    env_cte: str,
+    extra_select: str = "",
+    only_output_updated_columns: bool = False,
+    delete_only_handle_key: bool = False,
+    pk_names: tuple[str, ...] = ("id",),
 ) -> str:
-    """DuckDB SQL building byte-identical canal-json messages."""
+    """DuckDB SQL building byte-identical canal-json messages (same two
+    config flags as :func:`encode_canal_json`)."""
     java_types = {"bigint": -5, "int": 4, "double": 8, "string": 12}
     mysql_types = {"bigint": "bigint", "int": "int", "double": "double", "string": "varchar"}
 
-    def img_map(prefix: str) -> str:
+    def img_map(prefix: str, names: list[str] | None = None) -> str:
         kv = ", ".join(
-            f"'{name}': CAST({prefix}_{name} AS VARCHAR)" for name, _ in payload_cols
+            f"'{name}': CAST({prefix}_{name} AS VARCHAR)"
+            for name, _ in payload_cols
+            if names is None or name in names
         )
         return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
 
+    def changed_only_map() -> str:
+        entries = ", ".join(
+            f"{{'k': '{name}', 'v': CAST(before_{name} AS VARCHAR), "
+            f"'keep': before_{name} IS DISTINCT FROM after_{name}}}"
+            for name, _ in payload_cols
+        )
+        return (
+            "CASE WHEN before_id IS NOT NULL THEN map_from_entries("
+            f"list_transform(list_filter([{entries}], x -> x.keep), "
+            "x -> {'k': x.k, 'v': x.v})) END"
+        )
+
+    data_del = (
+        img_map("before", list(pk_names))
+        if delete_only_handle_key
+        else img_map("before")
+    )
+    old_u = changed_only_map() if only_output_updated_columns else img_map("before")
     sql_t = ", ".join(f"'{n}': {java_types[t]}" for n, t in payload_cols)
     mysql_t = ", ".join(f"'{n}': '{mysql_types[t]}'" for n, t in payload_cols)
     extra = f"{extra_select}, " if extra_select else ""
@@ -201,8 +272,8 @@ def canal_json_sql_duckdb(
       sql: '',
       sqlType: MAP {{{sql_t}}},
       mysqlType: MAP {{{mysql_t}}},
-      data: CASE WHEN op = 'D' THEN [{img_map("before")}] ELSE [{img_map("after")}] END,
-      old: CASE WHEN op = 'U' THEN [{img_map("before")}] END
+      data: CASE WHEN op = 'D' THEN [{data_del}] ELSE [{img_map("after")}] END,
+      old: CASE WHEN op = 'U' THEN [{old_u}] END
     }}) AS value FROM env"""
 
 

@@ -421,6 +421,42 @@ def q_codec_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_canal_json(_env(spark, sf_dir))
 
 
+@register("codec_canal_trimmed_images", None)  # SQL installed below
+def q_codec_canal_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two image-trimming codec config flags (common/config.go:45-46,
+    78; canal encoder paths canal_json_row_event_encoder.go:91-95,
+    230-247): only-output-updated-columns keeps ONLY the changed columns
+    in an UPDATE's old image (null-safe native-type compare against the
+    new image, declared column order preserved), and
+    delete-only-handle-key-columns trims a DELETE's data image to the
+    handle key. Byte-identical against an independently derived DuckDB
+    construction of the same trimmed messages."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+
+    return encode_canal_json(
+        _env(spark, sf_dir),
+        only_output_updated_columns=True,
+        delete_only_handle_key=True,
+    )
+
+
+def _install_canal_trimmed_sql() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+
+    REGISTRY["codec_canal_trimmed_images"] = (
+        REGISTRY["codec_canal_trimmed_images"][0],
+        canal_json_sql_duckdb(
+            PAYLOAD_COLS,
+            ENV_CTE,
+            only_output_updated_columns=True,
+            delete_only_handle_key=True,
+        ),
+    )
+
+
+_install_canal_trimmed_sql()
+
+
 @register("codec_compress_roundtrip", None)  # SQL installed below
 def q_codec_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Message-value compression (pkg/sink/codec/common/compress.go wraps
