@@ -430,6 +430,7 @@ def section_r10ops(sf_dir: str) -> dict:
             "codec_simple_bootstrap_resend",
             "codec_compress_roundtrip",
             "codec_canal_trimmed_images",
+            "codec_open_old_value",
         ],
     )
     return {

@@ -33,8 +33,19 @@ def _col_obj(side: str, f: T.StructField, handle: bool) -> Column:
 
 
 def encode_open_protocol(
-    env: DataFrame, handle_cols: tuple[str, ...] = ("id",)
+    env: DataFrame,
+    handle_cols: tuple[str, ...] = ("id",),
+    output_old_value: bool = False,
+    only_output_updated_columns: bool = False,
 ) -> DataFrame:
+    """``output_old_value`` adds the UPDATE pre-image as the ``p`` field
+    (open_protocol_message.go:55 ``PreColumns json:"p"``, emitted when
+    config.OpenOutputOldValue — the reference defaults it TRUE; our
+    default-off form matches output-old-value=false deployments and
+    keeps the original byte surface). ``only_output_updated_columns``
+    then drops the columns whose pre value equals the post value from
+    ``p`` (dropNotUpdatedColumns, open_protocol_message.go:83-99 —
+    null-safe native-type compare, declared column order)."""
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
 
     def image(side: str) -> Column:
@@ -48,6 +59,34 @@ def encode_open_protocol(
             ),
         )
 
+    def pre_map() -> Column:
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(f.name).alias("key"),
+                    _col_obj("before", f, f.name in handle_cols).alias(
+                        "value"
+                    ),
+                    (
+                        F.lit(not only_output_updated_columns)
+                        | ~F.col(f"before.{f.name}").eqNullSafe(
+                            F.col(f"after.{f.name}")
+                        )
+                    ).alias("keep"),
+                )
+                for f in fields
+            ]
+        )
+        kept = F.transform(
+            F.filter(entries, lambda e: e["keep"]),
+            lambda e: F.struct(
+                e["key"].alias("key"), e["value"].alias("value")
+            ),
+        )
+        return F.when(
+            F.col("before").isNotNull(), F.map_from_entries(kept)
+        )
+
     key = F.to_json(
         F.struct(
             F.col("commit_ts").alias("ts"),
@@ -56,11 +95,18 @@ def encode_open_protocol(
             F.lit(1).alias("t"),
         )
     )
+    value_fields = [
+        F.when(F.col("op") != "D", image("after")).alias("u"),
+    ]
+    if output_old_value:
+        value_fields.append(
+            F.when(F.col("op") == "U", pre_map()).alias("p")
+        )
+    value_fields.append(
+        F.when(F.col("op") == "D", image("before")).alias("d")
+    )
     value = F.to_json(
-        F.struct(
-            F.when(F.col("op") != "D", image("after")).alias("u"),
-            F.when(F.col("op") == "D", image("before")).alias("d"),
-        ),
+        F.struct(*value_fields),
         {"ignoreNullFields": "true"},
     )
     return env.select(
@@ -74,7 +120,10 @@ def encode_open_protocol(
 
 
 def open_protocol_sql_duckdb(
-    payload_cols: list[tuple[str, str]], env_cte: str
+    payload_cols: list[tuple[str, str]],
+    env_cte: str,
+    output_old_value: bool = False,
+    only_output_updated_columns: bool = False,
 ) -> str:
     codes = {"bigint": 3, "int": 3, "double": 5, "string": 15}
 
@@ -86,10 +135,41 @@ def open_protocol_sql_duckdb(
         )
         return f"{{{fields}}}"
 
+    if not output_old_value:
+        return f"""{env_cte}
+    SELECT "schema", "table", commit_ts, seq,
+      to_json({{ts: commit_ts, scm: "schema", tbl: "table", t: 1}}) AS key,
+      CASE WHEN op = 'D' THEN to_json({{d: {image("before")}}})
+           ELSE to_json({{u: {image("after")}}}) END AS value
+    FROM env"""
+
+    def pre_map() -> str:
+        keep = (
+            "before_{n} IS DISTINCT FROM after_{n}"
+            if only_output_updated_columns
+            else "true"
+        )
+        entries = ", ".join(
+            "{{'k': '{n}', 'v': {{t: {t}, h: {h}, "
+            "v: CAST(before_{n} AS VARCHAR)}}, 'keep': {keep}}}".format(
+                n=n,
+                t=codes[t],
+                h=str(n == "id").lower(),
+                keep=keep.format(n=n),
+            )
+            for n, t in payload_cols
+        )
+        return (
+            f"map_from_entries(list_transform(list_filter([{entries}], "
+            "x -> x.keep), x -> {'k': x.k, 'v': x.v}))"
+        )
+
     return f"""{env_cte}
     SELECT "schema", "table", commit_ts, seq,
       to_json({{ts: commit_ts, scm: "schema", tbl: "table", t: 1}}) AS key,
       CASE WHEN op = 'D' THEN to_json({{d: {image("before")}}})
+           WHEN op = 'U' THEN to_json({{u: {image("after")},
+                                        p: {pre_map()}}})
            ELSE to_json({{u: {image("after")}}}) END AS value
     FROM env"""
 
@@ -104,7 +184,10 @@ def decode_open_protocol(
     map<col, struct{t,h,v}> so any payload schema decodes."""
     key_schema = "ts BIGINT, scm STRING, tbl STRING, t INT"
     col_obj = "STRUCT<t: INT, h: BOOLEAN, v: STRING>"
-    val_schema = f"u MAP<STRING, {col_obj}>, d MAP<STRING, {col_obj}>"
+    val_schema = (
+        f"u MAP<STRING, {col_obj}>, p MAP<STRING, {col_obj}>, "
+        f"d MAP<STRING, {col_obj}>"
+    )
     k = F.from_json(F.col(key_col), key_schema)
     v = F.from_json(F.col(value_col), val_schema)
     return messages.select(
@@ -113,6 +196,7 @@ def decode_open_protocol(
         k["ts"].alias("commit_ts"),
         F.when(v["d"].isNotNull(), "D").otherwise("U").alias("op_class"),
         F.coalesce(v["u"], v["d"]).alias("image"),
+        v["p"].alias("pre_image"),
     )
 
 

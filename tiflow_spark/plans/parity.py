@@ -421,6 +421,40 @@ def q_codec_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_canal_json(_env(spark, sf_dir))
 
 
+@register("codec_open_old_value", None)  # SQL installed below
+def q_codec_open_old_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-protocol UPDATE pre-image ``p`` field + trimming
+    (open_protocol_message.go:53-57 messageRow carries PreColumns as
+    ``p`` when config.OpenOutputOldValue — the REFERENCE DEFAULT — and
+    :83-99 dropNotUpdatedColumns removes the columns whose pre value
+    equals the post value). Byte-identical against an independent
+    DuckDB construction with both flags on."""
+    from tiflow_spark.codecs.open_protocol import encode_open_protocol
+
+    return encode_open_protocol(
+        _env(spark, sf_dir),
+        output_old_value=True,
+        only_output_updated_columns=True,
+    )
+
+
+def _install_open_old_value_sql() -> None:
+    from tiflow_spark.codecs.open_protocol import open_protocol_sql_duckdb
+
+    REGISTRY["codec_open_old_value"] = (
+        REGISTRY["codec_open_old_value"][0],
+        open_protocol_sql_duckdb(
+            PAYLOAD_COLS,
+            ENV_CTE,
+            output_old_value=True,
+            only_output_updated_columns=True,
+        ),
+    )
+
+
+_install_open_old_value_sql()
+
+
 @register("codec_canal_trimmed_images", None)  # SQL installed below
 def q_codec_canal_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two image-trimming codec config flags (common/config.go:45-46,
