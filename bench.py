@@ -431,6 +431,7 @@ def section_r10ops(sf_dir: str) -> dict:
             "codec_compress_roundtrip",
             "codec_canal_trimmed_images",
             "codec_open_old_value",
+            "codec_debezium_schema_block",
         ],
     )
     return {

@@ -15,7 +15,90 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def encode_debezium(env: DataFrame, connector_version: str = "2.4.0.Final") -> DataFrame:
+_DBZ_TYPES = {"bigint": "int64", "double": "double", "string": "string"}
+
+# io.debezium.connector.mysql.Source descriptor — the exact field
+# sequence codec.go:844-933 writes (version/connector/name/ts_ms/
+# snapshot-enum/db/sequence/table/server_id/gtid/file/pos/row/thread/
+# query), constant for every event
+_DBZ_SOURCE_SCHEMA = (
+    '{"type":"struct","fields":['
+    '{"type":"string","optional":false,"field":"version"},'
+    '{"type":"string","optional":false,"field":"connector"},'
+    '{"type":"string","optional":false,"field":"name"},'
+    '{"type":"int64","optional":false,"field":"ts_ms"},'
+    '{"type":"string","optional":true,"name":"io.debezium.data.Enum",'
+    '"version":1,"parameters":{"allowed":"true,last,false,incremental"},'
+    '"default":"false","field":"snapshot"},'
+    '{"type":"string","optional":false,"field":"db"},'
+    '{"type":"string","optional":true,"field":"sequence"},'
+    '{"type":"string","optional":true,"field":"table"},'
+    '{"type":"int64","optional":false,"field":"server_id"},'
+    '{"type":"string","optional":true,"field":"gtid"},'
+    '{"type":"string","optional":false,"field":"file"},'
+    '{"type":"int64","optional":false,"field":"pos"},'
+    '{"type":"int32","optional":false,"field":"row"},'
+    '{"type":"int64","optional":true,"field":"thread"},'
+    '{"type":"string","optional":true,"field":"query"}],'
+    '"optional":false,"name":"io.debezium.connector.mysql.Source",'
+    '"field":"source"}'
+)
+
+_DBZ_TXN_SCHEMA = (
+    '{"type":"struct","fields":['
+    '{"type":"string","optional":false,"field":"id"},'
+    '{"type":"int64","optional":false,"field":"total_order"},'
+    '{"type":"int64","optional":false,"field":"data_collection_order"}],'
+    '"optional":true,"name":"event.block","version":1,'
+    '"field":"transaction"}'
+)
+
+
+def debezium_schema_block(
+    payload_cols: list[tuple[str, str]],
+    pk_cols: tuple[str, ...] = ("id",),
+    cluster_id: str = "tiflow-spark",
+) -> tuple[str, str, str]:
+    """The Kafka-Connect ``schema`` envelope block the reference emits
+    unless debezium-disable-schema (codec.go:1048-1149): returns
+    (prefix, middle, suffix) string segments to concat around the two
+    ``<cluster>.<schema>.<table>`` topic-name substitutions (Envelope
+    name, then the shared before/after Value name). Field descriptors
+    follow writeDebeziumFieldSchema's type map (bigint→int64,
+    double→double, varchar→string; optional = not NOT-NULL, i.e. the
+    handle key is optional:false)."""
+    fields_json = ",".join(
+        '{"type":"%s","optional":%s,"field":"%s"}'
+        % (_DBZ_TYPES[t], "false" if n in pk_cols else "true", n)
+        for n, t in payload_cols
+    )
+    prefix = '{"type":"struct","optional":false,"name":"' + cluster_id + "."
+    middle = (
+        '.Envelope","version":1,"fields":['
+        '{"type":"struct","optional":true,"name":"%%NAME%%",'
+        '"field":"before","fields":[' + fields_json + "]},"
+        '{"type":"struct","optional":true,"name":"%%NAME%%",'
+        '"field":"after","fields":[' + fields_json + "]},"
+        + _DBZ_SOURCE_SCHEMA + ","
+        '{"type":"string","optional":false,"field":"op"},'
+        '{"type":"int64","optional":true,"field":"ts_ms"},'
+        + _DBZ_TXN_SCHEMA + "]}"
+    )
+    return prefix, middle, cluster_id
+
+
+def encode_debezium(
+    env: DataFrame,
+    connector_version: str = "2.4.0.Final",
+    disable_schema: bool = True,
+    pk_cols: tuple[str, ...] = ("id",),
+    cluster_id: str = "tiflow-spark",
+) -> DataFrame:
+    """``disable_schema=False`` appends the Kafka-Connect ``schema``
+    envelope block after ``payload`` (the REFERENCE DEFAULT —
+    DebeziumDisableSchema is false in common/config.go:133; our default
+    keeps the original schema-less byte surface, matching
+    debezium-disable-schema deployments)."""
     op = (
         F.when(F.col("op") == "I", "c")
         .when(F.col("op") == "U", "u")
@@ -36,31 +119,86 @@ def encode_debezium(env: DataFrame, connector_version: str = "2.4.0.Final") -> D
         op.alias("op"),
         F.lit(0).cast("long").alias("ts_ms"),
     )
+    payload_json = F.to_json(payload, {"ignoreNullFields": "false"})
+    if disable_schema:
+        value = F.concat(
+            F.lit('{"payload":'), payload_json, F.lit("}")
+        )
+    else:
+        fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+        type_names = {"bigint": "bigint", "double": "double",
+                      "string": "string"}
+        payload_cols = [
+            (f.name, type_names[f.dataType.simpleString()])
+            for f in fields
+        ]
+        prefix, middle, cluster = debezium_schema_block(
+            payload_cols, pk_cols, cluster_id
+        )
+        topic_name = F.concat(
+            F.col("schema"), F.lit("."), F.col("table")
+        )
+        value_name = F.concat(
+            F.lit(cluster + "."), topic_name, F.lit(".Value")
+        )
+        m1, m2, m3 = middle.split("%%NAME%%")
+        value = F.concat(
+            F.lit('{"payload":'),
+            payload_json,
+            F.lit(',"schema":'),
+            F.lit(prefix),
+            topic_name,
+            F.lit(m1),
+            value_name,
+            F.lit(m2),
+            value_name,
+            F.lit(m3),
+            F.lit("}"),
+        )
     return env.select(
         "schema",
         "table",
         "commit_ts",
         "seq",
-        F.to_json(F.struct(payload.alias("payload")), {"ignoreNullFields": "false"}).alias(
-            "value"
-        ),
+        value.alias("value"),
     )
 
 
-def debezium_sql_duckdb(payload_cols: list[tuple[str, str]], env_cte: str) -> str:
+def debezium_sql_duckdb(
+    payload_cols: list[tuple[str, str]],
+    env_cte: str,
+    disable_schema: bool = True,
+    pk_cols: tuple[str, ...] = ("id",),
+    cluster_id: str = "tiflow-spark",
+) -> str:
     def img(prefix: str) -> str:
         fields = ", ".join(f"{n}: {prefix}_{n}" for n, _ in payload_cols)
         return f"CASE WHEN {prefix}_id IS NOT NULL THEN {{{fields}}} END"
 
-    return f"""{env_cte}
-    SELECT "schema", "table", commit_ts, seq, to_json({{payload: {{
+    payload = f"""to_json({{
       before: {img("before")},
       after: {img("after")},
       source: {{connector: 'TiCDC', version: '2.4.0.Final', db: "schema",
                 "table": "table", commitTs: commit_ts, ts_ms: commit_ts // 1000}},
       op: CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
       ts_ms: 0::BIGINT
-    }}}}) AS value FROM env"""
+    }})"""
+    if disable_schema:
+        value = f"""'{{"payload":' || {payload} || '}}'"""
+    else:
+        prefix, middle, cluster = debezium_schema_block(
+            payload_cols, pk_cols, cluster_id
+        )
+        m1, m2, m3 = middle.split("%%NAME%%")
+        topic = """\"schema\" || '.' || "table\""""
+        vname = f"""'{cluster}.' || {topic} || '.Value'"""
+        value = (
+            f"""'{{"payload":' || {payload} || ',"schema":' || """
+            f"""'{prefix}' || {topic} || '{m1}' || {vname} || """
+            f"""'{m2}' || {vname} || '{m3}' || '}}'"""
+        )
+    return f"""{env_cte}
+    SELECT "schema", "table", commit_ts, seq, {value} AS value FROM env"""
 
 def decode_debezium(
     messages: DataFrame,

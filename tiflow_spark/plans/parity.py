@@ -421,6 +421,31 @@ def q_codec_canal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_canal_json(_env(spark, sf_dir))
 
 
+@register("codec_debezium_schema_block", None)  # SQL installed below
+def q_codec_debezium_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-Connect ``schema`` envelope block Debezium messages
+    carry unless debezium-disable-schema (the REFERENCE DEFAULT —
+    common/config.go:133; codec.go:1048-1149 writes Envelope/Value
+    struct descriptors per column, the full mysql.Source descriptor,
+    op/ts_ms, and the event.block transaction descriptor). Exact writer
+    sequence reproduced; byte-identical against the DuckDB twin."""
+    from tiflow_spark.codecs.debezium import encode_debezium
+
+    return encode_debezium(_env(spark, sf_dir), disable_schema=False)
+
+
+def _install_debezium_schema_sql() -> None:
+    from tiflow_spark.codecs.debezium import debezium_sql_duckdb
+
+    REGISTRY["codec_debezium_schema_block"] = (
+        REGISTRY["codec_debezium_schema_block"][0],
+        debezium_sql_duckdb(PAYLOAD_COLS, ENV_CTE, disable_schema=False),
+    )
+
+
+_install_debezium_schema_sql()
+
+
 @register("codec_open_old_value", None)  # SQL installed below
 def q_codec_open_old_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Open-protocol UPDATE pre-image ``p`` field + trimming
