@@ -1380,10 +1380,13 @@ def remove_duplicate_spans(
         # with itself shifted left, O(runs)).
         ps = F.col("ps")
         n = F.size(ps)
+        # i == 0 handled via when/otherwise (conditional evaluation is
+        # guaranteed for CaseWhen) so the invalid 1-based element_at(ps, 0)
+        # is structurally unreachable — not merely skipped by Or
+        # short-circuit, which Catalyst is free to rewrite (ADVICE r10).
         start_idx = F.filter(
             F.sequence(F.lit(0).cast("bigint"), (n - 1).cast("bigint")),
-            lambda i: (i == F.lit(0))
-            | (
+            lambda i: F.when(i == F.lit(0), F.lit(True)).otherwise(
                 F.element_at(ps, (i + 1).cast("int"))
                 != F.element_at(ps, i.cast("int")) + 1
             ),

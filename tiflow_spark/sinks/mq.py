@@ -34,22 +34,33 @@ MESSAGE_COLS = ("topic", "partition", "key", "value", "commit_ts", "seq")
 
 
 def produce_file_broker(
-    msgs: DataFrame, broker_dir: str, batch_id: int = 0
+    msgs: DataFrame,
+    broker_dir: str,
+    batch_id: int = 0,
+    transport_compression: str | None = None,
 ) -> None:
     """Append one batch of messages to the file broker.
 
     In-batch offsets follow (commit_ts, seq) — the dispatch order the
     conflict detector established; replaying the same batch_id is
-    idempotent at the consumer (same segment, same offsets)."""
+    idempotent at the consumer (same segment, same offsets).
+
+    ``transport_compression`` ("snappy"/"lz4"/"zstd"/…) is the production
+    compression switch (codec `engine="transport"`): the segment writer
+    compresses JVM-side — the file-broker analogue of the Kafka
+    producer's `compression.codec` (pkg/sink/kafka/options.go). Message
+    values stay uncompressed in the plan; no Python in the hot path."""
     w = Window.partitionBy("topic", "partition").orderBy("commit_ts", "seq")
-    (
+    writer = (
         msgs.select(*MESSAGE_COLS)
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
         .withColumn("batch_offset", (F.row_number().over(w) - 1).cast("long"))
         .write.mode("append")
         .partitionBy("topic", "partition")
-        .parquet(broker_dir)
     )
+    if transport_compression is not None:
+        writer = writer.option("compression", transport_compression)
+    writer.parquet(broker_dir)
 
 
 def consume_file_broker(
