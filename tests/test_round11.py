@@ -146,3 +146,43 @@ def test_compress_engine_transport(spark, tmp_path):
     rt = decompress_messages(out, "none", as_string=True)
     vals = {r["key"]: r["value"] for r in rt.collect()}
     assert vals["k0"] == "v0" * 50
+
+
+def test_claim_check_payload_formats_and_reassembly(spark):
+    """pkg/sink/kafka/claimcheck WriteMessage parity: default mode
+    externalizes the ClaimCheckMessage JSON (base64 std encoding, null
+    key like Go's nil []byte), claim-check-raw-value externalizes the
+    raw value; the consumer restores originals in BOTH modes."""
+    import json
+
+    from tiflow_spark.codecs.claim_check import (
+        apply_claim_check,
+        assemble_claim_check,
+    )
+
+    big = "B" * 500
+    msgs = spark.createDataFrame(
+        [(1, "small-one"), (2, big)], "seq long, value string"
+    )
+    for raw in (False, True):
+        env = apply_claim_check(msgs, 100, "s3://claims", raw_value=raw)
+        claimed = {r["seq"]: r for r in env.collect()}
+        assert not claimed[1]["is_claim"] and claimed[2]["is_claim"]
+        payload = claimed[2]["claim_payload"]
+        if raw:
+            assert payload == big
+        else:
+            m = json.loads(payload)
+            assert m["key"] is None
+            import base64 as b64mod
+
+            assert b64mod.b64decode(m["value"]).decode() == big
+            assert "\r\n" not in m["value"]  # std encoding, not MIME
+        store = env.filter("is_claim").select(
+            "claim_location", "claim_payload"
+        )
+        back = assemble_claim_check(
+            env.select("seq", "value"), store, raw_value=raw
+        )
+        restored = {r["seq"]: r["value"] for r in back.collect()}
+        assert restored == {1: "small-one", 2: big}

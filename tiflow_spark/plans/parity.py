@@ -3113,6 +3113,73 @@ def _install_claim_check_sql() -> None:
 _install_claim_check_sql()
 
 
+@register("codec_claim_check_raw_value", None)  # SQL installed below
+def q_claim_check_raw_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The claim-check external-payload formats + consumer reassembly
+    (pkg/sink/kafka/claimcheck/claim_check.go:86-97 WriteMessage;
+    canal_json_decoder.go:176-190 assembleClaimCheckRowChangedEvent):
+    default mode writes the ``ClaimCheckMessage`` JSON ({"key": b64,
+    "value": b64}, null key marshalled like Go's nil []byte);
+    ``claim-check-raw-value`` writes the raw value bytes. The consumer
+    joins envelopes back to the payload store and must restore the
+    original message byte-identically (the oracle derives the expected
+    value independently, so a lossy round-trip fails the hash)."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.codecs.claim_check import (
+        apply_claim_check,
+        assemble_claim_check,
+    )
+
+    msgs = encode_canal_json(_env(spark, sf_dir))
+    enveloped = apply_claim_check(msgs, 340, "claim")
+    raw = apply_claim_check(msgs, 340, "claim", raw_value=True)
+    store = enveloped.filter(F.col("is_claim")).select(
+        "claim_location", "claim_payload"
+    )
+    restored = assemble_claim_check(enveloped.select("seq", "value"), store)
+    return (
+        restored.join(
+            enveloped.select(
+                "seq",
+                "is_claim",
+                F.col("claim_payload").alias("claim_message"),
+            ),
+            "seq",
+        )
+        .join(
+            raw.select("seq", F.col("claim_payload").alias("raw_payload")),
+            "seq",
+        )
+        .select(
+            "seq",
+            "is_claim",
+            F.col("value").alias("restored_value"),
+            "claim_message",
+            "raw_payload",
+        )
+    )
+
+
+def _install_claim_check_raw_value_sql() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+
+    canal = canal_json_sql_duckdb(PAYLOAD_COLS, ENV_CTE)
+    REGISTRY["codec_claim_check_raw_value"] = (
+        REGISTRY["codec_claim_check_raw_value"][0],
+        f"""SELECT seq,
+          strlen(value) > 340 AS is_claim,
+          value AS restored_value,
+          CASE WHEN strlen(value) > 340
+               THEN '{{"key":null,"value":"' || to_base64(value::BLOB)
+                    || '"}}' END AS claim_message,
+          CASE WHEN strlen(value) > 340 THEN value END AS raw_payload
+        FROM ({canal}) canal""",
+    )
+
+
+_install_claim_check_raw_value_sql()
+
+
 @register("codec_handle_key_only", None)  # SQL installed below
 def q_codec_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-message handle-key-only (pkg/config/large_message.go:27-28;
