@@ -97,6 +97,7 @@ def assemble_claim_check(
     payload_store: DataFrame,
     value_col: str = "value",
     raw_value: bool = False,
+    location_json_path: str = "$.claimCheck.location",
 ) -> DataFrame:
     """Consumer-side reassembly (canal_json_decoder.go:176-190,
     open_protocol_decoder.go:311): rows whose value is a claim-check
@@ -107,9 +108,14 @@ def assemble_claim_check(
 
     Inline rows pass through untouched; the payload side holds only the
     externalized (rare, oversized) messages so the join broadcasts.
+
+    ``location_json_path`` selects the envelope shape: the default is the
+    bare location message; canal-json's protocol envelope carries the
+    location in the tidb extension (``$._tidb.claimCheckLocation``,
+    canal_json_decoder.go:367).
     """
     v = F.col(value_col)
-    loc = F.get_json_object(v, "$.claimCheck.location")
+    loc = F.get_json_object(v, location_json_path)
     out = consumed.withColumn("_claim_loc", loc).join(
         F.broadcast(
             payload_store.select(

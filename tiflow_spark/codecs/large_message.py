@@ -30,14 +30,23 @@ from tiflow_spark.codecs.claim_check import apply_claim_check
 
 
 def _message_json(
-    env: DataFrame, pk_names: tuple[str, ...], only_handle_key: bool
+    env: DataFrame,
+    pk_names: tuple[str, ...],
+    only_handle_key: bool,
+    claim_check_location: Column | None = None,
 ) -> Column:
     """Canal-JSON value as a Column; with ``only_handle_key`` the images and
     type maps are cut to the handle-key columns and the ``_tidb`` extension
     marks the cut (the consumer must see ``onlyHandleKey`` to know a
-    back-fill is needed — extension required in the reference)."""
+    back-fill is needed — extension required in the reference).
+
+    With ``claim_check_location`` the message is the claim-check ON-TOPIC
+    envelope (canal_json_row_event_encoder.go:83-95,262-271 — the
+    location message is a real canal-json message: images handle-key-cut
+    because ``onlyHandleKey := messageTooLarge``, extension
+    ``_tidb.claimCheckLocation`` instead of ``onlyHandleKey``)."""
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
-    if only_handle_key:
+    if only_handle_key or claim_check_location is not None:
         fields = [f for f in fields if f.name in pk_names]
     sql_type = F.create_map(
         *[c for f in fields for c in (F.lit(f.name), F.lit(_java_sql_type_of(f)))]
@@ -69,7 +78,14 @@ def _message_json(
         data.alias("data"),
         old.cast("array<map<string,string>>").alias("old"),
     ]
-    if only_handle_key:
+    if claim_check_location is not None:
+        parts.append(
+            F.struct(
+                F.col("commit_ts").alias("commitTs"),
+                claim_check_location.alias("claimCheckLocation"),
+            ).alias("_tidb")
+        )
+    elif only_handle_key:
         parts.append(
             F.struct(
                 F.col("commit_ts").alias("commitTs"),
@@ -120,6 +136,120 @@ def apply_large_message_handle(
             "too_large", F.octet_length(F.col("value")) > F.lit(threshold_bytes)
         )
     raise ValueError(f"unknown large-message-handle option: {option}")
+
+
+def claim_check_canal_envelope(
+    env: DataFrame,
+    threshold_bytes: int,
+    location_prefix: str,
+    pk_names: tuple[str, ...] = ("id",),
+    raw_value: bool = False,
+) -> DataFrame:
+    """Canal-JSON claim-check with the PROTOCOL-FAITHFUL on-topic
+    envelope (canal_json_row_event_encoder.go:462-476
+    newClaimCheckLocationMessage → newJSONMessageForDML with
+    messageTooLarge=true): oversized messages are replaced on the topic
+    by a real canal-json message whose images are handle-key-cut and
+    whose ``_tidb`` extension carries ``claimCheckLocation``; the full
+    message goes to external storage as the ClaimCheckMessage JSON (or
+    raw bytes under ``claim-check-raw-value``,
+    pkg/sink/kafka/claimcheck/claim_check.go:86-97).
+
+    One codegen'd CASE projection like the other large-message paths —
+    no join, no shuffle, no Python row path."""
+    from tiflow_spark.codecs.claim_check import _claim_payload
+
+    full = _message_json(env, pk_names, only_handle_key=False)
+    loc = F.concat(
+        F.lit(location_prefix.rstrip("/") + "/"), F.md5(full), F.lit(".json")
+    )
+    envelope = _message_json(
+        env, pk_names, only_handle_key=False, claim_check_location=loc
+    )
+    oversized = F.octet_length(full) > F.lit(threshold_bytes)
+    null_key = F.lit(None).cast("string")
+    return env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.when(oversized, envelope).otherwise(full).alias("value"),
+        oversized.alias("is_claim"),
+        F.when(oversized, loc).alias("claim_location"),
+        F.when(oversized, _claim_payload(full, null_key, raw_value)).alias(
+            "claim_payload"
+        ),
+    )
+
+
+def claim_check_canal_sql_duckdb(
+    payload_cols: list[tuple[str, str]],
+    pk_cols: list[tuple[str, str]],
+    env_cte: str,
+    threshold_bytes: int,
+    location_prefix: str,
+) -> str:
+    """DuckDB oracle for :func:`claim_check_canal_envelope` + consumer
+    reassembly: mq_value is the handle-key-cut location envelope when
+    oversized, restored_value is always the full message (what the
+    consumer must reconstruct), claim_message the external payload."""
+    prefix = location_prefix.rstrip("/") + "/"
+    full = _canal_body_sql(payload_cols, "")
+    loc = f"'{prefix}' || md5({full}) || '.json'"
+    envelope = _canal_body_sql(
+        pk_cols,
+        ",\n          _tidb: {commitTs: commit_ts, claimCheckLocation: "
+        + loc
+        + "}",
+    )
+    return f"""{env_cte}
+    SELECT seq,
+      strlen({full}) > {threshold_bytes} AS is_claim,
+      CASE WHEN strlen({full}) > {threshold_bytes} THEN {envelope}
+           ELSE {full} END AS mq_value,
+      {full} AS restored_value,
+      CASE WHEN strlen({full}) > {threshold_bytes}
+           THEN '{{"key":null,"value":"' || to_base64(({full})::BLOB)
+                || '"}}' END AS claim_message
+    FROM env"""
+
+
+def _canal_body_sql(cols: list[tuple[str, str]], extension: str) -> str:
+    """The canal-json message body in DuckDB SQL (shared by the
+    handle-key-only and claim-check-envelope oracles)."""
+    java_types = {"bigint": -5, "int": 4, "double": 8, "string": 12}
+    mysql_types = {
+        "bigint": "bigint",
+        "int": "int",
+        "double": "double",
+        "string": "varchar",
+    }
+
+    def img_map(prefix: str, cols: list[tuple[str, str]]) -> str:
+        kv = ", ".join(
+            f"'{name}': CAST({prefix}_{name} AS VARCHAR)" for name, _ in cols
+        )
+        return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
+
+    sql_t = ", ".join(f"'{n}': {java_types[t]}" for n, t in cols)
+    mysql_t = ", ".join(f"'{n}': '{mysql_types[t]}'" for n, t in cols)
+    return f"""to_json({{
+          id: 0::BIGINT,
+          database: "schema",
+          "table": "table",
+          pkNames: ['id'],
+          isDdl: false,
+          type: CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
+                ELSE 'DELETE' END,
+          es: commit_ts // 1000,
+          ts: 0::BIGINT,
+          sql: '',
+          sqlType: MAP {{{sql_t}}},
+          mysqlType: MAP {{{mysql_t}}},
+          data: CASE WHEN op = 'D' THEN [{img_map("before", cols)}]
+                ELSE [{img_map("after", cols)}] END,
+          old: CASE WHEN op = 'U' THEN [{img_map("before", cols)}] END{extension}
+        }})"""
 
 
 def handle_key_only_sql_duckdb(

@@ -3180,6 +3180,59 @@ def _install_claim_check_raw_value_sql() -> None:
 _install_claim_check_raw_value_sql()
 
 
+@register("codec_claim_check_canal_envelope", None)  # SQL installed below
+def q_claim_check_canal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canal-json claim-check ON-TOPIC envelope
+    (canal_json_row_event_encoder.go:462-476 newClaimCheckLocationMessage
+    -> newJSONMessageForDML(messageTooLarge=true)): oversized messages
+    ride the topic as a REAL canal-json message with handle-key-cut
+    images and `_tidb.claimCheckLocation`, not a bare location JSON; the
+    consumer follows the extension (canal_json_decoder.go:367) to the
+    external ClaimCheckMessage and must restore the full message
+    byte-identically."""
+    from tiflow_spark.codecs.claim_check import assemble_claim_check
+    from tiflow_spark.codecs.large_message import claim_check_canal_envelope
+
+    enveloped = claim_check_canal_envelope(_env(spark, sf_dir), 340, "claim")
+    store = enveloped.filter(F.col("is_claim")).select(
+        "claim_location", "claim_payload"
+    )
+    restored = assemble_claim_check(
+        enveloped.select("seq", "value"),
+        store,
+        location_json_path="$._tidb.claimCheckLocation",
+    )
+    return (
+        enveloped.select(
+            "seq",
+            "is_claim",
+            F.col("value").alias("mq_value"),
+            F.col("claim_payload").alias("claim_message"),
+        )
+        .join(
+            restored.select("seq", F.col("value").alias("restored_value")),
+            "seq",
+        )
+        .select(
+            "seq", "is_claim", "mq_value", "restored_value", "claim_message"
+        )
+    )
+
+
+def _install_claim_check_canal_sql() -> None:
+    from tiflow_spark.codecs.large_message import claim_check_canal_sql_duckdb
+
+    REGISTRY["codec_claim_check_canal_envelope"] = (
+        REGISTRY["codec_claim_check_canal_envelope"][0],
+        claim_check_canal_sql_duckdb(
+            PAYLOAD_COLS, [("id", "bigint")], ENV_CTE, 340, "claim"
+        ),
+    )
+
+
+_install_claim_check_canal_sql()
+
+
 @register("codec_handle_key_only", None)  # SQL installed below
 def q_codec_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-message handle-key-only (pkg/config/large_message.go:27-28;
