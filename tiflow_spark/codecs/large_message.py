@@ -260,43 +260,8 @@ def handle_key_only_sql_duckdb(
 ) -> str:
     """DuckDB oracle: full message when it fits, handle-key-only otherwise —
     byte-identical to :func:`apply_large_message_handle`'s output."""
-    java_types = {"bigint": -5, "int": 4, "double": 8, "string": 12}
-    mysql_types = {
-        "bigint": "bigint",
-        "int": "int",
-        "double": "double",
-        "string": "varchar",
-    }
-
-    def img_map(prefix: str, cols: list[tuple[str, str]]) -> str:
-        kv = ", ".join(
-            f"'{name}': CAST({prefix}_{name} AS VARCHAR)" for name, _ in cols
-        )
-        return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
-
-    def body(cols: list[tuple[str, str]], extension: str) -> str:
-        sql_t = ", ".join(f"'{n}': {java_types[t]}" for n, t in cols)
-        mysql_t = ", ".join(f"'{n}': '{mysql_types[t]}'" for n, t in cols)
-        return f"""to_json({{
-          id: 0::BIGINT,
-          database: "schema",
-          "table": "table",
-          pkNames: ['id'],
-          isDdl: false,
-          type: CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE'
-                ELSE 'DELETE' END,
-          es: commit_ts // 1000,
-          ts: 0::BIGINT,
-          sql: '',
-          sqlType: MAP {{{sql_t}}},
-          mysqlType: MAP {{{mysql_t}}},
-          data: CASE WHEN op = 'D' THEN [{img_map("before", cols)}]
-                ELSE [{img_map("after", cols)}] END,
-          old: CASE WHEN op = 'U' THEN [{img_map("before", cols)}] END{extension}
-        }})"""
-
-    full = body(payload_cols, "")
-    hk = body(
+    full = _canal_body_sql(payload_cols, "")
+    hk = _canal_body_sql(
         pk_cols, ",\n          _tidb: {commitTs: commit_ts, onlyHandleKey: true}"
     )
     # strlen = byte length in DuckDB for these ASCII-only JSON values
