@@ -32,21 +32,24 @@ def _col_obj(side: str, f: T.StructField, handle: bool) -> Column:
     )
 
 
-def encode_open_protocol(
+def _open_key_value(
     env: DataFrame,
-    handle_cols: tuple[str, ...] = ("id",),
+    handle_cols: tuple[str, ...],
     output_old_value: bool = False,
     only_output_updated_columns: bool = False,
-) -> DataFrame:
-    """``output_old_value`` adds the UPDATE pre-image as the ``p`` field
-    (open_protocol_message.go:55 ``PreColumns json:"p"``, emitted when
-    config.OpenOutputOldValue — the reference defaults it TRUE; our
-    default-off form matches output-old-value=false deployments and
-    keeps the original byte surface). ``only_output_updated_columns``
-    then drops the columns whose pre value equals the post value from
-    ``p`` (dropNotUpdatedColumns, open_protocol_message.go:83-99 —
-    null-safe native-type compare, declared column order)."""
+    image_cols: tuple[str, ...] | None = None,
+    claim_check_location: Column | None = None,
+) -> tuple[Column, Column]:
+    """(key, value) expression pair for one open-protocol message.
+
+    ``image_cols`` restricts the u/d images to those columns — the
+    handle-key-cut form the claim-check location message uses
+    (open_protocol_encoder.go:295 rowChangeToMsg(event, config, true)).
+    ``claim_check_location`` appends the ``ccl`` key field
+    (internal/message_key.go:35, json tag order puts it last)."""
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    if image_cols is not None:
+        fields = [f for f in fields if f.name in image_cols]
 
     def image(side: str) -> Column:
         return F.when(
@@ -87,14 +90,15 @@ def encode_open_protocol(
             F.col("before").isNotNull(), F.map_from_entries(kept)
         )
 
-    key = F.to_json(
-        F.struct(
-            F.col("commit_ts").alias("ts"),
-            F.col("schema").alias("scm"),
-            F.col("table").alias("tbl"),
-            F.lit(1).alias("t"),
-        )
-    )
+    key_fields = [
+        F.col("commit_ts").alias("ts"),
+        F.col("schema").alias("scm"),
+        F.col("table").alias("tbl"),
+        F.lit(1).alias("t"),
+    ]
+    if claim_check_location is not None:
+        key_fields.append(claim_check_location.alias("ccl"))
+    key = F.to_json(F.struct(*key_fields))
     value_fields = [
         F.when(F.col("op") != "D", image("after")).alias("u"),
     ]
@@ -109,6 +113,26 @@ def encode_open_protocol(
         F.struct(*value_fields),
         {"ignoreNullFields": "true"},
     )
+    return key, value
+
+
+def encode_open_protocol(
+    env: DataFrame,
+    handle_cols: tuple[str, ...] = ("id",),
+    output_old_value: bool = False,
+    only_output_updated_columns: bool = False,
+) -> DataFrame:
+    """``output_old_value`` adds the UPDATE pre-image as the ``p`` field
+    (open_protocol_message.go:55 ``PreColumns json:"p"``, emitted when
+    config.OpenOutputOldValue — the reference defaults it TRUE; our
+    default-off form matches output-old-value=false deployments and
+    keeps the original byte surface). ``only_output_updated_columns``
+    then drops the columns whose pre value equals the post value from
+    ``p`` (dropNotUpdatedColumns, open_protocol_message.go:83-99 —
+    null-safe native-type compare, declared column order)."""
+    key, value = _open_key_value(
+        env, handle_cols, output_old_value, only_output_updated_columns
+    )
     return env.select(
         "schema",
         "table",
@@ -117,6 +141,189 @@ def encode_open_protocol(
         key.alias("key"),
         value.alias("value"),
     )
+
+
+def encode_open_claim_check(
+    env: DataFrame,
+    threshold_bytes: int,
+    location_prefix: str,
+    handle_cols: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Open-protocol claim-check (open_protocol_encoder.go:120-131,
+    291-310 newClaimCheckLocationMessage): an oversized message rides the
+    topic with its KEY gaining the ``ccl`` field (internal/
+    message_key.go:35 — appended last per Go json tag order; ``ohk``
+    explicitly NOT set, encoder.go:300) and its value handle-key-cut
+    (rowChangeToMsg(event, config, true)); the external ClaimCheckMessage
+    carries the FRAMED original key and value exactly as the decoder
+    unpacks them (open_protocol_decoder.go:323-338: Key = 8-byte BE
+    version ‖ key, Value = 8-byte BE length ‖ value), base64 inside the
+    JSON like every Go []byte.
+
+    Output: (schema, table, commit_ts, seq, key, value, is_claim,
+    claim_location, claim_payload) — one projection, no shuffle; all
+    framing is JVM binary concat, no Python row path."""
+    full_key, full_value = _open_key_value(env, handle_cols)
+    # content-address the WHOLE message (key ‖ value): the key carries ts,
+    # so two events with equal values but different commits must not share
+    # an external file (the reference uses a UUID per message — unique;
+    # a value-only hash would alias them)
+    loc = F.concat(
+        F.lit(location_prefix.rstrip("/") + "/"),
+        F.md5(F.concat(full_key, full_value)),
+        F.lit(".json"),
+    )
+    env_key, env_value = _open_key_value(
+        env, handle_cols, image_cols=handle_cols, claim_check_location=loc
+    )
+    oversized = F.octet_length(full_value) > F.lit(threshold_bytes)
+
+    def b64(c: Column) -> Column:
+        return F.regexp_replace(F.base64(c), "\r\n", "")
+
+    framed_key = F.concat(
+        F.lit(bytes(7) + b"\x01"), full_key.cast("binary")
+    )
+    framed_value = F.concat(
+        F.to_binary(
+            F.lpad(F.hex(F.octet_length(full_value)), 16, "0"),
+            F.lit("hex"),
+        ),
+        full_value.cast("binary"),
+    )
+    payload = F.to_json(
+        F.struct(
+            b64(framed_key).alias("key"), b64(framed_value).alias("value")
+        )
+    )
+    return env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.when(oversized, env_key).otherwise(full_key).alias("key"),
+        F.when(oversized, env_value).otherwise(full_value).alias("value"),
+        oversized.alias("is_claim"),
+        F.when(oversized, loc).alias("claim_location"),
+        F.when(oversized, payload).alias("claim_payload"),
+    )
+
+
+def assemble_open_claim_check(
+    consumed: DataFrame,
+    payload_store: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Consumer-side open-protocol claim reassembly
+    (open_protocol_decoder.go:207-208, 311-340): rows whose key carries
+    ``ccl`` fetch the external ClaimCheckMessage, base64-decode, strip
+    the 8-byte version/length frames, and restore the original key and
+    value. Adds ``claim_version`` (the framed wire version, 1; null for
+    inline rows) so the frame really was parsed, not pattern-matched."""
+    loc = F.get_json_object(F.col(key_col), "$.ccl")
+    out = consumed.withColumn("_claim_loc", loc).join(
+        F.broadcast(
+            payload_store.select(
+                F.col("claim_location").alias("_claim_loc"),
+                F.col("claim_payload").alias("_claim_payload"),
+            )
+        ),
+        "_claim_loc",
+        "left",
+    )
+    parsed = F.from_json(
+        F.col("_claim_payload"),
+        T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        ),
+    )
+    fk = F.unbase64(parsed["key"])
+    fv = F.unbase64(parsed["value"])
+    version = F.conv(
+        F.hex(F.expr("substring(_fk, 1, 8)")), 16, 10
+    ).cast("long")
+    vlen = F.conv(
+        F.hex(F.expr("substring(_fv, 1, 8)")), 16, 10
+    ).cast("int")
+    restored_key = F.decode(
+        F.expr("substring(_fk, 9, octet_length(_fk) - 8)"), "UTF-8"
+    )
+    restored_value = F.decode(
+        F.expr("substring(_fv, 9, octet_length(_fv) - 8)"), "UTF-8"
+    )
+    claimed = F.col("_claim_loc").isNotNull()
+    return (
+        out.withColumn("_fk", fk)
+        .withColumn("_fv", fv)
+        # the value frame's length header must cover the value exactly
+        # (decoder.go:337-338) — folded into a consumed filter predicate,
+        # not a droppable assert (Catalyst prunes dropped asserts)
+        .filter(
+            ~claimed
+            | (vlen == F.expr("octet_length(_fv) - 8"))
+        )
+        .withColumn(
+            key_col, F.when(claimed, restored_key).otherwise(F.col(key_col))
+        )
+        .withColumn(
+            value_col,
+            F.when(claimed, restored_value).otherwise(F.col(value_col)),
+        )
+        .withColumn("claim_version", F.when(claimed, version))
+        .drop("_claim_loc", "_claim_payload", "_fk", "_fv")
+    )
+
+
+def open_claim_check_sql_duckdb(
+    payload_cols: list[tuple[str, str]],
+    pk_cols: list[tuple[str, str]],
+    env_cte: str,
+    threshold_bytes: int,
+    location_prefix: str,
+) -> str:
+    """DuckDB oracle for the open-protocol claim-check round trip:
+    mq_key/mq_value are the on-topic envelope (ccl key + handle-key-cut
+    value) when oversized, restored_* always the originals the consumer
+    must reconstruct, claim_version 1 for claimed rows."""
+    codes = {"bigint": 3, "int": 3, "double": 5, "string": 15}
+
+    def image(prefix: str, cols: list[tuple[str, str]]) -> str:
+        fields = ", ".join(
+            f"{n}: {{t: {codes[t]}, h: {str(n == 'id').lower()}, "
+            f"v: CAST({prefix}_{n} AS VARCHAR)}}"
+            for n, t in cols
+        )
+        return f"{{{fields}}}"
+
+    def value_sql(cols: list[tuple[str, str]]) -> str:
+        return (
+            f"CASE WHEN op = 'D' THEN to_json({{d: {image('before', cols)}}})"
+            f" ELSE to_json({{u: {image('after', cols)}}}) END"
+        )
+
+    prefix = location_prefix.rstrip("/") + "/"
+    full_v = value_sql(payload_cols)
+    cut_v = value_sql(pk_cols)
+    full_k = 'to_json({ts: commit_ts, scm: "schema", tbl: "table", t: 1})'
+    loc = f"'{prefix}' || md5({full_k} || {full_v}) || '.json'"
+    env_k = (
+        'to_json({ts: commit_ts, scm: "schema", tbl: "table", t: 1, '
+        f"ccl: {loc}}})"
+    )
+    big = f"strlen({full_v}) > {threshold_bytes}"
+    return f"""{env_cte}
+    SELECT seq,
+      {big} AS is_claim,
+      CASE WHEN {big} THEN {env_k} ELSE {full_k} END AS mq_key,
+      CASE WHEN {big} THEN {cut_v} ELSE {full_v} END AS mq_value,
+      {full_k} AS restored_key,
+      {full_v} AS restored_value,
+      CASE WHEN {big} THEN 1 END AS claim_version
+    FROM env"""
 
 
 def open_protocol_sql_duckdb(

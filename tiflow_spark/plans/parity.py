@@ -3133,8 +3133,12 @@ def q_claim_check_raw_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = encode_canal_json(_env(spark, sf_dir))
     enveloped = apply_claim_check(msgs, 340, "claim")
     raw = apply_claim_check(msgs, 340, "claim", raw_value=True)
-    store = enveloped.filter(F.col("is_claim")).select(
-        "claim_location", "claim_payload"
+    # content-addressed storage: identical messages share one external
+    # file (same md5 location, same payload) — the store is a set
+    store = (
+        enveloped.filter(F.col("is_claim"))
+        .select("claim_location", "claim_payload")
+        .distinct()
     )
     restored = assemble_claim_check(enveloped.select("seq", "value"), store)
     return (
@@ -3194,8 +3198,12 @@ def q_claim_check_canal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.codecs.large_message import claim_check_canal_envelope
 
     enveloped = claim_check_canal_envelope(_env(spark, sf_dir), 340, "claim")
-    store = enveloped.filter(F.col("is_claim")).select(
-        "claim_location", "claim_payload"
+    # content-addressed storage: identical messages share one external
+    # file (same md5 location, same payload) — the store is a set
+    store = (
+        enveloped.filter(F.col("is_claim"))
+        .select("claim_location", "claim_payload")
+        .distinct()
     )
     restored = assemble_claim_check(
         enveloped.select("seq", "value"),
@@ -3231,6 +3239,68 @@ def _install_claim_check_canal_sql() -> None:
 
 
 _install_claim_check_canal_sql()
+
+
+@register("codec_open_claim_check", None)  # SQL installed below
+def q_open_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-protocol claim-check (open_protocol_encoder.go:120-131,291-310;
+    decoder.go:207-208,311-340): the on-topic KEY gains `ccl`
+    (internal/message_key.go:35), the on-topic value is handle-key-cut,
+    and the external ClaimCheckMessage carries the FRAMED original key
+    (8-byte BE version) and value (8-byte BE length), base64 in JSON.
+    The consumer must parse the frames and restore both byte-identically
+    (claim_version proves the frame really was parsed)."""
+    from tiflow_spark.codecs.open_protocol import (
+        assemble_open_claim_check,
+        encode_open_claim_check,
+    )
+
+    enveloped = encode_open_claim_check(_env(spark, sf_dir), 121, "claim")
+    # content-addressed storage: identical messages share one external
+    # file (same md5 location, same payload) — the store is a set
+    store = (
+        enveloped.filter(F.col("is_claim"))
+        .select("claim_location", "claim_payload")
+        .distinct()
+    )
+    restored = assemble_open_claim_check(
+        enveloped.select("seq", "key", "value"), store
+    )
+    return (
+        enveloped.select(
+            "seq",
+            "is_claim",
+            F.col("key").alias("mq_key"),
+            F.col("value").alias("mq_value"),
+        )
+        .join(
+            restored.select(
+                "seq",
+                F.col("key").alias("restored_key"),
+                F.col("value").alias("restored_value"),
+                "claim_version",
+            ),
+            "seq",
+        )
+        .select(
+            "seq", "is_claim", "mq_key", "mq_value",
+            "restored_key", "restored_value", "claim_version",
+        )
+    )
+
+
+def _install_open_claim_check_sql() -> None:
+    from tiflow_spark.codecs.open_protocol import open_claim_check_sql_duckdb
+
+    REGISTRY["codec_open_claim_check"] = (
+        REGISTRY["codec_open_claim_check"][0],
+        open_claim_check_sql_duckdb(
+            PAYLOAD_COLS, [("id", "bigint")], ENV_CTE, 121, "claim"
+        ),
+    )
+
+
+_install_open_claim_check_sql()
 
 
 @register("codec_handle_key_only", None)  # SQL installed below

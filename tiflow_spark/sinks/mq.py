@@ -126,6 +126,7 @@ def produce_file_broker_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    transport_compression: str | None = None,
 ):
     """CONTINUOUS produce: a dispatched change stream feeds the broker via
     ``writeStream``/``foreachBatch`` — the live-broker path of the MQ sink
@@ -146,7 +147,10 @@ def produce_file_broker_stream(
     """
     q = (
         stream.writeStream.foreachBatch(
-            lambda batch, bid: produce_file_broker(batch, broker_dir, bid)
+            lambda batch, bid: produce_file_broker(
+                batch, broker_dir, bid,
+                transport_compression=transport_compression,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
     )
