@@ -45,9 +45,16 @@ def _image_map(side: str, fields: list[T.StructField]):
     )
 
 
-def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
-    """Envelope → simple-protocol DML messages (message.go:472-502)."""
-    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+def _simple_dml_json(
+    fields: list[T.StructField],
+    schema_version: int,
+    claim_check_location=None,
+):
+    """One simple-protocol DML message as a JSON Column (message.go:
+    472-502; field order = the Go struct tag order, so
+    claimCheckLocation/handleKeyOnly sit between schemaVersion and data
+    — both only present on the claim-check location message, matching
+    omitempty on normal messages)."""
     dml_type = (
         F.when(F.col("op") == "I", "INSERT")
         .when(F.col("op") == "U", "UPDATE")
@@ -55,7 +62,7 @@ def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
     )
     data = F.when(F.col("op") != "D", _image_map("after", fields))
     old = F.when(F.col("op") != "I", _image_map("before", fields))
-    msg = F.struct(
+    parts = [
         F.lit(1).alias("version"),
         F.col("schema").alias("database"),
         F.col("table").alias("table"),
@@ -64,15 +71,63 @@ def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
         F.col("commit_ts").cast("long").alias("commitTs"),
         F.lit(0).cast("long").alias("buildTs"),
         F.lit(schema_version).cast("long").alias("schemaVersion"),
-        data.alias("data"),
-        old.alias("old"),
-    )
+    ]
+    if claim_check_location is not None:
+        parts.append(claim_check_location.alias("claimCheckLocation"))
+        parts.append(F.lit(True).alias("handleKeyOnly"))
+    parts.append(data.alias("data"))
+    parts.append(old.alias("old"))
+    return F.to_json(F.struct(*parts), {"ignoreNullFields": "false"})
+
+
+def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
+    """Envelope → simple-protocol DML messages (message.go:472-502)."""
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
     return env.select(
         "schema",
         "table",
         "commit_ts",
         "seq",
-        F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
+        _simple_dml_json(fields, schema_version).alias("value"),
+    )
+
+
+def encode_simple_claim_check(
+    env: DataFrame,
+    threshold_bytes: int,
+    location_prefix: str,
+    pk_names: tuple[str, ...] = ("id",),
+    schema_version: int = 1,
+) -> DataFrame:
+    """Simple-protocol claim-check (encoder.go:78-97: oversized messages
+    re-marshal with onlyHandleKey=true AND claimCheckLocation set —
+    message.go:551-562 — while the full message goes to external storage
+    as the ClaimCheckMessage; the decoder follows msg.ClaimCheckLocation,
+    decoder.go:140-141,167). One CASE projection, no shuffle."""
+    from tiflow_spark.codecs.claim_check import _claim_payload
+
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    pk_fields = [f for f in fields if f.name in pk_names]
+    full = _simple_dml_json(fields, schema_version)
+    loc = F.concat(
+        F.lit(location_prefix.rstrip("/") + "/"), F.md5(full), F.lit(".json")
+    )
+    envelope = _simple_dml_json(
+        pk_fields, schema_version, claim_check_location=loc
+    )
+    oversized = F.octet_length(full) > F.lit(threshold_bytes)
+    null_key = F.lit(None).cast("string")
+    return env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.when(oversized, envelope).otherwise(full).alias("value"),
+        oversized.alias("is_claim"),
+        F.when(oversized, loc).alias("claim_location"),
+        F.when(oversized, _claim_payload(full, null_key, False)).alias(
+            "claim_payload"
+        ),
     )
 
 
@@ -353,9 +408,14 @@ def decode_simple(
     )
 
 
-def simple_msg_json_sql(payload_cols: list[tuple[str, str]]) -> str:
+def simple_msg_json_sql(
+    payload_cols: list[tuple[str, str]],
+    claim_check_location_sql: str | None = None,
+) -> str:
     """The DuckDB to_json expression building one byte-identical
-    simple-protocol DML message from a flattened env row."""
+    simple-protocol DML message from a flattened env row;
+    ``claim_check_location_sql`` adds the claim-check location-message
+    fields (claimCheckLocation + handleKeyOnly, message.go:551-562)."""
 
     def img_map(prefix: str) -> str:
         kv = ", ".join(
@@ -364,6 +424,12 @@ def simple_msg_json_sql(payload_cols: list[tuple[str, str]]) -> str:
         )
         return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
 
+    claim = (
+        f"\n      claimCheckLocation: {claim_check_location_sql},"
+        "\n      handleKeyOnly: true,"
+        if claim_check_location_sql is not None
+        else ""
+    )
     return f"""to_json({{
       version: 1,
       database: "schema",
@@ -373,7 +439,7 @@ def simple_msg_json_sql(payload_cols: list[tuple[str, str]]) -> str:
             ELSE 'DELETE' END,
       commitTs: commit_ts,
       buildTs: 0::BIGINT,
-      schemaVersion: 1::BIGINT,
+      schemaVersion: 1::BIGINT,{claim}
       data: CASE WHEN op <> 'D' THEN {img_map("after")} END,
       old: CASE WHEN op <> 'I' THEN {img_map("before")} END
     }})"""

@@ -3303,6 +3303,71 @@ def _install_open_claim_check_sql() -> None:
 _install_open_claim_check_sql()
 
 
+@register("codec_simple_claim_check", None)  # SQL installed below
+def q_simple_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-protocol claim-check (simple/encoder.go:78-97;
+    message.go:551-562; decoder.go:140-141,167): the oversized message is
+    re-marshalled handle-key-only WITH claimCheckLocation +
+    handleKeyOnly fields, the full message externalized as the
+    ClaimCheckMessage; the consumer follows msg.claimCheckLocation and
+    restores the original byte-identically."""
+    from tiflow_spark.codecs.claim_check import assemble_claim_check
+    from tiflow_spark.codecs.simple import encode_simple_claim_check
+
+    enveloped = encode_simple_claim_check(_env(spark, sf_dir), 230, "claim")
+    # content-addressed storage: identical messages share one external
+    # file (same md5 location, same payload) — the store is a set
+    store = (
+        enveloped.filter(F.col("is_claim"))
+        .select("claim_location", "claim_payload")
+        .distinct()
+    )
+    restored = assemble_claim_check(
+        enveloped.select("seq", "value"),
+        store,
+        location_json_path="$.claimCheckLocation",
+    )
+    return (
+        enveloped.select(
+            "seq",
+            "is_claim",
+            F.col("value").alias("mq_value"),
+            F.col("claim_payload").alias("claim_message"),
+        )
+        .join(
+            restored.select("seq", F.col("value").alias("restored_value")),
+            "seq",
+        )
+        .select(
+            "seq", "is_claim", "mq_value", "restored_value", "claim_message"
+        )
+    )
+
+
+def _install_simple_claim_check_sql() -> None:
+    from tiflow_spark.codecs.simple import simple_msg_json_sql
+
+    full = simple_msg_json_sql(PAYLOAD_COLS)
+    loc = f"'claim/' || md5({full}) || '.json'"
+    envelope = simple_msg_json_sql([("id", "bigint")], loc)
+    big = f"strlen({full}) > 230"
+    REGISTRY["codec_simple_claim_check"] = (
+        REGISTRY["codec_simple_claim_check"][0],
+        f"""{ENV_CTE}
+    SELECT seq,
+      {big} AS is_claim,
+      CASE WHEN {big} THEN {envelope} ELSE {full} END AS mq_value,
+      {full} AS restored_value,
+      CASE WHEN {big}
+           THEN '{{"key":null,"value":"' || to_base64(({full})::BLOB)
+                || '"}}' END AS claim_message
+    FROM env""",
+    )
+
+
+_install_simple_claim_check_sql()
+
+
 @register("codec_handle_key_only", None)  # SQL installed below
 def q_codec_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-message handle-key-only (pkg/config/large_message.go:27-28;
