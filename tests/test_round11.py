@@ -186,3 +186,53 @@ def test_claim_check_payload_formats_and_reassembly(spark):
         )
         restored = {r["seq"]: r["value"] for r in back.collect()}
         assert restored == {1: "small-one", 2: big}
+
+
+def test_open_claim_check_frame_guard_raises(spark):
+    """The open-protocol claim reassembly must RAISE on a corrupt value
+    frame (length header not covering the payload, decoder.go:337-338),
+    not silently drop the row — negative test pinning the
+    assert-in-consumed-predicate pattern (Catalyst prunes dropped
+    asserts)."""
+    import base64
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from tiflow_spark.codecs.open_protocol import (
+        assemble_open_claim_check,
+        encode_open_claim_check,
+    )
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, "/root/testdata/sf0.001").limit(50)
+    enveloped = encode_open_claim_check(env, 121, "claim")
+    store = (
+        enveloped.filter("is_claim")
+        .select("claim_location", "claim_payload")
+        .distinct()
+    )
+    # healthy path restores
+    good = assemble_open_claim_check(
+        enveloped.select("seq", "key", "value"), store
+    )
+    assert good.filter("claim_version = 1").count() > 0
+
+    # corrupt ONE payload's value-length header (+1) and expect the raise
+    rows = store.collect()
+    assert rows, "fixture produced no claimed rows"
+    broken_rows = []
+    for i, r in enumerate(rows):
+        payload = json.loads(r["claim_payload"])
+        if i == 0:
+            fv = bytearray(base64.b64decode(payload["value"]))
+            fv[7] = (fv[7] + 1) % 256
+            payload["value"] = base64.b64encode(bytes(fv)).decode()
+        broken_rows.append((r["claim_location"], json.dumps(payload)))
+    broken = spark.createDataFrame(
+        broken_rows, "claim_location string, claim_payload string"
+    )
+    bad = assemble_open_claim_check(
+        enveloped.select("seq", "key", "value"), broken
+    )
+    with pytest.raises(Exception, match="frame length mismatch"):
+        bad.collect()

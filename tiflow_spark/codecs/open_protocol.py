@@ -256,16 +256,22 @@ def assemble_open_claim_check(
         F.expr("substring(_fv, 9, octet_length(_fv) - 8)"), "UTF-8"
     )
     claimed = F.col("_claim_loc").isNotNull()
+    # the value frame's length header must cover the value exactly
+    # (decoder.go:337-338): a mismatch is wire corruption and must RAISE,
+    # not drop the row. assert_true folded into a consumed filter
+    # predicate (returns null on success → coalesce true) so Catalyst
+    # cannot prune it the way it prunes dropped assert columns.
+    frame_ok = F.coalesce(
+        F.assert_true(
+            ~claimed | (vlen == F.expr("octet_length(_fv) - 8")),
+            F.lit("open claim-check: value frame length mismatch"),
+        ).cast("boolean"),
+        F.lit(True),
+    )
     return (
         out.withColumn("_fk", fk)
         .withColumn("_fv", fv)
-        # the value frame's length header must cover the value exactly
-        # (decoder.go:337-338) — folded into a consumed filter predicate,
-        # not a droppable assert (Catalyst prunes dropped asserts)
-        .filter(
-            ~claimed
-            | (vlen == F.expr("octet_length(_fv) - 8"))
-        )
+        .filter(frame_ok)
         .withColumn(
             key_col, F.when(claimed, restored_key).otherwise(F.col(key_col))
         )
