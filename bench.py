@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SECTIONS = [
     "headline", "r5ops", "r6ops", "r7ops", "r8ops", "r9ops", "r10ops",
-    "scaling", "stream", "incdedup", "live",
+    "r11ops", "scaling", "stream", "incdedup", "live",
 ]
 
 
@@ -460,6 +460,27 @@ def section_r10ops(sf_dir: str) -> dict:
     return {
         "r10_queries": timings,
         "r10_total_sec": round(sum(timings.values()), 3),
+    }
+
+
+def section_r11ops(sf_dir: str) -> dict:
+    # round-11 surface: the claim-check protocol-fidelity quartet (all
+    # CASE-projection encodes + one broadcast join reassembly each; the
+    # open row additionally frames/unframes binary through JVM built-ins)
+    spark = _spark()
+    timings = _time_registry_set(
+        spark,
+        sf_dir,
+        [
+            "codec_claim_check_raw_value",
+            "codec_claim_check_canal_envelope",
+            "codec_open_claim_check",
+            "codec_simple_claim_check",
+        ],
+    )
+    return {
+        "r11_queries": timings,
+        "r11_total_sec": round(sum(timings.values()), 3),
     }
 
 

@@ -17,11 +17,25 @@ other implementation speak):
       tag & 3 == 3: copy      (len = 1 + (tag>>2), offset = 4-byte LE)
 
 The encoder is a standard greedy matcher (4-byte hash table, 2-byte-offset
-copies) — output is a conformant snappy stream any decoder accepts; the
-decoder handles ALL tag forms, so streams from other compressors decode
-too. LZ4 needs the frame format + xxhash32 and ships no library in this
-environment: gated behind an import-try exactly like the reference's
-"Unsupported compression" error path (pkg/compression/compress.go:52).
+copies) — output is a conformant snappy stream any decoder accepts (all
+four literal-length forms emitted, so match-free inputs of any size
+encode); the decoder handles ALL tag forms and raises a clean ValueError
+on truncated/corrupt input. Wire-compatibility with the JVM codec Spark
+ships (org.xerial.snappy) is pinned both directions by test. The python
+lz4 path is gated behind an import-try exactly like the reference's
+"Unsupported compression" error path (pkg/compression/compress.go:52);
+the LZ4 *frame* format is available driver-side through lz4-java
+(:func:`jvm_lz4_frame_compress`).
+
+PRODUCTION SWITCH (the 100 TB default): per-message Python compression
+is the spec-conformance / decode path. At scale, route compression to
+the JVM transport writer instead — ``compress_messages(...,
+engine="transport")`` keeps values uncompressed in the plan and the
+Kafka producer (`kafka.compression.type`) or the file-broker's parquet
+codec (``produce_file_broker(..., transport_compression="snappy")``)
+compresses JVM-side, zero Python in the hot path — exactly where the
+reference's Kafka producer applies `compression.codec`
+(pkg/sink/kafka/options.go).
 
 Spark shape: per-message bytes work → Arrow-batched pandas UDFs (the
 documented slow path for byte-level codecs, same as the Avro body); the
