@@ -30,18 +30,21 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # protocol-faithful on-topic location envelope; codec_open_claim_check —
 # the open-protocol ccl key + framed external payload;
 # codec_simple_claim_check — the simple-protocol claimCheckLocation +
-# handleKeyOnly location message; all four surfaced
+# handleKeyOnly location message; codec_open_handle_key_only and
+# codec_simple_handle_key_only — the per-protocol large-message
+# handle-key-only re-marshals; all six surfaced
 # by the r10 #6 reference probe of pkg/sink/kafka/claimcheck and the
 # per-codec location-message encoders), then the two PLAN-CHANGED re-checks
 # (corpus_select_budget — r10 eager window-free snapshot rewrite;
 # dedup_span_remove_minlen — r10 linear run-merge rewrite + r11's
 # when/otherwise run-start guard from ADVICE r10; both verified
 # output-identical against their DuckDB oracles at sf0.001 + sf0.01 under a
-# vanilla driver-style session this round), then 39 of the 47 queries whose
-# latest driver check was round 7 (name order). The eight r7 names that miss
-# the cap (sample_dsir, sample_unimax, shardddl_enforce,
-# snapshot_load_resume, text_gopher_rules, text_top_ngrams,
-# validate_binsearch, validate_resume) lead the r12 rotation; every
+# vanilla driver-style session this round), then 37 of the 47 queries whose
+# latest driver check was round 7 (name order). The ten r7 names that miss
+# the cap (mq_consumer_flush, precheck_structure, sample_dsir,
+# sample_unimax, shardddl_enforce, snapshot_load_resume,
+# text_gopher_rules, text_top_ngrams, validate_binsearch,
+# validate_resume) lead the r12 rotation; every
 # deferred name is meanwhile covered by the sf0.001 oracle sweep on every
 # pytest run (tests/test_parity.py) and the opt-in sf0.1 full sweep. The
 # remainder follows in registration order as regression sentinels.
@@ -57,9 +60,11 @@ _PRIORITY = [
     "codec_claim_check_canal_envelope",
     "codec_open_claim_check",
     "codec_simple_claim_check",
+    "codec_open_handle_key_only",
+    "codec_simple_handle_key_only",
     "corpus_select_budget",
     "dedup_span_remove_minlen",
-    # latest-checked round 7 — first 39 in name order (VERDICT r10 #2)
+    # latest-checked round 7 — first 37 in name order (VERDICT r10 #2)
     "cdc_bdr_filter",
     "cdc_charset_decode",
     "cdc_envelope",
@@ -97,8 +102,6 @@ _PRIORITY = [
     "join_range",
     "mm_decode_real",
     "mm_frame_sample",
-    "mq_consumer_flush",
-    "precheck_structure",
 ]
 
 

@@ -476,6 +476,8 @@ def section_r11ops(sf_dir: str) -> dict:
             "codec_claim_check_canal_envelope",
             "codec_open_claim_check",
             "codec_simple_claim_check",
+            "codec_open_handle_key_only",
+            "codec_simple_handle_key_only",
         ],
     )
     return {

@@ -39,14 +39,20 @@ def _open_key_value(
     only_output_updated_columns: bool = False,
     image_cols: tuple[str, ...] | None = None,
     claim_check_location: Column | None = None,
+    only_handle_key: bool = False,
 ) -> tuple[Column, Column]:
     """(key, value) expression pair for one open-protocol message.
 
     ``image_cols`` restricts the u/d images to those columns — the
     handle-key-cut form the claim-check location message uses
     (open_protocol_encoder.go:295 rowChangeToMsg(event, config, true)).
+    ``only_handle_key`` adds the ``ohk: true`` key field
+    (internal/message_key.go:31-32, rowChangeToMsg:138 — the
+    large-message handle-key-only marker the consumer back-fills on);
     ``claim_check_location`` appends the ``ccl`` key field
-    (internal/message_key.go:35, json tag order puts it last)."""
+    (internal/message_key.go:35; json tag order: ohk before ccl, and the
+    claim location message explicitly resets ohk=false,
+    encoder.go:300)."""
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
     if image_cols is not None:
         fields = [f for f in fields if f.name in image_cols]
@@ -96,6 +102,8 @@ def _open_key_value(
         F.col("table").alias("tbl"),
         F.lit(1).alias("t"),
     ]
+    if only_handle_key:
+        key_fields.append(F.lit(True).alias("ohk"))
     if claim_check_location is not None:
         key_fields.append(claim_check_location.alias("ccl"))
     key = F.to_json(F.struct(*key_fields))
@@ -206,6 +214,34 @@ def encode_open_claim_check(
         oversized.alias("is_claim"),
         F.when(oversized, loc).alias("claim_location"),
         F.when(oversized, payload).alias("claim_payload"),
+    )
+
+
+def encode_open_handle_key_only(
+    env: DataFrame,
+    threshold_bytes: int,
+    handle_cols: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Open-protocol large-message handle-key-only
+    (open_protocol_encoder.go:43-70 buildMessageOnlyHandleKeyColumns,
+    called when LargeMessageHandleOnlyHandleKeyColumns, encoder.go:137-138):
+    an oversized message re-encodes with ONLY handle-key columns in the
+    u/d images and ``ohk: true`` in the key (rowChangeToMsg:138) so the
+    consumer back-fills the full row upstream by key. One CASE
+    projection, no shuffle."""
+    full_key, full_value = _open_key_value(env, handle_cols)
+    hk_key, hk_value = _open_key_value(
+        env, handle_cols, image_cols=handle_cols, only_handle_key=True
+    )
+    oversized = F.octet_length(full_value) > F.lit(threshold_bytes)
+    return env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.when(oversized, hk_key).otherwise(full_key).alias("key"),
+        F.when(oversized, hk_value).otherwise(full_value).alias("value"),
+        oversized.alias("only_handle_key"),
     )
 
 

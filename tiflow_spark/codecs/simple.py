@@ -49,12 +49,15 @@ def _simple_dml_json(
     fields: list[T.StructField],
     schema_version: int,
     claim_check_location=None,
+    handle_key_only: bool = False,
 ):
     """One simple-protocol DML message as a JSON Column (message.go:
     472-502; field order = the Go struct tag order, so
-    claimCheckLocation/handleKeyOnly sit between schemaVersion and data
-    — both only present on the claim-check location message, matching
-    omitempty on normal messages)."""
+    claimCheckLocation/handleKeyOnly sit between schemaVersion and data —
+    present only on large-message re-marshals, matching omitempty on
+    normal messages: the claim location message carries BOTH
+    (message.go:551-562), plain handle-key-only carries handleKeyOnly
+    alone)."""
     dml_type = (
         F.when(F.col("op") == "I", "INSERT")
         .when(F.col("op") == "U", "UPDATE")
@@ -74,6 +77,7 @@ def _simple_dml_json(
     ]
     if claim_check_location is not None:
         parts.append(claim_check_location.alias("claimCheckLocation"))
+    if claim_check_location is not None or handle_key_only:
         parts.append(F.lit(True).alias("handleKeyOnly"))
     parts.append(data.alias("data"))
     parts.append(old.alias("old"))
@@ -89,6 +93,32 @@ def encode_simple(env: DataFrame, schema_version: int = 1) -> DataFrame:
         "commit_ts",
         "seq",
         _simple_dml_json(fields, schema_version).alias("value"),
+    )
+
+
+def encode_simple_handle_key_only(
+    env: DataFrame,
+    threshold_bytes: int,
+    pk_names: tuple[str, ...] = ("id",),
+    schema_version: int = 1,
+) -> DataFrame:
+    """Simple-protocol large-message handle-key-only (encoder.go:87
+    MarshalRowChangedEvent(event, true, "") with no claim location:
+    message.go:551-562 sets handleKeyOnly=true, claimCheckLocation
+    omitted by omitempty, data/old cut to handle keys). One CASE
+    projection, no shuffle."""
+    fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
+    pk_fields = [f for f in fields if f.name in pk_names]
+    full = _simple_dml_json(fields, schema_version)
+    hk = _simple_dml_json(pk_fields, schema_version, handle_key_only=True)
+    oversized = F.octet_length(full) > F.lit(threshold_bytes)
+    return env.select(
+        "schema",
+        "table",
+        "commit_ts",
+        "seq",
+        F.when(oversized, hk).otherwise(full).alias("value"),
+        oversized.alias("only_handle_key"),
     )
 
 
@@ -411,11 +441,13 @@ def decode_simple(
 def simple_msg_json_sql(
     payload_cols: list[tuple[str, str]],
     claim_check_location_sql: str | None = None,
+    handle_key_only: bool = False,
 ) -> str:
     """The DuckDB to_json expression building one byte-identical
     simple-protocol DML message from a flattened env row;
     ``claim_check_location_sql`` adds the claim-check location-message
-    fields (claimCheckLocation + handleKeyOnly, message.go:551-562)."""
+    fields (claimCheckLocation + handleKeyOnly, message.go:551-562),
+    ``handle_key_only`` the plain large-message handleKeyOnly marker."""
 
     def img_map(prefix: str) -> str:
         kv = ", ".join(
@@ -424,12 +456,11 @@ def simple_msg_json_sql(
         )
         return f"CASE WHEN {prefix}_id IS NOT NULL THEN MAP {{{kv}}} END"
 
-    claim = (
-        f"\n      claimCheckLocation: {claim_check_location_sql},"
-        "\n      handleKeyOnly: true,"
-        if claim_check_location_sql is not None
-        else ""
-    )
+    claim = ""
+    if claim_check_location_sql is not None:
+        claim += f"\n      claimCheckLocation: {claim_check_location_sql},"
+    if claim_check_location_sql is not None or handle_key_only:
+        claim += "\n      handleKeyOnly: true,"
     return f"""to_json({{
       version: 1,
       database: "schema",

@@ -3368,6 +3368,87 @@ def _install_simple_claim_check_sql() -> None:
 _install_simple_claim_check_sql()
 
 
+@register("codec_open_handle_key_only", None)  # SQL installed below
+def q_open_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-protocol large-message handle-key-only
+    (open_protocol_encoder.go:43-70,137-138; rowChangeToMsg:138): an
+    oversized message re-encodes with only handle-key image columns and
+    `ohk: true` in the key so the consumer back-fills by key upstream —
+    the open-protocol sibling of the canal codec_handle_key_only row."""
+    from tiflow_spark.codecs.open_protocol import encode_open_handle_key_only
+
+    return encode_open_handle_key_only(
+        _env(spark, sf_dir), 121, ("id",)
+    ).select("seq", "only_handle_key", "key", "value")
+
+
+def _install_open_handle_key_only_sql() -> None:
+    codes = {"bigint": 3, "int": 3, "double": 5, "string": 15}
+
+    def image(prefix, cols):
+        fields = ", ".join(
+            f"{n}: {{t: {codes[t]}, h: {str(n == 'id').lower()}, "
+            f"v: CAST({prefix}_{n} AS VARCHAR)}}"
+            for n, t in cols
+        )
+        return f"{{{fields}}}"
+
+    def value_sql(cols):
+        return (
+            f"CASE WHEN op = 'D' THEN to_json({{d: {image('before', cols)}}})"
+            f" ELSE to_json({{u: {image('after', cols)}}}) END"
+        )
+
+    full_v = value_sql(PAYLOAD_COLS)
+    hk_v = value_sql([("id", "bigint")])
+    full_k = 'to_json({ts: commit_ts, scm: "schema", tbl: "table", t: 1})'
+    hk_k = ('to_json({ts: commit_ts, scm: "schema", tbl: "table", t: 1, '
+            "ohk: true})")
+    big = f"strlen({full_v}) > 121"
+    REGISTRY["codec_open_handle_key_only"] = (
+        REGISTRY["codec_open_handle_key_only"][0],
+        f"""{ENV_CTE}
+    SELECT seq, {big} AS only_handle_key,
+      CASE WHEN {big} THEN {hk_k} ELSE {full_k} END AS key,
+      CASE WHEN {big} THEN {hk_v} ELSE {full_v} END AS value
+    FROM env""",
+    )
+
+
+_install_open_handle_key_only_sql()
+
+
+@register("codec_simple_handle_key_only", None)  # SQL installed below
+def q_simple_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-protocol large-message handle-key-only (encoder.go:87 with
+    empty claim location; message.go:551-562: handleKeyOnly=true,
+    claimCheckLocation omitted, images cut to handle keys) — the
+    simple-protocol sibling of the canal codec_handle_key_only row."""
+    from tiflow_spark.codecs.simple import encode_simple_handle_key_only
+
+    return encode_simple_handle_key_only(
+        _env(spark, sf_dir), 230
+    ).select("seq", "only_handle_key", "value")
+
+
+def _install_simple_handle_key_only_sql() -> None:
+    from tiflow_spark.codecs.simple import simple_msg_json_sql
+
+    full = simple_msg_json_sql(PAYLOAD_COLS)
+    hk = simple_msg_json_sql([("id", "bigint")], handle_key_only=True)
+    big = f"strlen({full}) > 230"
+    REGISTRY["codec_simple_handle_key_only"] = (
+        REGISTRY["codec_simple_handle_key_only"][0],
+        f"""{ENV_CTE}
+    SELECT seq, {big} AS only_handle_key,
+      CASE WHEN {big} THEN {hk} ELSE {full} END AS value
+    FROM env""",
+    )
+
+
+_install_simple_handle_key_only_sql()
+
+
 @register("codec_handle_key_only", None)  # SQL installed below
 def q_codec_handle_key_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-message handle-key-only (pkg/config/large_message.go:27-28;
