@@ -478,6 +478,11 @@ def section_r11ops(sf_dir: str) -> dict:
             "codec_simple_claim_check",
             "codec_open_handle_key_only",
             "codec_simple_handle_key_only",
+            "codec_simple_avro_roundtrip",
+            "codec_simple_avro_events",
+            "codec_simple_avro_ddl",
+            "codec_canal_protobuf",
+            "codec_canal_protobuf_ddl",
         ],
     )
     return {
@@ -522,6 +527,9 @@ def section_scaling(sf_dir: str) -> dict:
         # the Kafka-Connect schema-envelope string concat
         "codec_compress_roundtrip",
         "codec_debezium_schema_block",
+        # r11: the simple-avro binary wire is another pandas-UDF path —
+        # same per-row-Python tripwire rationale as the block codec
+        "codec_simple_avro_roundtrip",
     ]
     from tiflow_spark.plans.parity import REGISTRY
 

@@ -236,3 +236,397 @@ def test_open_claim_check_frame_guard_raises(spark):
     )
     with pytest.raises(Exception, match="frame length mismatch"):
         bad.collect()
+
+
+# ------------------------------------------------ simple protocol avro wire
+
+
+def test_simple_avro_fuzz_roundtrip():
+    """Every value-union branch of message.json's image map (null, long,
+    float, double, string, bytes, Timestamp, UnsignedBigint) round-trips
+    through the binary wire under randomized values — negative varints,
+    astral-plane unicode, empty bytes."""
+    import struct as _struct
+
+    from tiflow_spark.codecs.simple_avro import (
+        decode_message_bytes,
+        encode_dml_bytes,
+    )
+
+    random.seed(1103)
+    for _ in range(200):
+        entries = []
+        expect = {}
+        for i in range(random.randrange(0, 6)):
+            name = f"c{i}"
+            kind = random.choice(
+                ["long", "float", "double", "string", "bytes",
+                 "timestamp", "unsigned"]
+            )
+            if random.random() < 0.2:
+                entries.append((name, kind, None))
+                expect[name] = None
+                continue
+            if kind == "long":
+                v = random.randrange(-(2**62), 2**62)
+                entries.append((name, kind, v))
+                expect[name] = v
+            elif kind == "float":
+                v = random.uniform(-1e30, 1e30)
+                entries.append((name, kind, v))
+                expect[name] = _struct.unpack("<f", _struct.pack("<f", v))[0]
+            elif kind == "double":
+                v = random.uniform(-1e300, 1e300)
+                entries.append((name, kind, v))
+                expect[name] = v
+            elif kind == "string":
+                v = "".join(
+                    random.choice("aé中𐍈 \n\"\\") for _ in range(
+                        random.randrange(0, 20))
+                )
+                entries.append((name, kind, v))
+                expect[name] = v
+            elif kind == "bytes":
+                v = bytes(
+                    random.randrange(256) for _ in range(
+                        random.randrange(0, 30))
+                )
+                entries.append((name, kind, v))
+                expect[name] = v
+            elif kind == "timestamp":
+                entries.append((name, kind, ("UTC", "2020-01-01 00:00:00")))
+                expect[name] = {
+                    "location": "UTC", "value": "2020-01-01 00:00:00"
+                }
+            else:  # unsigned — int64-reinterpreted uint64
+                v = random.randrange(-(2**63), 2**63)
+                entries.append((name, kind, v))
+                expect[name] = v
+        cts = random.randrange(0, 2**62)
+        wire = encode_dml_bytes(
+            "U", "db", "tbl", cts, 7, entries, entries,
+            checksum=(1, False, random.randrange(2**32), 0),
+        )
+        m = decode_message_bytes(wire)
+        assert m["commitTs"] == cts and m["schemaVersion"] == 7
+        assert m["data"] == expect and m["old"] == expect
+
+
+def test_simple_avro_wire_guards():
+    """Truncated strings raise ValueError; a Message whose payload-union
+    branch disagrees with its MessageType enum raises (the decoder's
+    type/payload cross-check)."""
+    from tiflow_spark.codecs.avro import _zigzag
+    from tiflow_spark.codecs.simple_avro import (
+        decode_message_bytes,
+        encode_dml_bytes,
+        encode_watermark_bytes,
+    )
+
+    good = encode_dml_bytes("I", "d", "t", 5, 1,
+                            [("id", "long", 1)], None)
+    with pytest.raises((ValueError, IndexError)):
+        decode_message_bytes(good[: len(good) // 2])
+    # type says WATERMARK(0) but payload branch says DML(3)
+    mismatched = _zigzag(0) + _zigzag(3) + encode_watermark_bytes(9)[2:]
+    with pytest.raises(ValueError, match="disagrees"):
+        decode_message_bytes(mismatched)
+
+
+def test_simple_avro_checksum_verify_catches_corruption(spark):
+    """decode_simple_avro(verify_checksum=True) recomputes over the
+    decoded images: a message carrying a +1-flipped current checksum
+    comes back checksum_ok=False while intact rows verify; a 0 carried
+    side verifies trivially (verify_checksum.go:37)."""
+    from tiflow_spark.codecs.simple_avro import (
+        decode_simple_avro,
+        encode_dml_bytes,
+        encode_simple_avro,
+    )
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, "/root/testdata/sf0.001").limit(64)
+    dec = decode_simple_avro(
+        encode_simple_avro(env, with_checksum=True), verify_checksum=True
+    )
+    assert dec.count() == 64
+    assert dec.filter("NOT checksum_ok").count() == 0
+
+    # hand-craft one corrupted frame: carried current off by one
+    from tiflow_spark.functions.hashing import row_checksum
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(11, 2.5, "zz")], "id long, balance double, note string"
+    ).select(row_checksum(["id", "balance", "note"]).alias("ck"))
+    real = probe.collect()[0]["ck"]
+    frame = encode_dml_bytes(
+        "I", "d", "t", 5, 1,
+        [("id", "long", 11), ("balance", "double", 2.5),
+         ("note", "string", "zz")],
+        None, checksum=(1, False, int(real) + 1, 0),
+    )
+    bad = spark.createDataFrame([(bytearray(frame),)], "value binary")
+    got = decode_simple_avro(bad, verify_checksum=True).collect()[0]
+    assert not got["checksum_ok"]
+    # and the intact twin verifies
+    okf = encode_dml_bytes(
+        "I", "d", "t", 5, 1,
+        [("id", "long", 11), ("balance", "double", 2.5),
+         ("note", "string", "zz")],
+        None, checksum=(1, False, int(real), 0),
+    )
+    okdf = spark.createDataFrame([(bytearray(okf),)], "value binary")
+    assert decode_simple_avro(okdf, verify_checksum=True).collect()[0][
+        "checksum_ok"
+    ]
+
+
+def test_simple_avro_bootstrap_schema_nesting():
+    """The Bootstrap TableSchema wire nests ColumnSchema/DataType/
+    IndexSchema exactly (newTableSchemaMap): optional DataType unions
+    (decimal/elements/unsigned/zerofill) absent → null branch, primary
+    index carries the pk columns, column nullability follows the pk."""
+    from tiflow_spark.codecs.simple_avro import (
+        decode_message_bytes,
+        encode_bootstrap_bytes,
+    )
+
+    wire = encode_bootstrap_bytes(
+        "s1", "t1", 3,
+        [("id", "bigint", False), ("balance", "double", True),
+         ("note", "varchar", True)],
+        ("id",),
+    )
+    m = decode_message_bytes(wire)
+    ts = m["tableSchema"]
+    assert ts["database"] == "s1" and ts["version"] == 3
+    assert [c["name"] for c in ts["columns"]] == ["id", "balance", "note"]
+    assert ts["columns"][0]["nullable"] is False
+    assert ts["columns"][0]["mysqlType"] == "bigint"
+    assert "decimal" not in ts["columns"][0]  # null union branch
+    idx = ts["indexes"]
+    assert len(idx) == 1 and idx[0]["primary"] and idx[0]["columns"] == ["id"]
+
+
+def test_simple_avro_ddl_wire_nesting():
+    """DDL frames: DDLType enum symbols, post/pre TableSchema null
+    unions, column default union present/absent, empty indexes as the
+    bare zero terminator."""
+    from tiflow_spark.codecs.simple_avro import (
+        decode_message_bytes,
+        encode_ddl_bytes,
+    )
+
+    ts = {
+        "database": "d", "table": "t", "version": 2,
+        "columns": [
+            {"name": "id", "mysqlType": "bigint", "nullable": False},
+            {"name": "note", "mysqlType": "varchar", "nullable": True,
+             "default": "x"},
+        ],
+        "indexes": [
+            {"name": "primary", "unique": True, "primary": True,
+             "nullable": False, "columns": ["id"]},
+        ],
+    }
+    m = decode_message_bytes(
+        encode_ddl_bytes("ALTER", "ALTER TABLE t ADD note varchar", 42,
+                         ts, None)
+    )
+    assert m["ddlType"] == "ALTER" and m["commitTs"] == 42
+    assert m["tableSchema"]["columns"][1]["default"] == "x"
+    assert "default" not in m["tableSchema"]["columns"][0]
+    assert "preTableSchema" not in m
+    m2 = decode_message_bytes(
+        encode_ddl_bytes("QUERY", "CREATE DATABASE x", 7, None, ts)
+    )
+    assert "tableSchema" not in m2 and m2["preTableSchema"]["version"] == 2
+    # empty indexes array: bare zero terminator round-trips
+    m3 = decode_message_bytes(
+        encode_ddl_bytes("CREATE", "c", 1, dict(ts, indexes=[]), None)
+    )
+    assert m3["tableSchema"]["indexes"] == []
+    # all eight DDLType symbols survive the enum wire
+    for k in ("CREATE", "ALTER", "ERASE", "RENAME", "TRUNCATE",
+              "CINDEX", "DINDEX", "QUERY"):
+        assert decode_message_bytes(
+            encode_ddl_bytes(k, "q", 1, None, None)
+        )["ddlType"] == k
+
+
+def test_simple_avro_ddl_transcode_matches_json(spark):
+    """The avro DDL wire carries the SAME native message as the JSON
+    marshaller (marshaller.go:44-55): every field the JSON form ships is
+    recovered identically after JSON→avro transcode→decode."""
+    import json
+
+    from tiflow_spark.codecs.simple import encode_simple_ddl
+    from tiflow_spark.codecs.simple_avro import (
+        decode_message_bytes,
+        transcode_simple_ddl_to_avro,
+    )
+    from tiflow_spark.plans.parity import _allowed_ddl, registry_from_ddl
+
+    ddl = _allowed_ddl(spark, "/root/testdata/sf0.001")
+    json_msgs = encode_simple_ddl(ddl, registry_from_ddl(ddl))
+    rows = {
+        r["seq"]: json.loads(r["value"]) for r in json_msgs.collect()
+    }
+    avro_rows = {
+        r["seq"]: bytes(r["value"])
+        for r in transcode_simple_ddl_to_avro(json_msgs).collect()
+    }
+    assert rows and set(rows) == set(avro_rows)
+    for seq, jm in rows.items():
+        am = decode_message_bytes(avro_rows[seq])
+        assert am["ddlType"] == jm["type"]
+        assert am["sql"] == jm["sql"]
+        assert am["commitTs"] == jm["commitTs"]
+        for side, akey in (("tableSchema", "tableSchema"),
+                           ("preTableSchema", "preTableSchema")):
+            if jm.get(side) is None:
+                assert akey not in am
+                continue
+            jts, ats = jm[side], am[akey]
+            assert ats["database"] == jts["schema"]
+            assert ats["version"] == jts["version"]
+            assert [c["name"] for c in ats["columns"]] == [
+                c["name"] for c in jts["columns"]
+            ]
+            assert [c["mysqlType"] for c in ats["columns"]] == [
+                c["dataType"]["mysqlType"] for c in jts["columns"]
+            ]
+            assert [i["columns"] for i in ats["indexes"]] == [
+                i["columns"] for i in jts["indexes"]
+            ]
+
+
+# --------------------------------------------- canal protobuf (legacy) wire
+
+
+def test_canal_proto_fuzz_roundtrip():
+    """Randomized multi-entry packets (mixed row + DDL entries, unicode
+    values, nulls, negative sqlType varints) survive the Packet →
+    Messages → Entry → RowChange → Column peel byte-exactly."""
+    from tiflow_spark.codecs import canal_proto as cp
+
+    random.seed(1104)
+    for _ in range(100):
+        entries = []
+        expect = []
+        for _e in range(random.randrange(1, 5)):
+            if random.random() < 0.3:
+                kind = random.choice(
+                    ["create table", "add column", "drop table",
+                     "create schema", "truncate table"]
+                )
+                sql = "ALTER " + "é中" * random.randrange(0, 9)
+                cts = random.randrange(0, 2**50)
+                entries.append(
+                    cp.encode_entry_ddl_pb(kind, "db", "tbl", cts, sql)
+                )
+                expect.append(("ddl", kind, sql, cts >> 18))
+            else:
+                op = random.choice(["I", "U", "D"])
+                note = None if random.random() < 0.3 else (
+                    "n" + "𐍈" * random.randrange(0, 4)
+                )
+                after = [] if op == "D" else [
+                    ("id", "bigint", str(random.randrange(0, 10**12))),
+                    ("balance", "double", "1.5"),
+                    ("note", "varchar", note),
+                ]
+                before = [] if op == "I" else [
+                    ("id", "bigint", "3"),
+                    ("balance", "double", None),
+                    ("note", "varchar", "x"),
+                ]
+                cts = random.randrange(0, 2**50)
+                entries.append(
+                    cp.encode_entry_row_pb(op, "db", "tbl", cts,
+                                           after, before)
+                )
+                expect.append(("row", op, note, cts >> 18))
+        got = cp.decode_packet(cp.pack_canal_packet(entries))
+        assert len(got) == len(expect)
+        for e, (k, *rest) in zip(got, expect):
+            if k == "ddl":
+                kind, sql, et = rest
+                assert e["rowChange"]["sql"] == sql
+                assert e["header"].get("executeTime", 0) == et
+                assert e["rowChange"]["isDdl"] == (
+                    cp.DDL_EVENT_TYPES.get(kind, "QUERY") != "QUERY"
+                )
+            else:
+                op, note, et = rest
+                assert e["header"].get("executeTime", 0) == et
+                ev = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[op]
+                assert e["rowChange"]["eventType"] == ev
+                if op != "D":
+                    cols = {c["name"]: c for c in e["columns"]}
+                    assert cols["id"]["sqlType"] == -5  # 10-byte varint
+                    if note is None:
+                        assert cols["note"]["isNull"]
+                    else:
+                        assert cols["note"]["value"] == note
+                    # updated = !IsDelete on every column
+                    assert all(c["updated"] for c in e["columns"])
+                else:
+                    assert all(not c["updated"] for c in e["pre_columns"])
+
+
+def test_canal_proto_proto3_presence_rules():
+    """proto3 emission invariants the writers must honor: oneof-wrapped
+    fields (isNull, isDdl, version, eventType) present even at default;
+    plain defaults (isKey=false, value='', logfileName) absent."""
+    from tiflow_spark.codecs import canal_proto as cp
+
+    col = cp.encode_column_pb("note", "varchar", "", False, False)
+    fields = {f for f, _w, _v in cp._read_fields(col)}
+    assert 6 in fields  # isNull oneof: present though false
+    assert 4 not in fields and 5 not in fields  # plain false bools absent
+    assert 8 not in fields  # empty value string absent
+    colnull = cp.encode_column_pb("note", "varchar", None, True, True)
+    d = cp._dec_column(colnull)
+    assert d["isNull"] and d["isKey"] and d["updated"] and d["value"] == ""
+
+    entry = cp.encode_entry_row_pb("I", "s", "t", 0, [
+        ("id", "bigint", "1"), ("balance", "double", "0.5"),
+        ("note", "varchar", "x")], [])
+    e = cp.decode_packet(cp.pack_canal_packet([entry]))[0]
+    # executeTime 0 omitted; version/sourceType oneofs still decode
+    assert e["header"].get("executeTime", 0) == 0
+    assert e["rowChange"]["isDdl"] is False  # oneof false, on the wire
+    raw_rc_fields = set()
+    for ef, _w, ev in cp._read_fields(entry):
+        if ef == 3:
+            raw_rc_fields = {f for f, _x, _y in cp._read_fields(ev)}
+    assert 10 in raw_rc_fields  # isDdl oneof serialized though false
+
+
+def test_canal_proto_truncation_guards():
+    """Corrupt packets raise ValueError (truncated varint, truncated
+    length-delimited, wrong packet type/version) — never a silent
+    short read."""
+    import pytest as _pytest
+
+    from tiflow_spark.codecs import canal_proto as cp
+
+    entry = cp.encode_entry_row_pb("I", "s", "t", 1, [
+        ("id", "bigint", "1"), ("balance", "double", "1.0"),
+        ("note", "varchar", "a")], [])
+    good = cp.pack_canal_packet([entry])
+    with _pytest.raises(ValueError):
+        cp.decode_packet(good[:-3])
+    with _pytest.raises(ValueError):
+        cp.decode_packet(b"\x80")  # varint never terminates
+    with _pytest.raises(ValueError):
+        cp.decode_packet(b"\xff" * 12)  # varint overflow
+    # packet claiming type ACK (3) instead of MESSAGES
+    bad_type = cp._f_varint(2, 1) + cp._f_varint(3, 3) + cp._f_bytes(5, b"")
+    with _pytest.raises(ValueError, match="packet type"):
+        cp.decode_packet(bad_type)
+    bad_ver = cp._f_varint(2, 9) + cp._f_varint(3, 7) + cp._f_bytes(5, b"")
+    with _pytest.raises(ValueError, match="packet version"):
+        cp.decode_packet(bad_ver)

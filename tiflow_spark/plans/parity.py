@@ -7305,3 +7305,208 @@ def _install_span_remove_minlen_sql() -> None:
 
 
 _install_span_remove_minlen_sql()
+
+
+# ------------------------------------------------ simple protocol: avro wire
+
+
+@register(
+    "codec_simple_avro_roundtrip",
+    f"""{ENV_CTE}
+    SELECT 'DML' AS msg_type, op, "schema" AS database, "table", commit_ts,
+      1 AS schema_version,
+      CASE WHEN op <> 'D' THEN after_id END AS data_id,
+      CASE WHEN op <> 'D' THEN after_balance END AS data_balance,
+      CASE WHEN op <> 'D' THEN after_note END AS data_note,
+      CASE WHEN op <> 'I' THEN before_id END AS old_id,
+      CASE WHEN op <> 'I' THEN before_balance END AS old_balance,
+      CASE WHEN op <> 'I' THEN before_note END AS old_note,
+      TRUE AS checksum_ok
+    FROM env""",
+)
+def q_codec_simple_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple protocol, encoding-format=avro (pkg/sink/codec/simple/
+    avro.go + message.json): the same message struct as the JSON form
+    marshalled as plain Avro binary of the embedded union schema, with
+    the enable-row-checksum Checksum record union riding. Verified by
+    full binary encode→decode round trip with consumer-side checksum
+    recompute (checksum_ok)."""
+    from tiflow_spark.codecs.simple_avro import (
+        decode_simple_avro,
+        encode_simple_avro,
+    )
+
+    enc = encode_simple_avro(_env(spark, sf_dir), with_checksum=True)
+    return decode_simple_avro(enc, verify_checksum=True).withColumn(
+        "schema_version", F.col("schema_version").cast("int")
+    )
+
+
+@register(
+    "codec_simple_avro_events",
+    f"""{ENV_CTE}
+    SELECT 'WATERMARK' AS msg_type, CAST(NULL AS VARCHAR) AS database,
+      CAST(NULL AS VARCHAR) AS "table", max(commit_ts) AS commit_ts,
+      CAST(NULL AS VARCHAR) AS column_names, CAST(NULL AS VARCHAR) AS pk_names
+    FROM env GROUP BY env."table"
+    UNION ALL
+    SELECT DISTINCT 'BOOTSTRAP', "schema", "table", CAST(NULL AS BIGINT),
+      'id,balance,note', 'id'
+    FROM env""",
+)
+def q_codec_simple_avro_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-avro side frames: per-table WATERMARK (newResolvedMessageMap)
+    + per-table BOOTSTRAP carrying the full TableSchema record
+    (newBootstrapMessageMap/newTableSchemaMap, avro.go:26-176), decoded
+    back through the consumer's newMessageFromAvroNative peel — the
+    bootstrap row proves ColumnSchema/DataType/IndexSchema wire nesting
+    (column names + primary-index columns recovered)."""
+    from tiflow_spark.codecs.simple_avro import (
+        bootstrap_avro_messages,
+        decode_simple_avro_events,
+        encode_simple_avro_watermark,
+    )
+
+    env = _env(spark, sf_dir)
+    wm = encode_simple_avro_watermark(
+        table_resolved_ts(env).select("table", "resolved_ts")
+    )
+    bs = bootstrap_avro_messages(env, pk_cols=("id",))
+    frames = wm.select("value").unionByName(bs.select("value"))
+    return decode_simple_avro_events(frames)
+
+
+_SIMPLE_DDL_TYPE_CASE = """CASE WHEN ddl_type = 'create table' THEN 'CREATE'
+         WHEN ddl_type = 'rename table' THEN 'RENAME'
+         WHEN ddl_type IN ('create index', 'add primary key',
+                           'add foreign key') THEN 'CINDEX'
+         WHEN ddl_type IN ('drop index', 'drop primary key',
+                           'drop foreign key') THEN 'DINDEX'
+         WHEN ddl_type = 'drop table' THEN 'ERASE'
+         WHEN ddl_type = 'truncate table' THEN 'TRUNCATE'
+         WHEN ddl_type IN ('add column', 'drop column', 'modify column',
+              'rebase auto id', 'set default value',
+              'modify table comment', 'rename index',
+              'add table partition', 'drop table partition',
+              'truncate table partition', 'exchange table partition',
+              'reorganize table partition', 'alter table partitioning',
+              'remove table partitioning',
+              'modify table charset and collate',
+              'alter index visibility', 'multi schema change')
+           THEN 'ALTER'
+         ELSE 'QUERY' END"""
+
+# the hand-enumerated registry states of the DDL fixture, summarized as
+# the name:type csv the avro-DDL decode emits (same fold the _SDL_EV*
+# struct literals pin for the JSON variant)
+_SAVRO_EV1 = "'id:bigint,balance:double'"
+_SAVRO_EV2 = "'id:bigint,balance:double,note:varchar'"
+_SAVRO_EV3 = "'id:bigint,balance:double,note:varchar,tier:varchar'"
+
+
+@register(
+    "codec_simple_avro_ddl",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", seq,
+      {_SIMPLE_DDL_TYPE_CASE} AS ddl_kind,
+      query, commit_ts,
+      CAST(CASE WHEN seq IN (1, 2, 3) THEN 1 WHEN seq IN (5, 8) THEN 2
+           WHEN seq IN (9, 10) THEN 3 END AS BIGINT) AS post_version,
+      CASE WHEN seq IN (1, 3) THEN {_SAVRO_EV1}
+           WHEN seq = 2 THEN 'id:bigint'
+           WHEN seq IN (5, 8) THEN {_SAVRO_EV2}
+           WHEN seq IN (9, 10) THEN {_SAVRO_EV3} END AS post_columns,
+      CASE WHEN seq = 2 THEN CAST(NULL AS VARCHAR)
+           WHEN seq IN (1, 3, 5, 8, 9, 10) THEN 'id' END AS post_pk,
+      CAST(CASE WHEN seq IN (3, 5) THEN 1 WHEN seq IN (8, 9) THEN 2
+           WHEN seq = 10 THEN 3 END AS BIGINT) AS pre_version,
+      CASE WHEN seq IN (3, 5) THEN {_SAVRO_EV1}
+           WHEN seq IN (8, 9) THEN {_SAVRO_EV2}
+           WHEN seq = 10 THEN {_SAVRO_EV3} END AS pre_columns,
+      CASE WHEN seq IN (3, 5, 8, 9, 10) THEN 'id' END AS pre_pk
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_codec_simple_avro_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-protocol DDL on the avro wire (simple/avro.go
+    newDDLMessageMap :178-210 + newTableSchemaFromAvroNative): the SAME
+    native DDL message the JSON marshaller ships, marshalled as Avro
+    binary (marshaller.go:44-55 split) with post/pre TableSchema record
+    unions, decoded back through the consumer peel — version, name:type
+    columns, and primary-key columns recovered from the nested
+    ColumnSchema/IndexSchema wire."""
+    from tiflow_spark.codecs.simple import encode_simple_ddl
+    from tiflow_spark.codecs.simple_avro import (
+        decode_simple_avro_ddl,
+        transcode_simple_ddl_to_avro,
+    )
+
+    ddl = _allowed_ddl(spark, sf_dir)
+    reg = registry_from_ddl(ddl)
+    avro = transcode_simple_ddl_to_avro(encode_simple_ddl(ddl, reg))
+    return decode_simple_avro_ddl(avro, extra_cols=("schema", "table", "seq"))
+
+
+# ------------------------------------------- canal protocol: protobuf wire
+
+
+@register(
+    "codec_canal_protobuf",
+    f"""{ENV_CTE}
+    SELECT commit_ts, seq, op, "schema" AS database, "table",
+      (commit_ts >> 18) AS execute_time, 1 AS rows_count,
+      CASE WHEN op <> 'D' THEN after_id END AS data_id,
+      CASE WHEN op <> 'D' THEN after_balance END AS data_balance,
+      CASE WHEN op <> 'D' THEN after_note END AS data_note,
+      CASE WHEN op <> 'I' THEN before_id END AS old_id,
+      CASE WHEN op <> 'I' THEN before_balance END AS old_balance,
+      CASE WHEN op <> 'I' THEN before_note END AS old_note,
+      TRUE AS pk_is_key, TRUE AS java_types_ok
+    FROM env""",
+)
+def q_codec_canal_protobuf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy canal protocol — the Alibaba-Canal protobuf wire
+    (pkg/sink/codec/canal/canal_encoder.go + canal_entry.go over
+    proto/EntryProtocol.proto + proto/CanalProtocol.proto): Packet →
+    Messages → Entry{Header, ROWDATA, RowChange{RowData{Column}}} with
+    all values string-formatted, java.sql.Types sqlType per column, the
+    isKey/updated/isNull flag semantics and executeTime = commitTs>>18.
+    Verified by full binary encode→decode round trip; pk_is_key /
+    java_types_ok assert the wire flag and type-mapping invariants."""
+    from tiflow_spark.codecs.canal_proto import (
+        decode_canal_protobuf,
+        encode_canal_protobuf,
+    )
+
+    enc = encode_canal_protobuf(_env(spark, sf_dir))
+    return decode_canal_protobuf(
+        enc, extra_cols=("commit_ts", "seq")
+    ).withColumn("rows_count", F.col("rows_count").cast("int"))
+
+
+@register(
+    "codec_canal_protobuf_ddl",
+    f"""WITH {DDL_SQL_DUCKDB.lstrip()}
+    SELECT "schema", "table", commit_ts, seq,
+      {_SIMPLE_DDL_TYPE_CASE} AS event_type,
+      ({_SIMPLE_DDL_TYPE_CASE}) <> 'QUERY' AS is_ddl,
+      query AS sql, "schema" AS ddl_schema,
+      (commit_ts >> 18) AS execute_time
+    FROM ddl WHERE {_DDL_KEEP_SQL}""",
+)
+def q_codec_canal_protobuf_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canal-protobuf DDL packets (canal_encoder.go EncodeDDLEvent —
+    one packet per DDL; canal_entry.go fromDDLEvent: RowChange carries
+    sql + ddlSchemaName, isDdl per isCanalDDL which excludes QUERY;
+    convertDdlEventType shares canal-json's taxonomy). Note canal has NO
+    checkpoint frame at all (EncodeCheckpointEvent returns nil,
+    canal_encoder.go:41-45) — watermark coverage is canal-json-only by
+    protocol design."""
+    from tiflow_spark.codecs.canal_proto import (
+        decode_canal_protobuf_ddl,
+        encode_canal_protobuf_ddl,
+    )
+
+    enc = encode_canal_protobuf_ddl(_allowed_ddl(spark, sf_dir))
+    return decode_canal_protobuf_ddl(
+        enc, extra_cols=("schema", "table", "commit_ts", "seq")
+    )
