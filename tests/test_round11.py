@@ -630,3 +630,35 @@ def test_canal_proto_truncation_guards():
     bad_ver = cp._f_varint(2, 9) + cp._f_varint(3, 7) + cp._f_bytes(5, b"")
     with _pytest.raises(ValueError, match="packet version"):
         cp.decode_packet(bad_ver)
+
+
+def test_output_raw_change_event_knob(spark):
+    """output-raw-change-event (pkg/config/sink.go:453-463; model/
+    sink.go:1187-1196): raw mode ships identity-changing updates as
+    single U events with both images; split mode (default) explodes them
+    to D+I. Same column layout either way, and the raw stream's events
+    are exactly the split stream's with the D+I pairs re-fused."""
+    from tiflow_spark.operators.transforms import split_updates
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, "/root/testdata/sf0.001")
+    split = split_updates(env)
+    raw = split_updates(env, output_raw_change_event=True)
+    assert split.columns == raw.columns
+    n_idchange = env.filter(
+        "op = 'U' AND before.id IS NOT NULL AND after.id IS NOT NULL "
+        "AND before.id <> after.id"
+    ).count()
+    assert n_idchange > 0, "fixture has no identity-changing updates"
+    assert raw.count() == env.count()
+    assert split.count() == env.count() + n_idchange
+    # raw mode keeps the original ops untouched
+    assert raw.filter("op = 'U'").count() == env.filter("op = 'U'").count()
+    # non-identity-changing rows are identical in both modes
+    keep_split = {
+        r["seq"]: (r["op"], r["key"])
+        for r in split.collect()
+    }
+    for r in raw.collect():
+        if r["seq"] in keep_split and r["op"] != "U":
+            assert keep_split[r["seq"]] == (r["op"], r["key"])

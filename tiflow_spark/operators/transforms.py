@@ -145,7 +145,9 @@ def apply_column_mappings(env: DataFrame, cfg: TaskConfig) -> DataFrame:
     return out
 
 
-def split_updates(env: DataFrame) -> DataFrame:
+def split_updates(
+    env: DataFrame, output_raw_change_event: bool = False
+) -> DataFrame:
     """U events whose identity (handle key) changed → D(before) + I(after).
 
     Required before key-partitioned apply, else the old row leaks
@@ -153,7 +155,30 @@ def split_updates(env: DataFrame) -> DataFrame:
     sink.go:1187). Implemented as explode over a 1-or-2 element array —
     stays in whole-stage codegen, no shuffle. `seq` is sub-sequenced
     (2*seq, 2*seq+1) to keep deterministic total order.
+
+    ``output_raw_change_event`` is the Kafka/storage sink knob of the
+    same name (pkg/config/sink.go:453-463;
+    model/sink.go:1187-1196 TrySplitAndSortUpdateEvent): when true the
+    sink ships the ORIGINAL change events — identity-changing updates
+    stay single U events with both images — and downstream consumers own
+    the split. The seq sub-sequencing and key assignment still apply so
+    raw and split streams stay order-comparable.
     """
+    if output_raw_change_event:
+        other_cols = [
+            c for c in env.columns
+            if c not in ("op", "before", "after", "seq", "key")
+        ]
+        return env.select(
+            "op",
+            *other_cols,
+            (F.col("seq") * 2).alias("seq"),
+            F.coalesce(F.col("after.id"), F.col("before.id"))
+            .cast("string")
+            .alias("key"),
+            "before",
+            "after",
+        )
     identity_changed = (
         (F.col("op") == "U")
         & F.col("before").isNotNull()
