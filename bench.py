@@ -483,6 +483,7 @@ def section_r11ops(sf_dir: str) -> dict:
             "codec_simple_avro_ddl",
             "codec_canal_protobuf",
             "codec_canal_protobuf_ddl",
+            "dedup_paragraph_first_wins",
         ],
     )
     return {

@@ -662,3 +662,30 @@ def test_output_raw_change_event_knob(spark):
     for r in raw.collect():
         if r["seq"] in keep_split and r["op"] != "U":
             assert keep_split[r["seq"]] == (r["op"], r["key"])
+
+
+def test_paragraph_first_wins_semantics(spark):
+    """First-occurrence-wins at paragraph granularity: the (doc_id, pos)
+    minimum survives, later repeats are cut (including within one doc),
+    blank paragraphs always survive, fully-duplicated docs come back
+    empty."""
+    from tiflow_spark.llm.dedup import dedup_paragraphs_first_wins
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha"),      # self-repeat of alpha
+            (2, "beta\n\ngamma"),                # beta repeats doc1's
+            (3, "alpha\n\nbeta"),                # fully duplicated
+            (4, "\n\ndelta"),                    # leading blank survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs_first_wins(docs).collect()
+    }
+    assert out[1]["text"] == "alpha\n\nbeta" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "gamma" and out[2]["n_removed"] == 1
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["text"] == "\n\ndelta" and out[4]["n_removed"] == 0
+    assert out[4]["n_paragraphs"] == 2

@@ -1519,3 +1519,111 @@ stats AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
 SELECT s.doc_id, coalesce(r.text, '') AS text, s.n_tokens,
        CAST(s.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM stats s LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+# --------------------------------------------- paragraph first-wins dedup
+
+
+def dedup_paragraphs_first_wins(
+    docs: DataFrame, text_col: str = "text", sep: str = "\n\n"
+) -> DataFrame:
+    """Paragraph-level FIRST-OCCURRENCE-WINS dedup (the Dolma/BFF
+    paragraph mode: across the whole corpus each distinct paragraph
+    survives only at its first occurrence — ordered by (doc_id, pos) —
+    and every later repeat is cut, including repeats inside the same
+    document). Differs from remove_duplicate_lines (which drops ALL
+    occurrences of hot template lines): here the canonical first copy
+    is kept, so content is deduplicated, not censored. Blank paragraphs
+    (trimmed to '') are structural separators and always survive.
+
+    Returns (doc_id, text, n_paragraphs, n_removed); docs whose every
+    paragraph is a later-repeat come back with empty text for the
+    caller's quality gate.
+
+    Scale shape: one posexplode (map-only), ONE paragraph-keyed
+    min-aggregation shuffle (map-side combine on min(struct(doc_id,
+    pos)) — the BFF bloom filter's role, played exactly), one join of
+    the paragraphs against the firsts frame (keyed the same, no
+    fan-out: one row per distinct paragraph), one doc_id fold via
+    sort_array(collect_list) — no windows, no global sort, no driver
+    state. At 100 TB the bloom filter this emulates trades exactness
+    for memory; the exact form here is a standard shuffle that AQE
+    sizes, with the firsts frame bounded by distinct-paragraph count.
+    """
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("norm", F.trim(F.col("para")))
+    firsts = (
+        paras.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    kept = paras.join(firsts, "norm", "left").filter(
+        (F.col("norm") == "")
+        | (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    stats = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return stats.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        "n_paragraphs",
+        (F.col("n_paragraphs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .alias("n_removed"),
+    )
+
+
+def dedup_paragraphs_first_wins_sql(
+    corpus_cte: str = "corpus AS (SELECT doc_id, text FROM documents)",
+) -> str:
+    """DuckDB mirror of :func:`dedup_paragraphs_first_wins` over a CTE
+    named ``corpus`` providing (doc_id, text); separator chr(10)chr(10)."""
+    return f"""WITH {corpus_cte},
+    docs_p AS (
+      SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+      FROM corpus
+    ),
+    paras AS (
+      SELECT doc_id, CAST(generate_subscripts(ps, 1) AS BIGINT) AS pos,
+             unnest(ps) AS para
+      FROM docs_p
+    ),
+    firsts AS (
+      SELECT trim(para) AS norm,
+             min({{d: doc_id, p: pos}}) AS first
+      FROM paras WHERE trim(para) <> '' GROUP BY 1
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.para
+      FROM paras p LEFT JOIN firsts f ON trim(p.para) = f.norm
+      WHERE trim(p.para) = ''
+         OR (p.doc_id = f.first.d AND p.pos = f.first.p)
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    ),
+    stats AS (
+      SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_paragraphs FROM docs_p
+    )
+    SELECT s.doc_id, coalesce(r.text, '') AS text, s.n_paragraphs,
+           CAST(s.n_paragraphs - coalesce(r.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM stats s LEFT JOIN rebuilt r USING (doc_id)"""

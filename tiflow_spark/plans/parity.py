@@ -7510,3 +7510,60 @@ def q_codec_canal_protobuf_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_canal_protobuf_ddl(
         enc, extra_cols=("schema", "table", "commit_ts", "seq")
     )
+
+
+def _install_paragraph_dedup() -> None:
+    from tiflow_spark.llm.dedup import (
+        CORPUS_SQL,
+        dedup_paragraphs_first_wins_sql,
+    )
+
+    # paragraph fixture: a lead paragraph shared by every 4th doc + the
+    # corpus_with_dups body (exact clones => duplicate body paragraphs)
+    corpus_cte = (
+        CORPUS_SQL.replace("corpus AS (", "base AS (", 1).lstrip()
+        + """,
+    corpus AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 4 = 0 THEN 'Breaking: shared wire copy'
+              ELSE 'Doc ' || doc_id || ' lead' END)
+        || chr(10) || chr(10) || text AS text
+      FROM base
+    )"""
+    )
+    REGISTRY["dedup_paragraph_first_wins"] = (
+        q_dedup_paragraph_first_wins,
+        dedup_paragraphs_first_wins_sql(corpus_cte),
+    )
+
+
+@register("dedup_paragraph_first_wins", None)  # oracle installed below
+def q_dedup_paragraph_first_wins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Paragraph-level first-occurrence-wins dedup (Dolma/BFF paragraph
+    mode, exact form): across the corpus each distinct paragraph
+    survives only at its (doc_id, pos)-first occurrence — the planted
+    shared lead paragraph keeps one canonical copy, exact-clone doc
+    bodies are cut from the clones, blank separators survive
+    (llm/dedup.dedup_paragraphs_first_wins). Beyond-parity LLM operator."""
+    from tiflow_spark.llm.dedup import (
+        corpus_with_dups,
+        dedup_paragraphs_first_wins,
+    )
+
+    docs = corpus_with_dups(_docs(spark, sf_dir))
+    lead = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("Breaking: shared wire copy")
+    ).otherwise(
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                 F.lit(" lead"))
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.concat(lead, F.lit("\n\n"), F.col("text")).alias("text"),
+    )
+    return dedup_paragraphs_first_wins(fixture)
+
+
+_install_paragraph_dedup()
