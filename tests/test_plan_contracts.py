@@ -769,3 +769,32 @@ def test_top_ngrams_uses_take_ordered_not_global_sort(spark, sf_dir):
     plan = plan_of(top_ngrams(load_table(spark, sf_dir, "documents")))
     assert "TakeOrderedAndProject" in plan
     assert not re.findall(r"^\(\d+\) Sort", plan, flags=re.M)
+
+
+def test_paragraph_dedup_plan_is_window_free(spark, sf_dir):
+    """dedup_paragraph_first_wins: no Window (first-wins is a min-agg,
+    not a rank), no cartesian/nested-loop, and the paragraph key drives
+    a bounded number of shuffle exchanges (explode → min-agg → join →
+    doc fold; AQE may elide/reuse but never multiply them)."""
+    fn, _ = REGISTRY["dedup_paragraph_first_wins"]
+    p = plan_of(fn(spark, sf_dir))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert n_exchanges(p) <= 5, f"unexpected shuffle growth:\n{p[:2000]}"
+
+
+def test_new_codec_wires_are_single_python_stage(spark, sf_dir):
+    """The simple-avro and canal-protobuf encodes must each evaluate as
+    ONE ArrowEvalPython stage over a map-only plan — per-row Python cost
+    is bounded to a single Arrow-batched pass, never stacked evals."""
+    from tiflow_spark.codecs.canal_proto import encode_canal_protobuf
+    from tiflow_spark.codecs.simple_avro import encode_simple_avro
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, sf_dir)
+    for enc in (encode_simple_avro(env, with_checksum=True),
+                encode_canal_protobuf(env)):
+        p = plan_of(enc)
+        assert len(re.findall(r"^\(\d+\) ArrowEvalPython", p, flags=re.M)) == 1, p[:1500]
+        assert n_exchanges(p) == 0, p[:1500]
