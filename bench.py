@@ -528,9 +528,11 @@ def section_scaling(sf_dir: str) -> dict:
         # the Kafka-Connect schema-envelope string concat
         "codec_compress_roundtrip",
         "codec_debezium_schema_block",
-        # r11: the simple-avro binary wire is another pandas-UDF path —
-        # same per-row-Python tripwire rationale as the block codec
+        # r11: the simple-avro and canal-protobuf binary wires are the
+        # other pandas-UDF paths — same per-row-Python tripwire
+        # rationale as the block codec
         "codec_simple_avro_roundtrip",
+        "codec_canal_protobuf",
     ]
     from tiflow_spark.plans.parity import REGISTRY
 

@@ -381,7 +381,9 @@ def test_debezium_replay_matches_direct_apply(spark, sf_dir, work_dir):
     )
     d = dispatch(env, DEMO_CFG, num_partitions=8)
     msgs = encode_debezium(env).join(
-        d.select("commit_ts", "seq", "topic", "partition", "key"),
+        # encode now carries the debezium key envelope (EncodeKey);
+        # dispatch contributes only topic/partition placement
+        d.select("commit_ts", "seq", "topic", "partition"),
         ["commit_ts", "seq"],
     )
     produce_file_broker(msgs, f"{work_dir}/broker", batch_id=0)

@@ -98,7 +98,12 @@ def encode_debezium(
     envelope block after ``payload`` (the REFERENCE DEFAULT —
     DebeziumDisableSchema is false in common/config.go:133; our default
     keeps the original schema-less byte surface, matching
-    debezium-disable-schema deployments)."""
+    debezium-disable-schema deployments).
+
+    Output carries the debezium message KEY too (codec.go:937-969
+    EncodeKey): {"payload": {handle-key columns — before-image for
+    deletes}} plus the <cluster>.<db>.<table>.Key schema block when the
+    schema envelope is on."""
     op = (
         F.when(F.col("op") == "I", "c")
         .when(F.col("op") == "U", "u")
@@ -120,7 +125,21 @@ def encode_debezium(
         F.lit(0).cast("long").alias("ts_ms"),
     )
     payload_json = F.to_json(payload, {"ignoreNullFields": "false"})
+    # message KEY (codec.go:937-969 EncodeKey): handle-key columns of the
+    # row — before-image for deletes — as {"payload": {...}}, plus the
+    # <cluster>.<db>.<table>.Key schema block unless disable_schema
+    # (field order inside the block: type, name, optional, fields —
+    # EncodeKey's writer order, which differs from the Value block's
+    # type/optional/name)
+    handle_id = F.when(F.col("op") == "D", F.col("before.id")).otherwise(
+        F.col("after.id")
+    )
+    key_payload = F.to_json(
+        F.struct(handle_id.alias("id")), {"ignoreNullFields": "false"}
+    )
+    topic_name = F.concat(F.col("schema"), F.lit("."), F.col("table"))
     if disable_schema:
+        key = F.concat(F.lit('{"payload":'), key_payload, F.lit("}"))
         value = F.concat(
             F.lit('{"payload":'), payload_json, F.lit("}")
         )
@@ -135,13 +154,24 @@ def encode_debezium(
         prefix, middle, cluster = debezium_schema_block(
             payload_cols, pk_cols, cluster_id
         )
-        topic_name = F.concat(
-            F.col("schema"), F.lit("."), F.col("table")
-        )
         value_name = F.concat(
             F.lit(cluster + "."), topic_name, F.lit(".Value")
         )
         m1, m2, m3 = middle.split("%%NAME%%")
+        pk_fields_json = ",".join(
+            '{"type":"%s","optional":false,"field":"%s"}'
+            % (_DBZ_TYPES[t], n)
+            for n, t in payload_cols
+            if n in pk_cols
+        )
+        key = F.concat(
+            F.lit('{"payload":'),
+            key_payload,
+            F.lit(',"schema":{"type":"struct","name":"' + cluster_id + "."),
+            topic_name,
+            F.lit('.Key","optional":false,"fields":['
+                  + pk_fields_json + "]}}"),
+        )
         value = F.concat(
             F.lit('{"payload":'),
             payload_json,
@@ -160,6 +190,7 @@ def encode_debezium(
         "table",
         "commit_ts",
         "seq",
+        key.alias("key"),
         value.alias("value"),
     )
 
@@ -183,7 +214,15 @@ def debezium_sql_duckdb(
       op: CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
       ts_ms: 0::BIGINT
     }})"""
+    key_payload = """to_json({id:
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END})"""
+    pk_fields_json = ",".join(
+        '{"type":"%s","optional":false,"field":"%s"}' % (_DBZ_TYPES[t], n)
+        for n, t in payload_cols
+        if n in pk_cols
+    )
     if disable_schema:
+        key_sql = f"""'{{"payload":' || {key_payload} || '}}'"""
         value = f"""'{{"payload":' || {payload} || '}}'"""
     else:
         prefix, middle, cluster = debezium_schema_block(
@@ -192,13 +231,20 @@ def debezium_sql_duckdb(
         m1, m2, m3 = middle.split("%%NAME%%")
         topic = """\"schema\" || '.' || "table\""""
         vname = f"""'{cluster}.' || {topic} || '.Value'"""
+        key_sql = (
+            f"""'{{"payload":' || {key_payload} || """
+            f"""',"schema":{{"type":"struct","name":"{cluster_id}.' || """
+            f"""{topic} || '.Key","optional":false,"fields":["""
+            f"""{pk_fields_json}]}}}}'"""
+        )
         value = (
             f"""'{{"payload":' || {payload} || ',"schema":' || """
             f"""'{prefix}' || {topic} || '{m1}' || {vname} || """
             f"""'{m2}' || {vname} || '{m3}' || '}}'"""
         )
     return f"""{env_cte}
-    SELECT "schema", "table", commit_ts, seq, {value} AS value FROM env"""
+    SELECT "schema", "table", commit_ts, seq, {key_sql} AS key,
+      {value} AS value FROM env"""
 
 def decode_debezium(
     messages: DataFrame,
