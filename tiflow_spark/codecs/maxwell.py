@@ -125,10 +125,22 @@ def encode_maxwell_ddl(ddl: DataFrame) -> DataFrame:
         F.expr("commit_ts div 1000000").alias("ts"),
         F.col("query").alias("sql"),
     )
+    # DDL messages carry the internal.MessageKey envelope
+    # (maxwell_encoder.go:66-78 EncodeDDLEvent → MessageKey.Encode;
+    # message_key.go:24-36: ts/scm/tbl + t=2 MessageTypeDDL) — row
+    # messages ship an EMPTY key (the encoder discards
+    # rowChangeToMaxwellMsg's key and Build sends the untouched keyBuf).
+    key = F.struct(
+        F.col("commit_ts").alias("ts"),
+        F.col("schema").alias("scm"),
+        F.col("table").alias("tbl"),
+        F.lit(2).alias("t"),
+    )
     return ddl.select(
         "schema",
         "table",
         "commit_ts",
         "seq",
+        F.to_json(key).alias("key"),
         F.to_json(msg, {"ignoreNullFields": "false"}).alias("value"),
     )

@@ -4663,7 +4663,9 @@ def q_codec_canal_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "codec_maxwell_ddl",
     f"""WITH {DDL_SQL_DUCKDB.lstrip()}
-    SELECT "schema", "table", commit_ts, seq, to_json({{
+    SELECT "schema", "table", commit_ts, seq,
+    to_json({{ts: commit_ts, scm: "schema", tbl: "table", t: 2}}) AS key,
+    to_json({{
       database: "schema",
       "table": "table",
       type: CASE WHEN ddl_type = 'create table' THEN 'table-create'

@@ -362,9 +362,8 @@ def _mq_encode_ddl(ddl: DataFrame, protocol: str) -> DataFrame:
     elif protocol == "maxwell":
         from tiflow_spark.codecs.maxwell import encode_maxwell_ddl
 
-        enc = encode_maxwell_ddl(ddl).withColumn(
-            "key", F.lit(None).cast("string")
-        )
+        # carries the internal.MessageKey envelope itself (r11)
+        enc = encode_maxwell_ddl(ddl)
     elif protocol == "open-protocol":
         from tiflow_spark.codecs.open_protocol import (
             encode_open_protocol_ddl,
