@@ -689,3 +689,51 @@ def test_paragraph_first_wins_semantics(spark):
     assert out[3]["text"] == "" and out[3]["n_removed"] == 2
     assert out[4]["text"] == "\n\ndelta" and out[4]["n_removed"] == 0
     assert out[4]["n_paragraphs"] == 2
+
+
+def test_simple_avro_dml_matches_json_marshaller(spark):
+    """Cross-marshaller equivalence on DML (marshaller.go:44-55: one
+    native message, two wire forms): decoding the avro wire recovers
+    exactly the images the JSON form carries for every event in the
+    fixture envelope — including the string-vs-typed value mapping."""
+    import json
+
+    from tiflow_spark.codecs.simple import encode_simple
+    from tiflow_spark.codecs.simple_avro import (
+        decode_simple_avro,
+        encode_simple_avro,
+    )
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, "/root/testdata/sf0.001")
+    jrows = {
+        r["seq"]: json.loads(r["value"])
+        for r in encode_simple(env).collect()
+    }
+    arows = {
+        r["seq"]: r
+        for r in decode_simple_avro(
+            encode_simple_avro(env), extra_cols=("seq",)
+        ).collect()
+    }
+    assert set(jrows) == set(arows) and jrows
+    for seq, jm in jrows.items():
+        am = arows[seq]
+        assert am["op"] == {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}[
+            jm["type"]
+        ]
+        assert am["commit_ts"] == jm["commitTs"]
+        assert am["database"] == jm["database"]
+        jd, jo = jm.get("data"), jm.get("old")
+        # JSON carries string-rendered values; avro carries typed ones
+        if jd is None:
+            assert am["data_id"] is None
+        else:
+            assert str(am["data_id"]) == jd["id"]
+            assert (jd["note"] is None) == (am["data_note"] is None)
+            if jd["note"] is not None:
+                assert am["data_note"] == jd["note"]
+        if jo is None:
+            assert am["old_id"] is None
+        else:
+            assert str(am["old_id"]) == jo["id"]
