@@ -6883,6 +6883,12 @@ def _replay_broker_dir(
             from tiflow_spark.codecs.avro import encode_avro
 
             enc = encode_avro(env)
+        elif protocol == "simple":
+            from tiflow_spark.codecs.simple import interleave_bootstrap
+
+            # bootstrap frames interleaved ahead of DML (the consumer's
+            # writer.go:389-415 schema-cache path exercises on these)
+            enc = interleave_bootstrap(env, msg_count=50, pk_cols=("id",))
         else:  # pragma: no cover - registry wiring error
             raise ValueError(protocol)
         d_cols = ["commit_ts", "seq", "topic", "partition"]
@@ -7569,3 +7575,21 @@ def q_dedup_paragraph_first_wins(
 
 
 _install_paragraph_dedup()
+
+
+@register("consumer_replay_simple", _REPLAY_FOLD_SQL)
+def q_consumer_replay_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-protocol consumer replay end-to-end — the SIXTH
+    kafka-consumer protocol branch (writer.go's simple path): envelope →
+    simple-encoded topic with count-triggered BOOTSTRAP schema frames
+    interleaved (bootstraper.go) → file broker → decode (bootstraps
+    consumed-and-dropped, the batch degenerate of the consumer's
+    schema-cache) → shared last-writer apply
+    (streaming/consumer.replay_simple_broker_to_state)."""
+    from tiflow_spark.streaming.consumer import (
+        replay_simple_broker_to_state,
+    )
+
+    return replay_simple_broker_to_state(
+        spark, _replay_broker_dir(spark, sf_dir, "simple")
+    )

@@ -495,3 +495,45 @@ def replay_storage_csv_to_state(
         .drop("_rn", "_top", "commit_ts")
     )
     return last.filter(F.col("_op_class") != "D").drop("_op_class")
+
+
+def replay_simple_broker_to_state(
+    spark: SparkSession,
+    broker_dir: str,
+    topic: str | None = None,
+) -> DataFrame:
+    """Simple-protocol consumer replay (cmd/kafka-consumer/writer.go's
+    simple branch): the stream interleaves BOOTSTRAP schema frames with
+    DML — the reference consumer caches row events until their table's
+    bootstrap arrives (writer.go:389-415) and never applies the
+    bootstrap itself ("no need to handle it", writer.go:396). In the
+    batch replay the decode schema is static, so the cache degenerates:
+    bootstrap frames are consumed and DROPPED while DML frames fold —
+    the same terminal state the caching consumer reaches. Identity and
+    order come from the message body (database/table/commitTs); values
+    are the protocol's string-rendered images, re-typed for the fold.
+
+    Output: (schema, table, key, id, balance, note) live rows.
+    Scale shape: one from_json map stage, one keyed fold shuffle;
+    broker scan prunes by topic."""
+    from tiflow_spark.codecs.simple import decode_simple
+    from tiflow_spark.sinks.mq import consume_file_broker
+
+    msgs = consume_file_broker(spark, broker_dir, topic)
+    dec = decode_simple(msgs, extra_cols=("offset",))
+    dml = dec.filter(F.col("op").isNotNull())  # bootstrap frames dropped
+    img = F.when(F.col("op") == "D", F.col("old_image")).otherwise(
+        F.col("image")
+    )
+    rows = dml.select(
+        "schema",
+        "table",
+        img["id"].alias("key"),
+        F.col("op").alias("_op_class"),
+        "commit_ts",
+        "offset",
+        img["id"].cast("long").alias("id"),
+        img["balance"].cast("double").alias("balance"),
+        img["note"].alias("note"),
+    )
+    return _last_writer_fold(rows)
