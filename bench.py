@@ -533,6 +533,11 @@ def section_scaling(sf_dir: str) -> dict:
         # rationale as the block codec
         "codec_simple_avro_roundtrip",
         "codec_canal_protobuf",
+        # r11 session 2: the two heaviest claim-check rows (CASE-projection
+        # encode + broadcast reassembly join + frame parse) — the most
+        # expensive registry entries of the round, slope-proven
+        "codec_open_claim_check",
+        "codec_claim_check_raw_value",
     ]
     from tiflow_spark.plans.parity import REGISTRY
 
