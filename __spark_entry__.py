@@ -41,16 +41,17 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # Alibaba-Canal protobuf wire, canal_encoder.go/canal_entry.go over
 # proto/EntryProtocol.proto; dedup_paragraph_first_wins — the Dolma/BFF
 # paragraph-mode first-occurrence-wins dedup; consumer_replay_simple —
-# the sixth kafka-consumer protocol branch e2e), then the two
-# PLAN-CHANGED re-checks
+# the sixth kafka-consumer protocol branch e2e;
+# codec_avro_handling_modes — the avro decimal/unsigned-bigint handling
+# knobs, avro.go:698-731/820-876), then the two PLAN-CHANGED re-checks
 # (corpus_select_budget — r10 eager window-free snapshot rewrite;
 # dedup_span_remove_minlen — r10 linear run-merge rewrite + r11's
 # when/otherwise run-start guard from ADVICE r10; both verified
 # output-identical against their DuckDB oracles at sf0.001 + sf0.01 under a
-# vanilla driver-style session this round), then 30 of the 47 queries whose
-# latest driver check was round 7 (name order). The seventeen r7 names
-# that miss the cap (dedup_minhash_capped, filter_helper,
-# handle_error_dlq, join_asof, join_range, mm_decode_real,
+# vanilla driver-style session this round), then 29 of the 47 queries whose
+# latest driver check was round 7 (name order). The eighteen r7 names
+# that miss the cap (dedup_keep_best, dedup_minhash_capped,
+# filter_helper, handle_error_dlq, join_asof, join_range, mm_decode_real,
 # mm_frame_sample, mq_consumer_flush, precheck_structure, sample_dsir,
 # sample_unimax, shardddl_enforce, snapshot_load_resume,
 # text_gopher_rules, text_top_ngrams, validate_binsearch,
@@ -79,6 +80,7 @@ _PRIORITY = [
     "codec_canal_protobuf_ddl",
     "dedup_paragraph_first_wins",
     "consumer_replay_simple",
+    "codec_avro_handling_modes",
     "corpus_select_budget",
     "dedup_span_remove_minlen",
     # latest-checked round 7 — first 37 in name order (VERDICT r10 #2)
@@ -111,7 +113,6 @@ _PRIORITY = [
     "data_split",
     "dedup_groups",
     "dedup_index_compact",
-    "dedup_keep_best",
 ]
 
 

@@ -484,6 +484,7 @@ def section_r11ops(sf_dir: str) -> dict:
             "codec_canal_protobuf",
             "codec_canal_protobuf_ddl",
             "dedup_paragraph_first_wins",
+            "codec_avro_handling_modes",
         ],
     )
     return {

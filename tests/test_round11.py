@@ -737,3 +737,21 @@ def test_simple_avro_dml_matches_json_marshaller(spark):
             assert am["old_id"] is None
         else:
             assert str(am["old_id"]) == jo["id"]
+
+
+def test_avro_decimal_twos_complement_sign_extension():
+    """decimal-handling-mode=precise: minimal two's-complement bytes
+    round-trip across sign/byte boundaries, and the wire length is
+    minimal (no redundant sign bytes)."""
+    from tiflow_spark.codecs.avro import (
+        _dec_twos_complement,
+        _read_twos_complement,
+    )
+
+    for n in (0, 1, -1, 127, 128, -128, -129, 255, 256, 2500,
+              -1234502500, 2**40, -(2**40), 2**62, -(2**62)):
+        raw = _dec_twos_complement(n)
+        assert _read_twos_complement(raw) == n
+        if n not in (0,):
+            # minimality: dropping the leading byte must change the value
+            assert len(raw) == 1 or _read_twos_complement(raw[1:]) != n

@@ -730,3 +730,135 @@ def decode_avro_watermark_events(
         ),
         F.when(tag == "01", ddl).alias("ddl"),
     )
+
+
+# ------------------------------- decimal / unsigned-bigint handling modes
+
+
+def _dec_twos_complement(unscaled: int) -> bytes:
+    """Avro decimal logical type body: minimal two's-complement
+    big-endian of the unscaled integer (what goavro/big.Rat ship for
+    decimalHandlingMode=precise, avro.go:698-718/865-874)."""
+    if unscaled == 0:
+        return b"\x00"
+    # minimal signed length (java BigInteger.toByteArray): negatives use
+    # (n+1).bit_length() so -2^(8k-1) lands in k bytes, not k+1
+    if unscaled < 0:
+        length = (unscaled + 1).bit_length() // 8 + 1
+    else:
+        length = unscaled.bit_length() // 8 + 1
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _read_twos_complement(raw: bytes) -> int:
+    return int.from_bytes(raw, "big", signed=True)
+
+
+def encode_avro_handling_modes(
+    rows: DataFrame,
+    decimal_mode: str = "precise",
+    unsigned_mode: str = "long",
+    scale: int = 4,
+) -> DataFrame:
+    """The avro codec's two type-handling knobs (common/config.go:55-56;
+    avro.go:698-731 schema gen, :820-876 value encode):
+
+    - ``avro-decimal-handling-mode=precise`` → Avro ``bytes`` with the
+      decimal logical type: two's-complement big-endian unscaled int at
+      the column scale; ``string`` → the decimal's text form.
+    - ``avro-bigint-unsigned-handling-mode=long`` → int64-reinterpreted
+      uint64 (values >= 2^63 wrap negative — the documented caveat);
+      ``string`` → full-precision decimal text.
+
+    Input rows: (id BIGINT, dec_unscaled BIGINT, dec_str STRING,
+    u64_offset BIGINT — the uint64 is 2^63 + u64_offset). Output
+    (id, value BINARY): body = id long + mode-dependent dec + mode-
+    dependent u64, Confluent-framed like the main codec."""
+
+    @pandas_udf(T.BinaryType())
+    def enc(
+        i: pd.Series, unsc: pd.Series, dstr: pd.Series, uoff: pd.Series
+    ) -> pd.Series:
+        out = []
+        for k in range(len(i)):
+            body = _zigzag(int(i.iloc[k]))
+            if decimal_mode == "precise":
+                raw = _dec_twos_complement(int(unsc.iloc[k]))
+                body += _zigzag(len(raw)) + raw
+            else:  # string
+                body += _enc_string(dstr.iloc[k])
+            u64 = (1 << 63) + int(uoff.iloc[k])
+            if unsigned_mode == "long":
+                body += _zigzag(u64 - (1 << 64) if u64 >= (1 << 63) else u64)
+            else:  # string
+                body += _enc_string(str(u64))
+            out.append(MAGIC + struct.pack(">I", 7) + body)
+        return pd.Series(out, dtype=object)
+
+    return rows.select(
+        "id",
+        enc(
+            F.col("id"), F.col("dec_unscaled"), F.col("dec_str"),
+            F.col("u64_offset"),
+        ).alias("value"),
+    )
+
+
+def decode_avro_handling_modes(
+    messages: DataFrame,
+    decimal_mode: str = "precise",
+    unsigned_mode: str = "long",
+    scale: int = 4,
+    value_col: str = "value",
+) -> DataFrame:
+    """Consumer-side decode of both handling modes; precise decimals come
+    back as (unscaled BIGINT, scale) — the lossless pair — plus the
+    reconstructed text; long-mode uint64 as the reinterpreted int64."""
+    out_t = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dec_unscaled", T.LongType()),
+            T.StructField("dec_scale", T.IntegerType()),
+            T.StructField("dec_str", T.StringType()),
+            T.StructField("u64_long", T.LongType()),
+            T.StructField("u64_str", T.StringType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def dec(value: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in value:
+            buf = io.BytesIO(bytes(v)[5:])
+            rid = _read_zigzag(buf)
+            if decimal_mode == "precise":
+                unsc = _read_twos_complement(buf.read(_read_zigzag(buf)))
+                neg = unsc < 0
+                a = abs(unsc)
+                txt = f"{a // 10**scale}.{a % 10**scale:0{scale}d}"
+                dstr = ("-" if neg else "") + txt
+            else:
+                dstr = buf.read(_read_zigzag(buf)).decode("utf-8")
+                sgn = -1 if dstr.startswith("-") else 1
+                ip, fp = dstr.lstrip("-").split(".")
+                unsc = sgn * (int(ip) * 10**scale + int(fp.ljust(scale, "0")))
+            if unsigned_mode == "long":
+                u_long = _read_zigzag(buf)
+                u_str = str(u_long + (1 << 64) if u_long < 0 else u_long)
+            else:
+                u_str = buf.read(_read_zigzag(buf)).decode("utf-8")
+                u = int(u_str)
+                u_long = u - (1 << 64) if u >= (1 << 63) else u
+            rows.append(
+                {
+                    "id": rid,
+                    "dec_unscaled": unsc,
+                    "dec_scale": scale,
+                    "dec_str": dstr,
+                    "u64_long": u_long,
+                    "u64_str": u_str,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return messages.withColumn("_d", dec(F.col(value_col))).select("_d.*")

@@ -7593,3 +7593,67 @@ def q_consumer_replay_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_simple_broker_to_state(
         spark, _replay_broker_dir(spark, sf_dir, "simple")
     )
+
+
+@register(
+    "codec_avro_handling_modes",
+    f"""{ENV_CTE},
+    base AS (SELECT coalesce(after_id, before_id) AS id FROM env),
+    vals AS (SELECT id, id % 100000 AS m, (id % 2 = 1) AS neg FROM base),
+    calc AS (
+      SELECT id,
+        CAST(CASE WHEN neg THEN -(m * 10000 + 2500)
+             ELSE m * 10000 + 2500 END AS BIGINT) AS dec_unscaled,
+        4 AS dec_scale,
+        (CASE WHEN neg THEN '-' ELSE '' END) || m || '.2500' AS dec_str,
+        CAST(id::HUGEINT - 9223372036854775808::HUGEINT AS BIGINT)
+          AS u64_long,
+        CAST(9223372036854775808::HUGEINT + id AS VARCHAR) AS u64_str
+      FROM vals
+    )
+    SELECT 'precise_long' AS modes, * FROM calc
+    UNION ALL
+    SELECT 'string_string', * FROM calc""",
+)
+def q_codec_avro_handling_modes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The avro codec's type-handling knobs (common/config.go:55-56,
+    avro.go:698-731/820-876): decimal-handling-mode=precise ships the
+    Avro decimal logical type (two's-complement big-endian unscaled
+    bytes at column scale — negative unscaled values exercise the sign
+    extension) vs =string the text form;
+    bigint-unsigned-handling-mode=long reinterprets uint64 as int64
+    (>= 2^63 wraps negative, the documented caveat) vs =string full
+    digits. Both mode pairs encode→decode to the SAME lossless view."""
+    from tiflow_spark.codecs.avro import (
+        decode_avro_handling_modes,
+        encode_avro_handling_modes,
+    )
+
+    env = _env(spark, sf_dir)
+    rid = F.coalesce(F.col("after.id"), F.col("before.id"))
+    m = rid % 100000
+    neg = rid % 2 == 1
+    unscaled = F.when(neg, -(m * 10000 + 2500)).otherwise(m * 10000 + 2500)
+    dec_str = F.concat(
+        F.when(neg, F.lit("-")).otherwise(F.lit("")),
+        m.cast("string"),
+        F.lit(".2500"),
+    )
+    rows = env.select(
+        rid.alias("id"),
+        unscaled.cast("long").alias("dec_unscaled"),
+        dec_str.alias("dec_str"),
+        rid.alias("u64_offset"),
+    )
+    out = None
+    for dm, um, tag in (
+        ("precise", "long", "precise_long"),
+        ("string", "string", "string_string"),
+    ):
+        dec = decode_avro_handling_modes(
+            encode_avro_handling_modes(rows, dm, um), dm, um
+        ).withColumn("modes", F.lit(tag))
+        out = dec if out is None else out.unionByName(dec)
+    return out
