@@ -40,13 +40,30 @@ _MYSQL_TYPES = {
 }
 
 
-def _mysql_type_of(f: T.StructField) -> str:
+def _mysql_type_of(f: T.StructField, full: bool = False) -> str:
     """MySQL display type for a field — honors types.py ColumnSpec metadata
     (enum/set value lists, unsigned flag, binary flag) the way the
     reference renders mysqlType from TableInfo
-    (canal_json_message.go getMySQLType)."""
+    (canal_json_message.go getMySQLType). ``full=True`` renders the FULL
+    type descriptor (``int(11) unsigned`` style) — the
+    ``content-compatible`` branch of utils/mysql_types.go:25-33
+    GetMySQLType → GetTypeDesc."""
     meta = f.metadata or {}
     mt = meta.get("mysqlType")
+    if full:
+        from tiflow_spark.types import mysql_full_type
+
+        if not mt:
+            # metadata-less fixture columns: derive the base identity
+            # from the Spark type (same fallback as the short form)
+            if isinstance(f.dataType, T.BinaryType):
+                mt = "blob"
+            elif isinstance(f.dataType, T.DecimalType):
+                mt = "decimal"
+            else:
+                mt = _MYSQL_TYPES[f.dataType].split("(")[0]
+            meta = {**meta, "mysqlType": mt}
+        return mysql_full_type(meta)
     if mt in ("enum", "set") and meta.get("values"):
         vals = ",".join(f"'{v}'" for v in meta["values"])
         return f"{mt}({vals})"
@@ -59,16 +76,60 @@ def _mysql_type_of(f: T.StructField) -> str:
     return _MYSQL_TYPES[f.dataType]
 
 
+# base mysql type name → java.sql.Types code, the reference's
+# MySQLType2JavaType switch (pkg/sink/codec/internal/java.go:68-140):
+# TINYINT -6, SMALLINT 5, INTEGER 4, REAL 7, DOUBLE 8, DECIMAL 3,
+# TIMESTAMP 93, BIGINT -5, DATE 91, TIME 92, VARCHAR 12, BIT -7,
+# CHAR 1, CLOB 2005, BLOB 2004; enum → INTEGER, set → BIT,
+# year/json/vector → VARCHAR
+_JAVA_BY_MYSQL = {
+    "tinyint": -6,
+    "smallint": 5,
+    "mediumint": 4,
+    "int": 4,
+    "bigint": -5,
+    "float": 7,
+    "double": 8,
+    "decimal": 3,
+    "timestamp": 93,
+    "datetime": 93,
+    "date": 91,
+    "time": 92,
+    "year": 12,
+    "enum": 4,
+    "set": -7,
+    "bit": -7,
+    "json": 12,
+    "vector": 12,
+    "char": 1,
+    "varchar": 12,
+    "text": 2005,
+    "tinytext": 2005,
+    "mediumtext": 2005,
+    "longtext": 2005,
+    "blob": 2004,
+    "tinyblob": 2004,
+    "mediumblob": 2004,
+    "longblob": 2004,
+    "binary": 2004,
+    "varbinary": 2004,
+}
+
+
 def _java_sql_type_of(f: T.StructField) -> int:
-    """java.sql.Types code per column (reference JavaSQLType mapping):
-    enum/set/bit → INTEGER/BIT, unsigned-overflow decimals → DECIMAL(3),
-    binary → BLOB(2004)."""
+    """java.sql.Types code per column (internal/java.go MySQLType2JavaType):
+    per-base-type codes with the binary-charset promotion to BLOB(2004)
+    for the string/blob families, unsigned-overflow decimals → DECIMAL(3)."""
     meta = f.metadata or {}
     mt = meta.get("mysqlType")
-    if mt in ("enum", "set"):
-        return 4  # Types.INTEGER — canal carries the numeric value
-    if mt == "bit":
-        return -7  # Types.BIT
+    if mt:
+        if meta.get("binary") and mt in (
+            "char", "varchar", "text", "tinytext", "mediumtext", "longtext"
+        ):
+            return 2004  # binary charset → Types.BLOB (java.go isBinary)
+        if mt == "bigint" and meta.get("unsigned"):
+            return 3  # unsigned-overflow widening rides DECIMAL
+        return _JAVA_BY_MYSQL[mt]
     if isinstance(f.dataType, T.DecimalType):
         return 3  # Types.DECIMAL
     if isinstance(f.dataType, T.BinaryType):
@@ -119,12 +180,21 @@ def encode_canal_json(
     extra_cols: tuple[str, ...] = (),
     only_output_updated_columns: bool = False,
     delete_only_handle_key: bool = False,
+    content_compatible: bool = False,
 ) -> DataFrame:
     """``only_output_updated_columns`` trims UPDATE old-images to the
     actually-changed columns; ``delete_only_handle_key`` trims DELETE
     data-images to the handle-key columns
     (common/config.go:45-46,78 — both default-off, default output
-    byte-identical to round-1's)."""
+    byte-identical to round-1's). ``content_compatible`` is the
+    official-Canal compatibility mode (common/config.go:270-275):
+    mysqlType renders the FULL type descriptor
+    (``int(11) unsigned``-style, GetMySQLType fullType=true →
+    GetTypeDesc) and only-output-updated-columns is FORCED on — the
+    reference sets ``c.OnlyOutputUpdatedColumns = true`` whenever
+    content-compatible is requested."""
+    if content_compatible:
+        only_output_updated_columns = True  # config.go:272-274
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
     sql_type = F.create_map(
         *[
@@ -137,7 +207,10 @@ def encode_canal_json(
         *[
             c
             for f in fields
-            for c in (F.lit(f.name), F.lit(_mysql_type_of(f)))
+            for c in (
+                F.lit(f.name),
+                F.lit(_mysql_type_of(f, full=content_compatible)),
+            )
         ]
     )
     event_type = (

@@ -42,6 +42,49 @@ class CsvConfig:
     # binary columns ride as text: 'base64' | 'hex'
     # (csv_message.go:331-343, config.BinaryEncodingMethod)
     binary_encoding_method: str = "base64"
+    # emit the ticdc-meta$* + column-name header as the first line of
+    # each data file; the decoder validates and skips it
+    # (csv_encoder.go:40 setHeader, csv_message.go:495 encodeHeader,
+    # csv_decoder.go:63-80; config.go:93,239 csv.output-field-header)
+    output_field_header: bool = False
+
+
+def csv_header_line(payload_names: list[str], cfg: CsvConfig) -> str:
+    """The header line encodeHeader (csv_message.go:494-520) writes:
+    ``ticdc-meta$operation, ticdc-meta$table, ticdc-meta$schema``, then
+    ``ticdc-meta$commit-ts`` iff IncludeCommitTs and
+    ``ticdc-meta$is-update`` iff OutputOldValue, then the column names —
+    raw (never quoted), delimiter-joined. The reference writes NO header
+    entry for the OutputHandleKey meta column (encodeHeader has no
+    branch for it) — mirrored."""
+    names = ["ticdc-meta$operation", "ticdc-meta$table", "ticdc-meta$schema"]
+    if cfg.include_commit_ts:
+        names.append("ticdc-meta$commit-ts")
+    if cfg.output_old_value:
+        names.append("ticdc-meta$is-update")
+    return cfg.delimiter.join([*names, *payload_names])
+
+
+def with_csv_headers(
+    lines: DataFrame,
+    payload_names: list[str],
+    cfg: CsvConfig,
+    group_cols: tuple[str, ...] = ("table", "schema"),
+) -> DataFrame:
+    """Union one header row per distinct ``group_cols`` group into an
+    :func:`encode_csv` line stream (header carries commit_ts = seq = -1
+    so any (commit_ts, seq) sort places it first in its file — the
+    file-writer contract csv_encoder.go:40 keeps by emitting the header
+    before the first appended row). The distinct is metadata-scale (one
+    row per table/date group)."""
+    header = csv_header_line(payload_names, cfg)
+    hdr = lines.select(*group_cols).distinct().select(
+        *group_cols,
+        F.lit(-1).cast("long").alias("commit_ts"),
+        F.lit(-1).cast("long").alias("seq"),
+        F.lit(header).alias("line"),
+    )
+    return lines.unionByName(hdr)
 
 
 def _fmt_string(c: Column, cfg: CsvConfig) -> Column:
@@ -177,6 +220,27 @@ def decode_csv(
         "escape": cfg.quote or "\\",
         "nullValue": cfg.null_string,
     }
+    if cfg.output_field_header:
+        # csv_decoder.go:63-80: ReadColumns consumes the header and
+        # PANICS on a column-name mismatch against the table schema —
+        # here: any header-shaped line must equal the expected header
+        # byte-for-byte (assert folded into the filter so pruning can't
+        # drop it), then header lines leave the stream before parsing
+        expected = csv_header_line(
+            [f.name for f in payload_schema.fields], cfg
+        )
+        is_header = F.col(line_col).startswith("ticdc-meta$operation")
+        header_ok = F.coalesce(
+            F.assert_true(
+                ~is_header | (F.col(line_col) == F.lit(expected)),
+                F.concat(
+                    F.lit("csv decoder: header mismatch: "),
+                    F.col(line_col),
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+        lines = lines.filter(header_ok & ~is_header)
     parsed = lines.select(
         *keep_cols,
         F.from_csv(F.col(line_col), full.simpleString(), opts).alias("r"),

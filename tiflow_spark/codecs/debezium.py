@@ -93,12 +93,20 @@ def encode_debezium(
     disable_schema: bool = True,
     pk_cols: tuple[str, ...] = ("id",),
     cluster_id: str = "tiflow-spark",
+    output_old_value: bool = True,
 ) -> DataFrame:
     """``disable_schema=False`` appends the Kafka-Connect ``schema``
     envelope block after ``payload`` (the REFERENCE DEFAULT —
     DebeziumDisableSchema is false in common/config.go:133; our default
     keeps the original schema-less byte surface, matching
     debezium-disable-schema deployments).
+
+    ``output_old_value=False`` is ``debezium.output-old-value=false``
+    (common/config.go:91,131,253): an UPDATE's ``before`` block is
+    OMITTED from the payload entirely — codec.go:1039 only writes the
+    before field values when DebeziumOutputOldValue is set; inserts
+    still carry an explicit null before and deletes still carry the
+    pre-image (those branches are not gated).
 
     Output carries the debezium message KEY too (codec.go:937-969
     EncodeKey): {"payload": {handle-key columns — before-image for
@@ -125,6 +133,18 @@ def encode_debezium(
         F.lit(0).cast("long").alias("ts_ms"),
     )
     payload_json = F.to_json(payload, {"ignoreNullFields": "false"})
+    if not output_old_value:
+        # same struct minus `before` — field omission, not null
+        payload_no_before = F.struct(
+            F.col("after").alias("after"),
+            source.alias("source"),
+            op.alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        )
+        payload_json = F.when(
+            F.col("op") == "U",
+            F.to_json(payload_no_before, {"ignoreNullFields": "false"}),
+        ).otherwise(payload_json)
     # message KEY (codec.go:937-969 EncodeKey): handle-key columns of the
     # row — before-image for deletes — as {"payload": {...}}, plus the
     # <cluster>.<db>.<table>.Key schema block unless disable_schema
@@ -201,19 +221,29 @@ def debezium_sql_duckdb(
     disable_schema: bool = True,
     pk_cols: tuple[str, ...] = ("id",),
     cluster_id: str = "tiflow-spark",
+    output_old_value: bool = True,
 ) -> str:
     def img(prefix: str) -> str:
         fields = ", ".join(f"{n}: {prefix}_{n}" for n, _ in payload_cols)
         return f"CASE WHEN {prefix}_id IS NOT NULL THEN {{{fields}}} END"
 
+    source = """source: {connector: 'TiCDC', version: '2.4.0.Final',
+                db: "schema",
+                "table": "table", commitTs: commit_ts,
+                ts_ms: commit_ts // 1000},
+      op: CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
+      ts_ms: 0::BIGINT"""
     payload = f"""to_json({{
       before: {img("before")},
       after: {img("after")},
-      source: {{connector: 'TiCDC', version: '2.4.0.Final', db: "schema",
-                "table": "table", commitTs: commit_ts, ts_ms: commit_ts // 1000}},
-      op: CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
-      ts_ms: 0::BIGINT
+      {source}
     }})"""
+    if not output_old_value:
+        # debezium.output-old-value=false: updates DROP the before key
+        payload = f"""CASE WHEN op = 'U' THEN to_json({{
+      after: {img("after")},
+      {source}
+    }}) ELSE {payload} END"""
     key_payload = """to_json({id:
       CASE WHEN op = 'D' THEN before_id ELSE after_id END})"""
     pk_fields_json = ",".join(

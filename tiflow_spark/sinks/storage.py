@@ -97,16 +97,40 @@ def write_storage_sink(
             "(csv | canal-json)"
         )
     encoded = _with_date(enc, cfg)
+    header_mode = cfg.protocol == "csv" and cfg.csv.output_field_header
+    if header_mode:
+        # csv.output-field-header: one header line per data file
+        # (csv_encoder.go:40 emits it before the batch's first row). The
+        # header rides as a commit_ts/seq = -1 row per (schema, table,
+        # date) group so the executor-side sort places it first — no
+        # driver-side file rewriting. Rotation is disabled in this mode
+        # (one file per group = one header per file, the reference's
+        # batch-per-file shape); the distinct is metadata-scale.
+        from tiflow_spark.codecs.csv_codec import with_csv_headers
+
+        payload_names = [
+            f.name
+            for f in renamed.schema["after"].dataType.fields  # type: ignore[union-attr]
+        ]
+        encoded = with_csv_headers(
+            encoded, payload_names, cfg.csv,
+            group_cols=("table", "schema", "date"),
+        )
     staging = os.path.join(base_dir, "_staging")
-    (
+    # sort key leads with the partition columns: the dynamic-partition
+    # file writer requires an ordering on them and would otherwise insert
+    # its OWN (unstable) sort, destroying the (commit_ts, seq) file order
+    # the header row and ts-ordered file contract depend on
+    writer = (
         encoded.repartition("schema", "table", "date")
-        .sortWithinPartitions("commit_ts", "seq")
+        .sortWithinPartitions("schema", "table", "date", "commit_ts", "seq")
         .select("schema", "table", "date", "line")
         .write.partitionBy("schema", "table", "date")
-        .option("maxRecordsPerFile", cfg.max_records_per_file)
         .mode("overwrite")
-        .text(staging)
     )
+    if not header_mode:
+        writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+    writer.text(staging)
     written: list[str] = []
     ext = "json" if cfg.protocol == "canal-json" else "csv"
     for part_dir in sorted(glob.glob(f"{staging}/schema=*/table=*/date=*")):

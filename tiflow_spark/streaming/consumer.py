@@ -415,6 +415,7 @@ def replay_storage_csv_to_state(
     spark: SparkSession,
     base_dir: str,
     payload_types: dict[str, str],
+    cfg=None,
 ) -> DataFrame:
     """Storage-sink CSV consumer replay (cmd/storage-consumer's csv
     decoder, storage_consumer.go's readFromDownloadedStorage →
@@ -450,7 +451,9 @@ def replay_storage_csv_to_state(
     payload = T.StructType(
         [T.StructField(c, _t[t]) for c, t in payload_types.items()]
     )
-    dec = read_storage_sink(spark, base_dir, payload, StorageSinkConfig())
+    dec = read_storage_sink(
+        spark, base_dir, payload, cfg or StorageSinkConfig()
+    )
     first = next(iter(payload_types))
     rows = dec.select(
         "schema",

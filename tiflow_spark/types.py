@@ -54,7 +54,83 @@ MYSQL_TO_SPARK: dict[str, T.DataType] = {
     "varbinary": T.BinaryType(),
     "binary": T.BinaryType(),
     "vector": T.ArrayType(T.FloatType()),  # TiDBVectorFloat32 (mounter.go:832)
+    "mediumint": T.LongType(),
+    "year": T.LongType(),
+    "tinytext": T.StringType(),
+    "mediumtext": T.StringType(),
+    "longtext": T.StringType(),
+    "tinyblob": T.BinaryType(),
+    "mediumblob": T.BinaryType(),
+    "longblob": T.BinaryType(),
 }
+
+# display widths the DDL assigns when the column omits one:
+# (signed, unsigned) — pinned by the reference's full-type table
+# (pkg/sink/codec/canal/type_test.go: int(11)/int(10) unsigned, ...)
+_DEFAULT_INT_FLEN = {
+    "tinyint": (4, 3),
+    "smallint": (6, 5),
+    "mediumint": (9, 8),
+    "int": (11, 10),
+    "bigint": (20, 20),
+}
+
+
+def mysql_full_type(meta: dict) -> str:
+    """The FULL MySQL type descriptor for a column's metadata dict — the
+    reference's GetMySQLType(col, fullType=true) → ColumnInfo.GetTypeDesc()
+    path (pkg/sink/codec/utils/mysql_types.go:25-33; TiDB FieldType
+    CompactStr semantics), pinned against the full-type expectation table
+    in pkg/sink/codec/canal/type_test.go: ``int(11)``,
+    ``bigint(20) unsigned zerofill``, ``decimal(10,2)``,
+    ``enum('a','b','c')``, ``datetime(3)``, bare ``double`` unless an
+    explicit (M,D), bare text/blob names. Used by canal-json
+    ``content-compatible`` mode (common/config.go:270-275)."""
+    t = meta.get("mysqlType")
+    if t is None:
+        raise ValueError("full mysql type needs 'mysqlType' metadata")
+    unsigned = bool(meta.get("unsigned"))
+    zerofill = bool(meta.get("zerofill"))
+    flen = meta.get("flen")
+    dec = meta.get("decimal")
+    if t in ("char", "varchar") and meta.get("binary"):
+        # binary charset renders the binary name (TypeToStr, type_test.go
+        # binary(1) / varbinary(23) rows)
+        t = {"char": "binary", "varchar": "varbinary"}[t]
+    if t in ("enum", "set"):
+        vals = ",".join(f"'{v}'" for v in meta.get("values", ()))
+        desc = f"{t}({vals})"
+    elif t in _DEFAULT_INT_FLEN:
+        if flen is None:
+            flen = _DEFAULT_INT_FLEN[t][1 if unsigned else 0]
+        desc = f"{t}({flen})"
+    elif t == "bit":
+        desc = f"bit({flen if flen is not None else 1})"
+    elif t == "year":
+        desc = f"year({flen if flen is not None else 4})"
+    elif t == "decimal":
+        desc = (
+            f"decimal({flen if flen is not None else 10},"
+            f"{dec if dec is not None else 0})"
+        )
+    elif t in ("float", "double"):
+        # suffix only with an explicit (M,D) — CompactStr hides defaults
+        desc = f"{t}({flen},{dec})" if dec is not None else t
+    elif t in ("char", "binary"):
+        desc = f"{t}({flen if flen is not None else 1})"
+    elif t in ("varchar", "varbinary"):
+        if flen is None:
+            raise ValueError(f"{t} needs 'flen' metadata for its full type")
+        desc = f"{t}({flen})"
+    elif t in ("datetime", "timestamp", "time"):
+        desc = f"{t}({dec})" if dec else t
+    else:  # text/blob families, date, json, vector
+        desc = t
+    if unsigned and t not in ("bit", "year"):
+        desc += " unsigned"
+    if zerofill and t != "year":
+        desc += " zerofill"
+    return desc
 
 
 @dataclass(frozen=True)
@@ -72,6 +148,11 @@ class ColumnSpec:
     primary_key: bool = False
     enum_values: tuple[str, ...] = ()  # enum/set name tables
     default: str | None = None
+    # display width / decimals / zerofill — the FieldType identity the
+    # full-type descriptor needs (mysql_full_type); None → DDL default
+    flen: int | None = None
+    decimal_digits: int | None = None
+    zerofill: bool = False
 
     def spark_type(self) -> T.DataType:
         if self.mysql_type == "bigint" and self.unsigned:
@@ -92,7 +173,18 @@ class ColumnSpec:
             meta["values"] = list(self.enum_values)
         if self.default is not None:
             meta["default"] = self.default
+        if self.flen is not None:
+            meta["flen"] = self.flen
+        if self.decimal_digits is not None:
+            meta["decimal"] = self.decimal_digits
+        if self.zerofill:
+            meta["zerofill"] = True
         return T.StructField(self.name, self.spark_type(), True, meta)
+
+    def full_type(self) -> str:
+        """Full descriptor (``int(11) unsigned`` style) — see
+        :func:`mysql_full_type`."""
+        return mysql_full_type(self.spark_field().metadata)
 
 
 def table_schema(specs: list[ColumnSpec]) -> T.StructType:
