@@ -539,6 +539,11 @@ def section_scaling(sf_dir: str) -> dict:
         # expensive registry entries of the round, slope-proven
         "codec_open_claim_check",
         "codec_claim_check_raw_value",
+        # r12 (VERDICT r11 #8): the remaining two claim-check quartet
+        # members — same envelope+external-payload rendering shape,
+        # completing the quartet's slope coverage
+        "codec_claim_check_canal_envelope",
+        "codec_simple_claim_check",
     ]
     from tiflow_spark.plans.parity import REGISTRY
 

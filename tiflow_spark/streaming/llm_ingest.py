@@ -170,23 +170,38 @@ def ingest_batch(
     # (indexed) doc can never be retroactively dropped, so a batch doc
     # loses every pairing with an index doc regardless of which side the
     # canonical id_a < id_b ordering put it on; within the batch the
-    # smaller id wins (the duplicate_groups min-id rep policy). The
-    # membership probes are id-equi joins where the pairs side is
-    # batch-scale — the index side is touched only on the paired ids.
-    idx_ids = idx_sh.select("doc_id")
-    lose_b = pairs.join(
-        idx_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "semi"
-    ).select(F.col("id_b").alias("doc_id"))
-    lose_a = pairs.join(
-        idx_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "semi"
-    ).select(F.col("id_a").alias("doc_id"))
-    in_batch = pairs.join(
-        idx_ids.withColumnRenamed("doc_id", "id_a"), "id_a", "left_anti"
-    ).join(
-        idx_ids.withColumnRenamed("doc_id", "id_b"), "id_b", "left_anti"
-    ).select(F.col("id_b").alias("doc_id"))
-    dropped = lose_b.unionByName(lose_a).unionByName(in_batch).distinct()
-    survivors = gated.join(dropped, "doc_id", "left_anti")
+    # smaller id wins (the duplicate_groups min-id rep policy). One
+    # membership probe decides the loser: every pair has >= 1 new side
+    # (old-vs-old pairs are never generated, and a crash-replayed batch
+    # excludes its own index dirs), so id_b ∈ index ⇒ id_a is the new
+    # side and loses; id_b ∉ index ⇒ id_b is new and loses — whether
+    # id_a is indexed (new-vs-old) or the smaller in-batch id
+    # (new-vs-new), id_b is the drop either way. r12 perf shape: pairs
+    # (the whole LSH+verify DAG) is persisted so it evaluates ONCE, the
+    # index id scan happens ONCE with a broadcast semi probe on the
+    # batch-scale paired ids (was: three separate probe joins, each
+    # re-deriving pairs), and survivors are persisted across the three
+    # state writes so the batch input is scanned once, not three times.
+    pairs = pairs.persist()
+    idx_hit_b = (
+        idx_sh.select("doc_id")
+        .join(
+            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "semi",
+        )
+        .select(F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_idx"))
+    )
+    dropped = (
+        pairs.join(idx_hit_b, "id_b", "left")
+        .select(
+            F.when(F.col("_b_idx"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    survivors = gated.join(dropped, "doc_id", "left_anti").persist()
     surv_ids = survivors.select("doc_id")
     _atomic_write(
         survivors, os.path.join(state_dir, "corpus", f"batch-{batch_id}")
@@ -199,6 +214,8 @@ def ingest_batch(
         new_banded.join(surv_ids, "doc_id", "semi"),
         os.path.join(state_dir, "index_banded", f"batch-{batch_id}"),
     )
+    pairs.unpersist()
+    survivors.unpersist()
     new_sh.unpersist()
     new_banded.unpersist()
 
