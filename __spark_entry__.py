@@ -38,18 +38,23 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # enable-tidb-extension=false bare-image avro wire, avro.go:187-189); the
 # open-protocol only-updated×old-value seam probed NO-GAP (the knob is a
 # structural no-op without old values, open_protocol_message.go:83-99 —
-# pinned in tests/test_round12.py). Then consumer_replay_storage_csv,
-# whose implementation CHANGED this round (now runs in
-# output-field-header mode against the unchanged fold oracle). The
-# remaining 26 slots go to the queries whose latest check was round 8,
-# in name order; the 21 r8 names that miss the cap (olap_small_qty_revenue,
+# pinned in tests/test_round12.py — plus sink_storage_crlf_roundtrip,
+# the sink-URI `terminator` knob at its CRLF reference default,
+# pkg/config/sink.go:783-785, and consumer_replay_canal_ext — the
+# extension-enabled canal consumer restoring the exact commit ts from
+# _tidb.commitTs, canal_json_decoder.go:248,265-267). Then
+# consumer_replay_storage_csv, whose implementation CHANGED this round
+# (now runs in output-field-header mode against the unchanged fold
+# oracle). The remaining 24 slots go to the queries whose latest check
+# was round 8, in name order; the 23 r8 names that miss the cap
+# (olap_shipping_priority, olap_sliding_rate, olap_small_qty_revenue,
 # olap_top_spenders, olap_top_supplier, olap_user_sessions,
 # olap_waiting_suppliers, pack_sequences, sample_ppl_buckets,
 # sample_stratified, sample_temperature, sim_ann_recall, sim_ann_sq,
 # sink_uri_route, snapshot_load_status, snapshot_merge_partial,
-# stream_delta_merge, text_contamination, text_normalize, text_pii_scrub,
-# text_rarity, text_repetition, validate_resume_report) lead the r13
-# rotation. Every deferred name is meanwhile covered by the
+# stream_delta_merge, text_contamination, text_normalize,
+# text_pii_scrub, text_rarity, text_repetition,
+# validate_resume_report) lead the r13 rotation. Every deferred name is meanwhile covered by the
 # sf0.001 oracle sweep on every pytest run (tests/test_parity.py) and the
 # opt-in sf0.1 full sweep. The remainder follows in registration order as
 # regression sentinels.
@@ -79,6 +84,8 @@ _PRIORITY = [
     "codec_debezium_old_value_off",
     "codec_canal_tidb_extension",
     "codec_avro_no_extension",
+    "sink_storage_crlf_roundtrip",
+    "consumer_replay_canal_ext",
     "consumer_replay_storage_csv",
     # latest-checked round 8 — first 26 in name order
     "cdc_apply",
@@ -105,8 +112,6 @@ _PRIORITY = [
     "olap_order_priority",
     "olap_pricing_summary",
     "olap_promo_revenue",
-    "olap_shipping_priority",
-    "olap_sliding_rate",
 ]
 
 

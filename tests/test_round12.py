@@ -360,3 +360,42 @@ def test_open_only_updated_noop_without_old_value(spark, sf_dir):
     assert sorted(r.value for r in a.collect()) == sorted(
         r.value for r in b.collect()
     )
+
+
+# --------------------------------------------------- terminator knob (r12)
+
+
+def test_storage_sink_crlf_terminator_bytes(spark, sf_dir, tmp_path):
+    """terminator="\\r\\n" (the reference default, pkg/config/sink.go:
+    783-785): the data files really separate records with CRLF on disk,
+    and the CRLF read path decodes to the same rows as the LF surface."""
+    from tiflow_spark.plans.parity import _env
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        read_storage_sink,
+        write_storage_sink,
+    )
+
+    env = _env(spark, sf_dir)
+    cfg = StorageSinkConfig(terminator="\r\n")
+    base = str(tmp_path / "crlf")
+    files = write_storage_sink(env, base, cfg)
+    assert files
+    raw = open(os.path.join(base, files[0]), "rb").read()
+    assert b"\r\n" in raw
+    assert raw.count(b"\n") == raw.count(b"\r\n")  # no bare-LF records
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("balance", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    dec = read_storage_sink(spark, base, payload, cfg)
+    base2 = str(tmp_path / "lf")
+    write_storage_sink(env, base2, StorageSinkConfig())
+    dec2 = read_storage_sink(spark, base2, payload, StorageSinkConfig())
+    cols = ["op", "table", "schema", "commit_ts", "id", "balance", "note"]
+    assert sorted(map(tuple, dec.select(*cols).collect())) == sorted(
+        map(tuple, dec2.select(*cols).collect())
+    )

@@ -6873,6 +6873,10 @@ def _replay_broker_dir(
             from tiflow_spark.codecs.canal_json import encode_canal_json
 
             enc = encode_canal_json(env)
+        elif protocol == "canal-json-ext":
+            from tiflow_spark.codecs.canal_json import encode_canal_json
+
+            enc = encode_canal_json(env, enable_tidb_extension=True)
         elif protocol == "open-protocol":
             from tiflow_spark.codecs.open_protocol import (
                 encode_open_protocol,
@@ -8039,3 +8043,63 @@ def q_codec_avro_no_extension(
         ),
         enable_tidb_extension=False,
     )
+
+
+@register("sink_storage_crlf_roundtrip", _REPLAY_FOLD_SQL)
+def q_sink_storage_crlf_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sink-URI ``terminator`` knob at its REFERENCE DEFAULT — CRLF
+    (pkg/config/sink.go:783-785 defaults Terminator to "\\r\\n";
+    common/config.go:72,230): the storage sink's CDC*.csv files separate
+    records with \\r\\n on the wire, and the storage consumer reads them
+    back with the same terminator to the identical applied state as the
+    LF surface (the unchanged fold oracle). Terminator rides the text
+    source's lineSep option on write AND read — still a pure
+    distributed text scan, no driver-side reformatting."""
+    from tiflow_spark.codecs.csv_codec import CsvConfig
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+    from tiflow_spark.streaming.consumer import replay_storage_csv_to_state
+
+    cfg = StorageSinkConfig(
+        csv=CsvConfig(output_field_header=True), terminator="\r\n"
+    )
+    key = (sf_dir, "crlf")
+    if key not in _STORAGE_REPLAY_DIRS:
+        base = _scratch_dir(prefix="tiflow_replay_crlf_")
+        write_storage_sink(
+            tfm.split_updates(_env(spark, sf_dir)), base, cfg
+        )
+        _STORAGE_REPLAY_DIRS[key] = base
+    return replay_storage_csv_to_state(
+        spark,
+        _STORAGE_REPLAY_DIRS[key],
+        {"id": "bigint", "balance": "double", "note": "string"},
+        cfg=cfg,
+    )
+
+
+@register("consumer_replay_canal_ext", _REPLAY_FOLD_SQL)
+def q_consumer_replay_canal_ext(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canal-json consumer replay with enable-tidb-extension=true, e2e:
+    the encoder stamps the exact commit ts into ``_tidb.commitTs``
+    (canal_json_row_event_encoder.go:252-257) and the consumer RESTORES
+    it (canal_json_decoder.go:248,265-267), so the fold orders by the
+    full-precision ts directly — no (ms-truncated es, offset)
+    surrogate, and a message missing the extension fails loudly. Same
+    fold oracle as the plain canal replay: both must land the identical
+    applied state, the extension just removes the tie-break machinery."""
+    from tiflow_spark.streaming.consumer import replay_broker_to_state
+
+    out = replay_broker_to_state(
+        spark,
+        _replay_broker_dir(spark, sf_dir, "canal-json-ext"),
+        {"id": "bigint", "balance": "double", "note": "string"},
+        use_tidb_extension=True,
+    )
+    return out.select("schema", "table", "key", "id", "balance", "note")

@@ -58,6 +58,12 @@ class StorageSinkConfig:
     # config; empty means unknown and no column is flagged (the reference
     # reads this off TableInfo, table_definition.go FromTableInfo)
     pk_cols: tuple[str, ...] = ()
+    # record terminator inside the data files (sink-URI `terminator`;
+    # pkg/config/sink.go:783-785 defaults it to CRLF "\r\n" — the
+    # reference's cloud-storage byte surface). "\n" keeps this repo's
+    # established LF surface; both round-trip via the text source's
+    # lineSep option on write AND read.
+    terminator: str = "\n"
 
 
 def _with_date(env: DataFrame, cfg: StorageSinkConfig) -> DataFrame:
@@ -130,6 +136,8 @@ def write_storage_sink(
     )
     if not header_mode:
         writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+    if cfg.terminator != "\n":
+        writer = writer.option("lineSep", cfg.terminator)
     writer.text(staging)
     written: list[str] = []
     ext = "json" if cfg.protocol == "canal-json" else "csv"
@@ -243,8 +251,11 @@ def read_storage_sink(
     ver = cfg.table_version
     ext = "json" if cfg.protocol == "canal-json" else "csv"
     pat = f"{base_dir}/*/*/{ver}/*/CDC*.{ext}"
+    reader = spark.read
+    if cfg.terminator != "\n":
+        reader = reader.option("lineSep", cfg.terminator)
     lines = (
-        spark.read.text(pat)
+        reader.text(pat)
         .withColumn("_path", F.input_file_name())
         .select(
             F.col("value").alias("line"),

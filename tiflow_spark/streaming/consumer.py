@@ -38,6 +38,7 @@ def replay_broker_to_state(
     broker_dir: str,
     payload_types: dict[str, str],
     topic: str | None = None,
+    use_tidb_extension: bool = False,
 ) -> DataFrame:
     """Replay a canal-json topic into the applied table state.
 
@@ -46,27 +47,50 @@ def replay_broker_to_state(
     mysqlType-driven decode, column types known from the schema message /
     downstream DDL in the reference).
 
+    ``use_tidb_extension``: the topic was produced with
+    enable-tidb-extension=true, so every message carries the EXACT
+    commit ts in ``_tidb.commitTs`` — the decoder restores it
+    (canal_json_decoder.go:248,265-267) and the fold orders by it
+    directly instead of the (ms-truncated es, offset) surrogate; a
+    message missing the extension fails the replay loudly.
+
     Output: (schema, table, key, <typed payload...>) — live rows only.
     """
     from tiflow_spark.sinks.mq import consume_file_broker
 
+    schema = _CANAL_SCHEMA
+    if use_tidb_extension:
+        schema += ", _tidb STRUCT<commitTs: BIGINT>"
     msgs = consume_file_broker(spark, broker_dir, topic)
     m = msgs.select(
         "partition",
         "offset",
-        F.from_json("value", _CANAL_SCHEMA).alias("m"),
+        F.from_json("value", schema).alias("m"),
     ).filter(~F.col("m.isDdl"))
     img = F.element_at(F.col("m.data"), 1)
     key = F.array_join(
         F.transform(F.col("m.pkNames"), lambda pk: F.element_at(img, pk)),
         "|",
     )
+    if use_tidb_extension:
+        # decoder parity: the extension is mandatory on an
+        # extension-enabled changefeed — null means a foreign message
+        es = F.coalesce(
+            F.assert_true(
+                F.col("m._tidb.commitTs").isNotNull(),
+                F.lit("canal replay: message without _tidb.commitTs "
+                      "on an extension-enabled topic"),
+            ).cast("long"),
+            F.col("m._tidb.commitTs"),
+        )
+    else:
+        es = F.col("m.es")
     rows = m.select(
         F.col("m.database").alias("schema"),
         F.col("m.table").alias("table"),
         key.alias("key"),
         F.col("m.type").alias("etype"),
-        F.col("m.es").alias("es"),
+        es.alias("es"),
         "partition",
         "offset",
         *[
