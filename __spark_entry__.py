@@ -42,18 +42,20 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # the sink-URI `terminator` knob at its CRLF reference default,
 # pkg/config/sink.go:783-785, and consumer_replay_canal_ext — the
 # extension-enabled canal consumer restoring the exact commit ts from
-# _tidb.commitTs, canal_json_decoder.go:248,265-267). Then
-# consumer_replay_storage_csv, whose implementation CHANGED this round
-# (now runs in output-field-header mode against the unchanged fold
-# oracle). The remaining 24 slots go to the queries whose latest check
-# was round 8, in name order; the 23 r8 names that miss the cap
-# (olap_shipping_priority, olap_sliding_rate, olap_small_qty_revenue,
-# olap_top_spenders, olap_top_supplier, olap_user_sessions,
-# olap_waiting_suppliers, pack_sequences, sample_ppl_buckets,
-# sample_stratified, sample_temperature, sim_ann_recall, sim_ann_sq,
-# sink_uri_route, snapshot_load_status, snapshot_merge_partial,
-# stream_delta_merge, text_contamination, text_normalize,
-# text_pii_scrub, text_rarity, text_repetition,
+# _tidb.commitTs, canal_json_decoder.go:248,265-267, and
+# sim_ann_filtered — the beyond-parity metadata-FILTERED exact top-k,
+# pre-filter semantics with the predicate as the candidate-join key).
+# Then consumer_replay_storage_csv, whose implementation CHANGED this
+# round (now runs in output-field-header mode against the unchanged
+# fold oracle). The remaining 23 slots go to the queries whose latest
+# check was round 8, in name order; the 24 r8 names that miss the cap
+# (olap_promo_revenue, olap_shipping_priority, olap_sliding_rate,
+# olap_small_qty_revenue, olap_top_spenders, olap_top_supplier,
+# olap_user_sessions, olap_waiting_suppliers, pack_sequences,
+# sample_ppl_buckets, sample_stratified, sample_temperature,
+# sim_ann_recall, sim_ann_sq, sink_uri_route, snapshot_load_status,
+# snapshot_merge_partial, stream_delta_merge, text_contamination,
+# text_normalize, text_pii_scrub, text_rarity, text_repetition,
 # validate_resume_report) lead the r13 rotation. Every deferred name is meanwhile covered by the
 # sf0.001 oracle sweep on every pytest run (tests/test_parity.py) and the
 # opt-in sf0.1 full sweep. The remainder follows in registration order as
@@ -86,6 +88,7 @@ _PRIORITY = [
     "codec_avro_no_extension",
     "sink_storage_crlf_roundtrip",
     "consumer_replay_canal_ext",
+    "sim_ann_filtered",
     "consumer_replay_storage_csv",
     # latest-checked round 8 — first 26 in name order
     "cdc_apply",
@@ -111,7 +114,6 @@ _PRIORITY = [
     "olap_nation_volume",
     "olap_order_priority",
     "olap_pricing_summary",
-    "olap_promo_revenue",
 ]
 
 

@@ -399,3 +399,38 @@ def test_storage_sink_crlf_terminator_bytes(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, dec.select(*cols).collect())) == sorted(
         map(tuple, dec2.select(*cols).collect())
     )
+
+
+# ------------------------------------------------ filtered ANN (r12)
+
+
+def test_filtered_ann_prefilter_semantics_and_plan(spark, sf_dir):
+    """Pre-filter ANN: every neighbour shares the query's label; ranks
+    are dense 1..k within the slice; and the candidate join is a
+    broadcast equi-join on the category — never a cartesian product."""
+    from tiflow_spark.llm.similarity import topk_cosine, topk_cosine_filtered
+    from tiflow_spark.plans.parity import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_cosine_filtered(emb, [0, 1, 2, 3], k=5)
+    rows = out.collect()
+    labels = {r.vec_id: r.label for r in emb.selectExpr(
+        "vec_id", "label").collect()}
+    for r in rows:
+        assert labels[r.vec_id] == r.cat  # neighbour inside the slice
+        assert labels[r.query_id] == r.cat
+    # plan: equi-join, no cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # pre-filter ≠ post-filtered global top-k: filtering the GLOBAL
+    # top-5 by label must lose results for some query (the synthetic
+    # labels are independent of cosine), while pre-filter always
+    # returns k per query (slices are larger than k)
+    glob = topk_cosine(emb, [0, 1, 2, 3], k=5).collect()
+    post = [r for r in glob if labels[r.vec_id] == labels[r.query_id]]
+    assert len(post) < len(rows)
+    per_q = {r.query_id for r in rows}
+    assert all(
+        sum(1 for r in rows if r.query_id == q) == 5 for q in per_q
+    )

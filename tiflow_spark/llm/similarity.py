@@ -91,6 +91,83 @@ SELECT query_id, vec_id, cos, rank FROM (
 WHERE rank <= {k}"""
 
 
+def topk_cosine_filtered(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    category_col: str = "label",
+) -> DataFrame:
+    """PRE-FILTER exact top-k: each query's neighbours are restricted to
+    corpus vectors sharing its ``category_col`` value BEFORE ranking —
+    the metadata-filtered retrieval pattern (search within a
+    lang/source/label slice). Pre-filter is the exact-recall form;
+    post-filtering a global top-k loses results whenever fewer than k
+    of the global neighbours match the predicate.
+
+    Scale shape: the candidate join is an EQUI-join on the category (no
+    crossJoin — the filter becomes the join key, so each query only
+    scores its own slice and Catalyst co-partitions by category at
+    data scale); the query side stays broadcast-sized. Ranking uses
+    cosine rounded to 6dp with vec_id tiebreak, same determinism
+    contract as :func:`topk_cosine`."""
+    from pyspark.sql import Window
+
+    base = embeddings.select(
+        "vec_id", "embedding", F.col(category_col).alias("cat")
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cat",
+    )
+    joined = base.join(F.broadcast(q), "cat").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "cat",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cat", "vec_id", "cos", "rank")
+    )
+
+
+def topk_cosine_filtered_sql(
+    query_ids: list[int], k: int = 5, category_col: str = "label"
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, {category_col} AS cat
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT q.query_id, q.cat, e.vec_id,
+    round(
+      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        i -> q.q_emb[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      / sqrt(
+        list_sum(list_transform(range(1, len(q.q_emb) + 1),
+          i -> q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))
+        * list_sum(list_transform(range(1, len(e.embedding) + 1),
+          i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
+      6) AS cos
+  FROM embeddings e JOIN q ON e.{category_col} = q.cat
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, cat, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
 def lsh_bucket(emb: Column, planes: int = 8, dims: int = 64) -> Column:
     """Deterministic random-hyperplane bucket id: bit p = sign(w_p · emb)
     where w_p[i] = ±1 derived from a fixed per-(p,i) coin. No stored model —

@@ -8103,3 +8103,32 @@ def q_consumer_replay_canal_ext(
         use_tidb_extension=True,
     )
     return out.select("schema", "table", "key", "id", "balance", "note")
+
+
+@register("sim_ann_filtered", None)  # SQL installed below
+def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED exact top-k (pre-filter semantics): each query
+    retrieves only within its own ``label`` slice — the
+    filtered-retrieval pattern every RAG/curation stack needs (search
+    within a lang/source/domain). Pre-filter, not post-filter: the
+    predicate becomes the candidate-join KEY (equi-join on label, no
+    crossJoin, query side broadcast), so recall under the constraint is
+    exact and each query scores only its slice
+    (llm/similarity.topk_cosine_filtered). Beyond-parity LLM operator."""
+    from tiflow_spark.llm.similarity import topk_cosine_filtered
+
+    return topk_cosine_filtered(
+        load_table(spark, sf_dir, "embeddings"), list(range(8)), 5
+    )
+
+
+def _install_sim_ann_filtered_sql() -> None:
+    from tiflow_spark.llm.similarity import topk_cosine_filtered_sql
+
+    REGISTRY["sim_ann_filtered"] = (
+        REGISTRY["sim_ann_filtered"][0],
+        topk_cosine_filtered_sql(list(range(8)), 5),
+    )
+
+
+_install_sim_ann_filtered_sql()
