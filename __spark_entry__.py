@@ -44,12 +44,16 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # extension-enabled canal consumer restoring the exact commit ts from
 # _tidb.commitTs, canal_json_decoder.go:248,265-267, and
 # sim_ann_filtered — the beyond-parity metadata-FILTERED exact top-k,
-# pre-filter semantics with the predicate as the candidate-join key).
-# Then consumer_replay_storage_csv, whose implementation CHANGED this
-# round (now runs in output-field-header mode against the unchanged
-# fold oracle). The remaining 23 slots go to the queries whose latest
-# check was round 8, in name order; the 24 r8 names that miss the cap
-# (olap_promo_revenue, olap_shipping_priority, olap_sliding_rate,
+# pre-filter semantics with the predicate as the candidate-join key;
+# codec_debezium_typed_values — writeDebeziumFieldValue's full typed
+# rendering incl. the config-TimeZone ZonedTimestamp path,
+# codec.go:477-860). Then consumer_replay_storage_csv, whose
+# implementation CHANGED this round (now runs in output-field-header
+# mode against the unchanged fold oracle). The remaining 22 slots go to
+# the queries whose latest check was round 8, in name order; the 25 r8
+# names that miss the cap
+# (olap_pricing_summary, olap_promo_revenue, olap_shipping_priority,
+# olap_sliding_rate,
 # olap_small_qty_revenue, olap_top_spenders, olap_top_supplier,
 # olap_user_sessions, olap_waiting_suppliers, pack_sequences,
 # sample_ppl_buckets, sample_stratified, sample_temperature,
@@ -89,6 +93,7 @@ _PRIORITY = [
     "sink_storage_crlf_roundtrip",
     "consumer_replay_canal_ext",
     "sim_ann_filtered",
+    "codec_debezium_typed_values",
     "consumer_replay_storage_csv",
     # latest-checked round 8 — first 26 in name order
     "cdc_apply",
@@ -113,7 +118,6 @@ _PRIORITY = [
     "olap_lost_customers",
     "olap_nation_volume",
     "olap_order_priority",
-    "olap_pricing_summary",
 ]
 
 

@@ -434,3 +434,53 @@ def test_filtered_ann_prefilter_semantics_and_plan(spark, sf_dir):
     assert all(
         sum(1 for r in rows if r.query_id == q) == 5 for q in per_q
     )
+
+
+# -------------------------------------- debezium typed values (r12)
+
+
+def test_debezium_field_value_edges(spark):
+    """writeDebeziumFieldValue edge semantics: BIT(n>1) bytes are
+    LITTLE-endian and sized ceil(n/8) (codec.go:512-521); YEAR's
+    two-digit pivots (<70 → +2000, <100 → +1900, codec.go:838-858);
+    ZonedTimestamp's fraction is fsp-TRUNCATED, not rounded, and
+    trailing zeros survive (codec.go:719-726)."""
+    import base64
+
+    from tiflow_spark.codecs.debezium import debezium_field_value
+
+    df = spark.range(1).select(
+        F.lit(0x0ABC).alias("bits"),
+        F.lit(18).alias("y18"),
+        F.lit(77).alias("y77"),
+        F.lit(2024).alias("y4"),
+        F.lit("2024-06-15 09:30:00.987654").alias("ts"),
+        F.lit("2024-06-15 09:30:00").alias("ts0"),
+    )
+    row = df.select(
+        debezium_field_value(
+            F.col("bits"), {"mysqlType": "bit", "flen": 12}
+        ).alias("b"),
+        debezium_field_value(F.col("y18"), {"mysqlType": "year"}).alias(
+            "a"
+        ),
+        debezium_field_value(F.col("y77"), {"mysqlType": "year"}).alias(
+            "c"
+        ),
+        debezium_field_value(F.col("y4"), {"mysqlType": "year"}).alias(
+            "d"
+        ),
+        debezium_field_value(
+            F.col("ts"),
+            {"mysqlType": "timestamp", "decimal": 3},
+            tz="Asia/Shanghai",
+        ).alias("z"),
+        debezium_field_value(
+            F.col("ts0"), {"mysqlType": "timestamp"}, tz="Asia/Shanghai"
+        ).alias("z0"),
+    ).collect()[0]
+    assert base64.b64decode(row.b) == bytes([0xBC, 0x0A])  # little-endian
+    assert (row.a, row.c, row.d) == (2018, 1977, 2024)
+    # 09:30 Shanghai = 01:30Z; .987654 truncated to .987 at fsp=3
+    assert row.z == "2024-06-15T01:30:00.987Z"
+    assert row.z0 == "2024-06-15T01:30:00Z"

@@ -8132,3 +8132,196 @@ def _install_sim_ann_filtered_sql() -> None:
 
 
 _install_sim_ann_filtered_sql()
+
+
+# r12: debezium TYPED field-value rendering (codec.go:477-860
+# writeDebeziumFieldValue) — was a scope note; now implemented incl. the
+# one place config.TimeZone acts (the ZonedTimestamp path).
+
+
+def _dbz_typed_env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed change envelope over events for the debezium value-rendering
+    row: bit(1)/bit(3), enum/set, decimal, date, datetime(3)/(6),
+    timestamp(3) carrying Asia/Shanghai wall time, time(3), year values
+    across both two-digit pivots, binary, ints, double. before differs
+    from after in cnt only."""
+    from pyspark.sql import types as T
+
+    from tiflow_spark.types import ColumnSpec, table_schema
+
+    specs = [
+        ColumnSpec("id", "bigint", primary_key=True),
+        ColumnSpec("b1", "bit", flen=1),
+        ColumnSpec("b3", "bit", flen=3),
+        ColumnSpec("name_v", "varchar", flen=32),
+        ColumnSpec("raw", "varbinary", binary=True, flen=16),
+        ColumnSpec(
+            "status", "enum", enum_values=("active", "inactive", "banned")
+        ),
+        ColumnSpec("tags", "set", enum_values=("a", "b", "c")),
+        ColumnSpec("price", "decimal", flen=10, decimal_digits=2),
+        ColumnSpec("d", "date"),
+        ColumnSpec("dt3", "datetime", decimal_digits=3),
+        ColumnSpec("dt6", "datetime", decimal_digits=6),
+        ColumnSpec("ts3", "timestamp", decimal_digits=3),
+        ColumnSpec("dur", "time", decimal_digits=3),
+        ColumnSpec("yr", "year"),
+        ColumnSpec("cnt", "int"),
+        ColumnSpec("ratio", "double"),
+    ]
+    payload = table_schema(specs)
+    e = load_table(spark, sf_dir, "events")
+    v = e.event_id
+
+    def img(cnt_shift: int) -> Column:
+        return F.struct(
+            v.cast("long").alias("id"),
+            (v % 2).cast("long").alias("b1"),
+            (1 + v % 7).cast("long").alias("b3"),
+            F.concat(F.lit("n"), v.cast("string")).alias("name_v"),
+            F.encode(
+                F.concat(F.lit("r"), (v % 3).cast("string")), "UTF-8"
+            ).alias("raw"),
+            (1 + v % 3).cast("long").alias("status"),
+            (1 + v % 7).cast("long").alias("tags"),
+            F.concat((v % 500).cast("string"), F.lit(".25")).alias("price"),
+            F.concat(
+                F.lit("2024-03-"), F.lpad((1 + v % 28).cast("string"), 2, "0")
+            ).alias("d"),
+            F.concat(
+                F.lit("2024-01-01 00:00:0"),
+                (v % 10).cast("string"),
+                F.lit(".120"),
+            ).alias("dt3"),
+            F.concat(
+                F.lit("2024-01-01 00:00:0"),
+                (v % 10).cast("string"),
+                F.lit(".123456"),
+            ).alias("dt6"),
+            F.concat(
+                F.lit("2024-06-15 "),
+                F.lpad((9 + v % 10).cast("string"), 2, "0"),
+                F.lit(":30:00.250"),
+            ).alias("ts3"),
+            F.concat(
+                F.lit("0"), (1 + v % 8).cast("string"), F.lit(":02:03.250")
+            ).alias("dur"),
+            (18 + v % 60).cast("long").alias("yr"),
+            (v % 1000 + cnt_shift).cast("long").alias("cnt"),
+            ((v % 7).cast("double") + 0.5).alias("ratio"),
+        )
+
+    op = (
+        F.when(e.event_type == "signup", "I")
+        .when(e.event_type == "error", "D")
+        .otherwise("U")
+    )
+    env = e.select(
+        op.alias("op"),
+        F.lit("typed").alias("schema"),
+        F.lit("accounts").alias("table"),
+        epoch_us(e.ts).alias("commit_ts"),
+        e.event_id.alias("seq"),
+        F.when(op != "I", img(1)).alias("before"),
+        F.when(op != "D", img(0)).alias("after"),
+    )
+    env_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("commit_ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+        ]
+    )
+    return env.to(env_schema)
+
+
+def _dbz_typed_oracle_sql() -> str:
+    # rendered per writeDebeziumFieldValue, all derived INDEPENDENTLY
+    # from v — the ZonedTimestamp expectation is computed arithmetically
+    # (Shanghai +08:00 wall hours 09..18 → UTC 01..10), cross-checking
+    # the Spark side's real to_utc_timestamp conversion
+    set_expr = (
+        "ltrim(CASE WHEN ((1 + v % 7) & 1) = 1 THEN 'a' ELSE '' END"
+        " || CASE WHEN ((1 + v % 7) & 2) = 2 THEN ',b' ELSE '' END"
+        " || CASE WHEN ((1 + v % 7) & 4) = 4 THEN ',c' ELSE '' END, ',')"
+    )
+
+    def img(cnt_shift: str) -> str:
+        return f"""{{
+      id: v,
+      b1: (v % 2) = 1,
+      b3: to_base64(encode(chr(CAST(1 + v % 7 AS INT)))),
+      name_v: 'n' || CAST(v AS VARCHAR),
+      raw: to_base64(encode('r' || CAST(v % 3 AS VARCHAR))),
+      status: CASE CAST(1 + v % 3 AS INT) WHEN 1 THEN 'active'
+              WHEN 2 THEN 'inactive' ELSE 'banned' END,
+      tags: {set_expr},
+      price: CAST(v % 500 AS DOUBLE) + 0.25,
+      d: date_diff('day', DATE '1970-01-01',
+                   CAST('2024-03-' || lpad(CAST(1 + v % 28 AS VARCHAR),
+                        2, '0') AS DATE)),
+      dt3: epoch_ms(CAST('2024-01-01 00:00:0' || CAST(v % 10 AS VARCHAR)
+           || '.120' AS TIMESTAMP)),
+      dt6: epoch_us(CAST('2024-01-01 00:00:0' || CAST(v % 10 AS VARCHAR)
+           || '.123456' AS TIMESTAMP)),
+      ts3: '2024-06-15T' || lpad(CAST(1 + v % 10 AS VARCHAR), 2, '0')
+           || ':30:00.250Z',
+      dur: ((1 + v % 8) * 3600 + 123) * 1000000 + 250000,
+      yr: CASE WHEN 18 + v % 60 < 70 THEN 18 + v % 60 + 2000
+          ELSE 18 + v % 60 + 1900 END,
+      cnt: v % 1000{cnt_shift},
+      ratio: CAST(v % 7 AS DOUBLE) + 0.5
+    }}"""
+
+    return f"""WITH tenv AS (
+      SELECT CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+             ELSE 'U' END AS op,
+             epoch_us(ts) AS commit_ts, event_id AS seq, event_id AS v
+      FROM events
+    )
+    SELECT 'typed' AS "schema", 'accounts' AS "table", commit_ts, seq,
+    '{{"payload":' || to_json({{
+      before: CASE WHEN op <> 'I' THEN {img(" + 1")} END,
+      after: CASE WHEN op <> 'D' THEN {img("")} END,
+      source: {{connector: 'TiCDC', version: '2.4.0.Final',
+                db: 'typed', "table": 'accounts', commitTs: commit_ts,
+                ts_ms: commit_ts // 1000}},
+      op: CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END,
+      ts_ms: 0::BIGINT
+    }}) || '}}' AS value FROM tenv"""
+
+
+@register("codec_debezium_typed_values", None)  # SQL installed below
+def q_codec_debezium_typed_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Debezium TYPED field-value rendering (codec.go:477-860
+    writeDebeziumFieldValue — previously a passthrough scope note):
+    BIT(1)→bool / BIT(n)→little-endian base64 bytes, enum/set→NAMES,
+    decimal→float64, date→epoch days, datetime→epoch millis(fsp<=3)/
+    micros, TIME→micros, YEAR with both two-digit pivots, binary→base64
+    — and the config-TimeZone-dependent io.debezium.time.ZonedTimestamp
+    path: the fixture's timestamps are Asia/Shanghai wall time and the
+    oracle pins the UTC-converted strings arithmetically (hours 09..18
+    → 01..10Z), so a wrong tz conversion hash-fails. Closes the r11
+    'debezium TimeZone knob' missing-item as far as data-derivable
+    semantics go (live-sink session tz remains out of sandbox scope)."""
+    from tiflow_spark.codecs.debezium import encode_debezium_typed
+
+    return encode_debezium_typed(
+        _dbz_typed_env(spark, sf_dir), tz="Asia/Shanghai"
+    )
+
+
+def _install_debezium_typed_sql() -> None:
+    REGISTRY["codec_debezium_typed_values"] = (
+        REGISTRY["codec_debezium_typed_values"][0],
+        _dbz_typed_oracle_sql(),
+    )
+
+
+_install_debezium_typed_sql()
