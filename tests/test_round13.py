@@ -1,0 +1,289 @@
+"""Round 13: PositionInertia wire-parity partition dispatch (VERDICT r12
+next-round #1) — tiflow's actual MQ partition hash (XOR-folded crc32-IEEE,
+pkg/hash/position_inertia.go:27-56) behind the dispatcher rules, with the
+reference's own unit-test vectors pinned byte-exact
+(cdc/sink/dmlsink/mq/dispatcher/partition/index_value_test.go,
+columns_test.go, table_test.go) plus a zlib cross-check property sweep.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflow_spark.functions.hashing import position_inertia
+from tiflow_spark.operators.dispatchers import (
+    inertia_message_key,
+    inertia_sum32,
+    partition_column,
+)
+
+
+_IMG = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+    ]
+)
+_ROW = T.StructType(
+    [
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("before", _IMG),
+        T.StructField("after", _IMG),
+    ]
+)
+
+
+def _dispatch_rows(spark, rows, key_columns, parts=16):
+    df = spark.createDataFrame(rows, _ROW)
+    out = df.select(
+        F.pmod(inertia_sum32(key_columns), F.lit(parts))
+        .cast("int")
+        .alias("partition"),
+        inertia_sum32(key_columns).cast("string").alias("key"),
+    ).collect()
+    return [(r.partition, r.key) for r in out]
+
+
+def test_index_value_dispatcher_reference_vectors(spark):
+    """The seven TestIndexValueDispatcher cases (index_value_test.go:49-137):
+    single-PK t1 hashing (a) and composite-PK t2 hashing (a, b), 16
+    partitions — partition numbers pinned from the reference test."""
+    got = _dispatch_rows(
+        spark,
+        [("test", "t1", None, (11, 22)), ("test", "t1", None, (22, 22)),
+         ("test", "t1", None, (11, 33))],
+        key_columns=("a",),
+    )
+    assert [p for p, _ in got] == [2, 11, 2]
+    got = _dispatch_rows(
+        spark,
+        [("test", "t2", None, (11, 22)), ("test", "t2", None, (11, 0)),
+         ("test", "t2", None, (11, 33))],
+        key_columns=("a", "b"),
+    )
+    assert [p for p, _ in got] == [5, 14, 2]
+
+
+def test_index_value_dispatcher_index_name_vector(spark):
+    """TestIndexValueDispatcherWithIndexName (index_value_test.go:144-198):
+    index1 = (col2, col1) over values (22, 11) on test.t1 → partition 15.
+    The index column ORDER drives the write order, not the table order."""
+    img = T.StructType(
+        [T.StructField("col2", T.LongType()), T.StructField("col1", T.LongType())]
+    )
+    df = spark.createDataFrame(
+        [("test", "t1", (22, 11))],
+        T.StructType(
+            [
+                T.StructField("schema", T.StringType()),
+                T.StructField("table", T.StringType()),
+                T.StructField("after", img),
+            ]
+        ),
+    ).withColumn("before", F.lit(None).cast(img))
+    got = df.select(
+        F.pmod(inertia_sum32(("col2", "col1")), F.lit(16))
+        .cast("int")
+        .alias("p")
+    ).collect()
+    assert got[0].p == 15
+
+
+def test_columns_dispatcher_reference_vectors(spark):
+    """TestColumnsDispatcher (columns_test.go:29-81): columns (col2, col1)
+    over values (22, 11) on test.t1 → partition 15; after the table's
+    columns are RENAMED to (COL2, Col1) the hash uses the new original
+    names → partition 5 (the hash writes colInfo.Name.O, columns.go:70)."""
+    img1 = T.StructType(
+        [T.StructField("col2", T.LongType()), T.StructField("col1", T.LongType())]
+    )
+    base = T.StructType(
+        [
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("after", img1),
+        ]
+    )
+    df = spark.createDataFrame([("test", "t1", (22, 11))], base).withColumn(
+        "before", F.lit(None).cast(img1)
+    )
+    got = df.select(
+        F.pmod(
+            inertia_sum32(("col2", "col1")), F.lit(16)
+        ).cast("int").alias("p")
+    ).collect()
+    assert got[0].p == 15
+
+    img2 = T.StructType(
+        [T.StructField("COL2", T.LongType()), T.StructField("Col1", T.LongType())]
+    )
+    df2 = spark.createDataFrame(
+        [("test", "t1", (22, 11))],
+        T.StructType(
+            [
+                T.StructField("schema", T.StringType()),
+                T.StructField("table", T.StringType()),
+                T.StructField("after", img2),
+            ]
+        ),
+    ).withColumn("before", F.lit(None).cast(img2))
+    got = df2.select(
+        F.pmod(
+            inertia_sum32(("COL2", "Col1")), F.lit(16)
+        ).cast("int").alias("p")
+    ).collect()
+    assert got[0].p == 5
+
+
+def test_table_dispatcher_reference_vector(spark):
+    """TestTableDispatcher (table_test.go:27-77): test.t1 → 15 at 16
+    partitions regardless of commit ts; message key = 'test.t1'
+    (TableName.String(), cdc/model/sink.go:216-218)."""
+    df = spark.createDataFrame(
+        [("test", "t1", 1), ("test", "t1", 2), ("test", "t1", 3)],
+        "schema string, table string, commit_ts long",
+    )
+    got = df.select(
+        partition_column("table", 16, hash_scheme="inertia").alias("p"),
+        inertia_message_key("table").alias("k"),
+    ).collect()
+    assert [(r.p, r.k) for r in got] == [(15, "test.t1")] * 3
+
+
+def test_message_key_is_decimal_sum32(spark):
+    """index_value.go:85: the MQ message key is
+    strconv.FormatInt(int64(sum32), 10) — the decimal uint32, never
+    negative. Cross-check against zlib's crc32 (an independent
+    CRC-32/IEEE) for every vector row."""
+    rows = [("test", "t1", None, (11, 22)), ("test", "t2", None, (7, None))]
+    got = _dispatch_rows(spark, rows, key_columns=("a",))
+    for (schema, table, _b, after), (p, k) in zip(rows, got):
+        val = "null" if after[0] is None else str(after[0])
+        expect = zlib.crc32(f"{schema}{table}".encode()) ^ zlib.crc32(
+            f"a{val}".encode()
+        )
+        assert k == str(expect)
+        assert p == expect % 16
+        assert int(k) >= 0
+
+
+def test_inertia_old_image_fallback(spark):
+    """index_value.go:52-55: dispatchCols falls back to PreColumns when
+    the new image is absent (DELETE) — a delete and the insert that
+    created the row land on the same partition."""
+    rows = [
+        ("test", "t1", None, (42, 1)),      # insert: hash after
+        ("test", "t1", (42, 1), None),      # delete: hash before
+        ("test", "t1", (42, 1), (42, 9)),   # update: hash after
+    ]
+    got = _dispatch_rows(spark, rows, key_columns=("a",))
+    assert got[0] == got[1] == got[2]
+
+
+def test_inertia_null_value_hashes_as_null_string(spark):
+    """model.ColumnValueString(nil) = 'null' (cdc/model/sink.go:1024-1025):
+    a SQL-NULL key value hashes as the 4-byte string, it is not skipped."""
+    got = _dispatch_rows(spark, [("s", "t", None, (None, 5))], ("a",))
+    expect = zlib.crc32(b"st") ^ zlib.crc32(b"anull")
+    assert got[0] == (expect % 16, str(expect))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_position_inertia_matches_zlib_property(spark, seed):
+    """Property sweep: 200 random ASCII (schema, table, name, value)
+    quadruples — the JVM-crc32 XOR fold equals the zlib XOR fold
+    bit-for-bit, and commutes (write order irrelevant, XOR is abelian:
+    the reference relies on this for multi-column keys only insofar as
+    it fixes the order; we pin both)."""
+    import random
+
+    rng = random.Random(1234 + seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789_"
+    rows = [
+        tuple("".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+              for _ in range(4))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "s string, t string, n string, v string")
+    got = df.select(
+        position_inertia(F.concat("s", "t"), F.concat("n", "v")).alias("h")
+    ).collect()
+    for (s, t, n, v), r in zip(rows, got):
+        expect = zlib.crc32(f"{s}{t}".encode()) ^ zlib.crc32(f"{n}{v}".encode())
+        assert r.h == expect
+
+
+# ---------------------------------------------- composite-PK chunk splitting
+
+
+def test_lex_tuple_predicate_matches_struct_compare(spark):
+    """The expanded OR-chain predicate (chunk/chunk.go:316-349) must agree
+    with Spark's native struct ordering on every (row, bound) pair."""
+    from tiflow_spark.validation.syncdiff import lex_tuple_compare
+
+    rows = [(a, b) for a in ["apple", "mango", "zoo"] for b in [1, 5, 9]]
+    df = spark.createDataFrame(rows, "m string, k long")
+    for bound in [("apple", 5), ("mango", 1), ("zebra", 7)]:
+        got = df.select(
+            "m",
+            "k",
+            lex_tuple_compare(["m", "k"], bound, ">").alias("gt"),
+            lex_tuple_compare(["m", "k"], bound, "<=").alias("le"),
+            (
+                F.struct("m", "k")
+                > F.struct(F.lit(bound[0]).alias("m"), F.lit(bound[1]).alias("k"))
+            ).alias("sgt"),
+        ).collect()
+        for r in got:
+            assert r.gt == r.sgt, (bound, r)
+            assert r.le == (not r.sgt), (bound, r)
+
+
+def test_limit_chunk_bounds_every_kth_tuple(spark):
+    """Distributed bound discovery must return exactly the every-k-th
+    index tuple in lexicographic order (limit splitter semantics,
+    splitter/limit.go:306-317) — cross-checked against a driver-side
+    sort of the same data."""
+    from tiflow_spark.validation.syncdiff import (
+        limit_chunk_bounds,
+        tuple_chunk_id,
+    )
+
+    rows = [(f"s{(i * 7) % 5}", (i * 13) % 97, i) for i in range(200)]
+    df = spark.createDataFrame(rows, "m string, k long, v long")
+    k = 30
+    got = limit_chunk_bounds(df, ("m", "k"), k)
+    expect_sorted = sorted((m, kk) for m, kk, _ in rows)
+    expect = [expect_sorted[i] for i in range(k - 1, len(rows), k)]
+    assert got == expect
+
+    # chunk sizes: every chunk except the tail holds exactly k rows
+    sizes = {
+        r.chunk_id: r.cnt
+        for r in df.groupBy(tuple_chunk_id(("m", "k"), got))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert sorted(sizes) == list(range(len(got) + 1))
+    for cid in range(len(got)):
+        assert sizes[cid] == k
+    assert sizes[len(got)] == len(rows) - k * len(got)
+
+
+def test_sample_chunk_bounds_bounded_and_ordered(spark):
+    """random.go-style sampling splitter: bounds are ordered index tuples
+    and the collect is capped regardless of table size."""
+    from tiflow_spark.validation.syncdiff import sample_chunk_bounds
+
+    rows = [(f"u{i % 11:02d}", i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "m string, k long")
+    bounds = sample_chunk_bounds(
+        df, ("m", "k"), target_rows=500, sample_cap=800, seed=3
+    )
+    assert 1 <= len(bounds) <= 5
+    assert bounds == sorted(bounds)
