@@ -17,6 +17,8 @@ PK range predicate.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -582,3 +584,179 @@ def bin_search_diff(
         ((F.col(pk) - lo).cast("long") / width).cast("long").isin(*cand)
     )
     return row_diff(src.filter(leaf_pred), dst.filter(leaf_pred), pk, cols)
+
+
+# ------------------------------------------------- composite / string PKs
+#
+# The numeric chunk_id_col above needs a single numeric PK. The reference
+# splits on arbitrary index-field TUPLES: the limit splitter walks the
+# index order and takes every chunk_size-th row's index tuple as a bound
+# (splitter/limit.go:306-317: SELECT idx_cols .. ORDER BY idx LIMIT k,1
+# repeated), and each chunk becomes a lexicographic (lower, upper] range
+# rendered as tuple-comparison WHERE clauses (chunk/chunk.go:278-380
+# Range.ToString: common-prefix equality collapse + an OR chain per
+# remaining column, `<=` on the last upper bound). index-fields
+# configuration picks the index (splitter/index_fields.go). The functions
+# below re-express that for any column mix (VARCHAR / composite / ...).
+
+
+def lex_tuple_compare(
+    cols: Sequence[str], vals: Sequence, op: str, side: str = ""
+) -> Column:
+    """Lexicographic tuple comparison column, expanded exactly like the
+    reference's Range.ToString OR chain (chunk/chunk.go:316-349):
+    op='>'  → (c1 > v1) OR (c1 = v1 AND c2 > v2) OR ...
+    op='<=' → (c1 < v1) OR (c1 = v1 AND c2 < v2) ... with <= on the last
+    column (the upper bound of a chunk is inclusive, lowerSymbol=gt /
+    upperSymbol=lt|lte, chunk.go:320-325). ``side`` optionally prefixes
+    column refs ('s.' / 'd.')."""
+    assert op in (">", "<="), op
+    last = len(cols) - 1
+    terms: list[Column] = []
+    prefix_eq: Column | None = None
+    for i, (c, v) in enumerate(zip(cols, vals)):
+        col = F.col(side + c)
+        if op == ">":
+            cmp_c = col > F.lit(v)
+        else:
+            cmp_c = col <= F.lit(v) if i == last else col < F.lit(v)
+        terms.append(cmp_c if prefix_eq is None else (prefix_eq & cmp_c))
+        eq = col == F.lit(v)
+        prefix_eq = eq if prefix_eq is None else (prefix_eq & eq)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out | t
+    return out
+
+
+def tuple_range_predicate(
+    cols: Sequence[str],
+    lower: Sequence | None,
+    upper: Sequence | None,
+    side: str = "",
+) -> Column:
+    """(lower, upper] chunk range over an index tuple — the WHERE clause
+    the reference generates per chunk (chunk/chunk.go:278-380). None on
+    either side = unbounded (first/last chunk)."""
+    pred = F.lit(True)
+    if lower is not None:
+        pred = pred & lex_tuple_compare(cols, lower, ">", side)
+    if upper is not None:
+        pred = pred & lex_tuple_compare(cols, upper, "<=", side)
+    return pred
+
+
+def limit_chunk_bounds(
+    df: DataFrame, cols: Sequence[str], chunk_size: int
+) -> list[tuple]:
+    """Every chunk_size-th index tuple in index order — the limit
+    splitter's bound discovery (splitter/limit.go:306-317), distributed.
+
+    No global single-task window: range-repartition on the index columns,
+    sort within partitions (global order across range-disjoint
+    partitions), per-partition row_number + exact driver-side offsets
+    (one metadata-scale count per partition crosses the driver), filter
+    rank % chunk_size == 0. The bounds list itself is metadata-scale
+    (rows / chunk_size entries), same as the reference's chunk table.
+    """
+    from pyspark.sql import Window
+
+    idx = df.select(*cols)
+    parts = max(2, idx.sparkSession.sparkContext.defaultParallelism)
+    ranged = idx.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
+    withpid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {
+        r._pid: r.cnt
+        for r in withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.lit(0)
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
+    ranked = withpid.withColumn(
+        "_rank", F.row_number().over(w) + off_col
+    )
+    bounds = (
+        ranked.filter(F.col("_rank") % chunk_size == 0)
+        .orderBy("_rank")
+        .select(*cols)
+        .collect()
+    )
+    return [tuple(r) for r in bounds]
+
+
+def sample_chunk_bounds(
+    df: DataFrame,
+    cols: Sequence[str],
+    target_rows: int = 50_000,
+    sample_cap: int = 100_000,
+    seed: int = 7,
+) -> list[tuple]:
+    """Sampling bound discovery for huge tables — the reference's random
+    splitter (splitter/random.go:55-310: ORDER BY RAND() LIMIT n, sort
+    the sample, pick evenly spaced tuples). The collect is bounded by
+    sample_cap regardless of table size; bounds are approximate but
+    chunk count matches rows/target_rows in expectation."""
+    n = df.count()
+    n_chunks = max(1, n // target_rows)
+    if n_chunks == 1:
+        return []
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = sorted(
+        tuple(r) for r in df.select(*cols).sample(frac, seed=seed).collect()
+    )
+    if not sample:
+        return []
+    step = max(1, len(sample) // n_chunks)
+    return [sample[i] for i in range(step - 1, len(sample) - 1, step)][: n_chunks - 1]
+
+
+def tuple_chunk_id(cols: Sequence[str], bounds: list[tuple]) -> Column:
+    """Chunk index for a row given sorted tuple bounds: the number of
+    bounds strictly below the row's index tuple — (lower, upper] ranges,
+    matching the per-chunk WHERE semantics. Pure column expression
+    (bounds are metadata-scale; for thousands of chunks prefer a
+    broadcast range-join on the same predicate)."""
+    cid: Column = F.lit(0)
+    for b in bounds:
+        cid = cid + F.when(lex_tuple_compare(cols, b, ">"), 1).otherwise(0)
+    return cid.cast("bigint").alias("chunk_id")
+
+
+def tuple_compare_checksums(
+    src: DataFrame,
+    dst: DataFrame,
+    index_cols: Sequence[str],
+    cols: list[str],
+    chunk_size: int,
+) -> DataFrame:
+    """compare_checksums over an arbitrary index tuple: bounds from the
+    limit splitter on the SOURCE (the reference also derives chunks
+    upstream and applies the same ranges downstream), chunk assignment by
+    lexicographic range, per-chunk count+BIT_XOR checksum, full-outer
+    chunk compare."""
+    bounds = limit_chunk_bounds(src, index_cols, chunk_size)
+    s = (
+        src.groupBy(tuple_chunk_id(index_cols, bounds))
+        .agg(*chunk_checksum_agg(cols))
+        .alias("s")
+    )
+    d = (
+        dst.groupBy(tuple_chunk_id(index_cols, bounds))
+        .agg(*chunk_checksum_agg(cols))
+        .alias("d")
+    )
+    j = s.join(d, on="chunk_id", how="full_outer")
+    return j.select(
+        "chunk_id",
+        F.coalesce(F.col("s.cnt"), F.lit(0)).alias("src_cnt"),
+        F.coalesce(F.col("d.cnt"), F.lit(0)).alias("dst_cnt"),
+        (
+            F.col("s.cnt").eqNullSafe(F.col("d.cnt"))
+            & F.col("s.checksum").eqNullSafe(F.col("d.checksum"))
+        ).alias("match"),
+    )
