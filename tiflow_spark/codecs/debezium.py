@@ -652,3 +652,164 @@ def encode_debezium_checkpoint(
             F.struct(payload.alias("payload")), {"ignoreNullFields": "false"}
         ).alias("value"),
     )
+
+
+# ----------------------------------------------------------- typed decode
+
+
+def _debezium_wire_type(spec) -> str:
+    """The JSON-wire type writeDebeziumFieldValue emits per MySQL type
+    (codec.go:477-860) — what from_json must expect on replay."""
+    t = spec.mysql_type
+    if t == "bit":
+        return "BOOLEAN" if (spec.flen or 1) == 1 else "STRING"
+    if t in ("enum", "set", "timestamp"):
+        return "STRING"
+    if t in ("decimal", "float", "double"):
+        return "DOUBLE"
+    if t in ("date", "datetime", "time", "year", "tinyint", "smallint",
+             "mediumint", "int", "bigint"):
+        return "BIGINT"
+    if spec.binary or t in ("blob", "varbinary", "binary", "tinyblob",
+                            "mediumblob", "longblob"):
+        return "STRING"  # base64
+    return "STRING"
+
+
+def debezium_field_decode(col: Column, spec, tz: str = "UTC") -> Column:
+    """Inverse of :func:`debezium_field_value` — one wire value back to
+    the engine representation (the consumer side of the typed renderer;
+    the reference ships no debezium decoder, so this closes the loop the
+    kafka-consumer's debezium branch (writer.go:51-63) implies):
+
+    - BIT(1) bool → 0/1; BIT(n) base64 little-endian bytes → integer
+    - ENUM name → 1-based value; SET names → bitmask
+    - DECIMAL float64 → canonical string (precision bounded by the wire's
+      lossy double rendering, codec.go:581-597)
+    - DATE epoch-days → 'yyyy-MM-dd'; DATETIME epoch millis/micros (by
+      fsp) → wall string; TIME micros → 'HH:mm:ss[.fff]'
+    - ZonedTimestamp UTC string → wall time in the config TimeZone
+      (inverse of the :674-728 conversion)
+    - YEAR stays the canonical 4-digit year the wire carries (MySQL YEAR
+      storage is 4-digit; the encoder's 70/100 pivot is one-way)
+    - binary base64 → bytes
+    """
+    t = spec.mysql_type
+    fsp = spec.decimal_digits or 0
+    values = tuple(spec.enum_values)
+    if t == "bit":
+        n = spec.flen if spec.flen is not None else 1
+        if n == 1:
+            return col.cast("long")
+        nbytes = (n + 7) // 8
+        hexs = F.hex(F.unbase64(col))
+        out: Column = F.lit(0).cast("long")
+        for i in range(nbytes):  # little-endian byte order
+            byte = F.conv(F.substring(hexs, 2 * i + 1, 2), 16, 10).cast("long")
+            out = out + F.shiftleft(byte, 8 * i)
+        return out
+    if t == "enum":
+        return F.array_position(
+            F.array(*[F.lit(v) for v in values]), col
+        ).cast("long")
+    if t == "set":
+        arr = F.split(col, ",")
+        mask: Column = F.lit(0).cast("long")
+        for i, v in enumerate(values):
+            mask = mask + F.when(
+                F.array_contains(arr, v), F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        return mask
+    if t == "decimal":
+        if spec.flen:
+            # the wire is a lossy FLOAT64 (codec.go:581-597); the column's
+            # declared (precision, scale) restores the canonical rendering
+            return col.cast(f"decimal({spec.flen},{fsp})").cast("string")
+        return col.cast("string")
+    if t == "date":
+        return F.date_format(
+            F.date_add(F.to_date(F.lit("1970-01-01")), col.cast("int")),
+            "yyyy-MM-dd",
+        )
+    if t == "datetime":
+        ts = F.timestamp_millis(col) if fsp <= 3 else F.timestamp_micros(col)
+        pat = "yyyy-MM-dd HH:mm:ss" + ("." + "S" * fsp if fsp else "")
+        return F.date_format(ts, pat)  # session tz UTC (engine contract)
+    if t == "timestamp":
+        clean = F.regexp_replace(
+            F.regexp_replace(col, "T", " "), "Z$", ""
+        )
+        wall = F.from_utc_timestamp(F.to_timestamp_ntz(clean), tz)
+        pat = "yyyy-MM-dd HH:mm:ss" + ("." + "S" * fsp if fsp else "")
+        return F.date_format(wall, pat)
+    if t == "time":
+        h = F.floor(col / F.lit(3_600_000_000)).cast("long")
+        m = (F.floor(col / F.lit(60_000_000)) % 60).cast("long")
+        s = (F.floor(col / F.lit(1_000_000)) % 60).cast("long")
+        base = F.format_string("%02d:%02d:%02d", h, m, s)
+        if fsp:
+            frac = F.substring(
+                F.format_string(".%06d", (col % F.lit(1_000_000)).cast("long")),
+                1,
+                1 + fsp,
+            )
+            return F.concat(base, frac)
+        return base
+    if t == "year":
+        return col.cast("long")
+    if spec.binary or t in ("blob", "varbinary", "binary", "tinyblob",
+                            "mediumblob", "longblob"):
+        return F.unbase64(col)
+    if t in ("float", "double"):
+        return col.cast("double")
+    if t in ("tinyint", "smallint", "mediumint", "int", "bigint"):
+        return col.cast("long")
+    return col
+
+
+def decode_debezium_typed(
+    messages: DataFrame,
+    specs: list,
+    tz: str = "UTC",
+    value_col: str = "value",
+) -> DataFrame:
+    """Debezium envelope JSON with TYPED field values → engine change
+    rows: from_json against the wire types writeDebeziumFieldValue
+    emits, then the per-type inverse render. One map stage, no UDF."""
+    img = ", ".join(
+        f"`{s.name}`: {_debezium_wire_type(s)}" for s in specs
+    )
+    schema = (
+        f"payload STRUCT<before: STRUCT<{img}>, after: STRUCT<{img}>, "
+        "source STRUCT<connector: STRING, version: STRING, db: STRING, "
+        "table: STRING, commitTs: BIGINT, ts_ms: BIGINT>, "
+        "op: STRING, ts_ms: BIGINT>"
+    )
+    m = messages.select(F.from_json(F.col(value_col), schema).alias("m"))
+
+    def img_col(side: str) -> Column:
+        return F.when(
+            F.col(f"m.payload.{side}").isNotNull(),
+            F.struct(
+                *[
+                    debezium_field_decode(
+                        F.col(f"m.payload.{side}.`{s.name}`"), s, tz
+                    ).alias(s.name)
+                    for s in specs
+                ]
+            ),
+        )
+
+    op = (
+        F.when(F.col("m.payload.op") == "c", "I")
+        .when(F.col("m.payload.op") == "u", "U")
+        .otherwise("D")
+    )
+    return m.select(
+        op.alias("op"),
+        F.col("m.payload.source.db").alias("schema"),
+        F.col("m.payload.source.table").alias("table"),
+        F.col("m.payload.source.commitTs").alias("commit_ts"),
+        img_col("before").alias("before"),
+        img_col("after").alias("after"),
+    )
