@@ -392,3 +392,47 @@ def test_debezium_typed_roundtrip_fuzz(spark):
             if name == "dt0":
                 pass  # fsp=0: no fraction on either side
             assert have == want, (name, want, have)
+
+
+# --------------------------------------- content-compatible decode seam
+
+
+def test_extract_basic_mysql_type_reference_parity():
+    """utils.ExtractBasicMySQLType (mysql_types.go:36-44) cuts the wire
+    type string at the first '(' or ' ' — the mechanism that makes the
+    reference's canal-json decoder tolerate content-compatible FULL type
+    descriptors (VERDICT r12 #6 probe: NO decode gap; the full strings
+    are valid input to the same switch). Pin the cut behavior and the
+    binary substring test (mysql_types.go:47-49) on every descriptor
+    family the cc encoder emits."""
+    from tiflow_spark.types import (
+        extract_basic_mysql_type,
+        is_binary_mysql_type,
+        spark_cast_for_mysql_type,
+    )
+
+    cases = {
+        "int(11)": "int",
+        "int(10) unsigned": "int",
+        "int(10) unsigned zerofill": "int",
+        "tinyint(1)": "tinyint",
+        "bigint(20) unsigned": "bigint",
+        "decimal(5,2)": "decimal",
+        "enum('a','b','c')": "enum",
+        "set('a','b')": "set",
+        "datetime(3)": "datetime",
+        "timestamp(6)": "timestamp",
+        "varchar(32)": "varchar",
+        "char(1)": "char",
+        "double": "double",
+        "year(4)": "year",
+        "bit(3)": "bit",
+    }
+    for full, base in cases.items():
+        assert extract_basic_mysql_type(full) == base, full
+    for full in ("varbinary(16)", "binary(8)", "mediumblob", "tinyblob"):
+        assert is_binary_mysql_type(full), full
+        assert spark_cast_for_mysql_type(full) == "binary", full
+    assert not is_binary_mysql_type("varchar(16)")
+    assert spark_cast_for_mysql_type("bigint(20) unsigned") == "decimal(20,0)"
+    assert spark_cast_for_mysql_type("int(11) unsigned") == "bigint"

@@ -55,7 +55,9 @@ def _mysql_type_of(f: T.StructField, full: bool = False) -> str:
 
         if not mt:
             # metadata-less fixture columns: derive the base identity
-            # from the Spark type (same fallback as the short form)
+            # from the Spark type (same fallback as the short form);
+            # varchar carries MySQL's conventional 255 display length —
+            # a real TableInfo always has flen, this is fixture-only
             if isinstance(f.dataType, T.BinaryType):
                 mt = "blob"
             elif isinstance(f.dataType, T.DecimalType):
@@ -63,6 +65,8 @@ def _mysql_type_of(f: T.StructField, full: bool = False) -> str:
             else:
                 mt = _MYSQL_TYPES[f.dataType].split("(")[0]
             meta = {**meta, "mysqlType": mt}
+            if mt in ("varchar", "varbinary") and "flen" not in meta:
+                meta["flen"] = 255
         return mysql_full_type(meta)
     if mt in ("enum", "set") and meta.get("values"):
         vals = ",".join(f"'{v}'" for v in meta["values"])

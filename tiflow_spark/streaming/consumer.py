@@ -36,16 +36,22 @@ _CANAL_SCHEMA = (
 def replay_broker_to_state(
     spark: SparkSession,
     broker_dir: str,
-    payload_types: dict[str, str],
+    payload_types: dict[str, str] | None = None,
     topic: str | None = None,
     use_tidb_extension: bool = False,
 ) -> DataFrame:
     """Replay a canal-json topic into the applied table state.
 
     ``payload_types``: column → Spark type string, used to cast the
-    string-valued canal images back to typed columns (the consumer's
-    mysqlType-driven decode, column types known from the schema message /
-    downstream DDL in the reference).
+    string-valued canal images back to typed columns. ``None`` = derive
+    the types from the wire itself: the reference consumer reads every
+    column's type from the message's own ``mysqlType`` map
+    (canal_json_message.go:332-353 → canalJSONFormatColumn :355-421,
+    base type via utils.ExtractBasicMySQLType), which by construction
+    tolerates BOTH plain lowercase names and content-compatible FULL
+    descriptors ('bigint(20) unsigned'-style, mysql_types.go:36-44 cuts
+    at the first '(' or ' '). One single-message driver peek —
+    metadata-scale, never the data.
 
     ``use_tidb_extension``: the topic was produced with
     enable-tidb-extension=true, so every message carries the EXACT
@@ -67,6 +73,24 @@ def replay_broker_to_state(
         "offset",
         F.from_json("value", schema).alias("m"),
     ).filter(~F.col("m.isDdl"))
+    if payload_types is None:
+        from tiflow_spark.types import spark_cast_for_mysql_type
+
+        peek = (
+            m.select(F.col("m.mysqlType").alias("mt"))
+            .filter(F.col("mt").isNotNull())
+            .limit(1)
+            .collect()
+        )
+        if not peek:
+            raise ValueError(
+                "schema-from-wire replay: no DML message with a mysqlType "
+                "map found on the topic"
+            )
+        payload_types = {
+            name: spark_cast_for_mysql_type(t)
+            for name, t in sorted(peek[0].mt.items())
+        }
     img = F.element_at(F.col("m.data"), 1)
     key = F.array_join(
         F.transform(F.col("m.pkNames"), lambda pk: F.element_at(img, pk)),

@@ -290,3 +290,39 @@ def encode_charset(col: Column, charset: str) -> Column:
     must ship the upstream charset verbatim)."""
     _enable_java_charsets()
     return F.encode(col, charset)
+
+
+# -------------------------------------------------- wire-type string parse
+
+
+def extract_basic_mysql_type(full: str) -> str:
+    """The base type name from a (possibly full) mysqlType wire string —
+    utils.ExtractBasicMySQLType (pkg/sink/codec/utils/mysql_types.go:
+    36-44): cut at the first '(' or ' ', so the canal-json decoder
+    tolerates content-compatible FULL descriptors ('int(11) unsigned
+    zerofill' → 'int') and plain names alike."""
+    for i, ch in enumerate(full):
+        if ch in "( ":
+            return full[:i]
+    return full
+
+
+def is_binary_mysql_type(full: str) -> bool:
+    """utils.IsBinaryMySQLType (mysql_types.go:47-49): substring test on
+    the FULL wire string — 'varbinary(16)' and 'mediumblob' both hit."""
+    return "blob" in full or "binary" in full
+
+
+def spark_cast_for_mysql_type(full: str) -> str:
+    """Spark cast target for one mysqlType wire string — the decode side
+    of schema-from-wire replay (the reference consumer derives column
+    types from the message's mysqlType map, canal_json_message.go:
+    332-353 + canalJSONFormatColumn :355-421)."""
+    low = full.lower()
+    if is_binary_mysql_type(low):
+        return "binary"
+    base = extract_basic_mysql_type(low)
+    if base == "bigint" and "unsigned" in low:
+        return "decimal(20,0)"  # sink.go:193-205 widening
+    t = MYSQL_TO_SPARK.get(base)
+    return t.simpleString() if t is not None else "string"
