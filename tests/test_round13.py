@@ -436,3 +436,91 @@ def test_extract_basic_mysql_type_reference_parity():
     assert not is_binary_mysql_type("varchar(16)")
     assert spark_cast_for_mysql_type("bigint(20) unsigned") == "decimal(20,0)"
     assert spark_cast_for_mysql_type("int(11) unsigned") == "bigint"
+
+
+# ------------------------------------------ per-value java.sql promotion
+
+
+def test_java_sql_type_per_value_promotion(spark):
+    """getJavaSQLType (canal_entry.go:304-366): unsigned integral columns
+    promote PER VALUE when the value exceeds the signed type's max —
+    tinyint -6→5 above 127, smallint 5→4 above 32767, int 4→-5 above
+    2^31-1, bigint -5→3 above 2^63-1; at or below the threshold the base
+    code stays (ADVICE r12: the sqlType must not be promoted per column)."""
+    import json
+
+    from tiflow_spark.codecs.canal_json import encode_canal_json
+    from tiflow_spark.types import ColumnSpec, table_schema
+
+    specs = [
+        ColumnSpec("id", "bigint", primary_key=True),
+        ColumnSpec("t_u", "tinyint", unsigned=True),
+        ColumnSpec("s_u", "smallint", unsigned=True),
+        ColumnSpec("i_u", "int", unsigned=True),
+        ColumnSpec("b_u", "bigint", unsigned=True),
+    ]
+    payload = table_schema(specs)
+    from decimal import Decimal
+
+    low = (1, 127, 32767, 2147483647, Decimal(9223372036854775807))
+    high = (2, 128, 32768, 2147483648, Decimal(9223372036854775808))
+
+    from pyspark.sql import types as T
+
+    env = spark.createDataFrame(
+        [("I", "s", "t", 1, 1, None, low), ("I", "s", "t", 2, 2, None, high)],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("schema", T.StringType()),
+                T.StructField("table", T.StringType()),
+                T.StructField("commit_ts", T.LongType()),
+                T.StructField("seq", T.LongType()),
+                T.StructField("before", payload),
+                T.StructField("after", payload),
+            ]
+        ),
+    )
+    msgs = {
+        json.loads(r.value)["data"][0]["id"]: json.loads(r.value)["sqlType"]
+        for r in encode_canal_json(env, pk_names=("id",)).collect()
+    }
+    assert msgs["1"] == {"id": -5, "t_u": -6, "s_u": 5, "i_u": 4, "b_u": -5}
+    assert msgs["2"] == {"id": -5, "t_u": 5, "s_u": 4, "i_u": -5, "b_u": 3}
+
+
+# -------------------------------------------- csv header eager validation
+
+
+def test_csv_header_mismatch_survives_optimizer_reordering(spark):
+    """ADVICE r12: the header-mismatch guard used to ride a conjunctive
+    filter (header_ok & ~is_header) that Catalyst may split, applying
+    ~is_header first and silently dropping the bad header. The guard is
+    now a single CASE branch — non-splittable — so the mismatch must
+    still raise even when downstream filters invite pushdown/reordering
+    through the decode."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from tiflow_spark.codecs.csv_codec import CsvConfig, decode_csv
+
+    cfg = CsvConfig(output_field_header=True)
+    payload = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [
+            (
+                "ticdc-meta$operation,ticdc-meta$table,ticdc-meta$schema,"
+                "ticdc-meta$commit-ts,note,id",
+            ),
+        ]
+        + [(f'I,"t","s",1000,{i},"x"',) for i in range(50)],
+        "line string",
+    )
+    out = decode_csv(bad, payload, cfg).filter(F.col("id") > 5).select("id")
+    with _pytest.raises(Exception, match="header mismatch"):
+        out.collect()

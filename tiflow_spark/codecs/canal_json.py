@@ -120,10 +120,27 @@ _JAVA_BY_MYSQL = {
 }
 
 
+# unsigned integral promotion thresholds + promoted code, the reference's
+# PER-VALUE rule (canal_entry.go getJavaSQLType :304-366, mirroring
+# alibaba/canal LogEventConvert): an unsigned value exceeding the SIGNED
+# type's max promotes one width — tinyint(-6)→SMALLINT(5) above 127,
+# smallint(5)→INTEGER(4) above 32767, int(4)→BIGINT(-5) above 2^31-1,
+# bigint(-5)→DECIMAL(3) above 2^63-1. mediumint/year/bit/float/double/
+# decimal never promote (:311-318 + the switch omits TypeInt24).
+_UNSIGNED_PROMOTION = {
+    "tinyint": (127, 5),
+    "smallint": (32767, 4),
+    "int": (2147483647, -5),
+    "bigint": (9223372036854775807, 3),
+}
+
+
 def _java_sql_type_of(f: T.StructField) -> int:
-    """java.sql.Types code per column (internal/java.go MySQLType2JavaType):
-    per-base-type codes with the binary-charset promotion to BLOB(2004)
-    for the string/blob families, unsigned-overflow decimals → DECIMAL(3)."""
+    """Static java.sql.Types code per column (internal/java.go
+    MySQLType2JavaType): per-base-type codes with the binary-charset
+    promotion to BLOB(2004) for the string/blob families. Unsigned
+    integral columns take their UNPROMOTED base code here — the
+    per-value promotion is :func:`_java_sql_type_col`."""
     meta = f.metadata or {}
     mt = meta.get("mysqlType")
     if mt:
@@ -131,14 +148,33 @@ def _java_sql_type_of(f: T.StructField) -> int:
             "char", "varchar", "text", "tinytext", "mediumtext", "longtext"
         ):
             return 2004  # binary charset → Types.BLOB (java.go isBinary)
-        if mt == "bigint" and meta.get("unsigned"):
-            return 3  # unsigned-overflow widening rides DECIMAL
         return _JAVA_BY_MYSQL[mt]
     if isinstance(f.dataType, T.DecimalType):
         return 3  # Types.DECIMAL
     if isinstance(f.dataType, T.BinaryType):
         return 2004  # Types.BLOB
     return _JAVA_SQL_TYPES[f.dataType]
+
+
+def _java_sql_type_col(f: T.StructField) -> Column:
+    """java.sql.Types code per column AND VALUE — getJavaSQLType
+    (canal_entry.go:304-366): the static MySQLType2JavaType code, plus
+    the unsigned per-value width promotion. The promoting value is the
+    one the sqlType map renders: the new image for INSERT/UPDATE, the
+    old image for DELETE (canal_json_row_event_encoder.go:158-161).
+    NULL values keep the base code (:323-325)."""
+    base = F.lit(_java_sql_type_of(f))
+    meta = f.metadata or {}
+    mt = meta.get("mysqlType")
+    if not meta.get("unsigned") or mt not in _UNSIGNED_PROMOTION:
+        return base
+    limit, promoted = _UNSIGNED_PROMOTION[mt]
+    v = F.when(
+        F.col("op") == "D", F.col(f"before.{f.name}")
+    ).otherwise(F.col(f"after.{f.name}"))
+    return F.when(
+        v > F.lit(limit).cast("decimal(20,0)"), F.lit(promoted)
+    ).otherwise(base)
 
 
 def _image_map(side: str, fields: list[T.StructField]) -> Column:
@@ -211,7 +247,7 @@ def encode_canal_json(
         *[
             c
             for f in fields
-            for c in (F.lit(f.name), F.lit(_java_sql_type_of(f)))
+            for c in (F.lit(f.name), _java_sql_type_col(f))
         ]
     )
     mysql_type = F.create_map(

@@ -230,17 +230,26 @@ def decode_csv(
             [f.name for f in payload_schema.fields], cfg
         )
         is_header = F.col(line_col).startswith("ticdc-meta$operation")
-        header_ok = F.coalesce(
-            F.assert_true(
-                ~is_header | (F.col(line_col) == F.lit(expected)),
-                F.concat(
-                    F.lit("csv decoder: header mismatch: "),
-                    F.col(line_col),
-                ),
-            ).cast("boolean"),
-            F.lit(True),
+        # ADVICE r12: the previous form (assert & ~is_header) was a
+        # CONJUNCTION — Catalyst may split conjuncts and apply ~is_header
+        # first, silently dropping a mismatched header before the assert
+        # evaluates. A single CASE is not splittable: non-header rows
+        # take the TRUE branch untouched; every header row must pass
+        # through the assert (mismatch → error, match → null → dropped
+        # via coalesce(false)). Negative-tested in tests/test_round13.py.
+        keep = F.when(~is_header, F.lit(True)).otherwise(
+            F.coalesce(
+                F.assert_true(
+                    F.col(line_col) == F.lit(expected),
+                    F.concat(
+                        F.lit("csv decoder: header mismatch: "),
+                        F.col(line_col),
+                    ),
+                ).cast("boolean"),
+                F.lit(False),
+            )
         )
-        lines = lines.filter(header_ok & ~is_header)
+        lines = lines.filter(keep)
     parsed = lines.select(
         *keep_cols,
         F.from_csv(F.col(line_col), full.simpleString(), opts).alias("r"),

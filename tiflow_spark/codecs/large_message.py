@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from tiflow_spark.codecs.canal_json import (
     _image_map,
-    _java_sql_type_of,
+    _java_sql_type_col,
     _mysql_type_of,
 )
 from tiflow_spark.codecs.claim_check import apply_claim_check
@@ -49,7 +49,7 @@ def _message_json(
     if only_handle_key or claim_check_location is not None:
         fields = [f for f in fields if f.name in pk_names]
     sql_type = F.create_map(
-        *[c for f in fields for c in (F.lit(f.name), F.lit(_java_sql_type_of(f)))]
+        *[c for f in fields for c in (F.lit(f.name), _java_sql_type_col(f))]
     )
     mysql_type = F.create_map(
         *[c for f in fields for c in (F.lit(f.name), F.lit(_mysql_type_of(f)))]

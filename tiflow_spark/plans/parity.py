@@ -7909,14 +7909,22 @@ _install_debezium_old_value_off_sql()
 # descriptor path is pinned for every §1.2 type family. Column spec:
 # (name, full type descriptor, java.sql.Types code,
 #  duckdb AFTER-value expr over v = event_id).
-_CC_COLS: list[tuple[str, str, int, str]] = [
+_CC_COLS: list[tuple[str, str, int | str, str]] = [
     ("id", "bigint(20)", -5, "CAST(v AS VARCHAR)"),
     ("cnt", "int(10) unsigned", 4, "CAST(v % 1000 AS VARCHAR)"),
     ("flag", "tinyint(1)", -6, "CAST(v % 2 AS VARCHAR)"),
     ("small_z", "smallint(5) unsigned zerofill", 5,
      "CAST(v % 100 AS VARCHAR)"),
     ("mid", "mediumint(9)", 4, "CAST(v % 50 AS VARCHAR)"),
-    ("big_u", "bigint(20) unsigned", 3, "CAST(v AS VARCHAR)"),
+    # per-VALUE promotion (canal_entry.go getJavaSQLType :304-366): the
+    # sqlType code is -5 (BIGINT) unless the row's value exceeds
+    # MaxInt64, which promotes to 3 (DECIMAL) — the fixture overflows on
+    # v % 5 = 0 so both branches are pinned (ADVICE r12 medium)
+    ("big_u", "bigint(20) unsigned",
+     "CASE WHEN v % 5 = 0 THEN 3 ELSE -5 END",
+     "CAST(CASE WHEN v % 5 = 0 THEN CAST(v AS HUGEINT)"
+     " + 9223372036854775808::HUGEINT ELSE CAST(v AS HUGEINT) END"
+     " AS VARCHAR)"),
     ("price", "decimal(10,2)", 3, "CAST(v % 500 AS VARCHAR) || '.25'"),
     ("ratio", "double", 8,
      "CAST(CAST(v % 7 AS DOUBLE) + 0.5 AS VARCHAR)"),
@@ -7981,7 +7989,15 @@ def _cc_typed_env(spark: SparkSession, sf_dir: str) -> DataFrame:
             (v % 2).cast("long").alias("flag"),
             (v % 100).cast("long").alias("small_z"),
             (v % 50).cast("long").alias("mid"),
-            v.cast("decimal(20,0)").alias("big_u"),
+            # overflow MaxInt64 on v % 5 = 0: pins the per-value
+            # DECIMAL(3) promotion; the rest stay BIGINT(-5)
+            F.when(
+                v % 5 == 0,
+                v.cast("decimal(20,0)")
+                + F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))"),
+            )
+            .otherwise(v.cast("decimal(20,0)"))
+            .alias("big_u"),
             F.concat((v % 500).cast("string"), F.lit(".25")).alias("price"),
             ((v % 7).cast("double") + 0.5).alias("ratio"),
             ((v % 3) * F.lit(0.5)).cast("float").alias("speed"),

@@ -104,6 +104,17 @@ def write_storage_sink(
         )
     encoded = _with_date(enc, cfg)
     header_mode = cfg.protocol == "csv" and cfg.csv.output_field_header
+    if header_mode and cfg.max_records_per_file != 100_000:
+        # ADVICE r12: header mode disables rotation (one file per group =
+        # one header per file); a user tuning BOTH knobs would otherwise
+        # get unbounded file sizes with no signal. The reference writes a
+        # header per rotated file (csv_encoder.go:40 per batch) — until
+        # this sink does the same, refuse the combination loudly.
+        raise ValueError(
+            "storage sink: csv.output-field-header disables "
+            "max_records_per_file rotation (one file per table/date "
+            "group); unset one of the two options"
+        )
     if header_mode:
         # csv.output-field-header: one header line per data file
         # (csv_encoder.go:40 emits it before the batch's first row). The
