@@ -197,5 +197,10 @@ def test_canal_json_renders_typed_mysql_types(spark):
         "status": "enum('on','off')",
         "payload": "blob",
     }
-    assert msg["sqlType"] == {"id": -5, "cnt": 3, "status": 4, "payload": 2004}
+    # cnt is unsigned bigint with value 5 ≤ MaxInt64: the reference
+    # promotes to DECIMAL(3) PER VALUE only on overflow
+    # (canal_entry.go getJavaSQLType :360-363, fixed per ADVICE r12 —
+    # the old per-column pin of 3 certified bytes the reference would
+    # emit as -5); both branches are pinned in tests/test_round13.py.
+    assert msg["sqlType"] == {"id": -5, "cnt": -5, "status": 4, "payload": 2004}
     assert msg["data"][0]["id"] == "7"
