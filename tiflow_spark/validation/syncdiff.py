@@ -665,27 +665,42 @@ def limit_chunk_bounds(
     parts = max(2, idx.sparkSession.sparkContext.defaultParallelism)
     ranged = idx.repartitionByRange(parts, *cols).sortWithinPartitions(*cols)
     withpid = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = {
-        r._pid: r.cnt
-        for r in withpid.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_col = F.lit(0)
-    for pid, off in offsets.items():
-        off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_col)
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
-    ranked = withpid.withColumn(
-        "_rank", F.row_number().over(w) + off_col
-    )
-    bounds = (
-        ranked.filter(F.col("_rank") % chunk_size == 0)
-        .orderBy("_rank")
-        .select(*cols)
-        .collect()
-    )
+    # PERSIST before the two actions: repartitionByRange SAMPLES its
+    # boundaries per job, so without pinning the layout the counts job
+    # and the rank job can see DIFFERENT partition assignments and the
+    # per-partition offsets corrupt the global ranks near boundaries
+    # (caught by the sf0.1 sweep — sf0.01 was too small to resample
+    # differently). Persisting materializes the exchange once; both
+    # downstream jobs read the same layout.
+    withpid = withpid.persist()
+    try:
+        counts = {
+            r._pid: r.cnt
+            for r in withpid.groupBy("_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_col = F.lit(0)
+        for pid, off in offsets.items():
+            off_col = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(
+                off_col
+            )
+        w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in cols])
+        ranked = withpid.withColumn(
+            "_rank", F.row_number().over(w) + off_col
+        )
+        bounds = (
+            ranked.filter(F.col("_rank") % chunk_size == 0)
+            .orderBy("_rank")
+            .select(*cols)
+            .collect()
+        )
+    finally:
+        withpid.unpersist()
     return [tuple(r) for r in bounds]
 
 
