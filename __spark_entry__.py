@@ -35,9 +35,11 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 # as a green schema-from-wire replay row, mysql_types.go:36-44 — VERDICT r12
 # #6). codec_canal_content_compatible re-checks because its implementation
 # CHANGED this round (per-VALUE unsigned java.sql promotion incl. an
-# overflowing big_u fixture, canal_entry.go:304-366 — ADVICE r12). The
-# remaining 20 slots go to the oldest r9-checked queries in name order; the
-# 27 r9 names that miss the cap lead the r14 rotation. Every deferred name
+# overflowing big_u fixture, canal_entry.go:304-366 — ADVICE r12). validate_index_pick (split-index selection by first-column
+# selectivity, utils.go:1051-1094) landed late in the round and takes the
+# last new-row slot. The remaining 19 slots go to the oldest r9-checked
+# queries in name order; the 28 r9 names that miss the cap lead the r14
+# rotation. Every deferred name
 # is meanwhile covered by the sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
 # follows in registration order as regression sentinels.
@@ -73,6 +75,7 @@ _PRIORITY = [
     "validate_chunk_tuple",
     "consumer_replay_debezium_typed",
     "consumer_replay_canal_cc",
+    "validate_index_pick",
     "codec_canal_content_compatible",
     # latest-checked round 9 — first 20 in name order
     "cdc_causality",
@@ -94,7 +97,6 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "llm_ingest_stream",
-    "olap_customer_distribution",
 ]
 
 

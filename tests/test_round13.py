@@ -524,3 +524,35 @@ def test_csv_header_mismatch_survives_optimizer_reordering(spark):
     out = decode_csv(bad, payload, cfg).filter(F.col("id") > 5).select("id")
     with _pytest.raises(Exception, match="header mismatch"):
         out.collect()
+
+
+# ------------------------------------------------- split-index selection
+
+
+def test_better_index_pk_short_circuit(spark):
+    """GetBetterIndex (utils.go:1057-1061): the first PRIMARY or UNIQUE
+    index returns outright — no selectivity scan happens."""
+    from tiflow_spark.validation.syncdiff import better_index
+
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    got = better_index(
+        df,
+        [
+            ("idx_v", ("v",), False, False),
+            ("pk", ("k",), True, False),
+            ("uk", ("v",), False, True),
+        ],
+    )
+    assert got == [("pk", 1.0)]
+
+
+def test_calculate_chunk_size_reference_clamp():
+    """utils.CalculateChunkSize (utils.go:1096-1105): 50k per chunk, but
+    past 500M rows the chunk grows to rowCount/10000 (~10k chunks)."""
+    from tiflow_spark.validation.syncdiff import calculate_chunk_size
+
+    assert calculate_chunk_size(1_000) == 50_000
+    assert calculate_chunk_size(500_000_000) == 50_000
+    assert calculate_chunk_size(500_000_001) == 50_000
+    assert calculate_chunk_size(600_000_000) == 60_000
+    assert calculate_chunk_size(2_000_000_000) == 200_000

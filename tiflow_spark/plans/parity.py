@@ -2601,6 +2601,52 @@ def q_chunk_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "validate_index_pick",
+    """WITH sel AS (
+      SELECT 'idx_name' AS index_name,
+             round(CAST(count(DISTINCT c_name) AS DOUBLE) / count(*), 6)
+               AS selectivity FROM customer
+      UNION ALL
+      SELECT 'idx_nation',
+             round(CAST(count(DISTINCT c_nationkey) AS DOUBLE) / count(*), 6)
+      FROM customer
+      UNION ALL
+      SELECT 'idx_segment',
+             round(CAST(count(DISTINCT c_mktsegment) AS DOUBLE) / count(*), 6)
+      FROM customer)
+    SELECT row_number() OVER (ORDER BY selectivity DESC) AS rank,
+           index_name, selectivity
+    FROM sel""",
+)
+def q_validate_index_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-index selection (utils.GetBetterIndex, utils.go:1051-1076):
+    with no PK/UK candidate, indexes rank by first-column selectivity
+    COUNT(DISTINCT col)/COUNT(1) (GetSelectivity :1078-1094), highest
+    first — here three non-unique candidates over customer (c_name
+    near-unique, c_nationkey 25 values, c_mktsegment 5 values), computed
+    in ONE aggregate pass instead of the reference's query-per-index.
+    The PK/UK short-circuit and CalculateChunkSize's 10k-chunk clamp are
+    pinned in tests/test_round13.py."""
+    from tiflow_spark.validation.syncdiff import better_index
+
+    ranked = better_index(
+        load_table(spark, sf_dir, "customer"),
+        [
+            ("idx_name", ("c_name",), False, False),
+            ("idx_nation", ("c_nationkey",), False, False),
+            ("idx_segment", ("c_mktsegment",), False, False),
+        ],
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, name, round(sel, 6))
+            for i, (name, sel) in enumerate(ranked)
+        ],
+        "rank long, index_name string, selectivity double",
+    )
+
+
+@register(
     "validate_row_diff",
     f"""WITH {CORRUPT_SQL.strip().lstrip()}
     SELECT coalesce(s.c_custkey, d.c_custkey) AS c_custkey,

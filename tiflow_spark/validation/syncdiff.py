@@ -775,3 +775,51 @@ def tuple_compare_checksums(
             & F.col("s.checksum").eqNullSafe(F.col("d.checksum"))
         ).alias("match"),
     )
+
+
+def calculate_chunk_size(row_count: int) -> int:
+    """utils.CalculateChunkSize (sync_diff_inspector/utils/utils.go:
+    1096-1105): 50k rows per chunk, but clamp to ~10k chunks per table —
+    tables beyond 500M rows scale the chunk up to rowCount/10000."""
+    chunk_size = 50_000
+    if row_count > chunk_size * 10_000:
+        chunk_size = row_count // 10_000
+    return chunk_size
+
+
+def better_index(
+    df: DataFrame,
+    indexes: Sequence[tuple[str, Sequence[str], bool, bool]],
+) -> list[tuple[str, float]]:
+    """Split-index selection — utils.GetBetterIndex (utils.go:1051-1076):
+    the first PRIMARY or UNIQUE index wins outright; otherwise every
+    index is ranked by the selectivity of its FIRST column,
+    COUNT(DISTINCT col)/COUNT(1) (GetSelectivity, utils.go:1078-1094),
+    highest first.
+
+    ``indexes``: (name, cols, primary, unique) tuples in index order.
+    Returns [(index_name, selectivity)] ranked; the PK/UK short-circuit
+    reports selectivity 1.0. ONE aggregate job computes every candidate's
+    distinct count (map-side partial agg — a single pass over the table
+    regardless of candidate count, vs the reference's one query per
+    index)."""
+    for name, _cols, primary, unique in indexes:
+        if primary or unique:
+            return [(name, 1.0)]
+    firsts = [(name, tuple(cols)[0]) for name, cols, _p, _u in indexes]
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.count_distinct(F.col(col)).alias(f"_d_{i}")
+            for i, (_name, col) in enumerate(firsts)
+        ],
+    ).collect()[0]
+    n = row._n or 0
+    sels = [
+        (name, (row[f"_d_{i}"] / n) if n else 0.0)
+        for i, (name, _col) in enumerate(firsts)
+    ]
+    # sort.Slice is stable in Go only via SliceStable; GetBetterIndex uses
+    # sort.Slice (unstable) on strictly > — ties keep arbitrary order
+    # there; we keep input order on ties (deterministic superset)
+    return sorted(sels, key=lambda t: -t[1])
