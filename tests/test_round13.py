@@ -556,3 +556,32 @@ def test_calculate_chunk_size_reference_clamp():
     assert calculate_chunk_size(500_000_001) == 50_000
     assert calculate_chunk_size(600_000_000) == 60_000
     assert calculate_chunk_size(2_000_000_000) == 200_000
+
+
+# ---------------------------------------------- rule-resolution fallbacks
+
+
+def test_partition_rule_resolution_reference_fallbacks(spark):
+    """event_router.go getPartitionDispatcher (:213-239): 'rowid' warns
+    into index-value; an unknown rule becomes a LITERAL fixed partition
+    key on pulsar (KeyDispatcher: partition 0, message key = the rule
+    string, partition/key.go:35-48) and degrades to default-with-warn on
+    kafka."""
+    import warnings
+
+    from tiflow_spark.operators.dispatchers import (
+        literal_key_columns,
+        resolve_partition_rule,
+    )
+
+    assert resolve_partition_rule("rowid") == "index-value"
+    assert resolve_partition_rule("Index-Value") == "index-value"
+    assert resolve_partition_rule("my-key", scheme="pulsar") == "key"
+    assert resolve_partition_rule("my-key", scheme="pulsar+ssl") == "key"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert resolve_partition_rule("my-key", scheme="kafka") == "default"
+        assert any("using default" in str(x.message) for x in w)
+    part, key = literal_key_columns("my-key")
+    row = spark.range(3).select(part.alias("p"), key.alias("k")).collect()
+    assert [(r.p, r.k) for r in row] == [(0, "my-key")] * 3

@@ -126,6 +126,38 @@ def inertia_message_key(
     raise ValueError(f"no message key for rule: {rule}")
 
 
+def resolve_partition_rule(rule: str, scheme: str = "kafka") -> str:
+    """The reference's rule-resolution fallbacks (event_router.go
+    getPartitionDispatcher :213-239): 'rowid' is a deprecated alias for
+    index-value; an UNRECOGNIZED rule string becomes a literal fixed
+    partition KEY on a pulsar-scheme sink (NewKeyDispatcher — partition
+    0, message key = the rule string itself, partition/key.go:27-48),
+    and silently degrades to 'default' (with a warn) on kafka."""
+    known = ("default", "ts", "table", "index-value", "columns")
+    low = rule.lower()
+    if low == "rowid":
+        return "index-value"
+    if low in known:
+        return low
+    if scheme.startswith("pulsar"):
+        return "key"
+    import warnings
+
+    warnings.warn(
+        f"partition dispatch rule {rule!r} is not "
+        "default/ts/table/index-value/columns, using default",
+        stacklevel=2,
+    )
+    return "default"
+
+
+def literal_key_columns(rule: str) -> tuple[Column, Column]:
+    """The pulsar KeyDispatcher pair (partition/key.go:35-48): every
+    event lands on partition 0 and carries the configured string as its
+    message key — the broker's own key-hash places it."""
+    return F.lit(0), F.lit(rule)
+
+
 def _portable_partition_column(
     rule: str, num_partitions: int, columns: tuple[str, ...] = ()
 ) -> Column:
