@@ -21,82 +21,81 @@ from tiflow_spark.plans.parity import REGISTRY  # noqa: E402
 
 # The driver's correctness snapshot caps at 50 queries, taken in dict order.
 # With more than 50 registered, we rotate coverage across rounds so no query
-# goes more than ~4 rounds without a hard-signal row. Round 13 (per VERDICT
-# r12 next-round #2): FIRST the 25 queries whose latest driver check was
-# round 8 — the cap-bound remainder earmarked by the r12 rotation — so after
-# this round nothing in the registry is staler than r9. Then the rows NEW in
-# round 13: cdc_dispatch_inertia (PositionInertia wire-parity partition
-# hashing, pkg/hash/position_inertia.go:27-56, XOR-folded crc32-IEEE vs an
-# independent pure-SQL CRC-32 oracle — VERDICT r12 #1), validate_chunk_tuple
-# (composite/string-PK tuple chunk splitting, splitter/limit.go:306-317 +
-# chunk/chunk.go:278-380 — VERDICT r12 #4), consumer_replay_debezium_typed
-# (the typed-renderer DECODE loop over the 16-column fixture — VERDICT r12
-# #5), and consumer_replay_canal_cc (content-compatible decode seam closed
-# as a green schema-from-wire replay row, mysql_types.go:36-44 — VERDICT r12
-# #6). codec_canal_content_compatible re-checks because its implementation
-# CHANGED this round (per-VALUE unsigned java.sql promotion incl. an
-# overflowing big_u fixture, canal_entry.go:304-366 — ADVICE r12). validate_index_pick (split-index selection by first-column
-# selectivity, utils.go:1051-1094) landed late in the round and takes the
-# last new-row slot. The remaining 19 slots go to the oldest r9-checked
-# queries in name order; the 28 r9 names that miss the cap lead the r14
-# rotation. Every deferred name
-# is meanwhile covered by the sf0.001 oracle sweep on every pytest run
+# goes more than ~4 rounds without a hard-signal row. Round 14 (per VERDICT
+# r13 next-round #5): FIRST the 28 queries whose latest driver check was
+# round 9 — after this round nothing in the registry is staler than r10.
+# Then the rows NEW in round 14: cdc_dispatch_index_name (named-index
+# dispatch config + VerifyTables create-time rejection parity,
+# pkg/config/sink.go:389-390, event_router.go:131-160,
+# partition/index_value.go:67-86 — VERDICT r13 #2) and cdc_topic_ddl (DDL
+# topic routing with the schema-scope→default-topic fallback,
+# GetTopicForDDL event_router.go:96-115 — VERDICT r13 #4). Re-checks for
+# CHANGED implementations: cdc_dispatch_inertia + cdc_handle_key_dispatch
+# (the dispatch()/partition_column rework — rule-resolution wiring, ts
+# message key, per-table handle-column plumbing, byte-preserving binary
+# writes, ADVICE r13 items 1-4), validate_chunk_tuple (tuple chunk
+# assignment now routes through with_tuple_chunk_id's binsearch switch,
+# VERDICT r13 #6), sink_storage_crlf_roundtrip (the header-mode rotation
+# guard's sentinel default, ADVICE r13 #5). The remaining 16 slots go to
+# the oldest r10-checked queries in name order; deferred names are
+# meanwhile covered by the sf0.001 oracle sweep on every pytest run
 # (tests/test_parity.py) and the opt-in sf0.1 full sweep. The remainder
 # follows in registration order as regression sentinels.
 _PRIORITY = [
-    # latest-checked round 8 — the earmarked remainder (VERDICT r12 #2)
-    "olap_pricing_summary",
-    "olap_promo_revenue",
-    "olap_shipping_priority",
-    "olap_sliding_rate",
-    "olap_small_qty_revenue",
-    "olap_top_spenders",
-    "olap_top_supplier",
-    "olap_user_sessions",
-    "olap_waiting_suppliers",
-    "pack_sequences",
-    "sample_ppl_buckets",
-    "sample_stratified",
-    "sample_temperature",
-    "sim_ann_recall",
-    "sim_ann_sq",
-    "sink_uri_route",
-    "snapshot_load_status",
-    "snapshot_merge_partial",
-    "stream_delta_merge",
-    "text_contamination",
-    "text_normalize",
-    "text_pii_scrub",
-    "text_rarity",
-    "text_repetition",
-    "validate_resume_report",
-    # new in round 13 + the changed-implementation re-check
+    # latest-checked round 9 — the full r9 cohort (VERDICT r13 #5)
+    "olap_customer_distribution",
+    "olap_large_orders",
+    "olap_market_share",
+    "olap_returned_items",
+    "olap_volume_shipping",
+    "online_ddl_route",
+    "precheck",
+    "sample_domain_cap",
+    "schema_asof_decode",
+    "shardddl_optimistic_merge",
+    "sim_ann_lsh",
+    "sim_embedding_neardup",
+    "sim_topk_cosine",
+    "sink_storage_layout",
+    "sink_storage_roundtrip",
+    "snapshot_merge",
+    "stream_apply",
+    "text_fingerprint",
+    "text_langid",
+    "text_line_dedup",
+    "text_lm_score",
+    "text_quality",
+    "text_token_counts",
+    "validate_checksum",
+    "validate_chunk_compare",
+    "validate_pending",
+    "validate_repair",
+    "validate_row_diff",
+    # new in round 14
+    "cdc_dispatch_index_name",
+    "cdc_topic_ddl",
+    # changed-implementation re-checks (r14 dispatcher/syncdiff/storage work)
     "cdc_dispatch_inertia",
     "validate_chunk_tuple",
-    "consumer_replay_debezium_typed",
-    "consumer_replay_canal_cc",
-    "validate_index_pick",
-    "codec_canal_content_compatible",
-    # latest-checked round 9 — first 20 in name order
-    "cdc_causality",
-    "cdc_causality_fk",
-    "cdc_checkpoint",
-    "cdc_column_ops",
-    "compact_ingest_state",
-    "consumer_replay_avro",
-    "consumer_replay_canal",
-    "ddl_barrier_plan",
-    "ddl_default_backfill",
-    "ddl_filter",
-    "ddl_key_metadata",
-    "ddl_lossy_report",
-    "ddl_schema_evolution",
-    "dedup_exact",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "llm_ingest_stream",
+    "cdc_handle_key_dispatch",
+    "sink_storage_crlf_roundtrip",
+    # latest-checked round 10 — first 16 in name order
+    "cdc_dispatch",
+    "cdc_frontier",
+    "cdc_safe_mode",
+    "cdc_topic_sanitize",
+    "cdc_type_fidelity",
+    "cluster_kmeans_lloyd",
+    "codec_avro_checksum",
+    "codec_avro_roundtrip",
+    "codec_avro_watermark",
+    "codec_canal_json",
+    "codec_checkpoint_messages",
+    "codec_craft_events",
+    "codec_craft_roundtrip",
+    "codec_csv_binary_handle",
+    "codec_debezium",
+    "codec_debezium_ddl",
 ]
 
 

@@ -1,0 +1,611 @@
+"""Round 14: named-index dispatch config + VerifyTables rejection parity
+(VERDICT r13 #2), large-message AdjustAndValidate matrix (#3), DDL topic
+schema-scope fallback (#4), binsearch tuple chunk-id (#6), and the r13
+ADVICE items (rule-resolution wiring, ts message key, handle-column
+plumbing, byte-preserving binary key hash, storage sentinel default).
+
+Reference pins: cdc/sink/dmlsink/mq/dispatcher/event_router.go:96-160,
+213-239; partition/index_value.go:45-86; partition/key.go:35-48; ts.go:36;
+pkg/config/large_message.go:47-91; cdc/model/sink.go:1056-1057.
+"""
+
+from __future__ import annotations
+
+import warnings
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflow_spark.config import Dispatcher, TableRule, TaskConfig
+from tiflow_spark.operators.dispatchers import (
+    TableKeyInfo,
+    dispatch,
+    inertia_message_key,
+    inertia_sum32,
+    literal_key_columns,
+    partition_column,
+    resolve_partition_rule,
+    table_key_info_from_ddl,
+    verify_tables,
+)
+from tiflow_spark.sources.ddl_parse import parse_ddl
+
+_IMG = T.StructType(
+    [
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ]
+)
+_ROW = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("commit_ts", T.LongType()),
+        T.StructField("before", _IMG),
+        T.StructField("after", _IMG),
+    ]
+)
+
+
+def _env_df(spark, rows=None):
+    rows = rows or [
+        ("I", "db", "t1", 421, None, (22, "x")),
+        ("U", "db", "t2", 422, (23, "y"), (23, "z")),
+        ("D", "db", "other", 423, (24, "w"), None),
+    ]
+    return spark.createDataFrame(rows, _ROW)
+
+
+# ------------------------------------------------- DDL → TableKeyInfo
+
+
+def test_plain_key_parse_and_table_key_info():
+    op = parse_ddl(
+        "CREATE TABLE s.t (id BIGINT PRIMARY KEY, balance DOUBLE, "
+        "note VARCHAR, UNIQUE KEY uk_note_id (note, id), "
+        "KEY idx_balance (balance))"
+    )
+    assert op.plain_keys == (("balance",),)
+    assert op.plain_key_names == ("idx_balance",)
+    info = table_key_info_from_ddl(op)
+    assert info.columns == ("id", "balance", "note")
+    assert info.handle_columns == ("id",)
+    # named indexes: primary + unique (in INDEX order) + non-unique
+    assert info.indexes["primary"] == (("id",), True)
+    assert info.indexes["uk_note_id"] == (("note", "id"), True)
+    assert info.indexes["idx_balance"] == (("balance",), False)
+
+
+def test_table_key_info_handle_falls_back_to_first_uk():
+    op = parse_ddl(
+        "CREATE TABLE s.t (a BIGINT, b VARCHAR, UNIQUE KEY uk_ab (a, b))"
+    )
+    info = table_key_info_from_ddl(op)
+    assert info.handle_columns == ("a", "b")
+
+
+# ------------------------------------------------- VerifyTables parity
+
+
+def _cfg(index_name=None, partition="index-value", columns=()):
+    return TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "*"),),
+                partition=partition,
+                columns=columns,
+                index_name=index_name,
+            ),
+        )
+    )
+
+
+_INFO = TableKeyInfo(
+    columns=("id", "note"),
+    handle_columns=("id",),
+    indexes={"primary": (("id",), True), "idx_note": (("note",), False)},
+)
+
+
+def test_verify_tables_index_not_found():
+    # event_router.go:140-143 — reference message text pinned
+    with pytest.raises(ValueError, match=r"index not found when verify the table"):
+        verify_tables(_cfg(index_name="nope"), {("db", "t"): _INFO})
+
+
+def test_verify_tables_index_not_unique():
+    # event_router.go:144-151 — only unique indexes may be named
+    with pytest.raises(
+        ValueError, match=r"index is not unique when verify the table"
+    ):
+        verify_tables(_cfg(index_name="idx_note"), {("db", "t"): _INFO})
+
+
+def test_verify_tables_columns_not_found():
+    # OffsetsByNames, schema_storage.go:495-498 (lowercase match)
+    with pytest.raises(ValueError, match=r"columns not found when dispatch"):
+        verify_tables(
+            _cfg(partition="columns", columns=("id", "ghost")),
+            {("db", "t"): _INFO},
+        )
+
+
+def test_verify_tables_accepts_unique_index_and_case_insensitive_columns():
+    verify_tables(_cfg(index_name="primary"), {("db", "t"): _INFO})
+    verify_tables(
+        _cfg(partition="columns", columns=("ID", "Note")),
+        {("db", "t"): _INFO},
+    )
+
+
+def test_verify_tables_only_checks_matched_dispatcher():
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("other", "*"),),
+                partition="index-value",
+                index_name="nope",
+            ),
+        )
+    )
+    # db.t doesn't match the rule carrying the bad index → no error
+    verify_tables(cfg, {("db", "t"): _INFO})
+
+
+# -------------------------------------- rule-resolution wiring (ADVICE 1)
+
+
+def test_unknown_rule_on_kafka_degrades_to_default_with_warn(spark):
+    # event_router.go:237-239: warn + default dispatcher
+    cfg = _cfg(partition="shuffle-hash")
+    env = _env_df(spark)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dispatch(env, cfg, num_partitions=4, scheme="kafka")
+        rows = out.select("schema", "table", "partition").collect()
+    assert any("using default" in str(x.message) for x in w)
+    # default rule → one partition per (schema, table)
+    by_table = {}
+    for r in rows:
+        by_table.setdefault((r.schema, r.table), set()).add(r.partition)
+    assert all(len(v) == 1 for v in by_table.values())
+
+
+def test_unknown_rule_on_pulsar_is_literal_key_dispatcher(spark):
+    # partition/key.go:35-48: every event → partition 0, message key = the
+    # configured rule string itself
+    cfg = _cfg(partition="shuffle-hash")
+    env = _env_df(spark)
+    out = dispatch(env, cfg, num_partitions=4, scheme="pulsar")
+    rows = out.select("partition", "message_key").collect()
+    assert all(r.partition == 0 for r in rows)
+    assert all(r.message_key == "shuffle-hash" for r in rows)
+
+
+def test_rowid_alias_resolves_to_index_value():
+    assert resolve_partition_rule("rowid", "kafka") == "index-value"
+    assert resolve_partition_rule("ROWID", "pulsar") == "index-value"
+
+
+def test_literal_key_columns_pair(spark):
+    p, k = literal_key_columns("my-rule")
+    row = spark.range(1).select(p.alias("p"), k.alias("k")).first()
+    assert (row.p, row.k) == (0, "my-rule")
+
+
+# --------------------------------------------- ts message key (ADVICE 2)
+
+
+def test_ts_rule_emits_commit_ts_message_key(spark):
+    # ts.go:36 — fmt.Sprintf("%d", row.CommitTs) as the message key, even
+    # in inertia mode (the r13 skip left the default 'schema.table')
+    cfg = _cfg(partition="ts")
+    env = _env_df(spark)
+    out = dispatch(env, cfg, num_partitions=4, hash_scheme="inertia")
+    rows = out.select("commit_ts", "partition", "message_key").collect()
+    for r in rows:
+        assert r.message_key == str(r.commit_ts)
+        assert r.partition == r.commit_ts % 4
+
+
+# ----------------------------------- handle-column plumbing (ADVICE 3)
+
+
+def test_inertia_index_value_requires_handle_columns():
+    with pytest.raises(ValueError, match=r"requires explicit handle_columns"):
+        partition_column("index-value", 16, hash_scheme="inertia")
+    with pytest.raises(ValueError, match=r"handle_columns"):
+        inertia_message_key("index-value")
+
+
+def test_dispatch_inertia_index_value_requires_table_infos(spark):
+    env = _env_df(spark)
+    with pytest.raises(ValueError, match=r"needs table_infos"):
+        dispatch(env, _cfg(), num_partitions=4, hash_scheme="inertia")
+
+
+def test_dispatch_resolves_per_table_handle_columns(spark):
+    # t1's handle key is 'a', t2's is 'b' — same rule, different columns
+    infos = {
+        ("db", "t1"): TableKeyInfo(
+            columns=("a", "b"), handle_columns=("a",), indexes={}
+        ),
+        ("db", "t2"): TableKeyInfo(
+            columns=("a", "b"), handle_columns=("b",), indexes={}
+        ),
+        ("db", "other"): TableKeyInfo(
+            columns=("a", "b"), handle_columns=("a",), indexes={}
+        ),
+    }
+    env = _env_df(spark)
+    out = dispatch(
+        env, _cfg(), num_partitions=16, hash_scheme="inertia",
+        table_infos=infos,
+    )
+    got = {
+        r.table: (r.partition, r.message_key)
+        for r in out.select("table", "partition", "message_key").collect()
+    }
+    exp = _env_df(spark).select(
+        "table",
+        F.pmod(inertia_sum32(("a",)), F.lit(16)).cast("int").alias("pa"),
+        inertia_sum32(("a",)).cast("string").alias("ka"),
+        F.pmod(inertia_sum32(("b",)), F.lit(16)).cast("int").alias("pb"),
+        inertia_sum32(("b",)).cast("string").alias("kb"),
+    ).collect()
+    for r in exp:
+        if r.table == "t2":
+            assert got[r.table] == (r.pb, r.kb)
+        else:
+            assert got[r.table] == (r.pa, r.ka)
+
+
+def test_dispatch_named_index_uses_index_order(spark):
+    # index columns (b, a) — b FIRST, unlike the table's column order
+    infos = {
+        ("db", t): TableKeyInfo(
+            columns=("a", "b"),
+            handle_columns=("a",),
+            indexes={"uk_ba": (("b", "a"), True)},
+        )
+        for t in ("t1", "t2", "other")
+    }
+    env = _env_df(spark)
+    out = dispatch(
+        env,
+        _cfg(index_name="uk_ba"),
+        num_partitions=16,
+        hash_scheme="inertia",
+        table_infos=infos,
+    )
+    got = out.select("partition", "message_key").collect()
+    exp = _env_df(spark).select(
+        F.pmod(inertia_sum32(("b", "a")), F.lit(16)).cast("int").alias("p"),
+        inertia_sum32(("b", "a")).cast("string").alias("k"),
+    ).collect()
+    assert [(r.partition, r.message_key) for r in got] == [
+        (r.p, r.k) for r in exp
+    ]
+
+
+def test_dispatch_unlisted_table_raises_at_execution(spark):
+    # index_value.go:70-76 — dispatch-time ErrDispatcherFailed analog
+    infos = {
+        ("db", "t1"): TableKeyInfo(
+            columns=("a",), handle_columns=("a",), indexes={}
+        ),
+    }
+    env = _env_df(spark)
+    out = dispatch(
+        env, _cfg(), num_partitions=4, hash_scheme="inertia",
+        table_infos=infos,
+    )
+    with pytest.raises(Exception, match=r"no key metadata for table"):
+        out.select("partition").collect()
+
+
+# ------------------------------- binary / float key columns (ADVICE 4)
+
+
+def test_binary_key_column_hashes_raw_bytes(spark):
+    # Go hashes string([]byte) raw (sink.go:1056-1057); 0xFF 0xFE is not
+    # valid UTF-8 — a cast-to-string decode would mangle it
+    raw = bytes([0xFF, 0xFE, 0x01, 0x41])
+    schema = T.StructType(
+        [
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField(
+                "before",
+                T.StructType([T.StructField("k", T.BinaryType())]),
+            ),
+            T.StructField(
+                "after",
+                T.StructType([T.StructField("k", T.BinaryType())]),
+            ),
+        ]
+    )
+    df = spark.createDataFrame([("s", "t", None, (raw,))], schema)
+    got = df.select(
+        inertia_sum32(("k",), dtypes={"k": "binary"}).alias("h")
+    ).first()["h"]
+    expected = zlib.crc32(b"st") ^ zlib.crc32(b"k" + raw)
+    assert got == expected
+
+
+def test_float_key_column_warns(spark):
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        inertia_sum32(("x",), dtypes={"x": "double"})
+    assert any("float key column" in str(x.message) for x in w)
+
+
+# ------------------------------ large-message AdjustAndValidate (#3)
+
+
+def test_large_message_validate_matrix():
+    from tiflow_spark.codecs.large_message import (
+        LargeMessageHandleConfig as C,
+    )
+    from tiflow_spark.codecs.large_message import adjust_and_validate as v
+
+    # empty option/compression adjust to defaults (large_message.go:48-55)
+    adj = v(C(large_message_handle_option="",
+              large_message_handle_compression=""), "open-protocol")
+    assert adj.large_message_handle_option == "none"
+    assert adj.large_message_handle_compression == "none"
+    # unsupported compression errors even with option=none (:57-61)
+    with pytest.raises(
+        ValueError,
+        match=r"large message handle compression is not supported, got zstd",
+    ):
+        v(C(large_message_handle_compression="zstd"), "open-protocol")
+    # option=none skips the protocol gate entirely (:62-64)
+    v(C(), "craft")
+    # canal-json requires enable-tidb-extension (:67-73)
+    with pytest.raises(
+        ValueError, match=r"but enable-tidb-extension is false"
+    ):
+        v(C(large_message_handle_option="handle-key-only"), "canal-json")
+    v(
+        C(large_message_handle_option="handle-key-only"),
+        "canal-json",
+        enable_tidb_extension=True,
+    )
+    # unsupported protocol (:74-78)
+    with pytest.raises(ValueError, match=r"it's not supported"):
+        v(C(large_message_handle_option="claim-check",
+            claim_check_storage_uri="s3://cc"), "avro")
+    # claim-check with empty storage URI (:81-84)
+    with pytest.raises(
+        ValueError, match=r"claim-check-storage-uri is empty"
+    ):
+        v(C(large_message_handle_option="claim-check"), "open-protocol")
+    # claim-check-raw-value × open protocol (:85-89)
+    with pytest.raises(
+        ValueError, match=r"raw value is not supported for the open protocol"
+    ):
+        v(
+            C(
+                large_message_handle_option="claim-check",
+                claim_check_storage_uri="s3://cc",
+                claim_check_raw_value=True,
+            ),
+            "open-protocol",
+        )
+    # ...but fine on simple
+    v(
+        C(
+            large_message_handle_option="claim-check",
+            claim_check_storage_uri="s3://cc",
+            claim_check_raw_value=True,
+        ),
+        "simple",
+    )
+
+
+def test_create_changefeed_rejects_bad_large_message_uri(spark, tmp_path):
+    from tiflow_spark.tools import create_changefeed
+
+    with pytest.raises(
+        ValueError, match=r"claim-check-storage-uri is empty"
+    ):
+        create_changefeed(
+            spark,
+            "/root/testdata/sf0.001",  # never read — validation rejects first
+            TaskConfig(),
+            "kafka://broker:9092/topic?protocol=open-protocol"
+            "&large-message-handle-option=claim-check",
+            str(tmp_path / "wd"),
+        )
+
+
+# -------------------------------------------- DDL topic fallback (#4)
+
+
+def test_ddl_topic_column_scopes(spark):
+    from tiflow_spark.operators.dispatchers import ddl_topic_column
+
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "events"),),
+                partition="default",
+                topic="cdc_{schema}_{table}",
+            ),
+        )
+    )
+    df = spark.createDataFrame(
+        [("db1", "events"), ("db1", "scratch"), ("db1", ""), ("db2", None)],
+        "schema string, table string",
+    )
+    got = {
+        (r.schema, r.table): r.topic
+        for r in df.withColumn(
+            "topic", ddl_topic_column(cfg, "default-topic")
+        ).collect()
+    }
+    assert got[("db1", "events")] == "cdc_db1_events"  # matched template
+    assert got[("db1", "scratch")] == "db1.scratch"  # unmatched table-scope
+    assert got[("db1", "")] == "default-topic"  # schema-scope DDL
+    assert got[("db2", None)] == "default-topic"
+
+
+# ----------------------------- pulsar topic validation (r14 probe #7)
+
+
+def test_pulsar_topic_validate_vectors():
+    # pinned to expression_pulsar_test.go TestPulsarValidate
+    from tiflow_spark.operators.dispatchers import validate_topic_expression
+
+    invalid = [
+        "persistent://",
+        "persistent://{schema}",
+        "persistent://public",
+        "persistent://public_test-table",
+        "persistent://public/_test-table",
+        "persistent_public/test__{table}",
+        "persistent://{schema}_{table}",
+        "persistent://{schema}/{table}/test/name",
+        "persistent://test/{table}/test/name/admin",
+        "non-persistent://public/test_{schema}_{table}",
+        "non-persistent://public/test {table}_123456aaaa",
+        "",
+    ]
+    valid = [
+        "public",
+        "_xyz",
+        "123456",
+        "ABCD",
+        "persistent:public_test-table",
+        "{schema}",
+        "AZ_{schema}",
+        "{table}_{schema}",
+        "123_{schema}_non-persistenttest__{table})",
+        "persistent_public_test_{schema}_{table}",
+        "persistent{schema}_{table}",
+        "persistent://public/default/{schema}_{table}",
+        "persistent://public/default/2342-{schema}_abc234",
+        "persistent://{schema}/{schema}/2342-{schema}_abc234",
+        "persistent://{schema}/dev/2342-{schema}_abc234",
+    ]
+    for e in invalid:
+        with pytest.raises(ValueError):
+            validate_topic_expression(e, scheme="pulsar")
+    for e in valid:
+        validate_topic_expression(e, scheme="pulsar")
+    # kafka path is untouched by the scheme switch
+    validate_topic_expression("cdc_{schema}_{table}", scheme="kafka")
+    with pytest.raises(ValueError):
+        validate_topic_expression("bad topic", scheme="kafka")
+
+
+# -------------------------------- binsearch tuple chunk id (#6)
+
+
+def test_with_tuple_chunk_id_matches_when_chain(spark):
+    import random
+
+    from tiflow_spark.validation.syncdiff import (
+        tuple_chunk_id,
+        with_tuple_chunk_id,
+    )
+
+    rnd = random.Random(14)
+    rows = [(rnd.randint(0, 500), rnd.randint(0, 50)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "m long, k long")
+    all_bounds = sorted({rows[i] for i in range(0, 2000, 3)})
+    # both paths on the SAME bounds: codegen_max=0 forces binsearch while
+    # tuple_chunk_id builds the when-chain — at a chain length the plan
+    # converter tolerates (a 400-term chain StackOverflows Spark 4's
+    # ColumnNodeToExpressionConverter, which is exactly why codegen_max
+    # defaults to 256 and big bound lists take the binsearch)
+    bounds = all_bounds[:200]
+    big = with_tuple_chunk_id(df, ("m", "k"), bounds, codegen_max=0)
+    small = df.withColumn("chunk_id", tuple_chunk_id(("m", "k"), bounds))
+    a = sorted((r.m, r.k, r.chunk_id) for r in big.collect())
+    b = sorted((r.m, r.k, r.chunk_id) for r in small.collect())
+    assert a == b
+    # above codegen_max (default 256) the binsearch kicks in on its own;
+    # check it against a Python-computed lexicographic count
+    bounds = all_bounds[:400]
+    out = with_tuple_chunk_id(df, ("m", "k"), bounds)
+    got = sorted((r.m, r.k, r.chunk_id) for r in out.collect())
+    exp = sorted(
+        (m, k, sum(1 for b in bounds if (m, k) > b)) for m, k in rows
+    )
+    assert got == exp
+
+
+def test_with_tuple_chunk_id_10k_bounds_no_codegen_blowup(spark):
+    # a 10k-term when-chain would hit the JVM 64KB method limit / minutes
+    # of codegen; the binsearch path must both PLAN small and run fast
+    from tiflow_spark.validation.syncdiff import with_tuple_chunk_id
+
+    bounds = [(i * 7, i % 13) for i in range(10_000)]
+    df = spark.createDataFrame(
+        [(i * 11, i % 13) for i in range(500)], "m long, k long"
+    )
+    out = with_tuple_chunk_id(df, ("m", "k"), bounds)
+    # plan stays O(log n): the bounds ride as ONE broadcast array, not as
+    # 10k expression terms
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("CASE WHEN") < 200
+    import bisect
+
+    got = {(r.m, r.k): r.chunk_id for r in out.collect()}
+    for i in range(500):
+        key = (i * 11, i % 13)
+        assert got[key] == bisect.bisect_left(bounds, key), key
+
+
+def test_with_tuple_chunk_id_null_bounds_binsearch(spark):
+    # NULL bound components: the when-chain's SQL three-valued compare
+    # makes a null component read as +∞ in its position — a
+    # (None, 0) bound is below NO row, a (5, None) bound is below
+    # exactly the m > 5 rows. The binsearch re-sorts nulls-last
+    # internally, so it gives the same counts even when the caller's
+    # list arrives nulls-first (Spark's ascending sort default).
+    from tiflow_spark.validation.syncdiff import with_tuple_chunk_id
+
+    df = spark.createDataFrame(
+        [(1, 1), (5, 5), (6, 0), (400, 1)], "m long, k long"
+    )
+    bounds = [(None, 0), (5, None)] + [(i, i) for i in range(1, 400)]
+    out = with_tuple_chunk_id(df, ("m", "k"), bounds, codegen_max=10)
+    got = {(r.m, r.k): r.chunk_id for r in out.collect()}
+
+    def expected(m, k):
+        n = sum(1 for b in bounds[2:] if (m, k) > b)
+        return n + (1 if m > 5 else 0)  # (5,None) counts iff m>5
+
+    for m, k in [(1, 1), (5, 5), (6, 0), (400, 1)]:
+        assert got[(m, k)] == expected(m, k), (m, k)
+
+
+# ----------------------------------- storage sentinel default (ADVICE 5)
+
+
+def test_storage_header_mode_rejects_explicit_default_rotation(spark, tmp_path):
+    from tiflow_spark.codecs.csv_codec import CsvConfig
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+
+    env = _env_df(spark).withColumn("seq", F.col("commit_ts"))
+    csv = CsvConfig(output_field_header=True)
+    # explicit 100_000 — the old magic-number compare let this through
+    with pytest.raises(ValueError, match=r"output-field-header disables"):
+        write_storage_sink(
+            env,
+            str(tmp_path / "s1"),
+            StorageSinkConfig(csv=csv, max_records_per_file=100_000),
+        )
+    # untouched default (None) still works in header mode
+    write_storage_sink(
+        env, str(tmp_path / "s2"), StorageSinkConfig(csv=csv)
+    )

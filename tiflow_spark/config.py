@@ -83,6 +83,12 @@ class Dispatcher:
     partition: str = "default"  # default|table|ts|index-value|columns|rowid|key
     columns: tuple[str, ...] = ()
     topic: str | None = None  # template: [prefix]{schema}[mid][{table}][suffix]
+    # named index for the index-value dispatcher (pkg/config/sink.go:389-390
+    # DispatchRule.IndexName, TOML/JSON key "index"): hash the named index's
+    # columns IN INDEX ORDER instead of the handle key. Must name an
+    # EXISTING UNIQUE index on every matched table — verify_tables()
+    # rejects at changefeed create otherwise (event_router.go:138-152).
+    index_name: str | None = None
 
 
 @dataclass
@@ -172,6 +178,7 @@ def from_dict(d: dict) -> TaskConfig:
                 partition=p.get("partition", "default"),
                 columns=tuple(p.get("columns", ())),
                 topic=p.get("topic"),
+                index_name=p.get("index"),
             )
             for p in d.get("dispatchers", ())
         ),

@@ -399,10 +399,12 @@ def q_dispatch_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         "schema",
         "table",
-        partition_column("index-value", 16, hash_scheme="inertia").alias(
-            "iv_partition"
+        partition_column(
+            "index-value", 16, hash_scheme="inertia", handle_columns=("id",)
+        ).alias("iv_partition"),
+        inertia_message_key("index-value", handle_columns=("id",)).alias(
+            "iv_key"
         ),
-        inertia_message_key("index-value").alias("iv_key"),
         partition_column(
             "columns", 16, columns=("id", "note"), hash_scheme="inertia"
         ).alias("cols_partition"),
@@ -420,6 +422,155 @@ REGISTRY["cdc_dispatch_inertia"] = (
     REGISTRY["cdc_dispatch_inertia"][0],
     _inertia_oracle_sql(),
 )
+
+
+def _index_name_oracle_sql() -> str:
+    from tiflow_spark.functions.hashing import (
+        CRC32_TABLE_CTE,
+        position_inertia_sql_duckdb,
+    )
+
+    idv = (
+        "coalesce(CASE WHEN op <> 'D' THEN CAST(CASE WHEN after_id IS NULL "
+        "THEN 'null' ELSE CAST(after_id AS VARCHAR) END AS VARCHAR) "
+        "ELSE NULL END, CASE WHEN before_id IS NULL THEN 'null' "
+        "ELSE CAST(before_id AS VARCHAR) END)"
+    )
+    notev = (
+        "coalesce(CASE WHEN op <> 'D' THEN coalesce(after_note, 'null') "
+        "ELSE NULL END, coalesce(before_note, 'null'))"
+    )
+    # the named index uk_note_id hashes (note, id) IN INDEX ORDER — note
+    # leads even though id leads the table; the no-index tables hash the
+    # handle key (pk id)
+    named = position_inertia_sql_duckdb(
+        '"schema" || "table"', f"'note' || {notev}", f"'id' || {idv}"
+    )
+    handle = position_inertia_sql_duckdb('"schema" || "table"', f"'id' || {idv}")
+    return f"""{ENV_CTE}, {CRC32_TABLE_CTE},
+    disp AS (
+      SELECT seq, "schema", "table",
+        CAST(CASE WHEN "table" = 'events_0' THEN {named}
+             ELSE {handle} END % 16 AS INT) AS part,
+        CAST(CASE WHEN "table" = 'events_0' THEN {named}
+             ELSE {handle} END AS VARCHAR) AS message_key
+      FROM env, crct)
+    SELECT * FROM disp"""
+
+
+@register("cdc_dispatch_index_name", None)  # SQL installed below
+def q_dispatch_index_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-index dispatch as a CONFIG surface (VERDICT r13 #2).
+
+    The reference's index-value dispatcher accepts an `index` name in the
+    dispatch rule (pkg/config/sink.go:389-390 DispatchRule.IndexName →
+    NewIndexValueDispatcher, event_router.go:224) and hashes the named
+    index's columns IN INDEX ORDER resolved from table metadata
+    (partition/index_value.go:67-86); without a name it hashes the
+    table's handle-key columns (:57-66). Here the metadata comes from the
+    schema registry's SQL-parsed CREATE TABLEs (table_key_info_from_ddl):
+    events_0 dispatches on UNIQUE KEY uk_note_id (note, id) — note FIRST,
+    proving index-order resolution — and every other table on its pk
+    handle key. verify_tables runs inside dispatch() (create-time
+    VerifyTables parity, event_router.go:131-160; rejection pins in
+    tests/test_round14.py)."""
+    from tiflow_spark.operators.dispatchers import (
+        dispatch,
+        table_key_info_from_ddl,
+    )
+    from tiflow_spark.sources.ddl_parse import parse_ddl
+
+    infos = {}
+    for s in ("shard_0", "shard_1"):
+        for t in ("events_0", "events_1", "events_2", "events_3"):
+            op = parse_ddl(
+                f"CREATE TABLE {s}.{t} (id BIGINT PRIMARY KEY, "
+                "balance DOUBLE, note VARCHAR, "
+                "UNIQUE KEY uk_note_id (note, id), "
+                "KEY idx_balance (balance))"
+            )
+            infos[(s, t)] = table_key_info_from_ddl(op)
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "events_0"),),
+                partition="index-value",
+                index_name="uk_note_id",
+            ),
+            Dispatcher(tables=(TableRule("*", "*"),), partition="index-value"),
+        )
+    )
+    env = _env(spark, sf_dir)
+    d = dispatch(
+        env, cfg, num_partitions=16, hash_scheme="inertia", table_infos=infos
+    )
+    return d.select(
+        "seq",
+        "schema",
+        "table",
+        F.col("partition").alias("part"),
+        "message_key",
+    )
+
+
+REGISTRY["cdc_dispatch_index_name"] = (
+    REGISTRY["cdc_dispatch_index_name"][0],
+    _index_name_oracle_sql(),
+)
+
+
+from tiflow_spark.sources.ddl_stream import DDL_SQL_DUCKDB as _DDL_SQL
+
+
+@register(
+    "cdc_topic_ddl",
+    f"""WITH {_DDL_SQL.lstrip()},
+    all_ddl AS (
+      SELECT seq, "schema", "table", ddl_type FROM ddl
+      UNION ALL
+      SELECT 13 AS seq, 'shard_0' AS "schema", '' AS "table",
+             'create database' AS ddl_type
+    )
+    SELECT seq, "schema", "table", ddl_type,
+      CASE WHEN "table" IS NULL OR "table" = '' THEN 'default-topic'
+           WHEN lower("table") = 'events'
+             THEN 'cdc_' || "schema" || '_' || "table"
+           ELSE "schema" || '.' || "table" END AS topic
+    FROM all_ddl""",
+)
+def q_topic_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL topic routing with the schema-scope fallback (VERDICT r13 #4).
+
+    GetTopicForDDL (event_router.go:96-115): a TABLE-scope DDL routes
+    through its table's matched topic dispatcher — the same
+    [prefix]{schema}[mid][{table}][suffix] template as row events — while
+    a SCHEMA-scope DDL (empty table name: CREATE/DROP DATABASE) falls
+    back to the changefeed's DEFAULT topic. The 12-row DDL side-channel
+    plus one appended CREATE DATABASE row exercises both scopes: *.events
+    matches the template rule, other tables keep the engine's per-table
+    default, the database DDL lands on 'default-topic'."""
+    from tiflow_spark.operators.dispatchers import ddl_topic_column
+    from tiflow_spark.sources.ddl_stream import ddl_stream
+
+    ddl = ddl_stream(load_table(spark, sf_dir, "events")).select(
+        "seq", "schema", "table", "ddl_type"
+    )
+    extra = spark.createDataFrame(
+        [(13, "shard_0", "", "create database")],
+        "seq long, schema string, table string, ddl_type string",
+    )
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "events"),),
+                partition="default",
+                topic="cdc_{schema}_{table}",
+            ),
+        )
+    )
+    return ddl.unionByName(extra).withColumn(
+        "topic", ddl_topic_column(cfg, "default-topic")
+    )
 
 
 # ------------------------------------------------------------------- codecs

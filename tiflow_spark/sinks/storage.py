@@ -41,13 +41,23 @@ from tiflow_spark.codecs.csv_codec import CsvConfig, decode_csv, encode_csv
 
 _DATE_FMT = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}
 
+# default file-rotation threshold when StorageSinkConfig.max_records_per_file
+# is left unset (None)
+DEFAULT_MAX_RECORDS_PER_FILE = 100_000
+
 
 @dataclass(frozen=True)
 class StorageSinkConfig:
     date_separator: str = "day"  # year | month | day | none
     table_version: int = 1
     file_index_width: int = 6  # config.DefaultFileIndexWidth
-    max_records_per_file: int = 100_000  # rotation knob (reference: bytes)
+    # rotation knob (reference: bytes). None = the default
+    # (DEFAULT_MAX_RECORDS_PER_FILE); a non-None value is an EXPLICIT user
+    # setting — the header-mode guard keys off that distinction, so an
+    # explicit 100_000 is rejected in header mode just like any other
+    # explicit rotation tune (ADVICE r13: never compare against the magic
+    # number itself).
+    max_records_per_file: int | None = None
     csv: CsvConfig = CsvConfig()
     # data-file encoding: "csv" or "canal-json" (the two formats the
     # reference storage sink ships, cloud_storage_dml_sink.go; canal-json
@@ -104,12 +114,15 @@ def write_storage_sink(
         )
     encoded = _with_date(enc, cfg)
     header_mode = cfg.protocol == "csv" and cfg.csv.output_field_header
-    if header_mode and cfg.max_records_per_file != 100_000:
+    if header_mode and cfg.max_records_per_file is not None:
         # ADVICE r12: header mode disables rotation (one file per group =
         # one header per file); a user tuning BOTH knobs would otherwise
         # get unbounded file sizes with no signal. The reference writes a
         # header per rotated file (csv_encoder.go:40 per batch) — until
         # this sink does the same, refuse the combination loudly.
+        # Sentinel None (ADVICE r13): ANY explicit setting — including one
+        # equal to the default — is rejected; only the untouched default
+        # slips through.
         raise ValueError(
             "storage sink: csv.output-field-header disables "
             "max_records_per_file rotation (one file per table/date "
@@ -146,7 +159,12 @@ def write_storage_sink(
         .mode("overwrite")
     )
     if not header_mode:
-        writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        writer = writer.option(
+            "maxRecordsPerFile",
+            cfg.max_records_per_file
+            if cfg.max_records_per_file is not None
+            else DEFAULT_MAX_RECORDS_PER_FILE,
+        )
     if cfg.terminator != "\n":
         writer = writer.option("lineSep", cfg.terminator)
     writer.text(staging)

@@ -46,6 +46,8 @@ class DDLOp:
     pk_columns: tuple[str, ...] = ()  # inline + table-level PRIMARY KEY
     unique_keys: tuple[tuple[str, ...], ...] = ()  # UNIQUE KEY column sets
     unique_key_names: tuple[str | None, ...] = ()  # aligned with unique_keys
+    plain_keys: tuple[tuple[str, ...], ...] = ()  # non-unique KEY/INDEX sets
+    plain_key_names: tuple[str | None, ...] = ()  # aligned with plain_keys
     key_name: str | None = None  # named index (ADD UNIQUE uq.../DROP INDEX uq)
     partition_name: str | None = None  # ADD/DROP/TRUNCATE/EXCHANGE PARTITION
     exchange_table: str | None = None  # EXCHANGE PARTITION ... WITH TABLE t
@@ -150,6 +152,9 @@ _UK_CONSTRAINT = re.compile(
     r"(?:CONSTRAINT\s+[`\"']?[\w$]+[`\"']?\s+)?UNIQUE"
     r"(?:\s+KEY|\s+INDEX)?(?:\s+[`\"']?([\w$]+)[`\"']?)?\s*\(([^)]*)\)",
     re.I,
+)
+_PLAIN_KEY_CONSTRAINT = re.compile(
+    r"^\s*(?:KEY|INDEX)\s+[`\"']?([\w$]+)[`\"']?\s*\(([^)]*)\)", re.I
 )
 _CHARSET_OPT = re.compile(
     r"(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*(\w+)", re.I
@@ -352,6 +357,8 @@ def parse_ddl(query: str) -> DDLOp | None:
         pk: tuple[str, ...] = tuple(c.name for c in cols if c.is_pk)
         uks: list[tuple[str, ...]] = [(c.name,) for c in cols if c.is_unique]
         uk_names: list[str | None] = [None for _ in uks]
+        pks_: list[tuple[str, ...]] = []  # non-unique KEY/INDEX entries
+        pk_names_: list[str | None] = []
         for entry in entries:
             e = entry.strip()
             if not _CONSTRAINT_HEAD.match(e):
@@ -364,6 +371,20 @@ def parse_ddl(query: str) -> DDLOp | None:
             if km:
                 uks.append(_key_cols(km.group(2)))
                 uk_names.append(km.group(1))
+                continue
+            km = _PLAIN_KEY_CONSTRAINT.match(e)
+            if km:
+                # non-unique secondary index — the dispatcher's named-index
+                # config must see these to reject them (VerifyTables only
+                # allows UNIQUE indexes, event_router.go:144-151). A column
+                # literally named `key`/`index` with a sized type (``key
+                # VARCHAR(10)``) would false-match with all-digit "columns"
+                # — digits-only identifiers are illegal unquoted in MySQL,
+                # so skip those.
+                kcols = _key_cols(km.group(2))
+                if kcols and not all(c.isdigit() for c in kcols):
+                    pks_.append(kcols)
+                    pk_names_.append(km.group(1))
         opts = m.group(4) or ""
         cm, om = _CHARSET_OPT.search(opts), _COLLATE_OPT.search(opts)
         return DDLOp(
@@ -374,6 +395,8 @@ def parse_ddl(query: str) -> DDLOp | None:
             pk_columns=pk,
             unique_keys=tuple(uks),
             unique_key_names=tuple(uk_names),
+            plain_keys=tuple(pks_),
+            plain_key_names=tuple(pk_names_),
             charset=cm.group(1).lower() if cm else None,
             collate=om.group(1).lower() if om else None,
         )

@@ -174,8 +174,35 @@ def create_changefeed(
         from tiflow_spark.sinks.mq import produce_file_broker
 
         protocol = spec.protocol or "canal-json"
+        # large-message create-time gate (AdjustAndValidate,
+        # pkg/config/large_message.go:47-91): reject a misconfigured
+        # changefeed HERE — before anything is encoded — exactly like
+        # `cdc cli changefeed create` does
+        from tiflow_spark.codecs.large_message import (
+            LargeMessageHandleConfig,
+            adjust_and_validate,
+        )
+
+        adjust_and_validate(
+            LargeMessageHandleConfig(
+                large_message_handle_option=params.get(
+                    "large-message-handle-option", "none"
+                ),
+                large_message_handle_compression=params.get(
+                    "large-message-handle-compression", "none"
+                ),
+                claim_check_storage_uri=params.get(
+                    "claim-check-storage-uri", ""
+                ),
+                claim_check_raw_value=params.get("claim-check-raw-value")
+                in ("true", "1", "yes"),
+            ),
+            protocol,
+            enable_tidb_extension=params.get("enable-tidb-extension")
+            in ("true", "1", "yes"),
+        )
         n_parts = int(params.get("partition-num", "16"))
-        d = dispatch(env, cfg, num_partitions=n_parts)
+        d = dispatch(env, cfg, num_partitions=n_parts, scheme=spec.scheme)
         value = _mq_encode(env, protocol).select("commit_ts", "seq", "value")
         msgs = d.select(
             "topic", "partition", "key", "commit_ts", "seq"
@@ -194,7 +221,14 @@ def create_changefeed(
                 ddl_allowlist_predicate() & ddl_filter_predicate(cfg)
             )
             produce_file_broker(
-                _mq_encode_ddl(ddl, protocol), broker, batch_id=1
+                _mq_encode_ddl(
+                    ddl,
+                    protocol,
+                    cfg=cfg,
+                    default_topic=spec.target or "default-topic",
+                ),
+                broker,
+                batch_id=1,
             )
         # final resolved-ts broadcast to every produced (topic, partition)
         # — the watermark flush consumers advance on
@@ -347,10 +381,20 @@ def start_task(
     return status
 
 
-def _mq_encode_ddl(ddl: DataFrame, protocol: str) -> DataFrame:
+def _mq_encode_ddl(
+    ddl: DataFrame,
+    protocol: str,
+    cfg=None,
+    default_topic: str | None = None,
+) -> DataFrame:
     """DDL events → broker messages for the protocol's DDL surface
     (cdc/sink/ddlsink/mq: DDL goes to the table's topic, partition 0).
-    Message shape: (topic, partition, key, value, commit_ts, seq)."""
+    Message shape: (topic, partition, key, value, commit_ts, seq).
+
+    With ``cfg`` + ``default_topic`` the topic follows GetTopicForDDL
+    (event_router.go:96-115): table-scope DDL through the matched topic
+    dispatcher template, schema-scope DDL (empty table) to the default
+    topic."""
     from pyspark.sql import functions as F
 
     if protocol == "canal-json":
@@ -384,8 +428,14 @@ def _mq_encode_ddl(ddl: DataFrame, protocol: str) -> DataFrame:
         enc = encode_debezium_ddl(ddl, registry=registry_from_ddl(ddl))
     else:
         raise ValueError(f"no DDL messages for MQ protocol {protocol!r}")
+    if cfg is not None and default_topic is not None:
+        from tiflow_spark.operators.dispatchers import ddl_topic_column
+
+        topic = ddl_topic_column(cfg, default_topic)
+    else:
+        topic = F.concat_ws(".", F.col("schema"), F.col("table"))
     return enc.select(
-        F.concat_ws(".", F.col("schema"), F.col("table")).alias("topic"),
+        topic.alias("topic"),
         F.lit(0).alias("partition"),
         F.col("key"),
         F.col("value"),

@@ -21,6 +21,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tiflow_spark.functions.hashing import chunk_checksum_agg
 
@@ -733,13 +734,115 @@ def sample_chunk_bounds(
 def tuple_chunk_id(cols: Sequence[str], bounds: list[tuple]) -> Column:
     """Chunk index for a row given sorted tuple bounds: the number of
     bounds strictly below the row's index tuple — (lower, upper] ranges,
-    matching the per-chunk WHERE semantics. Pure column expression
-    (bounds are metadata-scale; for thousands of chunks prefer a
-    broadcast range-join on the same predicate)."""
+    matching the per-chunk WHERE semantics. Pure column expression: one
+    when-term per bound, fine at the oracle's chunk counts but a codegen
+    hazard at CalculateChunkSize's 10k-chunk clamp — callers with big
+    bound lists go through :func:`with_tuple_chunk_id`, which switches to
+    a broadcast-array binary search (VERDICT r13 #6)."""
     cid: Column = F.lit(0)
     for b in bounds:
         cid = cid + F.when(lex_tuple_compare(cols, b, ">"), 1).otherwise(0)
     return cid.cast("bigint").alias("chunk_id")
+
+
+def _row_gt_bound(cols: Sequence[str], b: Column) -> Column:
+    """Row tuple > bound struct (fields c0..ck), the same lexicographic
+    OR-chain as :func:`lex_tuple_compare` with column-valued bounds;
+    null comparisons collapse to False exactly like the when-chain's
+    ``otherwise(0)``."""
+    terms: list[Column] = []
+    prefix_eq: Column | None = None
+    for j, c in enumerate(cols):
+        col, v = F.col(c), b[f"c{j}"]
+        cmp_c = col > v
+        terms.append(cmp_c if prefix_eq is None else (prefix_eq & cmp_c))
+        eq = col == v
+        prefix_eq = eq if prefix_eq is None else (prefix_eq & eq)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out | t
+    return F.coalesce(out, F.lit(False))
+
+
+def with_tuple_chunk_id(
+    df: DataFrame,
+    cols: Sequence[str],
+    bounds: list[tuple],
+    codegen_max: int = 256,
+) -> DataFrame:
+    """``df`` + ``chunk_id`` column, scale-safe in the bound count.
+
+    ≤ ``codegen_max`` bounds: the :func:`tuple_chunk_id` when-chain, one
+    codegen term per bound (a left-deep chain much past ~256 terms
+    StackOverflows Spark 4's plan converter — the default sits safely
+    under that).
+
+    Beyond that — CalculateChunkSize clamps at 10k chunks, and a
+    10k-term when-chain is a JVM codegen blowup — the bounds ride as ONE
+    broadcast array-of-structs (a 1-row frame crossJoined in, so the
+    array is never an expression literal and never re-shipped per task)
+    and each row binary-searches it with a fixed ceil(log2(n+1))-step
+    ``F.aggregate`` fold: codegen size O(log n) regardless of bound
+    count, runtime O(log n) per row instead of the when-chain's O(n).
+    Same (lower, upper] lexicographic semantics — chunk_id = #bounds
+    strictly below the row. NULL bound components behave like the
+    when-chain's SQL three-valued compare — a null component reads as
+    +∞ in its position (``(5, NULL)`` is below exactly the rows with
+    ``m > 5``) — so the array is re-sorted here with nulls LAST per
+    component, restoring the prefix property the search needs even when
+    the caller's list came nulls-first (Spark's sort default)."""
+    import math
+
+    if len(bounds) <= codegen_max:
+        return df.withColumn("chunk_id", tuple_chunk_id(cols, bounds))
+    spark = df.sparkSession
+    n = len(bounds)
+    # null-aware total order: null component = +∞ in its position
+    ordered = sorted(
+        bounds,
+        key=lambda b: tuple((1, None) if v is None else (0, v) for v in b),
+    )
+    dtypes = {c: df.schema[c].dataType for c in cols}
+    schema = T.StructType(
+        [T.StructField("_i", T.LongType())]
+        + [T.StructField(f"c{j}", dtypes[c]) for j, c in enumerate(cols)]
+    )
+    bdf = spark.createDataFrame(
+        [(i, *b) for i, b in enumerate(ordered)], schema
+    )
+    # _i leads the struct so array_sort restores the null-aware order
+    # regardless of collect_list's partition order
+    barr = bdf.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("_i", *[f"c{j}" for j in range(len(cols))])
+            )
+        ).alias("_bounds")
+    )
+    steps = max(1, math.ceil(math.log2(n + 1)))
+    mid = lambda acc: F.floor((acc["lo"] + acc["hi"]) / 2).cast("int")  # noqa: E731
+    search = F.aggregate(
+        F.sequence(F.lit(1), F.lit(steps)),
+        F.struct(
+            F.lit(0).cast("int").alias("lo"), F.lit(n).cast("int").alias("hi")
+        ),
+        lambda acc, _: F.when(
+            acc["lo"] < acc["hi"],
+            F.when(
+                _row_gt_bound(cols, F.element_at(F.col("_bounds"), mid(acc) + 1)),
+                F.struct(
+                    (mid(acc) + 1).alias("lo"), acc["hi"].alias("hi")
+                ),
+            ).otherwise(
+                F.struct(acc["lo"].alias("lo"), mid(acc).alias("hi"))
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        df.crossJoin(F.broadcast(barr))
+        .withColumn("chunk_id", search["lo"].cast("bigint"))
+        .drop("_bounds")
+    )
 
 
 def tuple_compare_checksums(
@@ -756,12 +859,14 @@ def tuple_compare_checksums(
     chunk compare."""
     bounds = limit_chunk_bounds(src, index_cols, chunk_size)
     s = (
-        src.groupBy(tuple_chunk_id(index_cols, bounds))
+        with_tuple_chunk_id(src, index_cols, bounds)
+        .groupBy("chunk_id")
         .agg(*chunk_checksum_agg(cols))
         .alias("s")
     )
     d = (
-        dst.groupBy(tuple_chunk_id(index_cols, bounds))
+        with_tuple_chunk_id(dst, index_cols, bounds)
+        .groupBy("chunk_id")
         .agg(*chunk_checksum_agg(cols))
         .alias("d")
     )
