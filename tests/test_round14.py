@@ -609,3 +609,52 @@ def test_storage_header_mode_rejects_explicit_default_rotation(spark, tmp_path):
     write_storage_sink(
         env, str(tmp_path / "s2"), StorageSinkConfig(csv=csv)
     )
+
+
+# -------------------- CSV output-old-value D-before-I file order (probe #7)
+
+
+def test_csv_old_value_file_order_d_before_i(spark, tmp_path):
+    """The reference encodes an update's pre-image row BEFORE its
+    post-image row inside one message (csv_message.go:107-116). In the
+    storage sink the two halves share (commit_ts, seq) and Spark's sort
+    is not stable, so encode_csv's `pos` column (0 = D, 1 = I) must ride
+    the file sort — a consumer replaying I-then-D would delete the row.
+    Many same-key updates stress the tiebreaker."""
+    import glob as _glob
+
+    from tiflow_spark.codecs.csv_codec import CsvConfig
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        write_storage_sink,
+    )
+
+    rows = [
+        ("U", "db", "t1", 500 + i, (i, "old"), (i, "new"))
+        for i in range(200)
+    ]
+    env = _env_df(spark, rows).withColumn(
+        "seq", F.col("commit_ts") - 500
+    )
+    cfg = StorageSinkConfig(
+        csv=CsvConfig(output_old_value=True, quote="")
+    )
+    write_storage_sink(env, str(tmp_path / "s"), cfg)
+    files = _glob.glob(str(tmp_path / "s" / "db" / "t1" / "**" / "*.csv"),
+                       recursive=True)
+    assert files
+    lines = []
+    for f in sorted(files):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 400
+    # strict alternation D,I,D,I... — every pre-image precedes its
+    # post-image within the event's (commit_ts, seq) slot
+    ops = [ln.split(",")[0] for ln in lines]
+    assert ops == ["D", "I"] * 200
+    for d_line, i_line in zip(lines[::2], lines[1::2]):
+        d, i = d_line.split(","), i_line.split(",")
+        assert d[-1] == "old" and i[-1] == "new"
+        assert d[-2] == i[-2]  # same event's id on both halves
+        # is-update meta column is true on BOTH halves
+        assert d[4] == "true" and i[4] == "true"

@@ -78,10 +78,16 @@ def with_csv_headers(
     before the first appended row). The distinct is metadata-scale (one
     row per table/date group)."""
     header = csv_header_line(payload_names, cfg)
+    extra = (
+        [F.lit(-1).cast("int").alias("pos")]
+        if "pos" in lines.columns
+        else []
+    )
     hdr = lines.select(*group_cols).distinct().select(
         *group_cols,
         F.lit(-1).cast("long").alias("commit_ts"),
         F.lit(-1).cast("long").alias("seq"),
+        *extra,
         F.lit(header).alias("line"),
     )
     return lines.unionByName(hdr)
@@ -170,6 +176,21 @@ def encode_csv(env: DataFrame, cfg: CsvConfig = CsvConfig()) -> DataFrame:
             F.col("op") == "D", row_line(F.col("op"), "before")
         ).otherwise(row_line(F.col("op"), "after"))
         lines = F.array(image_line)
+    if cfg.output_old_value:
+        # The D and I halves of one update share (commit_ts, seq), and
+        # Spark's sort is NOT stable — without a tiebreaker the storage
+        # sink's file sort could write I before D, inverting the
+        # reference's old-row-first contract (csv_message.go:107-116
+        # encodes the pre-image row, THEN the post-image row). The array
+        # position rides along as `pos` (0 = D, 1 = I) and the file sort
+        # appends it to the key.
+        return env.select(
+            "table",
+            "schema",
+            "commit_ts",
+            "seq",
+            F.posexplode(lines).alias("pos", "line"),
+        )
     return env.select(
         "table",
         "schema",

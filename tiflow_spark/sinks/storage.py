@@ -151,9 +151,15 @@ def write_storage_sink(
     # file writer requires an ordering on them and would otherwise insert
     # its OWN (unstable) sort, destroying the (commit_ts, seq) file order
     # the header row and ts-ordered file contract depend on
+    sort_cols = ["schema", "table", "date", "commit_ts", "seq"]
+    if "pos" in encoded.columns:
+        # old-value mode: the D/I halves of one update share
+        # (commit_ts, seq); `pos` keeps the reference's old-row-first
+        # order through the (unstable) sort
+        sort_cols.append("pos")
     writer = (
         encoded.repartition("schema", "table", "date")
-        .sortWithinPartitions("schema", "table", "date", "commit_ts", "seq")
+        .sortWithinPartitions(*sort_cols)
         .select("schema", "table", "date", "line")
         .write.partitionBy("schema", "table", "date")
         .mode("overwrite")
