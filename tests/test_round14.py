@@ -658,3 +658,58 @@ def test_csv_old_value_file_order_d_before_i(spark, tmp_path):
         assert d[-2] == i[-2]  # same event's id on both halves
         # is-update meta column is true on BOTH halves
         assert d[4] == "true" and i[4] == "true"
+
+
+# --------------- create-time topic-expression validation in the facade
+
+
+def test_create_changefeed_rejects_bad_topic_template(spark, tmp_path):
+    """NewEventRouter validates every dispatch rule's topic expression at
+    changefeed create (event_router.go:54-66 → validateTopicExpression
+    :263-274) — the facade must reject a malformed template before
+    anything is encoded."""
+    from tiflow_spark.streaming.pipeline import ENVELOPE_SCHEMA
+    from tiflow_spark.tools import create_changefeed
+
+    src = str(tmp_path / "src")
+    _env_df(spark).withColumn(
+        "seq", F.col("commit_ts")
+    ).select(
+        "op", "schema", "table", "commit_ts", "seq", "before", "after"
+    ).write.parquet(src)
+    spark.read.schema(ENVELOPE_SCHEMA).parquet(src)  # schema sanity
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "*"),),
+                partition="default",
+                topic="bad topic!{schema}",  # space + '!' both forbidden
+            ),
+        )
+    )
+    with pytest.raises(ValueError, match="topic expression"):
+        create_changefeed(
+            spark,
+            src,
+            cfg,
+            "kafka://broker/events?protocol=canal-json",
+            str(tmp_path / "wd"),
+        )
+    # avro additionally requires BOTH placeholders
+    cfg2 = TaskConfig(
+        dispatchers=(
+            Dispatcher(
+                tables=(TableRule("*", "*"),),
+                partition="default",
+                topic="just-{schema}",
+            ),
+        )
+    )
+    with pytest.raises(ValueError, match="topic expression"):
+        create_changefeed(
+            spark,
+            src,
+            cfg2,
+            "kafka://broker/events?protocol=avro",
+            str(tmp_path / "wd2"),
+        )

@@ -201,6 +201,21 @@ def create_changefeed(
             enable_tidb_extension=params.get("enable-tidb-extension")
             in ("true", "1", "yes"),
         )
+        # topic-expression create-time validation (NewEventRouter →
+        # validateTopicExpression, event_router.go:54-66,263-274): every
+        # dispatch rule's topic template is checked against the scheme's
+        # grammar — kafka [prefix]{schema}[mid][{table}][suffix] (avro
+        # additionally requires both placeholders), pulsar its own
+        # full/simple topic forms — BEFORE anything is encoded
+        from tiflow_spark.operators.dispatchers import (
+            validate_topic_expression,
+        )
+
+        for disp in cfg.dispatchers:
+            if disp.topic:
+                validate_topic_expression(
+                    disp.topic, protocol, scheme=spec.scheme
+                )
         n_parts = int(params.get("partition-num", "16"))
         d = dispatch(env, cfg, num_partitions=n_parts, scheme=spec.scheme)
         value = _mq_encode(env, protocol).select("commit_ts", "seq", "value")
