@@ -713,3 +713,119 @@ def test_create_changefeed_rejects_bad_topic_template(spark, tmp_path):
             "kafka://broker/events?protocol=avro",
             str(tmp_path / "wd2"),
         )
+
+
+# ------------------- codec Config.Validate matrix (config.go:344-424)
+
+
+def test_codec_config_validate_matrix():
+    from tiflow_spark.codecs.codec_config import (
+        CodecConfig,
+        validate_codec_config,
+    )
+    from tiflow_spark.codecs.large_message import LargeMessageHandleConfig
+
+    # avro: registry exactly-one
+    with pytest.raises(ValueError, match="requires parameter"):
+        validate_codec_config(CodecConfig(protocol="avro"))
+    with pytest.raises(ValueError, match="requires only one"):
+        validate_codec_config(
+            CodecConfig(
+                protocol="avro",
+                avro_confluent_schema_registry="http://r",
+                avro_glue_schema_registry="glue-reg",
+            )
+        )
+    # handling-mode value checks
+    with pytest.raises(ValueError, match="avro-decimal-handling-mode"):
+        validate_codec_config(
+            CodecConfig(
+                protocol="avro",
+                avro_confluent_schema_registry="http://r",
+                avro_decimal_handling_mode="exact",
+            )
+        )
+    with pytest.raises(
+        ValueError, match="avro-bigint-unsigned-handling-mode"
+    ):
+        validate_codec_config(
+            CodecConfig(
+                protocol="avro",
+                avro_confluent_schema_registry="http://r",
+                avro_bigint_unsigned_handling_mode="decimal",
+            )
+        )
+    # row-checksum consistency: needs tidb-extension + both modes string
+    with pytest.raises(ValueError, match="row level checksum"):
+        validate_codec_config(
+            CodecConfig(
+                protocol="avro",
+                avro_confluent_schema_registry="http://r",
+                enable_row_checksum=True,
+            )
+        )
+    validate_codec_config(
+        CodecConfig(
+            protocol="avro",
+            avro_confluent_schema_registry="http://r",
+            enable_row_checksum=True,
+            enable_tidb_extension=True,
+            avro_decimal_handling_mode="string",
+            avro_bigint_unsigned_handling_mode="string",
+        )
+    )
+    # positivity
+    with pytest.raises(ValueError, match="invalid max-message-bytes"):
+        validate_codec_config(CodecConfig(max_message_bytes=0))
+    with pytest.raises(ValueError, match="invalid max-batch-size"):
+        validate_codec_config(CodecConfig(max_batch_size=-1))
+    # tidb-extension on an unsupported protocol warns but does NOT error
+    # (config.go:345-352 logs and ignores)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        validate_codec_config(
+            CodecConfig(protocol="maxwell", enable_tidb_extension=True)
+        )
+    assert any("enable-tidb-extension" in str(x.message) for x in w)
+    # nested large-message block adjusts ('' -> 'none') and validates
+    out = validate_codec_config(
+        CodecConfig(
+            protocol="open-protocol",
+            large_message_handle=LargeMessageHandleConfig(
+                large_message_handle_option=""
+            ),
+        )
+    )
+    assert out.large_message_handle.large_message_handle_option == "none"
+    with pytest.raises(ValueError, match="claim-check-storage-uri is empty"):
+        validate_codec_config(
+            CodecConfig(
+                protocol="open-protocol",
+                large_message_handle=LargeMessageHandleConfig(
+                    large_message_handle_option="claim-check"
+                ),
+            )
+        )
+
+
+def test_create_changefeed_rejects_avro_without_registry(spark, tmp_path):
+    from tiflow_spark.streaming.pipeline import ENVELOPE_SCHEMA
+    from tiflow_spark.tools import create_changefeed
+
+    src = str(tmp_path / "src")
+    _env_df(spark).withColumn("seq", F.col("commit_ts")).select(
+        "op", "schema", "table", "commit_ts", "seq", "before", "after"
+    ).write.parquet(src)
+    cfg = TaskConfig(
+        dispatchers=(
+            Dispatcher(tables=(TableRule("*", "*"),), partition="default"),
+        )
+    )
+    with pytest.raises(ValueError, match="schema registry"):
+        create_changefeed(
+            spark,
+            src,
+            cfg,
+            "kafka://broker/events?protocol=avro",
+            str(tmp_path / "wd"),
+        )

@@ -174,33 +174,6 @@ def create_changefeed(
         from tiflow_spark.sinks.mq import produce_file_broker
 
         protocol = spec.protocol or "canal-json"
-        # large-message create-time gate (AdjustAndValidate,
-        # pkg/config/large_message.go:47-91): reject a misconfigured
-        # changefeed HERE — before anything is encoded — exactly like
-        # `cdc cli changefeed create` does
-        from tiflow_spark.codecs.large_message import (
-            LargeMessageHandleConfig,
-            adjust_and_validate,
-        )
-
-        adjust_and_validate(
-            LargeMessageHandleConfig(
-                large_message_handle_option=params.get(
-                    "large-message-handle-option", "none"
-                ),
-                large_message_handle_compression=params.get(
-                    "large-message-handle-compression", "none"
-                ),
-                claim_check_storage_uri=params.get(
-                    "claim-check-storage-uri", ""
-                ),
-                claim_check_raw_value=params.get("claim-check-raw-value")
-                in ("true", "1", "yes"),
-            ),
-            protocol,
-            enable_tidb_extension=params.get("enable-tidb-extension")
-            in ("true", "1", "yes"),
-        )
         # topic-expression create-time validation (NewEventRouter →
         # validateTopicExpression, event_router.go:54-66,263-274): every
         # dispatch rule's topic template is checked against the scheme's
@@ -216,6 +189,21 @@ def create_changefeed(
                 validate_topic_expression(
                     disp.topic, protocol, scheme=spec.scheme
                 )
+        # codec-config create-time gate (Config.Validate,
+        # pkg/sink/codec/common/config.go:344-424 — runs AFTER the event
+        # router's topic validation, the mq sink construction order): the
+        # avro registry exactly-one + handling-mode + row-checksum
+        # consistency matrix, max-bytes/batch positivity, and the nested
+        # large-message AdjustAndValidate
+        # (pkg/config/large_message.go:47-91). Reject a misconfigured
+        # changefeed HERE — before anything is encoded — exactly like
+        # `cdc cli changefeed create` does.
+        from tiflow_spark.codecs.codec_config import (
+            codec_config_from_params,
+            validate_codec_config,
+        )
+
+        validate_codec_config(codec_config_from_params(params, protocol))
         n_parts = int(params.get("partition-num", "16"))
         d = dispatch(env, cfg, num_partitions=n_parts, scheme=spec.scheme)
         value = _mq_encode(env, protocol).select("commit_ts", "seq", "value")
