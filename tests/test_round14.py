@@ -829,3 +829,28 @@ def test_create_changefeed_rejects_avro_without_registry(spark, tmp_path):
             "kafka://broker/events?protocol=avro",
             str(tmp_path / "wd"),
         )
+
+
+# ------------- DDL dispatch rule: PartitionZero vs PartitionAll
+
+
+def test_ddl_partition_rule_by_protocol(spark):
+    """getDDLDispatchRule (mq_ddl_sink.go:44-51): canal/canal-json DDL
+    goes to partition 0 only; every other protocol BROADCASTS the DDL to
+    all partitions (SyncBroadcastMessage, :129-136) so a consumer on any
+    partition observes schema changes."""
+    from tiflow_spark.tools import _mq_encode_ddl
+
+    ddl = spark.createDataFrame(
+        [("s", "t", 100, 1, "ALTER TABLE s.t ADD COLUMN c INT",
+          "add column")],
+        "schema string, table string, commit_ts long, seq long, "
+        "query string, ddl_type string",
+    )
+    zero = _mq_encode_ddl(ddl, "canal-json", num_partitions=6)
+    assert [r.partition for r in zero.collect()] == [0]
+    bcast = _mq_encode_ddl(ddl, "open-protocol", num_partitions=6)
+    parts = sorted(r.partition for r in bcast.collect())
+    assert parts == [0, 1, 2, 3, 4, 5]
+    # every broadcast copy is byte-identical
+    assert bcast.select("value").distinct().count() == 1

@@ -229,6 +229,7 @@ def create_changefeed(
                     protocol,
                     cfg=cfg,
                     default_topic=spec.target or "default-topic",
+                    num_partitions=n_parts,
                 ),
                 broker,
                 batch_id=1,
@@ -389,10 +390,18 @@ def _mq_encode_ddl(
     protocol: str,
     cfg=None,
     default_topic: str | None = None,
+    num_partitions: int = 1,
 ) -> DataFrame:
-    """DDL events → broker messages for the protocol's DDL surface
-    (cdc/sink/ddlsink/mq: DDL goes to the table's topic, partition 0).
+    """DDL events → broker messages for the protocol's DDL surface.
     Message shape: (topic, partition, key, value, commit_ts, seq).
+
+    Partitioning follows getDDLDispatchRule (mq_ddl_sink.go:44-51,
+    114-136): canal / canal-json DDLs go to PARTITION 0 ONLY
+    (PartitionZero — the canal consumer contract), every other protocol
+    BROADCASTS the DDL to all ``num_partitions`` partitions
+    (PartitionAll via SyncBroadcastMessage) so a consumer attached to any
+    single partition still observes schema changes. Broadcast duplicates
+    are the reference's own wire shape — consumers dedup by commit-ts.
 
     With ``cfg`` + ``default_topic`` the topic follows GetTopicForDDL
     (event_router.go:96-115): table-scope DDL through the matched topic
@@ -437,9 +446,16 @@ def _mq_encode_ddl(
         topic = ddl_topic_column(cfg, default_topic)
     else:
         topic = F.concat_ws(".", F.col("schema"), F.col("table"))
+    if protocol in ("canal", "canal-json") or num_partitions <= 1:
+        part = F.lit(0)
+    else:
+        # PartitionAll: one copy of the message per partition
+        part = F.explode(
+            F.sequence(F.lit(0), F.lit(num_partitions - 1))
+        )
     return enc.select(
         topic.alias("topic"),
-        F.lit(0).alias("partition"),
+        part.alias("partition"),
         F.col("key"),
         F.col("value"),
         F.col("commit_ts"),
