@@ -93,21 +93,45 @@ def ddl_stream(events: DataFrame) -> DataFrame:
     the result is 12 rows, broadcastable everywhere downstream.
     """
     spark = events.sparkSession
-    bounds = events.agg(
+    # r14 opt: the bounds are two scalars — collect them once and emit a
+    # pure LocalRelation. The former agg+crossJoin shape re-ran a full
+    # events scan in EVERY downstream plan branch referencing the DDL
+    # frame (and dragged one into every registry fold's metadata collect,
+    # guide §2.4). Metadata-scale driver transfer, batch frames only —
+    # every caller synthesizes from the batch events table.
+    r = events.agg(
         F.min(epoch_us("ts")).alias("t0"),
         F.max(epoch_us("ts")).alias("t1"),
-    )
-    templates = spark.createDataFrame(_TEMPLATES, _TEMPLATE_SCHEMA)
-    return bounds.crossJoin(F.broadcast(templates)).select(
-        F.lit("DDL").alias("op"),
-        "schema",
-        "table",
-        (F.col("t0") + F.expr("(t1 - t0) * pos12 div 12")).alias("commit_ts"),
-        "seq",
-        "ddl_type",
-        "query",
-        "add_column",
-        "default_value",
+    ).first()
+    t0, t1 = int(r["t0"]), int(r["t1"])
+    rows = [
+        (
+            "DDL",
+            schema,
+            table,
+            t0 + (t1 - t0) * pos12 // 12,
+            seq,
+            ddl_type,
+            query,
+            add_column,
+            default_value,
+        )
+        for (
+            seq,
+            pos12,
+            schema,
+            table,
+            ddl_type,
+            query,
+            add_column,
+            default_value,
+        ) in _TEMPLATES
+    ]
+    return spark.createDataFrame(
+        rows,
+        "op string, schema string, table string, commit_ts long, seq long, "
+        "ddl_type string, query string, add_column string, "
+        "default_value string",
     )
 
 
@@ -226,11 +250,14 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
     from tiflow_spark.sources.ddl_parse import parse_ddl
 
     spark = ddl.sparkSession
-    events = (
+    # r14 opt: sort the metadata-scale rows on the driver — an orderBy
+    # ahead of a collect costs a full sort-exchange job for rows the
+    # driver is about to hold in a Python list anyway (guide §2.4)
+    events = sorted(
         ddl.filter(ddl_allowlist_predicate())
         .select("table", "commit_ts", "seq", "ddl_type", "query")
-        .orderBy("commit_ts", "seq")
-        .collect()
+        .collect(),
+        key=lambda r: (r["commit_ts"], r["seq"]),
     )
     # per-table state: ordered list of (name, type, default) + key metadata
     tables: dict[str, list[tuple[str, str, str | None]]] = {}
@@ -613,11 +640,14 @@ def lossy_ddl_report(ddl: DataFrame) -> DataFrame:
     from tiflow_spark.sources.ddl_parse import parse_ddl
 
     spark = ddl.sparkSession
-    events = (
+    # r14 opt: sort the metadata-scale rows on the driver — an orderBy
+    # ahead of a collect costs a full sort-exchange job for rows the
+    # driver is about to hold in a Python list anyway (guide §2.4)
+    events = sorted(
         ddl.filter(ddl_allowlist_predicate())
         .select("table", "commit_ts", "seq", "ddl_type", "query")
-        .orderBy("commit_ts", "seq")
-        .collect()
+        .collect(),
+        key=lambda r: (r["commit_ts"], r["seq"]),
     )
     types: dict[str, dict[str, str]] = {}
     out = []
