@@ -854,3 +854,48 @@ def test_ddl_partition_rule_by_protocol(spark):
     assert parts == [0, 1, 2, 3, 4, 5]
     # every broadcast copy is byte-identical
     assert bcast.select("value").distinct().count() == 1
+
+
+def test_bucket_write_parallelism_and_layout(spark, tmp_path):
+    """The bucket-partitioned writes pin an explicit shuffle-partition
+    count (one task per core, never more than the candidate buckets) so
+    AQE cannot size-coalesce a small seed/merge into one task that then
+    creates every bucket file sequentially — the write's wall cost is
+    per-file, not per-byte. The physical layout contract is unchanged:
+    exactly one data file per touched bucket directory."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.sinks.bucketed import (
+        _bucket_write_partitions,
+        merge_hash_bucketed,
+        read_state,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    assert _bucket_write_partitions(spark, 10_000) == par
+    assert _bucket_write_partitions(spark, 3) == 3
+    assert _bucket_write_partitions(spark, 0) == 1
+
+    n_buckets = max(4 * par, 64)  # more buckets than cores
+    chg = spark.range(2000).select(
+        F.lit("I").alias("op"),
+        F.lit("t1").alias("target_table"),
+        F.col("id").cast("string").alias("key"),
+        F.lit(100).alias("commit_ts"),
+        F.col("id").alias("seq"),
+        F.col("id").alias("id"),
+    )
+    target = str(tmp_path / "target")
+    merge_hash_bucketed(chg, target, n_buckets=n_buckets, batch_id=0)
+    import os
+
+    dirs = [d for d in os.listdir(target) if d.startswith("bucket=")]
+    assert len(dirs) > par  # the seed really spanned many buckets
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(target, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d} has {len(files)} files"
+    assert read_state(spark, target).count() == 2000

@@ -86,6 +86,21 @@ def merge_against_bucketed(
 # ------------------------------------------------ atomic-commit machinery
 
 
+def _bucket_write_partitions(spark: SparkSession, n_candidates: int) -> int:
+    """Shuffle-partition count for a bucket-partitioned write.
+
+    A keyless-N ``repartition(col("bucket"))`` lets AQE coalesce the
+    exchange by SIZE — a seed/merge whose winners are a few tens of MB
+    collapses to ONE task that then writes every bucket directory
+    sequentially (measured 10.4 s for a 1024-bucket seed vs 2.7 s with
+    one task per core; the wall cost of this write is per-FILE creation,
+    not bytes, so it scales with writer parallelism, not data size).
+    Pin the count explicitly: one task per core of the cluster
+    (``defaultParallelism`` — the scale-adaptive knob), never more tasks
+    than buckets being written."""
+    return max(1, min(n_candidates, spark.sparkContext.defaultParallelism))
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp"
     with open(tmp, "w") as f:
@@ -330,10 +345,11 @@ def merge_hash_bucketed(
             # purge_tombstones() reclaims them below the GC safepoint.
             result = last_state_per_key(chg, table_col)
             # one file per bucket dir: without this, every writer task sprays
-            # a small file into every bucket it sees (32 tasks x 1024 dirs)
-            result.repartition(F.col("bucket")).write.mode(
-                "overwrite"
-            ).partitionBy("bucket").parquet(path)
+            # a small file into every bucket it sees (32 tasks x 1024 dirs).
+            # Explicit partition count — see _bucket_write_partitions.
+            result.repartition(
+                _bucket_write_partitions(spark, n_buckets), F.col("bucket")
+            ).write.mode("overwrite").partitionBy("bucket").parquet(path)
             # base=meta0: Spark's overwrite wiped the dir — restore any
             # pre-creation metadata (truncate watermarks) alongside sizing;
             # record the creation schema for the empty-target read fallback
@@ -448,9 +464,9 @@ def _merge_rewrite(
     # dir and is removed at swap time.
     stage = os.path.join(path, _STAGING, commit_name)
     shutil.rmtree(stage, ignore_errors=True)
-    winner.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(stage)
+    winner.repartition(
+        _bucket_write_partitions(spark, len(affected)), F.col("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(stage)
     _commit_staged(path, stage, affected, deltas=consume_deltas)
 
 
@@ -575,9 +591,10 @@ def _rewrite_all(path: str, df: DataFrame, stage_name: str) -> None:
     swap is crash-recoverable like any batch commit."""
     stage = os.path.join(path, _STAGING, stage_name)
     shutil.rmtree(stage, ignore_errors=True)
-    df.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(stage)
+    n_buckets = (read_target_meta(path) or {}).get("n_buckets") or 1_000_000
+    df.repartition(
+        _bucket_write_partitions(df.sparkSession, n_buckets), F.col("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(stage)
     old = {
         int(d.split("=", 1)[1])
         for d in os.listdir(path)
