@@ -899,3 +899,36 @@ def test_bucket_write_parallelism_and_layout(spark, tmp_path):
         ]
         assert len(files) == 1, f"{d} has {len(files)} files"
     assert read_state(spark, target).count() == 2000
+
+
+def test_claim_check_encode_renders_once(spark):
+    """The staged-projection form of the claim-check encoders must keep
+    the full-message render as a separate pipeline stage (aliases _fv /
+    _full), so it is evaluated once per row instead of once per
+    conditional output branch (codegen CSE does not hoist expressions
+    that appear only under different CaseWhen branches — measured 3x on
+    the open encode). If CollapseProject ever starts inlining these
+    aliases again, the staged attribute disappears from the optimized
+    plan and this test catches the (silent, correctness-preserving)
+    performance regression."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.codecs.large_message import claim_check_canal_envelope
+    from tiflow_spark.codecs.open_protocol import encode_open_claim_check
+
+    env = spark.createDataFrame(
+        [("s", "t", 100, 1, "I", None, (1, 2.0, "x" * 400))],
+        "schema string, table string, commit_ts long, seq long, op string, "
+        "before struct<id:bigint,balance:double,note:string>, "
+        "after struct<id:bigint,balance:double,note:string>",
+    )
+    for df, alias in (
+        (encode_open_claim_check(env, 121, "claim"), "_fv"),
+        (claim_check_canal_envelope(env, 121, "claim"), "_full"),
+    ):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert f"{alias}#" in optimized, (
+            f"staged render alias {alias} was collapsed out of the plan"
+        )
+        row = df.collect()[0]
+        assert row.is_claim and row.claim_location.startswith("claim/")

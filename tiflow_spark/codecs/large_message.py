@@ -239,26 +239,48 @@ def claim_check_canal_envelope(
     no join, no shuffle, no Python row path."""
     from tiflow_spark.codecs.claim_check import _claim_payload
 
+    # STAGED projections (r14): the full render and the md5 location feed
+    # several conditional output branches; in a one-Project form codegen's
+    # subexpression elimination does not hoist expressions that only
+    # appear under different CaseWhen branches, so the full message was
+    # re-rendered/re-hashed per branch. Intermediate projections pin
+    # single evaluation (CollapseProject keeps a multiply-referenced
+    # non-trivial alias staged). Same fix, measurement and byte-equality
+    # proof as encode_open_claim_check.
     full = _message_json(env, pk_names, only_handle_key=False)
-    loc = F.concat(
-        F.lit(location_prefix.rstrip("/") + "/"), F.md5(full), F.lit(".json")
+    base = env.select(
+        "schema", "table", "commit_ts", "seq", "op", "before", "after",
+        full.alias("_full"),
+    )
+    oversized = F.octet_length(F.col("_full")) > F.lit(threshold_bytes)
+    base = base.select(
+        "*",
+        oversized.alias("_over"),
+        F.when(
+            oversized,
+            F.concat(
+                F.lit(location_prefix.rstrip("/") + "/"),
+                F.md5(F.col("_full")), F.lit(".json"),
+            ),
+        ).alias("_loc"),
     )
     envelope = _message_json(
-        env, pk_names, only_handle_key=False, claim_check_location=loc
+        base, pk_names, only_handle_key=False,
+        claim_check_location=F.col("_loc"),
     )
-    oversized = F.octet_length(full) > F.lit(threshold_bytes)
     null_key = F.lit(None).cast("string")
-    return env.select(
+    over = F.col("_over")
+    return base.select(
         "schema",
         "table",
         "commit_ts",
         "seq",
-        F.when(oversized, envelope).otherwise(full).alias("value"),
-        oversized.alias("is_claim"),
-        F.when(oversized, loc).alias("claim_location"),
-        F.when(oversized, _claim_payload(full, null_key, raw_value)).alias(
-            "claim_payload"
-        ),
+        F.when(over, envelope).otherwise(F.col("_full")).alias("value"),
+        over.alias("is_claim"),
+        F.when(over, F.col("_loc")).alias("claim_location"),
+        F.when(
+            over, _claim_payload(F.col("_full"), null_key, raw_value)
+        ).alias("claim_payload"),
     )
 
 
