@@ -932,3 +932,41 @@ def test_claim_check_encode_renders_once(spark):
         )
         row = df.collect()[0]
         assert row.is_claim and row.claim_location.startswith("claim/")
+
+
+def test_ingest_batch_concurrent_writes_replay_idempotent(spark, tmp_path):
+    """The three per-batch state writes now run concurrently from a
+    driver thread pool; each dir commit stays an independent atomic
+    rename, so a replayed batch id must still REPLACE its own output
+    (never duplicate) and decisions must be unchanged across the replay."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.streaming.llm_ingest import (
+        ingest_batch,
+        init_ingest_state,
+        read_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {'common ' * 30}{i % 4}", "xx", "s", 10)
+         for i in range(40)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    state = str(tmp_path / "state")
+    init_ingest_state(spark, state)
+    ingest_batch(spark, docs, 0, state)
+    first = sorted(r.doc_id for r in read_corpus(spark, state).collect())
+    ingest_batch(spark, docs, 0, state)  # crash-replay of the same batch
+    second = sorted(r.doc_id for r in read_corpus(spark, state).collect())
+    assert first == second
+    # no cache leak: every per-batch persist was released
+    import os
+    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size(), (
+        "ingest_batch leaked persisted RDDs"
+    )
+    # exactly one committed dir per subdir (replaced, not duplicated)
+    for sub in ("corpus", "index_sh", "index_banded"):
+        dirs = [d for d in os.listdir(os.path.join(state, sub))
+                if d.startswith("batch-") and not d.endswith(".staging")]
+        assert dirs == ["batch-0"]

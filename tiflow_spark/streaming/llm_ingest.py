@@ -150,6 +150,11 @@ def ingest_batch(
     from tiflow_spark.llm.dedup import dedup_incremental
 
     gated = quality_gate(batch) if quality_gate is not None else batch
+    # the gated batch feeds two independent consumers (the shingle/index
+    # build inside dedup_incremental and the survivor anti-join) — persist
+    # it so the gate (and the batch-source scan under it) runs once per
+    # batch, not once per consumer (r14; batch-sized by definition)
+    gated = gated.persist()
     # exclude THIS batch id's own directories from the index read: a
     # crash-replayed micro-batch must dedup against the pre-batch index,
     # not against its own first attempt's output (else survivors would
@@ -202,19 +207,31 @@ def ingest_batch(
         .distinct()
     )
     survivors = gated.join(dropped, "doc_id", "left_anti").persist()
+    survivors.count()  # materialize once before the concurrent readers
     surv_ids = survivors.select("doc_id")
-    _atomic_write(
-        survivors, os.path.join(state_dir, "corpus", f"batch-{batch_id}")
-    )
-    _atomic_write(
-        new_sh.join(surv_ids, "doc_id", "semi"),
-        os.path.join(state_dir, "index_sh", f"batch-{batch_id}"),
-    )
-    _atomic_write(
-        new_banded.join(surv_ids, "doc_id", "semi"),
-        os.path.join(state_dir, "index_banded", f"batch-{batch_id}"),
-    )
+    # the three state writes are independent jobs over already-persisted
+    # frames — overlap them from a small driver thread pool (guide §2.6)
+    # so the tail of one write back-fills the cluster with the next.
+    # Crash-safety is unchanged: each dir commit is an independent atomic
+    # rename, and a replayed batch overwrites any subset left behind.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        (survivors, os.path.join(state_dir, "corpus", f"batch-{batch_id}")),
+        (
+            new_sh.join(surv_ids, "doc_id", "semi"),
+            os.path.join(state_dir, "index_sh", f"batch-{batch_id}"),
+        ),
+        (
+            new_banded.join(surv_ids, "doc_id", "semi"),
+            os.path.join(state_dir, "index_banded", f"batch-{batch_id}"),
+        ),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        for f in [ex.submit(_atomic_write, df, d) for df, d in writes]:
+            f.result()
     pairs.unpersist()
+    gated.unpersist()
     survivors.unpersist()
     new_sh.unpersist()
     new_banded.unpersist()
@@ -319,13 +336,12 @@ def compact_ingest_state(
         tail = name[len("batch-"):]
         return (1, int(tail)) if tail.isdigit() else (0, name)
 
-    folded = 0
-    for sub in ("corpus", "index_sh", "index_banded"):
+    def _fold_one(sub: str) -> int:
         root = os.path.join(state_dir, sub)
         if not os.path.isdir(root):
             # state_dir not built via init_ingest_state (or this subdir
             # never written) — nothing to fold, mirror _live_parts' guard
-            continue
+            return 0
         live = sorted(_live_parts(root), key=_batch_ord)
         # garbage-collect dirs a committed manifest already consumed but a
         # crash-before-delete left on disk (step 4's crash window)
@@ -338,7 +354,7 @@ def compact_ingest_state(
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         sources = live[:-keep_last] if keep_last > 0 else live
         if len(sources) < 2:
-            continue
+            return 0
         gen = 1 + max(
             (
                 int(m.split("-")[1].split(".")[0])
@@ -360,8 +376,18 @@ def compact_ingest_state(
         os.rename(staging, os.path.join(root, target))
         for d in sources:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        folded += len(sources)
-    return folded
+        return len(sources)
+
+    # the three subdir folds are independent read+write jobs — overlap
+    # them from a driver thread pool (guide §2.6). Each subdir's commit
+    # protocol (staging → manifest → rename → delete) is local to that
+    # subdir, so concurrency does not widen any crash window.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        return sum(
+            ex.map(_fold_one, ("corpus", "index_sh", "index_banded"))
+        )
 
 
 def ingest_funnel_sql(
