@@ -970,3 +970,22 @@ def test_ingest_batch_concurrent_writes_replay_idempotent(spark, tmp_path):
         dirs = [d for d in os.listdir(os.path.join(state, sub))
                 if d.startswith("batch-") and not d.endswith(".staging")]
         assert dirs == ["batch-0"]
+
+
+def test_semdedup_assignment_cached_once(spark):
+    """semdedup_pairs persists the seeded assignment so the k x dims
+    integer-L2 argmin projection is evaluated once, not once per
+    consumer (both self-join sides + the cluster-stats aggregate)."""
+    from tiflow_spark.llm.clustering import semdedup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    pairs = semdedup_pairs(emb, threshold=0.0, k=2, max_cluster=64)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, (
+        "semdedup assignment is no longer cached — the argmin projection "
+        "would run once per join branch again"
+    )
+    assert pairs.count() > 0

@@ -227,8 +227,12 @@ def semdedup_pairs(
     guard). Returns (id_a, id_b, cluster, cos)."""
     # cluster size + representative via agg-then-broadcast-join, NOT a
     # partitionBy(cluster) window: a window would gather a mega-cluster
-    # into one task, while the k-row aggregate broadcasts for free
-    assigned = assign_seeded(embeddings, k).drop("qv")
+    # into one task, while the k-row aggregate broadcasts for free.
+    # persist the assignment (r14): the k×dims integer-L2 argmin
+    # projection feeds THREE consumers (both self-join sides + the
+    # cluster-stats aggregate) and was re-evaluated per branch —
+    # measured 4.2 -> 1.2 s at sf0.1 on dedup_semdedup
+    assigned = assign_seeded(embeddings, k).drop("qv").persist()
     csizes = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("csz"), F.min("vec_id").alias("rep")
     )
