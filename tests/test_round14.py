@@ -955,6 +955,12 @@ def test_ingest_batch_concurrent_writes_replay_idempotent(spark, tmp_path):
     )
     state = str(tmp_path / "state")
     init_ingest_state(spark, state)
+    # leak check is RELATIVE to the session's pre-existing cache (the
+    # suite shares one Spark session and other operators persist by
+    # design), so assert ingest_batch adds no NET persisted RDDs rather
+    # than that the whole session is cache-free
+    persisted = spark.sparkContext._jsc.sc().getPersistentRDDs().size
+    before = persisted()
     ingest_batch(spark, docs, 0, state)
     first = sorted(r.doc_id for r in read_corpus(spark, state).collect())
     ingest_batch(spark, docs, 0, state)  # crash-replay of the same batch
@@ -962,9 +968,7 @@ def test_ingest_batch_concurrent_writes_replay_idempotent(spark, tmp_path):
     assert first == second
     # no cache leak: every per-batch persist was released
     import os
-    assert not spark.sparkContext._jsc.sc().getPersistentRDDs().size(), (
-        "ingest_batch leaked persisted RDDs"
-    )
+    assert persisted() <= before, "ingest_batch leaked persisted RDDs"
     # exactly one committed dir per subdir (replaced, not duplicated)
     for sub in ("corpus", "index_sh", "index_banded"):
         dirs = [d for d in os.listdir(os.path.join(state, sub))
