@@ -747,8 +747,6 @@ def duplicate_groups(
     is_representative) with group_id = min doc_id of the component and
     singletons grouping to themselves.
     """
-    from pyspark.sql import Window
-
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -756,50 +754,75 @@ def duplicate_groups(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
-        .distinct()
         .persist()
     )
+    # No edge distinct(): min-aggregation over a multiset equals min over
+    # its set, so duplicate pairs cannot change any label — the distinct
+    # was one full edge shuffle of pure overhead (r14). Round 1 needs no
+    # identity-label frame either: min over the closed neighborhood is
+    # least(own id, min incoming neighbor id), one aggregate straight off
+    # the symmetric edge list (every paired doc appears as src).
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least("src", "_m").alias("label"),
+        )
         .localCheckpoint()
     )
     try:
-        for _ in range(max_iter):
+        for _ in range(max_iter - 1):
             nbr = edges.join(
                 labels, edges["src"] == labels["doc_id"]
             ).select(F.col("dst").alias("doc_id"), "label")
+            # carry the OLD label through the same aggregation (every
+            # doc_id has exactly one labels row whose label rides as
+            # `_old`; nbr rows contribute null) so the convergence probe
+            # is a filter over the just-materialized frame instead of a
+            # second join+shuffle job per round (r14)
             new = (
-                labels.unionByName(nbr)
+                labels.withColumn("_old", F.col("label"))
+                .unionByName(
+                    nbr.withColumn("_old", F.lit(None).cast("long"))
+                )
                 .groupBy("doc_id")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("_old").alias("_old"),
+                )
                 .localCheckpoint()
             )
             improved = (
-                new.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .limit(1)
-                .count()
+                new.filter(F.col("label") < F.col("_old")).limit(1).count()
             )
-            labels = new
+            labels = new.select("doc_id", "label")
             if improved == 0:
                 break
     finally:
         edges.unpersist()
     comp = labels.withColumnRenamed("label", "group_id")
-    out = (
-        corpus.select("doc_id")
-        .join(comp, "doc_id", "left")
-        .withColumn("group_id", F.coalesce("group_id", F.col("doc_id")))
+    # group sizes from the component frame (bounded: paired docs only,
+    # already materialized by the loop's checkpoint) joined back onto the
+    # corpus — replaces a window partitioned by group_id over the FULL
+    # corpus, whose exchange shuffled every (mostly singleton) doc just
+    # to count the few multi-member groups (r14). Unpaired docs are
+    # singletons by construction, so their size is the literal 1.
+    sizes = comp.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("_gsz")
     )
-    w = Window.partitionBy("group_id")
-    return out.select(
-        "doc_id",
-        "group_id",
-        F.count(F.lit(1)).over(w).alias("group_size"),
-        (F.col("doc_id") == F.col("group_id")).alias("is_representative"),
+    return (
+        corpus.select("doc_id")
+        .join(comp.join(sizes, "group_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+            F.coalesce("_gsz", F.lit(1).cast("long")).alias("group_size"),
+            (
+                F.col("doc_id")
+                == F.coalesce("group_id", F.col("doc_id"))
+            ).alias("is_representative"),
+        )
     )
 
 
@@ -946,6 +969,17 @@ def minhash_index(
         sh_arr.select("doc_id", F.explode("sh").alias("s")), num_hashes
     )
     banded = _band_rows(sigs, num_hashes, bands)
+    if with_stats or max_bucket is not None:
+        # banded feeds MULTIPLE plan branches here (the bucket-stats
+        # aggregate, the cap join's probe side, and callers' downstream
+        # merges) and Catalyst shares no subtrees across branches, so the
+        # whole shingle→minhash→band pipeline re-ran once per branch.
+        # persist() (same idiom as minhash_lsh_pairs' shingle-once
+        # persist) keeps Catalyst size statistics intact so the cap and
+        # re-cap joins stay broadcast — a localCheckpoint here degrades
+        # them to sort-merge (LogicalRDD has no stats), measured slower
+        # than the re-evaluation it saves (r14).
+        banded = banded.persist()
     stats = banded.groupBy("band", "sig").agg(
         F.count(F.lit(1)).alias("total_seen"), F.min("doc_id").alias("rep")
     )
