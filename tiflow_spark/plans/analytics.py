@@ -1230,7 +1230,15 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    ps = li.groupBy(
+    # ps is only ever consumed through the INNER join on widget partkeys,
+    # so pre-filtering its build with the same broadcast part set (semi
+    # join, map-only) is result-identical while shrinking the
+    # (partkey, suppkey) aggregation shuffle to the widget slice — the
+    # guide's reduce-the-big-side-before-the-exchange move (r14)
+    li_w = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+    )
+    ps = li_w.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
     ).agg(F.min(_dec("l_extendedprice")).alias("ps_supplycost"))
