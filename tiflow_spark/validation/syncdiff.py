@@ -297,54 +297,77 @@ def resumable_chunk_compare(
         _os.replace(tmp, bounds_path)
     n_batches = max(1, (len(worklist) + chunks_per_batch - 1) // chunks_per_batch)
 
-    done_this_run = 0
-    for b in range(n_batches):
+    pending = [
+        b
+        for b in range(n_batches)
+        # resume: completed batches are simply not re-run
+        if not _os.path.exists(
+            _os.path.join(checkpoint_dir, f"batch_{b:06d}.json")
+        )
+    ]
+
+    def _run_batch(b: int) -> None:
         out_path = _os.path.join(checkpoint_dir, f"batch_{b:06d}.json")
-        if _os.path.exists(out_path):
-            continue  # resume: completed batch, skip re-checksumming
         chunk_slice = worklist[
             b * chunks_per_batch : (b + 1) * chunks_per_batch
         ]
         if not chunk_slice:
             payload: list = []
-            tmp = out_path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(payload, f)
-            _os.replace(tmp, out_path)
-            continue
-        # the slice is contiguous in sorted order, so ONE pk range
-        # predicate prunes the scan; interior gaps hold no rows on either
-        # side by construction of the worklist
-        pred = (F.col(pk) >= chunk_slice[0] * width) & (
-            F.col(pk) < (chunk_slice[-1] + 1) * width
-        )
-        rows = compare_checksums(
-            src.filter(pred), dst.filter(pred), pk, cols, width
-        ).collect()
-        payload = [
-            {
-                "chunk_id": r["chunk_id"],
-                "src_cnt": r["src_cnt"],
-                "dst_cnt": r["dst_cnt"],
-                "match": r["match"],
-            }
-            for r in rows
-        ]
+        else:
+            # the slice is contiguous in sorted order, so ONE pk range
+            # predicate prunes the scan; interior gaps hold no rows on
+            # either side by construction of the worklist
+            pred = (F.col(pk) >= chunk_slice[0] * width) & (
+                F.col(pk) < (chunk_slice[-1] + 1) * width
+            )
+            rows = compare_checksums(
+                src.filter(pred), dst.filter(pred), pk, cols, width
+            ).collect()
+            payload = [
+                {
+                    "chunk_id": r["chunk_id"],
+                    "src_cnt": r["src_cnt"],
+                    "dst_cnt": r["dst_cnt"],
+                    "match": r["match"],
+                }
+                for r in rows
+            ]
         tmp = out_path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(payload, f)
         _os.replace(tmp, out_path)  # atomic: a crash mid-write leaves .tmp
         if computed_batches is not None:
-            computed_batches.append(b)
-        done_this_run += 1
-        if (
-            fail_after_batches is not None
-            and done_this_run >= fail_after_batches
-            and b < n_batches - 1
-        ):
-            raise RuntimeError(
-                f"injected crash after batch {b} ({done_this_run} this run)"
-            )
+            computed_batches.append(b)  # GIL-atomic list append
+
+    if fail_after_batches is not None:
+        # fault-injection path stays strictly SEQUENTIAL so "crash after
+        # N batches" deterministically commits exactly N batch files
+        done_this_run = 0
+        for b in pending:
+            _run_batch(b)
+            done_this_run += 1
+            if done_this_run >= fail_after_batches and b < n_batches - 1:
+                raise RuntimeError(
+                    f"injected crash after batch {b} "
+                    f"({done_this_run} this run)"
+                )
+    elif len(pending) == 1:
+        _run_batch(pending[0])
+    elif pending:
+        # the batches are INDEPENDENT pk-range jobs over disjoint ranges:
+        # run a few in flight so one batch's task tail back-fills the
+        # cluster with the next batch's scan (the reference diffs chunks
+        # from a worker pool too, diff.go). The commit protocol is
+        # unchanged — every batch file is still an independent atomic
+        # rename; a crash now loses at most the in-flight batches instead
+        # of exactly one, the same coarsened-granularity trade the batch
+        # knob itself makes (r14).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(3, len(pending))
+        ) as pool:
+            list(pool.map(_run_batch, pending))
 
     all_rows = []
     for b in range(n_batches):
