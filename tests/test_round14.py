@@ -993,3 +993,153 @@ def test_semdedup_assignment_cached_once(spark):
         "would run once per join branch again"
     )
     assert pairs.count() > 0
+
+
+def test_duplicate_groups_sizes_without_corpus_window(spark):
+    """duplicate_groups derives group_size from the (bounded) component
+    frame and joins it back — the full-corpus window partitioned by
+    group_id is gone from the final assembly, and semantics are pinned:
+    sizes count every corpus member of the group, singletons stay 1."""
+    from tiflow_spark.llm.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 7)], "doc_id long"
+    )
+    out = duplicate_groups(pairs, corpus)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, (
+        "group_size is windowed over the full corpus again — every "
+        "(mostly singleton) doc would shuffle on group_id"
+    )
+    got = {
+        r.doc_id: (r.group_id, r.group_size, r.is_representative)
+        for r in out.collect()
+    }
+    assert got == {
+        1: (1, 2, True), 2: (1, 2, False),
+        3: (3, 3, True), 4: (3, 3, False), 5: (3, 3, False),
+        7: (7, 1, True),
+    }
+
+
+def test_minhash_index_banded_cached_when_branched(spark):
+    """minhash_index persists the banded frame whenever it feeds more
+    than one branch (stats aggregate / cap join / caller merges), so the
+    shingle->minhash pipeline runs once per invocation, not per branch —
+    and the cap join keeps its statistics (stays broadcast)."""
+    from tiflow_spark.llm.dedup import minhash_index
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 3} repeated")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    # the uncached default path (single consumer) is a pure plan —
+    # checked FIRST: once the branched variant below persists, the cache
+    # manager would substitute the shared subtree into this plan too
+    _, plain = minhash_index(docs, 16, 4)
+    assert "InMemoryRelation" not in (
+        plain._jdf.queryExecution().optimizedPlan().toString()
+    )
+    _, banded, stats = minhash_index(docs, 16, 4, max_bucket=2,
+                                     with_stats=True)
+    plan = banded._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, (
+        "banded is no longer cached — the signature pipeline would "
+        "re-run once per plan branch"
+    )
+    banded.unpersist()
+
+
+def test_product_profit_ps_build_prefiltered(spark, sf_dir):
+    """product_profit's partsupp-analog aggregate is built over the
+    widget-filtered lineitem slice (broadcast LEFT SEMI before the
+    (partkey, suppkey) exchange), not the full table — result-identical
+    under the inner join, and the plan pins the semi join."""
+    from tiflow_spark.plans.analytics import product_profit
+
+    df = product_profit(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, (
+        "the ps aggregate shuffles the FULL lineitem again — the widget "
+        "pre-filter before the exchange is gone"
+    )
+
+
+def test_resumable_compare_pool_covers_all_batches(spark, sf_dir, tmp_path):
+    """The no-crash path runs pending batches from a small thread pool;
+    every batch file must still be committed and the result must equal
+    the direct compare (commit protocol unchanged)."""
+    from tiflow_spark.envelope import load_table
+    from tiflow_spark.validation.syncdiff import (
+        compare_checksums,
+        resumable_chunk_compare,
+    )
+
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    src = load_table(spark, sf_dir, "customer")
+    done: list[int] = []
+    got = resumable_chunk_compare(
+        spark, src, src, "c_custkey", cols, 16, str(tmp_path / "ck"),
+        chunks_per_batch=1, computed_batches=done,
+    )
+    import os
+    batch_files = [f for f in os.listdir(tmp_path / "ck")
+                   if f.startswith("batch_")]
+    assert len(batch_files) == len(done) and len(done) > 3
+    assert sorted(done) == list(range(len(done)))
+    direct = compare_checksums(src, src, "c_custkey", cols, 16)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
+def test_kmeans_lloyd_assignment_cached_once(spark):
+    """kmeans_lloyd persists the seeded assignment so the argmin
+    projection is computed once, not once per consumer (centroid-sums
+    collect + the final reassignment select)."""
+    from tiflow_spark.llm.clustering import kmeans_lloyd
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(32)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = kmeans_lloyd(emb, k=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, (
+        "the seeded assignment is no longer cached — the argmin would "
+        "run once per branch again"
+    )
+    assert out.count() == 32
+
+
+def test_registry_rows_annotation_matches_collect_path(spark):
+    """registry_from_ddl annotates the returned frame with its
+    driver-side rows so metadata consumers skip a collect job; any frame
+    WITHOUT the annotation (e.g. after a transformation) must take the
+    collect fallback and produce the identical column plan."""
+    from tiflow_spark.sources.ddl_stream import registry_from_ddl
+    from tiflow_spark.sources.schema_registry import registry_column_plan
+
+    ddl = spark.createDataFrame(
+        [
+            ("DDL", "db", "t1", 100, 0, "create table",
+             "CREATE TABLE t1 (id BIGINT PRIMARY KEY, note VARCHAR)"),
+            ("DDL", "db", "t1", 200, 1, "add column",
+             "ALTER TABLE t1 ADD COLUMN extra DOUBLE DEFAULT 1.5"),
+        ],
+        "op string, schema string, table string, commit_ts long, "
+        "seq long, ddl_type string, query string",
+    )
+    reg = registry_from_ddl(ddl)
+    assert getattr(reg, "_tiflow_registry_rows", None), (
+        "registry frame lost its driver-rows annotation"
+    )
+    fast = registry_column_plan(reg)
+    # .select drops Python-side attributes → exercises the collect path
+    slow = registry_column_plan(reg.select("*"))
+    assert fast == slow
+    assert [c for c, _ in fast] == ["id", "note", "extra"]

@@ -121,8 +121,14 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8) -> DataFrame:
     recomputes centroids as per-cluster component means (exact BIGINT
     sums -> one double division) and reassigns; at scale each extra
     Lloyd round costs one more 64*n-row shuffle + metadata collect."""
-    a1 = assign_seeded(embeddings, k).withColumnRenamed(
-        "cluster", "cluster_init"
+    # the seeded assignment (k x dims integer-L2 argmin per row) feeds
+    # both the centroid-sums collect and the final reassignment select —
+    # persist it so the argmin projection runs once per invocation, not
+    # once per consumer (same fix as semdedup_pairs, r14)
+    a1 = (
+        assign_seeded(embeddings, k)
+        .withColumnRenamed("cluster", "cluster_init")
+        .persist()
     )
     # No cluster is ever empty: seed i is distance-0 from centroid i, so
     # cluster i always holds at least its own seed — which is what lets

@@ -207,6 +207,13 @@ _REGISTRY_SCHEMA = (
     "gen_exprs map<string,string>, gen_stored array<string>"
 )
 
+#: field order of _REGISTRY_SCHEMA — used to annotate the registry frame
+#: with its driver-side rows (see registry_from_ddl)
+_REGISTRY_FIELDS = (
+    "table", "version_ts", "version_no", "columns", "defaults", "types",
+    "_defs", "pk_cols", "uk_sets", "handle_cols", "gen_exprs", "gen_stored",
+)
+
 # key-metadata DDL kinds: they don't change the column set but DO change
 # the row identity the sinks key on (ColumnFlagType PrimaryKey/UniqueKey/
 # HandleKey flags, cdc/model/sink.go:62-205) — a registry version is
@@ -452,7 +459,22 @@ def registry_from_ddl(ddl: DataFrame) -> DataFrame:
                 [c for c, (_, s) in g.items() if s],
             )
         )
-    return spark.createDataFrame(out, _REGISTRY_SCHEMA)
+    df = spark.createDataFrame(out, _REGISTRY_SCHEMA)
+    # The fold just built every registry row ON THE DRIVER; ride them
+    # along on the returned frame so metadata-scale consumers
+    # (registry_column_plan, the consumer's latest-version default maps)
+    # can read them without a Spark collect round-trip — each
+    # local-frame collect costs ~0.25 s of fixed job/py4j overhead and a
+    # registry-folding query pays it 2-3x per invocation (r14). Purely a
+    # Python-side annotation: the DataFrame itself is unchanged
+    # (asof_resolve still broadcasts it), and consumers fall back to
+    # collect() whenever the attribute is absent.
+    from pyspark.sql import Row as _Row
+
+    df._tiflow_registry_rows = [
+        _Row(**dict(zip(_REGISTRY_FIELDS, r))) for r in out
+    ]
+    return df
 
 
 def truncate_events(ddl: DataFrame) -> list[tuple[str, int]]:

@@ -116,8 +116,16 @@ def registry_column_plan(
     declared SQL type. The registry is metadata-scale (the reference keeps
     all of it in the owner's memory), so this collect is bounded the same
     way."""
+    # read the fold's driver-side rows when the registry frame carries
+    # them (registry_from_ddl annotation) — skips a ~0.25 s fixed-cost
+    # collect job for rows the driver already holds (r14)
+    local = getattr(registry, "_tiflow_registry_rows", None)
     rows = sorted(
-        registry.select("table", "version_no", "columns", "types").collect(),
+        local
+        if local is not None
+        else registry.select(
+            "table", "version_no", "columns", "types"
+        ).collect(),
         key=lambda r: (r.table, r.version_no),
     )
     ordered: list[str] = []

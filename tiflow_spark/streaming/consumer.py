@@ -250,8 +250,11 @@ def replay_simple_broker_with_ddl(
     # not rewrite already-applied rows downstream). Driver-side collect
     # is metadata-scale like registry_column_plan.
     latest_ver: dict[str, tuple[list, dict]] = {}
+    _local = getattr(registry, "_tiflow_registry_rows", None)
     for r in sorted(
-        registry.select(
+        _local
+        if _local is not None
+        else registry.select(
             "table", "version_no", "columns", "defaults"
         ).collect(),
         key=lambda r: (r.table, r.version_no),

@@ -95,18 +95,25 @@ def row_diff(
 
 
 def targeted_row_diff(
-    src: DataFrame, dst: DataFrame, pk: str, cols: list[str], width: int
+    src: DataFrame,
+    dst: DataFrame,
+    pk: str,
+    cols: list[str],
+    width: int,
+    checksums: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase diff: checksum chunks first, row-join only mismatched chunks.
 
     This is the scale path — the join's scan carries a pushed-down chunk
     predicate, so a 100 TB table with three bad chunks reads ~three chunks.
+
+    ``checksums``: a precomputed :func:`compare_checksums` frame over the
+    same inputs — callers that already hold one (summary_report) pass it
+    so the checksum pass is not recomputed (r14).
     """
-    bad = (
-        compare_checksums(src, dst, pk, cols, width)
-        .filter(~F.col("match"))
-        .select("chunk_id")
-    )
+    if checksums is None:
+        checksums = compare_checksums(src, dst, pk, cols, width)
+    bad = checksums.filter(~F.col("match")).select("chunk_id")
     s = src.withColumn("chunk_id", chunk_id_col(pk, width)).join(
         F.broadcast(bad), "chunk_id"
     )
@@ -173,7 +180,11 @@ def summary_report(
     scalar aggregates cross-joined (broadcast of 1-row frames).
     """
     struct_equal = src.select(*cols).schema == dst.select(*cols).schema
-    cc = compare_checksums(src, dst, pk, cols, width)
+    # the chunk-checksum frame feeds BOTH the report's chunk aggregate
+    # and the targeted diff's bad-chunk list; it is bounded (one row per
+    # chunk), so persist it — without this the whole checksum pass (two
+    # full table scans + the chunk shuffle) ran twice per report (r14)
+    cc = compare_checksums(src, dst, pk, cols, width).persist()
     chunk_agg = cc.agg(
         F.count(F.lit(1)).alias("chunk_total"),
         F.sum(F.when(~F.col("match"), 1).otherwise(0)).alias("chunk_failed"),
@@ -182,7 +193,7 @@ def summary_report(
     )
     # coalesce: on equal tables the targeted diff is EMPTY and sum() over
     # zero rows is NULL, but the report must say 0
-    kinds = targeted_row_diff(src, dst, pk, cols, width).agg(
+    kinds = targeted_row_diff(src, dst, pk, cols, width, checksums=cc).agg(
         F.coalesce(
             F.sum(F.when(F.col("kind") == "missing", 1).otherwise(0)),
             F.lit(0),
