@@ -673,12 +673,14 @@ def test_product_profit_shape(spark, sf_dir):
     """Q9 shape: the derived partsupp joins back to lineitem on its own
     aggregate keys; part/supplier/nation broadcast; no cartesian. The
     fact table is scanned twice by design (ps derivation + fact side) —
-    the reference reads partsupp as a separate table."""
+    the reference reads partsupp as a separate table. r14: the ps
+    derivation is pre-filtered to widget parts by a broadcast LeftSemi
+    (one more part scan feeding it — 7 scans total)."""
     fn, _ = REGISTRY["olap_product_profit"]
     plan = plan_of(fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 6
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 7
 
 
 def test_forecast_revenue_full_pushdown(spark, sf_dir):
