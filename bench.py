@@ -60,6 +60,7 @@ def _time_registry_set(spark, sf_dir: str, names: list[str]) -> dict:
         fn, _ = REGISTRY[name]
         best, n = None, 0
         for _rep in range(5):
+            _fresh_cache(spark)
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             el = time.perf_counter() - t0
@@ -67,6 +68,21 @@ def _time_registry_set(spark, sf_dir: str, names: list[str]) -> dict:
         out[name] = round(best, 3)
         print(f"# {name}: {n} rows in {out[name]}s", file=sys.stderr)
     return out
+
+
+def _fresh_cache(spark) -> None:
+    """MEASUREMENT-BUG FIX (r14, disclosed in OPTIMIZATION_r14.md):
+    several operators ``persist()`` an internal frame so that multiple
+    branches of ONE query share one computation. Spark's CacheManager
+    keys those entries on the canonicalized logical plan, so a SECOND
+    invocation of the same registry query in the same session silently
+    reads the first invocation's cache instead of recomputing from
+    parquet — min-of-N was partially timing cache hits (measured: e.g.
+    dedup_index_compact 1.5 s cached vs 3.2 s honest). Clearing the
+    session cache before every timed rep makes each rep compute from the
+    parquet inputs, per the no-cross-run-caching bench contract. The
+    untimed warm pass still covers codegen/planning warmup."""
+    spark.catalog.clearCache()
 
 
 def section_headline(sf_dir: str) -> dict:
@@ -192,6 +208,7 @@ def section_r7ops(sf_dir: str) -> dict:
     replay_broker_to_state(spark, broker, types).count()  # warm
     best, n = None, 0
     for _rep in range(5):
+        _fresh_cache(spark)
         t0 = time.perf_counter()
         n = replay_broker_to_state(spark, broker, types).count()
         el = time.perf_counter() - t0
@@ -256,6 +273,7 @@ def section_r8ops(sf_dir: str) -> dict:
     ingest_batch(spark, batch, 1, state, quality_gate=gate)  # warm
     best = None
     for _rep in range(5):
+        _fresh_cache(spark)
         t0 = time.perf_counter()
         ingest_batch(spark, batch, 1, state, quality_gate=gate)
         el = time.perf_counter() - t0
@@ -301,6 +319,7 @@ def section_r8ops(sf_dir: str) -> dict:
     replay_simple_broker_with_ddl(spark, broker).count()  # warm
     best, n = None, 0
     for _rep in range(5):
+        _fresh_cache(spark)
         t0 = time.perf_counter()
         n = replay_simple_broker_with_ddl(spark, broker).count()
         el = time.perf_counter() - t0
@@ -555,6 +574,7 @@ def section_scaling(sf_dir: str) -> dict:
             fn(spark, d).count()  # warm
             best = None
             for _rep in range(3):
+                _fresh_cache(spark)
                 t0 = time.perf_counter()
                 fn(spark, d).count()
                 el = time.perf_counter() - t0
@@ -703,6 +723,7 @@ def section_incdedup(sf_dir: str) -> dict:
                       max_bucket=8).count()  # warm
     inc_best, n_pairs = None, 0
     for _rep in range(5):
+        _fresh_cache(spark)
         t0 = time.perf_counter()
         n_pairs = dedup_incremental(
             batch, idx_sh, idx_banded, 16, 4, 0.5, max_bucket=8
