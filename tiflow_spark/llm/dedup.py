@@ -980,21 +980,40 @@ def minhash_index(
         # them to sort-merge (LogicalRDD has no stats), measured slower
         # than the re-evaluation it saves (r14).
         banded = banded.persist()
-    stats = banded.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("total_seen"), F.min("doc_id").alias("rep")
-    )
+    stats = banded_bucket_stats(banded)
     if max_bucket is not None:
-        banded = (
-            banded.join(stats, ["band", "sig"])
-            .filter(
-                (F.col("total_seen") <= max_bucket)
-                | (F.col("doc_id") == F.col("rep"))
-            )
-            .drop("total_seen", "rep")
-        )
+        banded = cap_banded(banded, stats, max_bucket)
     if with_stats:
         return sh_arr, banded, stats
     return sh_arr, banded
+
+
+def banded_bucket_stats(banded: DataFrame) -> DataFrame:
+    """True-count stats sidecar of a banded frame: one (band, sig,
+    total_seen, rep) row per occupied bucket — the :func:`minhash_index`
+    ``with_stats`` sidecar, exposed so a caller that already HOLDS banded
+    rows (e.g. one shared minhash pass split into base/batch sides) can
+    derive the sidecar without re-running the shingle→minhash pipeline."""
+    return banded.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("total_seen"), F.min("doc_id").alias("rep")
+    )
+
+
+def cap_banded(
+    banded: DataFrame, stats: DataFrame, max_bucket: int
+) -> DataFrame:
+    """Apply the hot-bucket cap to banded rows given their stats sidecar:
+    over-cap buckets keep only the representative (min doc_id) row — the
+    :func:`minhash_index` ``max_bucket`` build-time cap, factored out for
+    callers that compute banded rows once and cap a filtered side."""
+    return (
+        banded.join(stats, ["band", "sig"])
+        .filter(
+            (F.col("total_seen") <= max_bucket)
+            | (F.col("doc_id") == F.col("rep"))
+        )
+        .drop("total_seen", "rep")
+    )
 
 
 def merge_lsh_stats(

@@ -606,13 +606,15 @@ def perplexity_bucket_sample(
     cutoffs are read. Bucketing + keep decisions stay MAP-ONLY over the
     full corpus (cutoff-literal comparison + salted hash). Cost of
     exactness: the cutoff aggregation needs the scored corpus BEFORE the
-    output pass does, so without ``materialize_dir`` the upstream scoring
-    runs twice (CCNet's sampled cutoffs score ~1% for that stage); pass a
-    directory to checkpoint (doc_id, lm_score) — ~16 bytes/doc parquet —
-    once, and both the histogram and the output read the checkpoint: ONE
-    scoring pass, the production shape. The keep decision is the
-    engine-portable salted-hash idiom shared with dataset_split:
-    append-stable, rerun-stable."""
+    output pass does, so the scored (doc_id, lm_score) frame — ~16
+    bytes/doc — is materialized ONCE and both the histogram and the
+    output read it: ``persist()`` by default (MEMORY_AND_DISK, spills
+    rather than OOMs; r14 — saves the parquet write+read roundtrip the
+    default double-scoring used to force), or a parquet checkpoint when
+    ``materialize_dir`` is given (the cross-session production shape —
+    cutoffs computed today, bucketed export running tomorrow). The keep
+    decision is the engine-portable salted-hash idiom shared with
+    dataset_split: append-stable, rerun-stable."""
     if rates is None:
         rates = {1: 0.1, 2: 0.5, 3: 1.0}
     if materialize_dir is not None:
@@ -621,6 +623,8 @@ def perplexity_bucket_sample(
             "overwrite"
         ).parquet(materialize_dir)
         lm_scores = spark.read.parquet(materialize_dir)
+    else:
+        lm_scores = lm_scores.select("doc_id", "lm_score").persist()
     hist = (
         lm_scores.groupBy("lm_score")
         .agg(F.count(F.lit(1)).alias("cnt"))

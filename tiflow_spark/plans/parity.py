@@ -2415,6 +2415,8 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the compaction-cadence operation that keeps incremental
     ingest's candidate sets bounded for the life of a 100 TB index."""
     from tiflow_spark.llm.dedup import (
+        banded_bucket_stats,
+        cap_banded,
         compact_lsh_index,
         corpus_with_dups,
         merge_lsh_stats,
@@ -2422,12 +2424,19 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     corpus = corpus_with_dups(load_table(spark, sf_dir, "documents"))
-    base = corpus.filter(F.col("doc_id") < 10000)
-    batch = corpus.filter(F.col("doc_id") >= 10000)
-    _, idx_capped, base_stats = minhash_index(
-        base, 16, 4, max_bucket=2, with_stats=True
-    )
-    _, batch_banded, batch_stats = minhash_index(batch, 16, 4, with_stats=True)
+    # ONE shingle→minhash→band pass over the full corpus (r14): banding
+    # is per-doc deterministic, so the base/batch banded rows built by
+    # two separate minhash_index calls are exactly the doc_id-filtered
+    # halves of one shared pass — which used to run twice (the whole
+    # explode+minhash pipeline per side). persist() the shared pass;
+    # stats/cap per side come off the cached rows.
+    _, banded_all = minhash_index(corpus, 16, 4)
+    banded_all = banded_all.persist()
+    base_banded = banded_all.filter(F.col("doc_id") < 10000)
+    batch_banded = banded_all.filter(F.col("doc_id") >= 10000)
+    base_stats = banded_bucket_stats(base_banded)
+    batch_stats = banded_bucket_stats(batch_banded)
+    idx_capped = cap_banded(base_banded, base_stats, 2)
     return compact_lsh_index(
         idx_capped.unionByName(batch_banded),
         2,
@@ -5884,9 +5893,9 @@ def q_sample_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.llm.textstats import trigram_lm_score
 
     lm = trigram_lm_score(_docs(spark, sf_dir)).select("doc_id", "lm_score")
-    return perplexity_bucket_sample(
-        lm, materialize_dir=_scratch_dir(prefix="tiflow_ppl_lm_")
-    )
+    # default (persist) materialization: one scoring pass shared by the
+    # histogram and the output, no parquet roundtrip (r14)
+    return perplexity_bucket_sample(lm)
 
 
 def _install_round7_llm_sql() -> None:
