@@ -1143,3 +1143,60 @@ def test_registry_rows_annotation_matches_collect_path(spark):
     slow = registry_column_plan(reg.select("*"))
     assert fast == slow
     assert [c for c, _ in fast] == ["id", "note", "extra"]
+
+
+def test_shared_pass_index_compact_equals_two_pass_build(spark):
+    """The r14 one-shared-minhash-pass construction used by
+    q_dedup_index_compact (one banded pass over the full corpus,
+    doc_id-filtered per side, stats/cap via banded_bucket_stats /
+    cap_banded) must be row-identical to building base and batch with
+    two separate minhash_index calls — banding is per-doc
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from tiflow_spark.llm.dedup import (
+        banded_bucket_stats,
+        cap_banded,
+        compact_lsh_index,
+        merge_lsh_stats,
+        minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta {i % 4} tail words")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    )
+    split = 10
+    # two-pass reference construction (the pre-r14 query shape)
+    _, idx_capped_2p, base_stats_2p = minhash_index(
+        corpus.filter(F.col("doc_id") < split), 16, 4, max_bucket=2,
+        with_stats=True,
+    )
+    _, batch_banded_2p, batch_stats_2p = minhash_index(
+        corpus.filter(F.col("doc_id") >= split), 16, 4, with_stats=True
+    )
+    two_pass = compact_lsh_index(
+        idx_capped_2p.unionByName(batch_banded_2p),
+        2,
+        stats=merge_lsh_stats(base_stats_2p, batch_stats_2p),
+    )
+    # shared-pass construction
+    _, banded_all = minhash_index(corpus, 16, 4)
+    banded_all = banded_all.persist()
+    try:
+        base_banded = banded_all.filter(F.col("doc_id") < split)
+        batch_banded = banded_all.filter(F.col("doc_id") >= split)
+        base_stats = banded_bucket_stats(base_banded)
+        batch_stats = banded_bucket_stats(batch_banded)
+        shared = compact_lsh_index(
+            cap_banded(base_banded, base_stats, 2).unionByName(batch_banded),
+            2,
+            stats=merge_lsh_stats(base_stats, batch_stats),
+        )
+        assert shared.exceptAll(two_pass).count() == 0
+        assert two_pass.exceptAll(shared).count() == 0
+    finally:
+        banded_all.unpersist()
