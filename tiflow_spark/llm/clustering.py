@@ -72,24 +72,42 @@ def _dbl_l2(a: Column, b: Column) -> Column:
     )
 
 
-def _argmin_cluster(qv: Column, cents: list[list], int_space: bool) -> Column:
-    """First-min argmin over centroid literals; returns the 0-based BIGINT
-    cluster id (= seed vec_id, since seeds are vec_id 0..k-1 in order)."""
+def _centroid_lit_sql(c: list, int_space: bool) -> str:
+    """One centroid as a SQL array literal. Int literals are exact by
+    definition; doubles go through CAST('<repr>' AS DOUBLE) — repr() is
+    the shortest round-trip decimal and string→double cast is correctly
+    rounded, so the parsed literal is bit-identical to F.lit(float(v))."""
     if int_space:
-        dists = F.array(
-            *[
-                _int_l2(qv, F.array(*[F.lit(int(v)) for v in c]))
-                for c in cents
-            ]
-        )
-    else:
-        dists = F.array(
-            *[
-                _dbl_l2(qv, F.array(*[F.lit(float(v)) for v in c]))
-                for c in cents
-            ]
-        )
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        return "array(" + ",".join(str(int(v)) for v in c) + ")"
+    return (
+        "array("
+        + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in c)
+        + ")"
+    )
+
+
+def _argmin_cluster(qv_sql: str, cents: list[list], int_space: bool) -> Column:
+    """First-min argmin over centroid literals; returns the 0-based BIGINT
+    cluster id (= seed vec_id, since seeds are vec_id 0..k-1 in order).
+
+    ``qv_sql`` is the vector operand as SQL text: the whole k×dims argmin
+    is generated as ONE SQL string and parsed JVM-side with a single
+    F.expr. Building the identical tree Column-by-Column (k·dims F.lit +
+    k zip_with/aggregate lambda folds) cost ~0.4 s of py4j round-trips
+    PER INVOCATION (measured r14, same pathology as pq_ann_topk); the
+    parsed Catalyst tree — zip_with/aggregate folds, first-min
+    array_position — is the same plan, values bit-identical (oracle rows
+    cluster_kmeans_lloyd / dedup_semdedup* re-proven at both scales)."""
+    zero = "CAST(0 AS BIGINT)" if int_space else "0.0D"
+    dists = ",".join(
+        f"aggregate(zip_with({qv_sql}, {_centroid_lit_sql(c, int_space)}, "
+        f"(x, y) -> (x - y) * (x - y)), {zero}, (acc, x) -> acc + x)"
+        for c in cents
+    )
+    return F.expr(
+        f"CAST(array_position(array({dists}), "
+        f"array_min(array({dists}))) - 1 AS BIGINT)"
+    )
 
 
 def seed_centroids(q: DataFrame, k: int) -> list[list[int]]:
@@ -111,7 +129,7 @@ def assign_seeded(embeddings: DataFrame, k: int = 8) -> DataFrame:
         "vec_id", "embedding", quantize_vec(F.col("embedding")).alias("qv")
     )
     cents = seed_centroids(q, k)
-    return q.withColumn("cluster", _argmin_cluster(F.col("qv"), cents, True))
+    return q.withColumn("cluster", _argmin_cluster("qv", cents, True))
 
 
 def kmeans_lloyd(embeddings: DataFrame, k: int = 8) -> DataFrame:
@@ -166,7 +184,7 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8) -> DataFrame:
         "vec_id",
         "cluster_init",
         _argmin_cluster(
-            F.transform(F.col("qv"), lambda x: x.cast("double")),
+            "transform(qv, x -> CAST(x AS DOUBLE))",
             cents,
             False,
         ).alias("cluster_refined"),

@@ -168,30 +168,32 @@ SELECT query_id, cat, vec_id, cos, rank FROM (
 WHERE rank <= {k}"""
 
 
-def lsh_bucket(emb: Column, planes: int = 8, dims: int = 64) -> Column:
+def lsh_bucket(emb_sql: str, planes: int = 8, dims: int = 64) -> Column:
     """Deterministic random-hyperplane bucket id: bit p = sign(w_p · emb)
     where w_p[i] = ±1 derived from a fixed per-(p,i) coin. No stored model —
-    every engine/restart derives identical planes."""
-    from tiflow_spark.functions.hashing import portable_hash64
+    every engine/restart derives identical planes.
 
-    bucket = F.lit(0)
+    ``emb_sql`` is the embedding operand as SQL text: the whole
+    planes×dims expression is generated as ONE SQL string and parsed
+    JVM-side with a single F.expr — building the identical tree
+    Column-by-Column (planes·dims F.lit + planes lambda folds) cost
+    ~0.75 s of py4j round-trips PER INVOCATION (measured r14, same
+    pathology as pq_ann_topk). ±1.0 double literals are exactly
+    representable; the parsed tree (zip_with/aggregate left-folds,
+    CASE WHEN per plane bit) is the same Catalyst plan as before —
+    values bit-identical (sim_ann_lsh / sim_embedding_neardup /
+    sim_ann_recall oracle rows re-proven at both scales)."""
+    terms = ["0"]
     for p in range(planes):
-        coins = [
-            # deterministic ±1: parity of the portable hash of "p:i"
-            1 if _coin(p, i) else -1
-            for i in range(dims)
-        ]
-        proj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(c)) for c in coins]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        weights = ",".join(
+            "1.0D" if _coin(p, i) else "-1.0D" for i in range(dims)
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+        terms.append(
+            f"(CASE WHEN aggregate(zip_with({emb_sql}, array({weights}), "
+            "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v) "
+            f"> 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 import hashlib
@@ -215,7 +217,7 @@ def ann_lsh_topk(
 
     dims = 64
     with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), planes, dims)
+        "bucket", lsh_bucket("embedding", planes, dims)
     )
     q = with_bucket.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
@@ -286,7 +288,7 @@ def embedding_neardup(
     """Near-duplicate vector pairs: cosine ≥ threshold within LSH buckets
     (high-cosine pairs land in the same bucket with high probability)."""
     with_bucket = embeddings.withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), planes, 64)
+        "bucket", lsh_bucket("embedding", planes, 64)
     )
     a = with_bucket.select(
         F.col("vec_id").alias("id_a"),
