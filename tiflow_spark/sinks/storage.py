@@ -157,8 +157,18 @@ def write_storage_sink(
         # (commit_ts, seq); `pos` keeps the reference's old-row-first
         # order through the (unstable) sort
         sort_cols.append("pos")
+    # Explicit partition count (same fix as sinks/bucketed.py
+    # _bucket_write_partitions, r14): a keyless-N repartition on the
+    # directory key lets AQE coalesce the exchange by SIZE — a batch of a
+    # few tens of MB collapses to ~1 task that then writes every
+    # {schema}/{table}/{date} directory's rotated files sequentially (the
+    # wall cost is per-FILE creation, not bytes). One task per core,
+    # scale-adaptive via defaultParallelism; each directory group still
+    # lands in exactly ONE task (hash on the full directory key), so
+    # rotation boundaries and CDC{n} numbering are unchanged.
+    n_write_tasks = max(1, env.sparkSession.sparkContext.defaultParallelism)
     writer = (
-        encoded.repartition("schema", "table", "date")
+        encoded.repartition(n_write_tasks, "schema", "table", "date")
         .sortWithinPartitions(*sort_cols)
         .select("schema", "table", "date", "line")
         .write.partitionBy("schema", "table", "date")
