@@ -552,12 +552,35 @@ def summary_report_from_checkpoint(
     )
 
 
+def _rid_range_pred(pk: str, lo, width: int, rids: set[int]):
+    """``floor((pk - lo) / width) ∈ rids`` rewritten as pk RANGE predicates
+    (adjacent rids merged into one interval). Width is always a power of
+    two and pk ≥ lo, so the double division is exact and the rewrite is
+    row-identical — but unlike the derived-column isin, plain min/max
+    comparisons on the pk column PUSH DOWN to the parquet scan (guide §6:
+    filters on derived columns never reach PushedFilters), so later rounds
+    prune row groups instead of re-scanning the full table."""
+    intervals: list[list[int]] = []
+    for r in sorted(rids):
+        a, b = lo + r * width, lo + (r + 1) * width
+        if intervals and intervals[-1][1] == a:
+            intervals[-1][1] = b
+        else:
+            intervals.append([a, b])
+    pred = None
+    for a, b in intervals:
+        p = (F.col(pk) >= a) & (F.col(pk) < b)
+        pred = p if pred is None else pred | p
+    return pred
+
+
 def bin_search_diff(
     src: DataFrame,
     dst: DataFrame,
     pk: str,
     cols: list[str],
     min_width: int = 64,
+    leaf_agg_max: int = 1 << 18,
 ) -> DataFrame:
     """Binary-search drill-down to the mismatching rows
     (diff/diff.go:505-616 BinGenerate/binSearch): start from the whole key
@@ -567,12 +590,24 @@ def bin_search_diff(
 
     Spark shape: level-synchronous — each round is ONE aggregation job over
     both sides (side-tagged union) grouped by the dyadic range id at that
-    depth, with the scan filtered to the surviving parent ranges (the
-    predicate prunes like the reference's chunk WHERE). The driver touches
-    only per-range (count, checksum) pairs: ≤2·|bad ranges| rows per round,
-    log(span/min_width) rounds. Final row-compare reads just the bad
-    leaves. On a 100 TB table with three bad chunks this scans the full
-    table once (round 1) and near-nothing afterwards.
+    depth, with the scan filtered to the surviving parent ranges as
+    PUSHED-DOWN pk range predicates (the reference's chunk WHERE). The
+    driver touches only per-range (count, checksum) pairs. Final
+    row-compare reads just the bad leaves. On a 100 TB table with three
+    bad chunks this scans the full table once (round 1) and near-nothing
+    afterwards.
+
+    Round collapse (r14): once the surviving candidate volume fits
+    ``leaf_agg_max`` leaf cells, the remaining rounds are computed from
+    ONE aggregation at leaf (``min_width``) granularity plus a driver-side
+    dyadic fold — exact because the chunk aggregate is (COUNT, BIT_XOR):
+    a parent range's pair is the column-wise (sum, xor) of its children,
+    so every level's (count, checksum) maps are reproduced bit-identically
+    without re-scanning per level (measured: 14 sequential ~0.45 s jobs →
+    1 at sf0.1). At data scale the early wide rounds still run as pruned
+    per-level jobs until the candidate volume is bounded, then one final
+    sweep of the surviving ranges finishes the search — the driver only
+    ever holds ≤ 2·leaf_agg_max (rid, cnt, checksum) rows.
     """
     both = src.select(*cols).withColumn("_side", F.lit("s")).unionByName(
         dst.select(*cols).withColumn("_side", F.lit("d"))
@@ -585,15 +620,63 @@ def bin_search_diff(
     while span < hi - lo:
         span <<= 1  # pad to a power of two so halves stay dyadic
 
+    # final leaf width the level loop would reach (span halved while
+    # > min_width); powers of two keep every level dyadic
+    leaf_w = span
+    while leaf_w > min_width:
+        leaf_w >>= 1
+
     width = span
     cand: set[int] = {0}
     while width > min_width and cand:
         parent_width, width = width, width >> 1
-        scoped = both.filter(
-            ((F.col(pk) - lo).cast("long") / parent_width)
-            .cast("long")
-            .isin(*cand)
-        )
+        if len(cand) * (parent_width // leaf_w) <= leaf_agg_max:
+            # ---- one leaf-granularity pass + exact driver fold
+            scoped = both.filter(
+                _rid_range_pred(pk, lo, parent_width, cand)
+            )
+            leaf_rows = (
+                scoped.groupBy(
+                    "_side",
+                    ((F.col(pk) - lo).cast("long") / leaf_w)
+                    .cast("long")
+                    .alias("_rid"),
+                )
+                .agg(*chunk_checksum_agg(cols))
+                .collect()
+            )
+            leaves: dict[str, dict[int, tuple]] = {"s": {}, "d": {}}
+            for r in leaf_rows:
+                leaves[r["_side"]][r["_rid"]] = (r["cnt"], r["checksum"])
+            w = width
+            while True:
+                fac = w // leaf_w
+                rolled: dict[str, dict[int, tuple]] = {"s": {}, "d": {}}
+                for side, d in leaves.items():
+                    m = rolled[side]
+                    for r, (c, x) in d.items():
+                        rid = r // fac
+                        if rid in m:
+                            pc, px = m[rid]
+                            m[rid] = (pc + c, px ^ x)
+                        else:
+                            m[rid] = (c, x)
+                # a level's candidates must descend from the previous
+                # level's survivors (the per-level jobs enforced this by
+                # scoping the scan; parent rid = rid // 2 level-to-level)
+                cand = {
+                    rid
+                    for rid in set(rolled["s"]) | set(rolled["d"])
+                    if rid // 2 in cand
+                    and rolled["s"].get(rid) != rolled["d"].get(rid)
+                }
+                if w == leaf_w or not cand:
+                    width = w
+                    break
+                w >>= 1
+            break
+        # ---- classic per-level job for the wide rounds
+        scoped = both.filter(_rid_range_pred(pk, lo, parent_width, cand))
         agg = (
             scoped.groupBy(
                 "_side",
@@ -615,9 +698,7 @@ def bin_search_diff(
 
     if not cand:
         return row_diff(src.limit(0), dst.limit(0), pk, cols)
-    leaf_pred = (
-        ((F.col(pk) - lo).cast("long") / width).cast("long").isin(*cand)
-    )
+    leaf_pred = _rid_range_pred(pk, lo, width, cand)
     return row_diff(src.filter(leaf_pred), dst.filter(leaf_pred), pk, cols)
 
 
@@ -802,14 +883,18 @@ def with_tuple_chunk_id(
     df: DataFrame,
     cols: Sequence[str],
     bounds: list[tuple],
-    codegen_max: int = 256,
+    codegen_max: int = 32,
 ) -> DataFrame:
     """``df`` + ``chunk_id`` column, scale-safe in the bound count.
 
     ≤ ``codegen_max`` bounds: the :func:`tuple_chunk_id` when-chain, one
     codegen term per bound (a left-deep chain much past ~256 terms
-    StackOverflows Spark 4's plan converter — the default sits safely
-    under that).
+    StackOverflows Spark 4's plan converter). Default 32 (was 256, r14):
+    the chain's ANALYSIS + codegen cost is linear in the bound count and
+    paid per invocation — measured fresh-plan cost at sf0.1 per checksum
+    agg: 0.92 s @32 / 1.4 @64 / 2.8 @128 / 5.1 @234 terms, while the
+    binsearch fold sits flat at ~0.9 s — so the crossover is ~32, far
+    below the StackOverflow bound the old default guarded.
 
     Beyond that — CalculateChunkSize clamps at 10k chunks, and a
     10k-term when-chain is a JVM codegen blowup — the bounds ride as ONE
