@@ -521,15 +521,16 @@ def test_with_tuple_chunk_id_matches_when_chain(spark):
     # both paths on the SAME bounds: codegen_max=0 forces binsearch while
     # tuple_chunk_id builds the when-chain — at a chain length the plan
     # converter tolerates (a 400-term chain StackOverflows Spark 4's
-    # ColumnNodeToExpressionConverter, which is exactly why codegen_max
-    # defaults to 256 and big bound lists take the binsearch)
+    # ColumnNodeToExpressionConverter, which is exactly why big bound
+    # lists take the binsearch; r14 lowered the default to 32 because the
+    # chain's per-invocation analysis+codegen cost is linear in terms)
     bounds = all_bounds[:200]
     big = with_tuple_chunk_id(df, ("m", "k"), bounds, codegen_max=0)
     small = df.withColumn("chunk_id", tuple_chunk_id(("m", "k"), bounds))
     a = sorted((r.m, r.k, r.chunk_id) for r in big.collect())
     b = sorted((r.m, r.k, r.chunk_id) for r in small.collect())
     assert a == b
-    # above codegen_max (default 256) the binsearch kicks in on its own;
+    # above codegen_max (default 32) the binsearch kicks in on its own;
     # check it against a Python-computed lexicographic count
     bounds = all_bounds[:400]
     out = with_tuple_chunk_id(df, ("m", "k"), bounds)
@@ -1200,3 +1201,98 @@ def test_shared_pass_index_compact_equals_two_pass_build(spark):
         assert two_pass.exceptAll(shared).count() == 0
     finally:
         banded_all.unpersist()
+
+
+# ------------------------- binsearch round collapse + pushed range preds
+
+
+def test_bin_search_fold_matches_per_level_rounds(spark, sf_dir):
+    """The r14 round collapse (one leaf-granularity aggregation + exact
+    driver-side dyadic fold — COUNT sums, BIT_XOR is associative) must
+    find exactly the rows the classic per-level job loop finds, which in
+    turn must equal the direct full row compare."""
+    from tiflow_spark.plans.parity import (
+        CUSTOMER_COLS,
+        _corrupt_customer,
+        load_table,
+    )
+    from tiflow_spark.validation.syncdiff import bin_search_diff, row_diff
+
+    src = load_table(spark, sf_dir, "customer")
+    dst = _corrupt_customer(spark, sf_dir)
+    folded = bin_search_diff(src, dst, "c_custkey", CUSTOMER_COLS,
+                             min_width=64)  # default: fold kicks in
+    classic = bin_search_diff(src, dst, "c_custkey", CUSTOMER_COLS,
+                              min_width=64, leaf_agg_max=0)  # never folds
+    direct = row_diff(src, dst, "c_custkey", CUSTOMER_COLS)
+    f = folded.select("c_custkey", "kind")
+    c = classic.select("c_custkey", "kind")
+    d = direct.select("c_custkey", "kind")
+    assert f.exceptAll(c).count() == 0 and c.exceptAll(f).count() == 0
+    assert f.exceptAll(d).count() == 0 and d.exceptAll(f).count() == 0
+
+
+def test_rid_range_pred_pushes_down_and_matches_isin(spark, sf_dir):
+    """_rid_range_pred must select exactly the rows of the derived-column
+    floor-div isin AND reach the parquet scan as PushedFilters (the
+    derived form never pushes — guide §6)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from tiflow_spark.plans.parity import load_table
+    from tiflow_spark.validation.syncdiff import _rid_range_pred
+
+    cust = load_table(spark, sf_dir, "customer")
+    lo, width, rids = 7, 256, {0, 2, 3, 9}
+    pred = _rid_range_pred("c_custkey", lo, width, rids)
+    old = (
+        ((F.col("c_custkey") - lo).cast("long") / width)
+        .cast("long")
+        .isin(*rids)
+    )
+    a, b = cust.filter(pred), cust.filter(old & (F.col("c_custkey") >= lo))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        a.explain("formatted")
+    m = re.search(r"PushedFilters: \[(.*?)\]", buf.getvalue())
+    assert m and "c_custkey" in m.group(1), buf.getvalue()[:2000]
+
+
+# ---------------- r14 session-5 plan pins: single-render replay + shingle-once
+
+
+def test_typed_replay_single_parse_no_inline_render(spark, sf_dir):
+    """consumer_replay_debezium_typed materializes the encoded messages
+    (localCheckpoint) before decoding: without it, pushing the op filter
+    below the decode re-inlines the full 16-column render + from_json
+    parse into the filter condition (measured 27 s vs 3.3 s at sf0.1).
+    The replay plan must carry at most one from_json and ZERO render
+    (StructsToJson) nodes — the render lives behind the checkpoint."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tiflow_spark.plans.parity import REGISTRY
+
+    fn, _ = REGISTRY["consumer_replay_debezium_typed"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fn(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert plan.lower().count("structstojson") == 0, plan[:1500]
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_ngram_jaccard_shingles_once(spark, sf_dir):
+    """ngram_jaccard_pairs shingles once into a persisted array frame;
+    all four consumer branches (stop-shingle df agg, sizes, both join
+    sides) must read the cache instead of re-running split+zip_with."""
+    from tiflow_spark.llm.dedup import corpus_with_dups, ngram_jaccard_pairs
+    from tiflow_spark.plans.parity import _docs
+
+    df = ngram_jaccard_pairs(
+        corpus_with_dups(_docs(spark, sf_dir)), 0.5, max_df=128
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, plan[:1500]

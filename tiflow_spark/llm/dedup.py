@@ -158,9 +158,16 @@ def ngram_jaccard_pairs(
     estimate unbiased for pairs that don't share hot shingles. The posting
     list bound makes worst-case join cost max_df² per shingle.
     """
-    sh = corpus.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
-    )
+    # shingle ONCE, persist the per-doc arrays, and explode from the cache:
+    # the exploded frame feeds up to four plan branches (the stop-shingle
+    # df aggregate, the per-doc sizes, and both self-join sides) and
+    # Catalyst shares no subtrees across branches — without the persist
+    # the split+zip_with shingling re-ran once per branch (r14; the same
+    # shingle-once idiom as minhash_lsh_pairs)
+    sh_arr = corpus.select(
+        "doc_id", word_shingles(F.col("text"), n).alias("sh")
+    ).persist()
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("shingle"))
     if max_df is not None:
         keep = (
             sh.groupBy("shingle")

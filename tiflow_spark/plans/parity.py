@@ -916,6 +916,10 @@ def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = tfm.split_updates(
         tfm.route(flt.apply_filters(_env(spark, sf_dir), DEMO_CFG), DEMO_CFG)
     )
+    # the routed/split envelope feeds FOUR jobs (bounds agg + 3 bucketed
+    # merges, one of them the deliberate pre-truncate replay) — persist it
+    # so the filter/route/split scan runs once per invocation, not per job
+    # (r14; batch-scale; the bench clears the cache per rep)
     changes = split.select(
         "target_table",
         "key",
@@ -925,7 +929,7 @@ def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after.id").alias("id"),
         F.col("after.balance").alias("balance"),
         F.col("after.note").alias("note"),
-    )
+    ).persist()
     bnd = changes.agg(
         F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
     ).collect()[0]
@@ -940,6 +944,7 @@ def q_ddl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # replay a pre-truncate batch AFTER the truncate: must stay erased
     merge_hash_bucketed(pre, target, n_buckets=8, batch_id=2)
+    changes.unpersist()
     return read_state(spark, target).select(
         "target_table", "key", "id", "balance", "note"
     )
@@ -976,6 +981,9 @@ def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = tfm.split_updates(
         tfm.route(flt.apply_filters(_env(spark, sf_dir), DEMO_CFG), DEMO_CFG)
     )
+    # feeds the bounds agg + 3 bucketed merge jobs — persist so the
+    # filter/route/split scan runs once per invocation (r14; batch-scale;
+    # the bench clears the cache per rep)
     changes = split.select(
         "target_table",
         "key",
@@ -985,7 +993,7 @@ def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("after.id").alias("id"),
         F.col("after.balance").alias("balance"),
         F.col("after.note").alias("note"),
-    )
+    ).persist()
     bnd = changes.agg(
         F.min("commit_ts").alias("t0"), F.max("commit_ts").alias("t1")
     ).collect()[0]
@@ -1005,6 +1013,7 @@ def q_stream_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.filter(F.col("seq") % 2 == 1), target, n_buckets=8, batch_id=2,
         mode="delta",
     )
+    changes.unpersist()
     return read_state(spark, target).select(
         "target_table", "key", "id", "balance", "note"
     )
@@ -8854,6 +8863,16 @@ def q_consumer_replay_debezium_typed(
     enc = encode_debezium_typed(
         _dbz_typed_env(spark, sf_dir), tz="Asia/Shanghai"
     )
+    # materialize the encoded messages ONCE per invocation (same
+    # localCheckpoint idiom and justification as the claim-check quartet,
+    # r14 §1): without it, pushing the replay's op filter below the
+    # decode projection re-inlines the full 16-column render + from_json
+    # parse into the filter CONDITION, so every row pays encode+parse
+    # three times (measured 27 s vs 7 s at sf0.1). Every other
+    # consumer_replay row materializes its messages through the file
+    # broker — this pins the same producer/consumer boundary. RDD-level,
+    # rebuilt per invocation: no cross-run caching.
+    enc = enc.localCheckpoint(eager=False)
     dec = decode_debezium_typed(
         enc, _dbz_typed_specs(), tz="Asia/Shanghai"
     )
