@@ -1296,3 +1296,54 @@ def test_ngram_jaccard_shingles_once(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan, plan[:1500]
+
+
+def test_minhash_sql_string_mixes_match_column_built_form(spark):
+    """_signatures_from_shingles builds each of the k universal-family
+    mixes as ONE parsed SQL expression (plan-construction cost: ~0.2 s of
+    py4j round-trips saved per invocation, r14 session 6). The parsed
+    tree must stay bit-identical to the Column-by-Column form it
+    replaced — int-literal coefficients promote to BIGINT in the
+    products, pmod against the BIGINT Mersenne literal."""
+    from tiflow_spark.llm.dedup import (
+        _M61,
+        _minhash_coeffs,
+        _signatures_from_shingles,
+        portable_hash64,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "beta gamma delta epsilon zeta eta"),
+            (3, "one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    )
+    new = _signatures_from_shingles(sh, 8)
+    h = portable_hash64(F.col("s"))
+    halves = sh.select(
+        "doc_id",
+        F.pmod(h, F.lit(1 << 30)).alias("hL"),
+        F.shiftright(h, 30).alias("hH"),
+    )
+    old = halves.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("hL")
+                    + F.lit(c) * F.col("hH")
+                    + F.lit(b),
+                    F.lit(_M61),
+                )
+            ).alias(f"mh_{i}")
+            for i, (a, c, b) in enumerate(_minhash_coeffs(8))
+        ]
+    )
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0

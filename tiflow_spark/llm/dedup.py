@@ -285,15 +285,17 @@ def _signatures_from_shingles(
         F.pmod(h, F.lit(1 << 30)).alias("hL"),
         F.shiftright(h, 30).alias("hH"),
     )
+    # each mix is ONE parsed SQL expression: building the k aggregates
+    # Column-by-Column cost ~0.35 s of py4j round-trips per invocation
+    # (r14, same pathology as the PQ codebook) — this constructor runs
+    # once per headline dedup query AND once per ingest micro-batch. The
+    # parsed tree (int-literal coefficients promote to BIGINT in the
+    # products, pmod against the BIGINT Mersenne literal) is the same
+    # Catalyst plan, values bit-identical.
     return halves.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.pmod(
-                    F.lit(a) * F.col("hL")
-                    + F.lit(c) * F.col("hH")
-                    + F.lit(b),
-                    F.lit(_M61),
-                )
+            F.expr(
+                f"min(pmod({a} * hL + {c} * hH + {b}, {_M61}))"
             ).alias(f"mh_{i}")
             for i, (a, c, b) in enumerate(_minhash_coeffs(num_hashes))
         ]
