@@ -1347,3 +1347,44 @@ def test_minhash_sql_string_mixes_match_column_built_form(spark):
     assert new.schema == old.schema
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_layout_scan_recursive_listing_is_version_exact(spark, tmp_path):
+    """read_storage_sink lists with ONE recursive walk instead of 4-level
+    glob expansion (glob construct cost ~4.5 s on a ~2000-file layout,
+    r14 session 6). The scan must still match EXACTLY what the glob
+    matched: CDC*.{ext} at {schema}/{table}/{version}/{date}/ for the
+    config's table_version only — meta/ files, other versions and stray
+    files excluded."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from tiflow_spark.sinks.storage import (
+        StorageSinkConfig,
+        read_storage_sink,
+    )
+
+    base = str(tmp_path / "layout")
+    d1 = os.path.join(base, "db", "t", "1", "2024-01-01")
+    d2 = os.path.join(base, "db", "t", "2", "2024-01-01")  # other version
+    meta = os.path.join(base, "db", "t", "meta")
+    os.makedirs(d1), os.makedirs(d2), os.makedirs(meta)
+    row = (
+        '{"id":[1],"database":"db","table":"t","pkNames":["id"],'
+        '"isDdl":false,"type":"INSERT","es":1000,"ts":1000,'
+        '"sql":"","sqlType":{"id":-5},"mysqlType":{"id":"bigint"},'
+        '"old":null,"data":[{"id":"1"}]}'
+    )
+    with open(os.path.join(d1, "CDC000001.json"), "w") as fh:
+        fh.write(row + "\n")
+    with open(os.path.join(d2, "CDC000001.json"), "w") as fh:
+        fh.write(row.replace('"id":"1"', '"id":"2"') + "\n")
+    with open(os.path.join(meta, "CDC.index"), "w") as fh:
+        fh.write("CDC000001.json\n")
+    with open(os.path.join(d1, "stray.json"), "w") as fh:
+        fh.write(row + "\n")
+    payload = T.StructType([T.StructField("id", T.LongType())])
+    cfg = StorageSinkConfig(protocol="canal-json", table_version=1)
+    got = read_storage_sink(spark, base, payload, cfg).select("id").collect()
+    assert [r.id for r in got] == [1]

@@ -281,6 +281,36 @@ def _write_schema_files(
             fh.write(payload)
 
 
+def _layout_lines(
+    spark: SparkSession, base_dir: str, ver: int, ext: str,
+    terminator: str = "\n",
+) -> DataFrame:
+    """One distributed text scan over the sink layout's data files.
+
+    Listing is ONE recursive directory walk (`recursiveFileLookup` +
+    `pathGlobFilter`) instead of per-level glob expansion — the 4-level
+    glob's driver-side globStatus cost ~4.5 s on a ~2000-file layout
+    (measured r14; and prefix listing is also the scalable shape on
+    object stores, where per-level globs issue one LIST per wildcard
+    branch). The rlike pins the exact layout the glob matched:
+    {schema}/{table}/{version}/{date}/CDC*.{ext}, version-exact, so
+    meta/ files and other table versions stay excluded."""
+    reader = spark.read.option("recursiveFileLookup", "true").option(
+        "pathGlobFilter", f"CDC*.{ext}"
+    )
+    if terminator != "\n":
+        reader = reader.option("lineSep", terminator)
+    return (
+        reader.text(base_dir)
+        .withColumn("_path", F.input_file_name())
+        .where(
+            F.col("_path").rlike(
+                rf"/[^/]+/[^/]+/{ver}/[^/]+/CDC[^/]*\.{ext}$"
+            )
+        )
+    )
+
+
 def read_storage_sink(
     spark: SparkSession,
     base_dir: str,
@@ -291,17 +321,12 @@ def read_storage_sink(
     storage-consumer path (cmd/storage-consumer, csv decoder).
 
     Partition identity (schema/table/date/file) is recovered from the file
-    path; the scan is a plain distributed text read with a pushed glob.
-    """
+    path; the scan is a plain distributed text read (one recursive
+    listing, filename + layout filters pinned at the scan)."""
     ver = cfg.table_version
     ext = "json" if cfg.protocol == "canal-json" else "csv"
-    pat = f"{base_dir}/*/*/{ver}/*/CDC*.{ext}"
-    reader = spark.read
-    if cfg.terminator != "\n":
-        reader = reader.option("lineSep", cfg.terminator)
     lines = (
-        reader.text(pat)
-        .withColumn("_path", F.input_file_name())
+        _layout_lines(spark, base_dir, ver, ext, cfg.terminator)
         .select(
             F.col("value").alias("line"),
             F.regexp_extract(F.col("_path"), rf"/([^/]+)/[^/]+/{ver}/", 1).alias(
@@ -348,9 +373,8 @@ def storage_layout_stats(
 ) -> DataFrame:
     """Files/rows per output directory — the sink's rotation contract:
     files = ceil(rows / max_records_per_file) per (schema, table, date)."""
-    pat = f"{base_dir}/*/*/{cfg.table_version}/*/CDC*.csv"
-    lines = spark.read.text(pat).withColumn("_path", F.input_file_name())
     ver = cfg.table_version
+    lines = _layout_lines(spark, base_dir, ver, "csv")
     return (
         lines.select(
             F.regexp_extract(F.col("_path"), rf"/([^/]+)/[^/]+/{ver}/", 1).alias(
