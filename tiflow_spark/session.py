@@ -49,6 +49,20 @@ def get_spark(app_name: str = "tiflow-spark", master: str | None = None) -> Spar
         # testdata parquet uses TIMESTAMP(NANOS); Spark reads them as LongType
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # local file:// writes default to Hadoop's ChecksumFileSystem,
+        # which creates a .crc sidecar per output file — on rotated-file
+        # sinks (2064 files at sf0.1) the sidecars double the file count
+        # and cost ~36% of the write wall (measured r14: staged storage
+        # write 4.86 s -> 3.11 s). Production clusters write to HDFS/S3,
+        # which carry their own integrity checks, so local double-
+        # checksumming of scratch data buys nothing; opt back in with
+        # SPARK_GRAFT_LOCAL_FS_CHECKSUM=1.
+        .config(
+            "spark.hadoop.fs.file.impl",
+            "org.apache.hadoop.fs.LocalFileSystem"
+            if os.environ.get("SPARK_GRAFT_LOCAL_FS_CHECKSUM") == "1"
+            else "org.apache.hadoop.fs.RawLocalFileSystem",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config(
