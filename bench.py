@@ -563,6 +563,14 @@ def section_scaling(sf_dir: str) -> dict:
         # completing the quartet's slope coverage
         "codec_claim_check_canal_envelope",
         "codec_simple_claim_check",
+        # r15 (VERDICT r14 #3): slope-prove the r14-restructured paths —
+        # the binsearch round collapse, the storage recursive listing and
+        # the typed-replay checkpoint boundary (dedup_keep_best, the CC
+        # loop, is already covered above). The driver runs the bench at
+        # two core counts, so each gets a data slope at both widths.
+        "validate_binsearch",
+        "sink_storage_roundtrip",
+        "consumer_replay_debezium_typed",
     ]
     from tiflow_spark.plans.parity import REGISTRY
 
@@ -834,6 +842,46 @@ def _flat_queries(merged: dict) -> dict[str, float]:
     return out
 
 
+# section keys whose dict values are genuine per-query timings (seconds,
+# min-of-N) — the per-query payload of the driver-facing headline line.
+# The decomposition dicts (ingest_fixture_sec, ingest_drain_decomposition)
+# are deliberately NOT query timings and stay out of it.
+_QUERY_SECTION_KEYS = (
+    "queries", "r5_queries", "r6_queries", "r7_queries", "r8_queries",
+    "r9_queries", "r10_queries", "r11_queries",
+)
+
+
+def _driver_queries(merged: dict, budget: int) -> dict[str, float]:
+    """Per-query dict for the driver-parsed headline line (VERDICT r14 #2:
+    per-query numbers must reach the driver's tail parse so PERF regains
+    per_query/geomean/regression detection). The driver records a
+    2000-char stdout tail and parses the LAST JSON line, so the whole line
+    must fit — values round to 2 decimals and, if the full registry set
+    still overflows ``budget``, entries are greedily kept shortest-name-
+    first to maximize coverage. The 11 legacy headline queries (present in
+    the parsed line since round 1) are always kept — entries may be added,
+    never removed."""
+    flat: dict[str, float] = {}
+    for key in _QUERY_SECTION_KEYS:
+        flat.update(merged.get(key) or {})
+    for k in ("stream_seed_sec", "stream_compact_sec",
+              "incremental_dedup_1to10_sec"):
+        if isinstance(merged.get(k), (int, float)):
+            flat[k] = merged[k]
+    flat = {k: round(float(v), 2) for k, v in flat.items()}
+    mandatory = set((merged.get("queries") or {}).keys())
+    out = {k: v for k, v in flat.items() if k in mandatory}
+    used = len(json.dumps(out, separators=(",", ":")))
+    for k in sorted(set(flat) - mandatory, key=lambda s: (len(s), s)):
+        cost = len(json.dumps({k: flat[k]})) - 1  # {+} minus the comma
+        if used + cost > budget:
+            continue
+        out[k] = flat[k]
+        used += cost
+    return out
+
+
 def _run_full_bench() -> dict:
     """One complete bench pass (all sections, each in its own JVM);
     returns the merged fragment dict."""
@@ -950,6 +998,10 @@ def main() -> None:
         "value": merged.get("value"),
         "unit": "sec",
         **{k: v for k, v in merged.items() if k != "value"},
+        # ADVICE r14: record the core count so a scaling-probe run (e.g.
+        # SPARK_GRAFT_CPUS=8) can never masquerade as a canonical
+        # full-bench record when this file is compared across rounds.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
         "sf": sf_num,
     }
     # merge the quiet-box variance evidence (bench.py --variance N) so it
@@ -963,16 +1015,22 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as f:
         json.dump(full, f, indent=1)
+    # VERDICT r14 #2: the final driver-parsed line carries the per-query
+    # timings again (dropped in round 10 when the merged mega-line outgrew
+    # the 2000-char tail — since then PERF per_query/geomean/regression
+    # detection had no data). Budgeted so the WHOLE line always fits the
+    # tail: ≤ 1900 chars incl. the wrapper keys, per-query values at 2dp.
     slim = {
         "metric": "headline_queries_total_sec",
         "value": merged.get("value"),
         "unit": "sec",
+        "queries": _driver_queries(merged, budget=1700),
         "core7_sec": merged.get("core7_sec"),
         "apply_rows_per_sec": merged.get("apply_rows_per_sec"),
         "sf": sf_num,
     }
     line = json.dumps(slim, separators=(",", ":"))
-    assert len(line) <= 300, f"slim headline line too long: {len(line)}"
+    assert len(line) <= 1900, f"headline line too long: {len(line)}"
     print(line)
 
 

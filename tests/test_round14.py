@@ -1011,9 +1011,20 @@ def test_duplicate_groups_sizes_without_corpus_window(spark):
     )
     out = duplicate_groups(pairs, corpus)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "Window" not in plan, (
-        "group_size is windowed over the full corpus again — every "
-        "(mostly singleton) doc would shuffle on group_id"
+    # r15: group_size is a count-window over the BOUNDED component frame
+    # (paired docs only, a post-checkpoint LogicalRDD) — one window, and
+    # its child must be that LogicalRDD, never the corpus join (whose
+    # window would shuffle every mostly-singleton doc on group_id, the
+    # r14 regression this test pins out).
+    import re
+
+    windows = re.findall(
+        r"Window [^\n]*\n\s*\+- (?:Project [^\n]*\n\s*\+- )?(\w+)", plan
+    )
+    assert len(windows) <= 1, plan
+    assert all(child == "LogicalRDD" for child in windows), (
+        "group_size window must sit directly over the checkpointed "
+        f"component frame, got children {windows}"
     )
     got = {
         r.doc_id: (r.group_id, r.group_size, r.is_representative)

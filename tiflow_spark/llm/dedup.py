@@ -790,6 +790,12 @@ def duplicate_groups(
             # `_old`; nbr rows contribute null) so the convergence probe
             # is a filter over the just-materialized frame instead of a
             # second join+shuffle job per round (r14)
+            # LAZY checkpoint + full-count probe = ONE job per round (r15):
+            # the probe action materializes every partition of the
+            # checkpoint RDD (a full count, no limit short-circuit, so
+            # LocalRDDCheckpointData finds all partitions cached and
+            # schedules no fill-in job) AND answers convergence — the old
+            # eager-checkpoint-then-probe shape paid two jobs per round.
             new = (
                 labels.withColumn("_old", F.col("label"))
                 .unionByName(
@@ -800,11 +806,9 @@ def duplicate_groups(
                     F.min("label").alias("label"),
                     F.min("_old").alias("_old"),
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
-            improved = (
-                new.filter(F.col("label") < F.col("_old")).limit(1).count()
-            )
+            improved = new.filter(F.col("label") < F.col("_old")).count()
             labels = new.select("doc_id", "label")
             if improved == 0:
                 break
@@ -812,17 +816,24 @@ def duplicate_groups(
         edges.unpersist()
     comp = labels.withColumnRenamed("label", "group_id")
     # group sizes from the component frame (bounded: paired docs only,
-    # already materialized by the loop's checkpoint) joined back onto the
-    # corpus — replaces a window partitioned by group_id over the FULL
-    # corpus, whose exchange shuffled every (mostly singleton) doc just
-    # to count the few multi-member groups (r14). Unpaired docs are
-    # singletons by construction, so their size is the literal 1.
-    sizes = comp.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("_gsz")
+    # already materialized by the loop's checkpoint) — replaces a window
+    # partitioned by group_id over the FULL corpus, whose exchange
+    # shuffled every (mostly singleton) doc just to count the few
+    # multi-member groups (r14). Unpaired docs are singletons by
+    # construction, so their size is the literal 1. r15: the size is a
+    # count-window over comp itself (groups are bounded by the LSH
+    # hot-bucket caps upstream) — one exchange of the paired docs instead
+    # of the r14 agg+join's two exchanges and an extra SortMergeJoin
+    # (comp is a post-checkpoint LogicalRDD with no size statistics, so
+    # the planner could never broadcast the agg back onto it).
+    from pyspark.sql import Window
+
+    comp = comp.withColumn(
+        "_gsz", F.count(F.lit(1)).over(Window.partitionBy("group_id"))
     )
     return (
         corpus.select("doc_id")
-        .join(comp.join(sizes, "group_id"), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
@@ -1101,12 +1112,20 @@ def dedup_incremental(
     # parquet-backed and touched only on hit keys).
     new_sh = new_sh.persist()
     new_banded = new_banded.persist()
+    # r15 (guide §3.1): the BATCH-side frames are bounded by the ingest
+    # batch — broadcast them explicitly so the INDEX side is never
+    # shuffled (the production contract: the old corpus is touched only
+    # map-side, on the keys the batch hits). Without the hints the
+    # planner sees agg-derived frames with no size statistics, plans
+    # sort-merge joins, and AQE's runtime broadcast conversion still pays
+    # the map-side shuffle write of every index row first (measured on
+    # the ingest drain: ~29 AQE stages per batch body).
     # new-vs-index candidates (either orientation, canonical id order)
     old_side = index_banded.select(
         "band", "sig", F.col("doc_id").alias("_old_id")
     )
     nvo = (
-        new_banded.join(old_side, ["band", "sig"])
+        F.broadcast(new_banded).join(old_side, ["band", "sig"])
         .select(
             F.least(F.col("doc_id"), F.col("_old_id")).alias("id_a"),
             F.greatest(F.col("doc_id"), F.col("_old_id")).alias("id_b"),
@@ -1130,7 +1149,7 @@ def dedup_incremental(
         small, star = new_banded, None
     a, b = small.alias("a"), small.alias("b")
     nvn = (
-        a.join(b, ["band", "sig"])
+        a.join(F.broadcast(b), ["band", "sig"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
@@ -1142,9 +1161,14 @@ def dedup_incremental(
     all_sh = index_shingles.unionByName(new_sh)
     sa = all_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = all_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # candidates are batch-scale (every pair has ≥ 1 new side) — broadcast
+    # them onto the big shingle side for both verification joins, so the
+    # index shingles stream map-side instead of shuffling by id (§3.1)
     verified = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        F.broadcast(cands).join(sa, "id_a")
+    )
+    verified = (
+        F.broadcast(verified).join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -352,8 +352,15 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    vecs = embeddings.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    # NOT persisted (r15, examined-rejected): MLlib's fit caches its own
+    # internal instances RDD, so iterations never re-scan parquet; an
+    # isolated fit-only A/B showed persisting the assembled vectors saves
+    # one scan+conversion (1.61 → 1.27 s at sf0.1), but the END-TO-END
+    # query measured WORSE with the persist (2.43 → 2.73 s min): the
+    # cached plan loses the parquet size statistics the probe/candidate
+    # joins plan their broadcasts from. The fit is the floor here.
+    vecs = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(vecs)
     centroids = model.clusterCenters()
@@ -361,9 +368,15 @@ def ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster_id INT, centroid ARRAY<DOUBLE>",
     )
+    # transform() preserves every input column, so the corpus columns ride
+    # through the assignment projection — the old select+join back onto
+    # `embeddings` re-scanned and re-shuffled the corpus by vec_id for
+    # columns the transform already had (r15, guide §2.4).
     assigned = model.transform(vecs).select(
-        "vec_id", F.col("prediction").alias("cluster_id")
-    ).join(embeddings, "vec_id")
+        "vec_id",
+        F.col("prediction").alias("cluster_id"),
+        *[c for c in embeddings.columns if c != "vec_id"],
+    )
     _ = vector_to_array
     return cdf, assigned
 

@@ -43,6 +43,7 @@ from tiflow_spark.operators.apply import changes_to_state
 from tiflow_spark.operators.compactor import compact
 from tiflow_spark.operators.dispatchers import dispatch
 from tiflow_spark.operators.frontier import table_resolved_ts
+from tiflow_spark.session import materialize_boundary
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -871,9 +872,31 @@ def q_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = _env(spark, sf_dir)
     work = _scratch_dir(prefix="tiflow_stream_q_")
     src = f"{work}/source"
-    # three out-of-order drops → multiple micro-batches
+    # three out-of-order drops → multiple micro-batches. r15 (guide
+    # §2.6): the three chunk writes are independent jobs — overlap them
+    # from a driver pool. Concurrent ``append`` jobs into ONE directory
+    # would collide on the shared ``_temporary`` committer dir, so each
+    # chunk writes its own dir and the driver renames the finished files
+    # in (chunk-prefixed, collision-free). The merge result is
+    # arrival-order independent (last-(commit_ts, seq)-wins per key), as
+    # the out-of-order drop order already demonstrates.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_chunk(chunk: int) -> tuple[int, str]:
+        d = f"{work}/chunk{chunk}"
+        env.filter(F.col("seq") % 3 == chunk).write.parquet(d)
+        return chunk, d
+
+    os.makedirs(src, exist_ok=True)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        done = dict(ex.map(_write_chunk, (2, 0, 1)))
     for chunk in (2, 0, 1):
-        env.filter(F.col("seq") % 3 == chunk).write.mode("append").parquet(src)
+        for f in sorted(os.listdir(done[chunk])):
+            if f.startswith("part-"):
+                os.rename(
+                    os.path.join(done[chunk], f),
+                    os.path.join(src, f"c{chunk}-{f}"),
+                )
     _, target = run_changefeed(spark, src, DEMO_CFG, work)
     from tiflow_spark.sinks.bucketed import read_state
 
@@ -2007,12 +2030,16 @@ _DDL4 = [
 
 
 def _ddl_fixture_stream(
-    spark: SparkSession, sf_dir: str, templates: list
+    spark: SparkSession,
+    sf_dir: str,
+    templates: list,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     # r14 opt: bounds as driver scalars + a pure LocalRelation — the
     # registry fold collects this frame, and a crossJoin shape dragged a
-    # full events agg scan into every fold (guide §2.4)
-    t0, t1 = _events_bounds(spark, sf_dir)
+    # full events agg scan into every fold (guide §2.4). r15: callers
+    # that build several fixtures per invocation pass the bounds once.
+    t0, t1 = bounds if bounds is not None else _events_bounds(spark, sf_dir)
     rows = [
         (
             "DDL",
@@ -3538,8 +3565,11 @@ def q_claim_check_raw_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message per referencing operator (predicate pushdown re-inlines the
     # to_json render into the store filter). Production analog: claim
     # payloads ARE written to external storage before the consumer joins
-    # back — the materialization is the operator's own semantics.
-    enveloped = enveloped.localCheckpoint(eager=False)
+    # back — the materialization is the operator's own semantics. r15
+    # (VERDICT r14 #5): the at-scale fault-tolerant swap is selectable —
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches every boundary to a
+    # reliable checkpoint (session.materialize_boundary).
+    enveloped = materialize_boundary(enveloped)
     # content-addressed storage: identical messages share one external
     # file (same md5 location, same payload) — the store is a set
     store = (
@@ -3605,8 +3635,11 @@ def q_claim_check_canal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message per referencing operator (predicate pushdown re-inlines the
     # to_json render into the store filter). Production analog: claim
     # payloads ARE written to external storage before the consumer joins
-    # back — the materialization is the operator's own semantics.
-    enveloped = enveloped.localCheckpoint(eager=False)
+    # back — the materialization is the operator's own semantics. r15
+    # (VERDICT r14 #5): the at-scale fault-tolerant swap is selectable —
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches every boundary to a
+    # reliable checkpoint (session.materialize_boundary).
+    enveloped = materialize_boundary(enveloped)
     # content-addressed storage: identical messages share one external
     # file (same md5 location, same payload) — the store is a set
     store = (
@@ -3675,8 +3708,11 @@ def q_open_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message per referencing operator (predicate pushdown re-inlines the
     # to_json render into the store filter). Production analog: claim
     # payloads ARE written to external storage before the consumer joins
-    # back — the materialization is the operator's own semantics.
-    enveloped = enveloped.localCheckpoint(eager=False)
+    # back — the materialization is the operator's own semantics. r15
+    # (VERDICT r14 #5): the at-scale fault-tolerant swap is selectable —
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches every boundary to a
+    # reliable checkpoint (session.materialize_boundary).
+    enveloped = materialize_boundary(enveloped)
     # content-addressed storage: identical messages share one external
     # file (same md5 location, same payload) — the store is a set
     store = (
@@ -3740,8 +3776,11 @@ def q_simple_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message per referencing operator (predicate pushdown re-inlines the
     # to_json render into the store filter). Production analog: claim
     # payloads ARE written to external storage before the consumer joins
-    # back — the materialization is the operator's own semantics.
-    enveloped = enveloped.localCheckpoint(eager=False)
+    # back — the materialization is the operator's own semantics. r15
+    # (VERDICT r14 #5): the at-scale fault-tolerant swap is selectable —
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches every boundary to a
+    # reliable checkpoint (session.materialize_boundary).
+    enveloped = materialize_boundary(enveloped)
     # content-addressed storage: identical messages share one external
     # file (same md5 location, same payload) — the store is a set
     store = (
@@ -6167,12 +6206,15 @@ def q_shardddl_optimistic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflow_spark.streaming.shardddl import lattice_join_schemas
 
     env = _env(spark, sf_dir).withColumn("logical_table", F.lit("events8"))
+    # one bounds collect shared by both shard fixtures (r15; each
+    # _ddl_fixture_stream otherwise runs its own full events agg job)
+    bounds = _events_bounds(spark, sf_dir)
     regs = {
         "shard_0": registry_from_ddl(
-            _ddl_fixture_stream(spark, sf_dir, _DDL8A)
+            _ddl_fixture_stream(spark, sf_dir, _DDL8A, bounds=bounds)
         ),
         "shard_1": registry_from_ddl(
-            _ddl_fixture_stream(spark, sf_dir, _DDL8B)
+            _ddl_fixture_stream(spark, sf_dir, _DDL8B, bounds=bounds)
         ),
     }
     shard_regs = regs["shard_0"].withColumn(
@@ -6182,6 +6224,11 @@ def q_shardddl_optimistic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", "joined_columns").alias("joined_csv"),
         "n_conflicts",
     )
+    # the envelope render feeds one decode branch per shard — persist the
+    # two-shard slice so the events scan + render runs once per
+    # invocation, not once per branch (r15, the §23/r14 idiom;
+    # batch-scale, the bench clears the cache per rep)
+    env = env.filter(F.col("schema").isin(*regs.keys())).persist()
     parts = []
     for shard, reg in regs.items():
         part = env.filter(F.col("schema") == shard)
@@ -8871,8 +8918,9 @@ def q_consumer_replay_debezium_typed(
     # three times (measured 27 s vs 7 s at sf0.1). Every other
     # consumer_replay row materializes its messages through the file
     # broker — this pins the same producer/consumer boundary. RDD-level,
-    # rebuilt per invocation: no cross-run caching.
-    enc = enc.localCheckpoint(eager=False)
+    # rebuilt per invocation: no cross-run caching; reliable-checkpoint
+    # variant behind SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (r15).
+    enc = materialize_boundary(enc)
     dec = decode_debezium_typed(
         enc, _dbz_typed_specs(), tz="Asia/Shanghai"
     )

@@ -76,6 +76,92 @@ class StorageSinkConfig:
     terminator: str = "\n"
 
 
+def _escape_path(v: str) -> str:
+    """Partition-directory name escaping, mirroring Hadoop/Spark's
+    ``escapePathName`` (ExternalCatalogUtils) so the staging layout is
+    byte-identical to what the built-in partitioned writer produced."""
+    out = []
+    for ch in v:
+        if ch < " " or ch in '"#%\'*/:=?\\{[]^' or ch == "\x7f":
+            out.append("%%%02X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _direct_rotated_write(
+    df: DataFrame, staging: str, max_records: int | None, terminator: str
+) -> None:
+    """Executor-direct rotated text write into the staging tree.
+
+    The built-in partitioned text writer paid ~1.5 ms of per-FILE
+    machinery (FSDataOutputStream setup + committer bookkeeping + commit
+    renames) on a layout whose rotation contract produces thousands of
+    small files — the write wall was file count, not bytes (measured r14
+    §29: raw creates of the same 2064 files cost 0.19 s). Tasks here
+    write their directory groups' final rotated files straight into the
+    staging tree (manifest-style: data moves once, executor-side; the
+    driver's existing finalize pass renames them into the CDC{n}
+    contract). Rotation, grouping and order are byte-identical to the
+    old writer: each (schema, table, date) group lands wholly in one
+    task (hash repartition upstream), rows arrive (commit_ts, seq)-
+    sorted, a new file starts every ``max_records`` rows (None = no
+    rotation, the header mode), and ``part-{partition:05d}-{file:04d}``
+    names keep the finalize pass's sorted-glob rename in rotation order.
+    Idempotent under task retry: a re-run attempt re-creates the same
+    deterministic file names with O_TRUNC."""
+    term = terminator.encode("utf-8")
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        state = {"key": None, "fh": None, "idx": 0, "rows": 0, "files": 0}
+
+        def _open_next() -> None:
+            s, t, d = state["key"]
+            dir_ = os.path.join(
+                staging,
+                f"schema={_escape_path(s)}",
+                f"table={_escape_path(t)}",
+                f"date={_escape_path(d)}",
+            )
+            os.makedirs(dir_, exist_ok=True)
+            state["fh"] = open(
+                os.path.join(dir_, f"part-{pid:05d}-{state['idx']:04d}"),
+                "wb",
+            )
+            state["files"] += 1
+
+        for b in batches:
+            cols = [b.column(i).to_pylist() for i in range(4)]
+            for s, t, d, line in zip(*cols):
+                key = (s, t, d)
+                if key != state["key"]:
+                    if state["fh"] is not None:
+                        state["fh"].close()
+                    state.update(key=key, idx=0, rows=0)
+                    _open_next()
+                elif max_records is not None and state["rows"] == max_records:
+                    state["fh"].close()
+                    state["idx"] += 1
+                    state["rows"] = 0
+                    _open_next()
+                state["fh"].write(line.encode("utf-8"))
+                state["fh"].write(term)
+                state["rows"] += 1
+        if state["fh"] is not None:
+            state["fh"].close()
+        import pyarrow as pa
+
+        yield pa.RecordBatch.from_pylist(
+            [{"files": state["files"]}],
+            schema=pa.schema([("files", pa.int64())]),
+        )
+
+    df.mapInArrow(_write, "files long").agg(F.sum("files")).collect()
+
+
 def _with_date(env: DataFrame, cfg: StorageSinkConfig) -> DataFrame:
     if cfg.date_separator == "none":
         return env.withColumn("date", F.lit("all"))
@@ -147,10 +233,9 @@ def write_storage_sink(
             group_cols=("table", "schema", "date"),
         )
     staging = os.path.join(base_dir, "_staging")
-    # sort key leads with the partition columns: the dynamic-partition
-    # file writer requires an ordering on them and would otherwise insert
-    # its OWN (unstable) sort, destroying the (commit_ts, seq) file order
-    # the header row and ts-ordered file contract depend on
+    # sort key leads with the partition columns: rotation and file order
+    # depend on each directory group arriving as one contiguous,
+    # (commit_ts, seq)-ordered run within its task
     sort_cols = ["schema", "table", "date", "commit_ts", "seq"]
     if "pos" in encoded.columns:
         # old-value mode: the D/I halves of one update share
@@ -167,23 +252,21 @@ def write_storage_sink(
     # lands in exactly ONE task (hash on the full directory key), so
     # rotation boundaries and CDC{n} numbering are unchanged.
     n_write_tasks = max(1, env.sparkSession.sparkContext.defaultParallelism)
-    writer = (
+    shutil.rmtree(staging, ignore_errors=True)
+    _direct_rotated_write(
         encoded.repartition(n_write_tasks, "schema", "table", "date")
         .sortWithinPartitions(*sort_cols)
-        .select("schema", "table", "date", "line")
-        .write.partitionBy("schema", "table", "date")
-        .mode("overwrite")
-    )
-    if not header_mode:
-        writer = writer.option(
-            "maxRecordsPerFile",
+        .select("schema", "table", "date", "line"),
+        staging,
+        None
+        if header_mode
+        else (
             cfg.max_records_per_file
             if cfg.max_records_per_file is not None
-            else DEFAULT_MAX_RECORDS_PER_FILE,
-        )
-    if cfg.terminator != "\n":
-        writer = writer.option("lineSep", cfg.terminator)
-    writer.text(staging)
+            else DEFAULT_MAX_RECORDS_PER_FILE
+        ),
+        cfg.terminator,
+    )
     written: list[str] = []
     ext = "json" if cfg.protocol == "canal-json" else "csv"
     for part_dir in sorted(glob.glob(f"{staging}/schema=*/table=*/date=*")):

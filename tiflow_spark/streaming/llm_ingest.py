@@ -85,7 +85,10 @@ def _read_parts(
     ]
     if not parts:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*parts)
+    # explicit schema: the state layout's schemas are fixed at init time —
+    # inferring them re-reads parquet footers as a 1-task job per read,
+    # two such jobs per micro-batch (r15, guide §6 job overhead)
+    return spark.read.schema(schema).parquet(*parts)
 
 
 def init_ingest_state(
@@ -182,31 +185,33 @@ def ingest_batch(
     # side and loses; id_b ∉ index ⇒ id_b is new and loses — whether
     # id_a is indexed (new-vs-old) or the smaller in-batch id
     # (new-vs-new), id_b is the drop either way. r12 perf shape: pairs
-    # (the whole LSH+verify DAG) is persisted so it evaluates ONCE, the
-    # index id scan happens ONCE with a broadcast semi probe on the
-    # batch-scale paired ids (was: three separate probe joins, each
-    # re-deriving pairs), and survivors are persisted across the three
-    # state writes so the batch input is scanned once, not three times.
+    # (the whole LSH+verify DAG) is persisted so it evaluates ONCE, and
+    # survivors are persisted across the three state writes so the batch
+    # input is scanned once, not three times.
     pairs = pairs.persist()
-    idx_hit_b = (
-        idx_sh.select("doc_id")
-        .join(
-            pairs.select(F.col("id_b").alias("doc_id")).distinct(),
-            "doc_id",
-            "semi",
-        )
-        .select(F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_idx"))
+    # r15 (guide §2.4/§3.1): the membership probe needs to know whether
+    # id_b is an INDEXED doc — but every pair has ≥ 1 new side and doc
+    # ids are unique across batches, so id_b ∈ index ⟺ id_b ∉ batch.
+    # Probing the (already-persisted, batch-scale) gated ids replaces the
+    # old probe's full index-id scan + semi join per batch — the index is
+    # now touched ONLY by the (band, sig)-keyed candidate join, the
+    # incremental contract's scale shape. The drop decision is unchanged:
+    # id_b in the batch ⇒ id_b is the new side and loses (new-vs-old with
+    # the indexed doc smaller, or in-batch with id_b the larger id);
+    # id_b not in the batch ⇒ id_b is indexed, so id_a is new and loses.
+    # No distinct on `dropped`: it feeds only a left_anti join (and a
+    # broadcast build), where duplicates cannot change the result.
+    batch_ids = gated.select(
+        F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_new")
     )
-    dropped = (
-        pairs.join(idx_hit_b, "id_b", "left")
-        .select(
-            F.when(F.col("_b_idx"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("doc_id")
-        )
-        .distinct()
+    dropped = pairs.join(F.broadcast(batch_ids), "id_b", "left").select(
+        F.when(F.col("_b_new"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("doc_id")
     )
-    survivors = gated.join(dropped, "doc_id", "left_anti").persist()
+    survivors = gated.join(
+        F.broadcast(dropped), "doc_id", "left_anti"
+    ).persist()
     survivors.count()  # materialize once before the concurrent readers
     surv_ids = survivors.select("doc_id")
     # the three state writes are independent jobs over already-persisted
@@ -219,11 +224,11 @@ def ingest_batch(
     writes = [
         (survivors, os.path.join(state_dir, "corpus", f"batch-{batch_id}")),
         (
-            new_sh.join(surv_ids, "doc_id", "semi"),
+            new_sh.join(F.broadcast(surv_ids), "doc_id", "semi"),
             os.path.join(state_dir, "index_sh", f"batch-{batch_id}"),
         ),
         (
-            new_banded.join(surv_ids, "doc_id", "semi"),
+            new_banded.join(F.broadcast(surv_ids), "doc_id", "semi"),
             os.path.join(state_dir, "index_banded", f"batch-{batch_id}"),
         ),
     ]
